@@ -1,0 +1,63 @@
+"""Distributed tokenize kernels (SURVEY E1 stage, T1-T12).
+
+The hot path is ``tokenize_counts``: an Arrow-batched ``mapInPandas``
+kernel that turns (doc_id, text) batches into (doc_id, term, tf) rows,
+pre-aggregated per document inside the batch, so the downstream
+``groupBy(term, doc_id)`` shuffle carries tf counts, never raw token
+streams (reference: the SPIMI invert loop, SPIMI.java:111-117, done
+here as one pass + one shuffle).
+
+Stopwords are NOT filtered here — doc_len (D2) counts them; the build
+stage drops them with a Catalyst-side ``~isin`` filter.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ..text import tokenize
+
+TOKEN_COUNTS_SCHEMA = "doc_id long, term string, tf int"
+
+
+def tokenize_counts_kernel(
+    batches: Iterator[pd.DataFrame], stem: bool = False
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, text) -> (doc_id, term, tf).
+
+    Emits per-document term counts (including stopwords).  Because each
+    document is wholly contained in one input row, counts are final —
+    no re-aggregation needed downstream except the term-wise group.
+    """
+    for pdf in batches:
+        doc_ids: list[int] = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+            if text is None:
+                continue
+            for term, tf in Counter(tokenize(text, stem=stem)).items():
+                doc_ids.append(doc_id)
+                terms.append(term)
+                tfs.append(tf)
+        yield pd.DataFrame({"doc_id": doc_ids, "term": terms, "tf": tfs})
+
+
+def make_tokenize_counts(stem: bool = False):
+    """Bind the stem flag (kept out of the closure-captured hot loop)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return tokenize_counts_kernel(batches, stem=stem)
+
+    return kernel
+
+
+def tokenize_query(text: str, stem: bool = False) -> dict[str, int]:
+    """Driver-side query tokenization — identical pipeline + stopword
+    filter (QueryParser.java:47-68); queries are tiny (A8)."""
+    from ..oracle import parse_query
+
+    return parse_query(text, stem=stem)

@@ -1,0 +1,126 @@
+"""Index build pipeline, DataFrame level (SURVEY E1; operators A1-A6).
+
+The reference's SPIMI invert loop (SPIMI.java:111-117,
+pyindex/inverted_index.py:21-49) becomes: one scan over ``pages``, one
+Arrow-batched tokenize kernel emitting per-doc term counts, then plain
+Catalyst aggregations.  The single shuffle on ``term`` replaces the
+in-memory TreeMap; Spark's sort-based shuffle IS the distributed k-way
+merge (README.md:25).
+
+Scale notes (100 TB / 10^12 docs):
+- tokenize emits (doc_id, term, tf) pre-aggregated per doc inside the
+  Arrow batch — the shuffle carries counts, never raw tokens.
+- docinfo/dictionary are partial+final hash aggs (map-side combine).
+- stopword filtering is a Catalyst ``~isin`` over a 54-element literal
+  list — pushed into the scan stage, no join.
+- doc_id assignment (dense_rank over url) is a one-time global sort,
+  persisted as ``doc_map`` and reused on resume (SURVEY §7.2.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import TOKEN_COUNTS_SCHEMA, make_tokenize_counts
+from ..text import STOPWORDS
+
+
+def assign_doc_ids(pages: DataFrame) -> DataFrame:
+    """Deterministic dense doc ids: dense_rank() over url (1-based,
+    matching the Java reference's 1-based ids, Indexer.java:88,116).
+
+    This is a global sort — run once, persist the result as
+    ``doc_map``, reuse on resume.  At 10^12 docs, prefer assigning ids
+    per url-range partition (rank within range + range offsets), which
+    ``repartitionByRange('url')`` + window-within-partition gives for
+    free; the plain window is correct at any scale, just one sort.
+    """
+    w = Window.orderBy("url")
+    return pages.select("url").distinct().withColumn(
+        "doc_id", F.dense_rank().over(w).cast("long")
+    )
+
+
+def token_counts(pages: DataFrame, stem: bool = False) -> DataFrame:
+    """(doc_id, text) -> (doc_id, term, tf) via the Arrow kernel.
+    Column pruning: only doc_id + text reach the Python worker."""
+    return pages.select("doc_id", "text").mapInPandas(
+        make_tokenize_counts(stem=stem), schema=TOKEN_COUNTS_SCHEMA
+    )
+
+
+def build_docinfo(tokens: DataFrame) -> DataFrame:
+    """A3/A4: doc_len counts ALL tokens (D2); max_tf over indexed
+    (non-stopword) terms only (D3)."""
+    stop = F.col("term").isin(*STOPWORDS)
+    return tokens.groupBy("doc_id").agg(
+        F.sum("tf").alias("doc_len"),
+        F.max(F.when(~stop, F.col("tf"))).alias("max_tf"),
+    )
+
+
+def build_postings(tokens: DataFrame) -> DataFrame:
+    """A1: the inverted file as a long relation (term, doc_id, tf),
+    stopwords excluded (T11)."""
+    return tokens.filter(~F.col("term").isin(*STOPWORDS))
+
+
+def build_dictionary(postings: DataFrame) -> DataFrame:
+    """A2: per-term document frequency + collection frequency."""
+    return postings.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+@dataclass
+class DataFrameIndex:
+    """The all-DataFrame index (SURVEY §7.1 step 4 — correctness
+    backbone; the compressed segment index in sources/storage.py is the
+    scale path and must produce identical query results)."""
+
+    postings: DataFrame  # (term, doc_id, tf)
+    docinfo: DataFrame   # (doc_id, doc_len, max_tf)
+    dictionary: DataFrame  # (term, df, cf)
+    n_docs: int
+    avg_doc_len: float
+
+    def df_of(self, terms: list[str]) -> dict[str, int]:
+        """Collection df for a small term set (query path J1)."""
+        rows = self.dictionary.filter(F.col("term").isin(terms)).select(
+            "term", "df"
+        ).collect()
+        return {r["term"]: r["df"] for r in rows}
+
+
+def build_dataframe_index(pages: DataFrame, stem: bool = False,
+                          cache: bool = True) -> DataFrameIndex:
+    """E1 end-to-end: pages -> tokens -> postings/docinfo/dictionary.
+
+    ``pages`` must carry a ``doc_id`` column (join with
+    ``assign_doc_ids`` output if not).
+    """
+    if "doc_id" not in pages.columns:
+        doc_map = assign_doc_ids(pages)
+        pages = pages.join(doc_map, "url")
+    tokens = token_counts(pages, stem=stem)
+    if cache:
+        tokens = tokens.persist()
+    postings = build_postings(tokens)
+    docinfo = build_docinfo(tokens)
+    dictionary = build_dictionary(postings)
+    if cache:
+        postings = postings.persist()
+        docinfo = docinfo.persist()
+    stats = docinfo.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avg_dl")
+    ).collect()[0]
+    return DataFrameIndex(
+        postings=postings,
+        docinfo=docinfo,
+        dictionary=dictionary,
+        n_docs=int(stats["n"]),
+        avg_doc_len=float(stats["avg_dl"]),
+    )

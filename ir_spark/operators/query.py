@@ -1,0 +1,147 @@
+"""Query engine, DataFrame level (SURVEY E3; operators J1-J3, K1,
+W1-W4).
+
+Logical plan per query (SURVEY §3 E3):
+  postings ⋈ broadcast(query_terms)          -- J1, bucket/filter-pruned
+          ⋈ docinfo on doc_id                -- J2 (per-doc stats)
+          -> weight column expr (W1/W2/BM25) -- whole-stage codegen
+          -> groupBy(doc_id).sum             -- A9, partial+final agg
+          [⋈ norms for cosine modes]         -- J3/W4
+          -> orderBy(score desc, doc_id).limit(k)  -- K1,
+             TakeOrderedAndProject (per-partition top-k + driver merge)
+
+All weighting math is Catalyst column expressions (JVM codegen) — no
+Python in the query hot path.  Query-side weights (W3: always the W1
+maxTf form, QueryParser.java:141-146) are driver-side scalars over a
+<=dozens-term bag.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..oracle import max_tf_weight, parse_query
+from .build import DataFrameIndex
+
+
+def _w1_expr(n_docs: int):
+    """W1 maxTf weighting (QueryParser.java:78-84) with the
+    integer-division idf kept deliberately (D5)."""
+    tf, max_tf, df = F.col("tf"), F.col("max_tf"), F.col("df")
+    idf = F.log(F.floor(F.lit(float(n_docs)) / df).cast("double")) / math.log(n_docs)
+    w = (F.lit(0.4) + F.lit(0.6) * F.log(tf + F.lit(0.5)) / F.log(max_tf + F.lit(1.0))) * idf
+    return F.when((tf == 0) | (max_tf == 0) | (df == 0), F.lit(0.0)).otherwise(w)
+
+
+def _w2_expr(n_docs: int, avg_doc_len: float):
+    """W2 Okapi variant (QueryParser.java:94-101), integer-division idf."""
+    tf, dl, df = F.col("tf"), F.col("doc_len"), F.col("df")
+    idf = F.log(F.floor(F.lit(float(n_docs)) / df).cast("double")) / math.log(n_docs)
+    w = F.lit(0.4) + F.lit(0.6) * (
+        tf / (tf + F.lit(0.5) + F.lit(1.5) * (dl / F.lit(avg_doc_len)))
+    ) * idf
+    return F.when((tf == 0) | (dl == 0) | (df == 0), F.lit(0.0)).otherwise(w)
+
+
+def _bm25_expr(n_docs: int, avg_doc_len: float, k1: float, b: float):
+    """Parameterized BM25 with Lucene-style non-negative idf."""
+    tf, dl, df = F.col("tf"), F.col("doc_len"), F.col("df")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - df + F.lit(0.5)) / (df + F.lit(0.5))
+    )
+    w = idf * tf * F.lit(k1 + 1.0) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avg_doc_len))
+    )
+    return F.when((tf == 0) | (df == 0), F.lit(0.0)).otherwise(w)
+
+
+def doc_weight_expr(mode: str, n_docs: int, avg_doc_len: float,
+                    k1: float = 1.2, b: float = 0.75):
+    if mode == "w1":
+        return _w1_expr(n_docs)
+    if mode == "w2":
+        return _w2_expr(n_docs, avg_doc_len)
+    if mode == "bm25":
+        return _bm25_expr(n_docs, avg_doc_len, k1, b)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def doc_norms(index: DataFrameIndex, mode: str, k1: float = 1.2,
+              b: float = 0.75) -> DataFrame:
+    """Idempotent per-doc L2 norms over ALL index terms (D4; A7).
+    One full postings sweep + hash agg; cache per (index, mode)."""
+    w = doc_weight_expr(mode, index.n_docs, index.avg_doc_len, k1, b)
+    joined = index.postings.join(
+        index.dictionary.select("term", "df"), "term"
+    ).join(index.docinfo, "doc_id")
+    return joined.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+
+
+def query_weights(index: DataFrameIndex, query: str, mode: str,
+                  stem: bool = False) -> tuple[dict[str, float], float]:
+    """W3: query-term weights (always the W1 form on query-local
+    tf/maxTf + collection df) and the query L2 norm.  Driver-side —
+    the query bag is tiny (A8)."""
+    bag = parse_query(query, stem=stem)
+    if not bag:
+        return {}, 0.0
+    if mode == "bm25":
+        weights = {t: float(tf) for t, tf in bag.items()}
+        return weights, 0.0
+    dfs = index.df_of(list(bag))
+    max_tf_q = max(bag.values())
+    weights = {
+        t: max_tf_weight(tf, max_tf_q, dfs.get(t, 0), index.n_docs)
+        for t, tf in bag.items()
+    }
+    q_norm = math.sqrt(sum(w * w for w in weights.values()))
+    return weights, q_norm
+
+
+def search(spark: SparkSession, index: DataFrameIndex, query: str,
+           k: int = 5, mode: str = "bm25", k1: float = 1.2,
+           b: float = 0.75, stem: bool = False,
+           norms: DataFrame | None = None) -> DataFrame:
+    """Top-k retrieval; OR-semantics over query terms
+    (QueryParser.java:159-174); deterministic tie-break (D8).
+
+    Returns DataFrame (doc_id, score), k rows, already ordered.
+    """
+    weights, q_norm = query_weights(index, query, mode, stem=stem)
+    if not weights:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    qdf = spark.createDataFrame(
+        [(t, w) for t, w in weights.items()], "term string, w_tq double"
+    )
+    normalize = mode in ("w1", "w2")
+
+    hits = (
+        index.postings
+        .join(F.broadcast(qdf), "term")
+        .join(F.broadcast(index.dictionary.filter(
+            F.col("term").isin(list(weights)))).select("term", "df"), "term")
+        .join(index.docinfo, "doc_id")
+    )
+    w_td = doc_weight_expr(mode, index.n_docs, index.avg_doc_len, k1, b)
+    scores = (
+        hits.select("doc_id", (w_td * F.col("w_tq")).alias("partial"))
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+    if normalize:
+        if norms is None:
+            norms = doc_norms(index, mode, k1, b)
+        scores = scores.join(norms, "doc_id").select(
+            "doc_id",
+            F.when(
+                (F.col("norm") > 0) & (F.lit(q_norm) > 0),
+                F.col("score") / F.col("norm") / F.lit(q_norm),
+            ).otherwise(F.lit(0.0)).alias("score"),
+        )
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

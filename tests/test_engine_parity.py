@@ -1,0 +1,84 @@
+"""Oracle-parity tests for the DataFrame engine (SURVEY §5.2.2).
+
+The Spark engine must be rank-identical (docIDs) and score-identical
+(<=1e-9) to the executable spec on the reference query set × all three
+weighting modes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ir_spark import oracle
+from ir_spark.fixtures import EDGE_QUERIES, REFERENCE_QUERIES
+from ir_spark.operators import build as B
+from ir_spark.operators import query as Q
+
+
+@pytest.fixture(scope="module")
+def spark_index(spark, pages_small):
+    path, _ = pages_small
+    pages = spark.read.parquet(path)
+    return B.build_dataframe_index(pages)
+
+
+class TestBuildParity:
+    def test_collection_stats(self, spark_index, oracle_index):
+        assert spark_index.n_docs == oracle_index.n_docs
+        assert abs(spark_index.avg_doc_len - oracle_index.avg_doc_len) < 1e-9
+
+    def test_dictionary_parity(self, spark_index, oracle_index):
+        got = {
+            r["term"]: (r["df"], r["cf"])
+            for r in spark_index.dictionary.collect()
+        }
+        want = {
+            t: (len(pl), sum(tf for _, tf in pl))
+            for t, pl in oracle_index.postings.items()
+        }
+        assert got == want
+
+    def test_docinfo_parity(self, spark_index, oracle_index):
+        got = {
+            r["doc_id"]: (r["doc_len"], r["max_tf"])
+            for r in spark_index.docinfo.collect()
+        }
+        want = {
+            d: (dl, mt if mt > 0 else None)
+            for d, (dl, mt) in oracle_index.docinfo.items()
+        }
+        assert got == want
+
+    def test_postings_parity_sample(self, spark_index, oracle_index):
+        # full check on the 30 highest-df terms + 30 arbitrary tail terms
+        terms = sorted(
+            oracle_index.postings, key=lambda t: -len(oracle_index.postings[t])
+        )[:30] + sorted(oracle_index.postings)[:30]
+        rows = spark_index.postings.filter(
+            spark_index.postings.term.isin(terms)
+        ).collect()
+        got: dict[str, list[tuple[int, int]]] = {}
+        for r in rows:
+            got.setdefault(r["term"], []).append((r["doc_id"], r["tf"]))
+        for t in terms:
+            assert sorted(got.get(t, [])) == oracle_index.postings[t], t
+
+
+MODES = ("bm25", "w1", "w2")
+
+
+class TestQueryParity:
+    @pytest.mark.parametrize("mode", MODES)
+    def test_reference_queries_rank_identical(self, spark, spark_index,
+                                              oracle_index, mode):
+        norms = Q.doc_norms(spark_index, mode).persist() if mode != "bm25" else None
+        for q in REFERENCE_QUERIES + EDGE_QUERIES:
+            want = oracle.search(oracle_index, q, k=5, mode=mode)
+            got = [
+                (r["doc_id"], r["score"])
+                for r in Q.search(spark, spark_index, q, k=5, mode=mode,
+                                  norms=norms).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in want], (mode, q)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9, (mode, q, gd, gs, ws)
