@@ -1,0 +1,107 @@
+"""Delta + varbyte posting-list codec, numpy-vectorized (SURVEY §2.6).
+
+The reference's gamma/delta bit codes are broken (quirk Q6: Java
+Utils.java:96-97 never sets bits; Python packs "variable-length" codes
+into fixed 2-byte shorts, compressed_index.py:32,74).  Decision D6:
+implement the documented *intent* — delta-encoded doc-id gaps +
+varbyte bytes (north star wording) — with round-trip tests.
+
+Varbyte layout: little-endian 7-bit groups, continuation bit 0x80 set
+on every byte except the last of a value.  Encode/decode are fully
+vectorized (no per-value Python loop): encode loops over the <=10
+byte *positions*, decode uses reduceat over flag-delimited groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_BYTES = 10  # ceil(64 / 7)
+
+
+def varbyte_encode(values: np.ndarray | list[int]) -> bytes:
+    """Encode non-negative ints (< 2^63) to a varbyte stream."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + floor(bit_length-1 / 7)
+    nb = np.ones(v.size, dtype=np.int64)
+    rest = v >> np.uint64(7)
+    while rest.any():
+        nb += (rest > 0)
+        rest >>= np.uint64(7)
+    offsets = np.empty(v.size + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(nb, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    for k in range(_MAX_BYTES):
+        mask = nb > k
+        if not mask.any():
+            break
+        idx = offsets[:-1][mask] + k
+        byte = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[mask] - 1 > k).astype(np.uint8) << 7
+        out[idx] = byte | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Decode a varbyte stream to uint64 values."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty(ends.size, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # position of each byte within its value
+    group_len = np.diff(np.concatenate(([np.int64(-1)], ends)))
+    group = np.repeat(np.arange(ends.size), group_len)
+    pos = np.arange(b.size) - starts[group]
+    contrib = (b & 0x7F).astype(np.uint64) << (7 * pos).astype(np.uint64)
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(doc_ids: np.ndarray | list[int]) -> bytes:
+    """Gap-encode an ascending doc-id list (first id absolute, then
+    gaps — reference intent, Utils.java:117-138) and varbyte it."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    if ids.size == 0:
+        return b""
+    gaps = np.empty(ids.size, dtype=np.uint64)
+    gaps[0] = np.uint64(ids[0])
+    if ids.size > 1:
+        d = np.diff(ids)
+        if (d <= 0).any():
+            raise ValueError("doc_ids must be strictly increasing")
+        gaps[1:] = d.astype(np.uint64)
+    return varbyte_encode(gaps)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    """Inverse of delta_encode -> int64 ascending doc ids."""
+    gaps = varbyte_decode(buf)
+    if gaps.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.cumsum(gaps.astype(np.int64))
+
+
+BLOCK = 128  # postings per skip block (block-max WAND granularity)
+
+
+def block_stats(doc_ids: np.ndarray, tfs: np.ndarray,
+                doc_lens: np.ndarray, block: int = BLOCK):
+    """Per-block skip metadata: last doc id, max tf, min doc_len.
+
+    max tf + min doc_len give a cheap upper bound for any of W1/W2/BM25
+    doc-term weights (all increase in tf and decrease in doc_len), used
+    by block-max WAND (SURVEY §4.2).
+    """
+    n = doc_ids.size
+    starts = np.arange(0, n, block)
+    ends = np.minimum(starts + block, n) - 1
+    last = doc_ids[ends]
+    max_tf = np.maximum.reduceat(tfs, starts)
+    min_dl = np.minimum.reduceat(doc_lens, starts)
+    return last.astype(np.int64), max_tf.astype(np.int32), min_dl.astype(np.int64)

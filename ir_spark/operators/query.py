@@ -82,25 +82,32 @@ def doc_norms(index: DataFrameIndex, mode: str, k1: float = 1.2,
     )
 
 
-def query_weights(index: DataFrameIndex, query: str, mode: str,
-                  stem: bool = False) -> tuple[dict[str, float], float]:
+def compute_query_weights(bag: dict[str, int], dfs: dict[str, int],
+                          n_docs: int, mode: str) -> tuple[dict[str, float], float]:
     """W3: query-term weights (always the W1 form on query-local
-    tf/maxTf + collection df) and the query L2 norm.  Driver-side —
-    the query bag is tiny (A8)."""
-    bag = parse_query(query, stem=stem)
+    tf/maxTf + collection df, QueryParser.java:141-146) and the query
+    L2 norm.  Driver-side — the query bag is tiny (A8).  For bm25 the
+    query weight is the raw query tf (plain BM25 sum)."""
     if not bag:
         return {}, 0.0
     if mode == "bm25":
-        weights = {t: float(tf) for t, tf in bag.items()}
-        return weights, 0.0
-    dfs = index.df_of(list(bag))
+        return {t: float(tf) for t, tf in bag.items()}, 0.0
     max_tf_q = max(bag.values())
     weights = {
-        t: max_tf_weight(tf, max_tf_q, dfs.get(t, 0), index.n_docs)
+        t: max_tf_weight(tf, max_tf_q, dfs.get(t, 0), n_docs)
         for t, tf in bag.items()
     }
     q_norm = math.sqrt(sum(w * w for w in weights.values()))
     return weights, q_norm
+
+
+def query_weights(index: DataFrameIndex, query: str, mode: str,
+                  stem: bool = False) -> tuple[dict[str, float], float]:
+    bag = parse_query(query, stem=stem)
+    if not bag:
+        return {}, 0.0
+    dfs = index.df_of(list(bag)) if mode != "bm25" else {}
+    return compute_query_weights(bag, dfs, index.n_docs, mode)
 
 
 def search(spark: SparkSession, index: DataFrameIndex, query: str,

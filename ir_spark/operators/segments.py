@@ -1,0 +1,307 @@
+"""Compressed segment index build (SURVEY E2; north-star scale path).
+
+Pipeline (each stage an atomic, manifest-committed parquet write —
+resumable; SURVEY §4.5):
+
+  pages ──► doc_map (dense ids)                                [stage doc_map]
+        ──► tokenize kernel ──► docinfo                        [stage docinfo]
+                            └─► postings_flat: (term, doc_id, tf,
+                                doc_len, max_tf) — doc stats joined in
+                                so segments are self-contained          [stage postings]
+        postings_flat ──► dictionary (term, df, cf)            [stage dictionary]
+        postings_flat ──► groupBy(term, run) ──► encode UDF ──►
+                          segments/ grp=G/bucket=B parquet     [stages segments_g*]
+        postings_flat ──► per-doc L2 norms (w1, w2)            [stage norms]
+
+Skew / shuffle design (SURVEY §4.1): ``run = floor(doc_id /
+range_width)`` shards every posting list into contiguous doc-id
+ranges.  Head terms (Zipf "the"-class) split across ~n_docs/R runs and
+therefore across tasks — no single reducer sees a whole head list.
+Runs double as the query-time unit of document-at-a-time scoring: all
+terms of one run are co-partitioned, so top-k scoring needs NO doc_id
+shuffle (operators/segment_query.py).  The groupBy(term, run) is
+sort-based: Spark's shuffle IS the distributed k-way merge of partial
+indexes (README.md:25, SPIMI merge).
+
+Posting-list encoding per (term, run): doc-id gaps delta+varbyte
+(codec.py, D6), tf / doc_len / max_tf varbyte streams, per-128-posting
+block skip metadata (last doc id, max tf, min doc_len) for block-max
+pruning.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import codec
+from ..sources import storage
+from .build import (
+    assign_doc_ids,
+    build_dictionary,
+    build_docinfo,
+    build_postings,
+    token_counts,
+)
+
+DEFAULT_RANGE_WIDTH = 1 << 14  # docs per run locally; 2^22ish on a cluster
+
+_ENCODED = T.StructType(
+    [
+        T.StructField("first_doc_id", T.LongType()),
+        T.StructField("last_doc_id", T.LongType()),
+        T.StructField("doc_gaps_vb", T.BinaryType()),
+        T.StructField("tfs_vb", T.BinaryType()),
+        T.StructField("doc_lens_vb", T.BinaryType()),
+        T.StructField("max_tfs_vb", T.BinaryType()),
+        T.StructField("block_last_doc_id", T.ArrayType(T.LongType())),
+        T.StructField("block_max_tf", T.ArrayType(T.IntegerType())),
+        T.StructField("block_min_doc_len", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+@F.pandas_udf(_ENCODED)
+def _encode_postings(doc_ids: pd.Series, tfs: pd.Series, doc_lens: pd.Series,
+                     max_tfs: pd.Series) -> pd.DataFrame:
+    """Arrow-batched encoder: one input row = one (term, run) posting
+    run, already doc_id-sorted by sort_array upstream."""
+    out = {k.name: [] for k in _ENCODED.fields}
+    for ids, tf, dl, mtf in zip(doc_ids, tfs, doc_lens, max_tfs):
+        ids = np.asarray(ids, dtype=np.int64)
+        tf = np.asarray(tf, dtype=np.int64)
+        dl = np.asarray(dl, dtype=np.int64)
+        mtf = np.asarray(mtf, dtype=np.int64)
+        last, bmax_tf, bmin_dl = codec.block_stats(ids, tf, dl)
+        out["first_doc_id"].append(int(ids[0]))
+        out["last_doc_id"].append(int(ids[-1]))
+        out["doc_gaps_vb"].append(codec.delta_encode(ids))
+        out["tfs_vb"].append(codec.varbyte_encode(tf))
+        out["doc_lens_vb"].append(codec.varbyte_encode(dl))
+        out["max_tfs_vb"].append(codec.varbyte_encode(mtf))
+        out["block_last_doc_id"].append(last.tolist())
+        out["block_max_tf"].append(bmax_tf.tolist())
+        out["block_min_doc_len"].append(bmin_dl.tolist())
+    return pd.DataFrame(out)
+
+
+def encode_segments(postings_flat: DataFrame, n_buckets: int,
+                    range_width: int) -> DataFrame:
+    """(term, doc_id, tf, doc_len, max_tf) -> segment rows.
+
+    The heavy lifting (shuffle + per-group sort) is Catalyst's
+    sort-based aggregate; Python only sees one already-grouped array
+    per row.
+    """
+    run = F.floor(F.col("doc_id") / F.lit(range_width)).cast("long")
+    grouped = (
+        postings_flat.withColumn("run", run)
+        .groupBy("term", "run")
+        .agg(
+            F.count("*").alias("run_df"),
+            F.sum("tf").alias("run_cf"),
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "doc_len", "max_tf"))
+            ).alias("plist"),
+        )
+    )
+    arrays = grouped.select(
+        "term",
+        "run",
+        "run_df",
+        "run_cf",
+        F.col("plist.doc_id").alias("doc_ids"),
+        F.col("plist.tf").alias("tfs"),
+        F.col("plist.doc_len").alias("doc_lens"),
+        F.col("plist.max_tf").alias("max_tfs"),
+    )
+    enc = arrays.select(
+        "term",
+        "run",
+        "run_df",
+        "run_cf",
+        _encode_postings("doc_ids", "tfs", "doc_lens", "max_tfs").alias("e"),
+    )
+    return enc.select(
+        "term", "run", "run_df", "run_cf", "e.*",
+        storage.term_bucket_col(F.col("term"), n_buckets).alias("bucket"),
+    )
+
+
+@dataclass
+class BuildReport:
+    index_dir: str
+    stages_run: list[str]
+    stages_skipped: list[str]
+    metrics: dict
+
+
+def build_segment_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    *,
+    source: str = "",
+    stem: bool = False,
+    n_buckets: int = storage.DEFAULT_BUCKETS,
+    range_width: int = DEFAULT_RANGE_WIDTH,
+    segment_groups: int = 4,
+    fail_after_stage: str | None = None,
+) -> BuildReport:
+    """Full resumable build.  ``fail_after_stage`` injects a crash right
+    after that stage commits — used by the resume test (SURVEY §5.2.6).
+
+    Lineage = (source, options); a stage whose manifest carries the same
+    lineage is skipped on re-run.
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    lineage = {
+        "source": source,
+        "stem": stem,
+        "n_buckets": n_buckets,
+        "range_width": range_width,
+        "segment_groups": segment_groups,
+    }
+    run_stages: list[str] = []
+    skipped: list[str] = []
+    metrics: dict = {}
+
+    def _stage(name: str) -> bool:
+        if storage.stage_committed(index_dir, name, lineage):
+            skipped.append(name)
+            return False
+        run_stages.append(name)
+        return True
+
+    def _commit(name: str, m: dict):
+        metrics[name] = m
+        storage.commit_stage(index_dir, name, lineage, m)
+        if fail_after_stage == name:
+            raise RuntimeError(f"injected failure after stage {name}")
+
+    paths = index_paths(index_dir)
+
+    # -- stage: doc_map --------------------------------------------------
+    if _stage("doc_map"):
+        t0 = time.time()
+        doc_map = assign_doc_ids(pages)
+        storage.atomic_write_parquet(doc_map, paths["doc_map"])
+        n = spark.read.parquet(paths["doc_map"]).count()
+        _commit("doc_map", {"n_docs": n, "wall_sec": time.time() - t0})
+
+    doc_map = spark.read.parquet(paths["doc_map"])
+    pages_ids = pages.join(doc_map, "url")
+
+    # -- stages: docinfo + postings (one tokenize pass) --------------------
+    need_docinfo, need_postings = (
+        not storage.stage_committed(index_dir, "docinfo", lineage),
+        not storage.stage_committed(index_dir, "postings", lineage),
+    )
+    if need_docinfo or need_postings:
+        t0 = time.time()
+        tokens = token_counts(pages_ids, stem=stem).persist()
+        if need_docinfo:
+            run_stages.append("docinfo")
+            storage.atomic_write_parquet(build_docinfo(tokens), paths["docinfo"])
+            _commit("docinfo", {"wall_sec": time.time() - t0})
+        else:
+            skipped.append("docinfo")
+        if need_postings:
+            run_stages.append("postings")
+            t1 = time.time()
+            docinfo = spark.read.parquet(paths["docinfo"])
+            flat = build_postings(tokens).join(docinfo, "doc_id")
+            storage.atomic_write_parquet(flat, paths["postings"])
+            n_postings = spark.read.parquet(paths["postings"]).count()
+            _commit("postings", {"n_postings": n_postings,
+                                 "wall_sec": time.time() - t1})
+        else:
+            skipped.append("postings")
+        tokens.unpersist()
+    else:
+        skipped.extend(["docinfo", "postings"])
+
+    postings_flat = spark.read.parquet(paths["postings"])
+
+    # -- stage: dictionary -------------------------------------------------
+    if _stage("dictionary"):
+        t0 = time.time()
+        dictionary = build_dictionary(postings_flat.select("term", "doc_id", "tf"))
+        storage.atomic_write_parquet(dictionary, paths["dictionary"])
+        n_terms = spark.read.parquet(paths["dictionary"]).count()
+        _commit("dictionary", {"n_terms": n_terms, "wall_sec": time.time() - t0})
+
+    # -- stages: segments, one job per bucket group (resume granularity) ---
+    for g in range(segment_groups):
+        name = f"segments_g{g}"
+        if not _stage(name):
+            continue
+        t0 = time.time()
+        part = postings_flat.filter(
+            F.pmod(storage.term_bucket_col(F.col("term"), n_buckets),
+                   F.lit(segment_groups)) == g
+        )
+        seg = encode_segments(part, n_buckets, range_width)
+        dest = os.path.join(paths["segments"], f"grp={g}")
+        storage.atomic_write_parquet(
+            seg, dest, partition_by=["bucket"], sort_within=["term", "run"]
+        )
+        written = spark.read.parquet(dest)
+        agg = written.agg(
+            F.count("*").alias("runs"),
+            F.sum("run_df").alias("postings"),
+            F.countDistinct("term").alias("terms"),
+        ).collect()[0]
+        _commit(name, {
+            "group": g,
+            "n_runs": int(agg["runs"]),
+            "n_postings": int(agg["postings"] or 0),
+            "n_terms": int(agg["terms"]),
+            "wall_sec": time.time() - t0,
+        })
+
+    # -- stage: norms (w1 + w2, idempotent — D4) ---------------------------
+    if _stage("norms"):
+        t0 = time.time()
+        from .query import doc_weight_expr
+
+        docinfo = spark.read.parquet(paths["docinfo"])
+        stats = docinfo.agg(F.count("*").alias("n"),
+                            F.avg("doc_len").alias("avg")).collect()[0]
+        n_docs, avg_dl = int(stats["n"]), float(stats["avg"])
+        dictionary = spark.read.parquet(paths["dictionary"])
+        joined = postings_flat.join(dictionary.select("term", "df"), "term")
+        w1 = doc_weight_expr("w1", n_docs, avg_dl)
+        w2 = doc_weight_expr("w2", n_docs, avg_dl)
+        norms = joined.groupBy("doc_id").agg(
+            F.sqrt(F.sum(w1 * w1)).alias("norm_w1"),
+            F.sqrt(F.sum(w2 * w2)).alias("norm_w2"),
+        )
+        storage.atomic_write_parquet(norms, paths["norms"])
+        _commit("norms", {"n_docs": n_docs, "avg_doc_len": avg_dl,
+                          "wall_sec": time.time() - t0})
+
+    # -- stage: stats (global scalars for the query engine) ----------------
+    if _stage("stats"):
+        docinfo = spark.read.parquet(paths["docinfo"])
+        stats = docinfo.agg(F.count("*").alias("n"),
+                            F.avg("doc_len").alias("avg")).collect()[0]
+        _commit("stats", {"n_docs": int(stats["n"]),
+                          "avg_doc_len": float(stats["avg"])})
+
+    return BuildReport(index_dir, run_stages, skipped, metrics)
+
+
+def index_paths(index_dir: str) -> dict[str, str]:
+    return {
+        name: os.path.join(index_dir, name)
+        for name in ("doc_map", "docinfo", "postings", "dictionary",
+                     "segments", "norms")
+    }

@@ -1,0 +1,113 @@
+"""Bucketed segment storage + build checkpointing (SURVEY S6/S7).
+
+Layout of an index directory (Parquet stand-in for Iceberg — no Iceberg
+jars in the sandbox; the writer keeps the bucket column + layout so a
+``writeTo(...).using('iceberg')`` swap is a config change, SURVEY §7.1.5):
+
+    <index_dir>/
+      doc_map/            (url, doc_id)            - parquet
+      docinfo/            (doc_id, doc_len, max_tf)- parquet
+      dictionary/         (term, df, cf)           - parquet
+      segments/bucket=N/  segment rows             - parquet, dir-pruned
+      norms/              (doc_id, norm_w1, norm_w2)
+      _manifests/<stage>.json                      - commit markers
+
+Every stage commit is atomic: write to ``<dir>.tmp`` -> os.replace ->
+manifest JSON with lineage + metrics.  A re-run skips stages whose
+manifest says committed and whose lineage matches (SURVEY §4.5,
+reference's index-serialization cache Driver.java:26-57 generalized).
+
+Term -> bucket uses md5-derived hashing computable identically on the
+driver (hashlib) and in Spark SQL (md5 + conv), so query-time bucket
+pruning needs no Spark job.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 32
+
+
+def term_bucket_py(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
+    """Driver-side bucket id: first 60 bits of md5, mod n_buckets."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
+
+
+def term_bucket_col(term: Column, n_buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Same hash as a Catalyst expression (JVM-side)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+# --- manifests ---------------------------------------------------------------
+
+def _manifest_path(index_dir: str, stage: str) -> str:
+    return os.path.join(index_dir, "_manifests", f"{stage}.json")
+
+
+def stage_committed(index_dir: str, stage: str, lineage: dict[str, Any]) -> bool:
+    """True iff the stage committed earlier with identical lineage."""
+    path = _manifest_path(index_dir, stage)
+    if not os.path.exists(path):
+        return False
+    with open(path) as fp:
+        manifest = json.load(fp)
+    return manifest.get("status") == "committed" and manifest.get("lineage") == lineage
+
+
+def commit_stage(index_dir: str, stage: str, lineage: dict[str, Any],
+                 metrics: dict[str, Any]) -> dict[str, Any]:
+    manifest = {
+        "stage": stage,
+        "status": "committed",
+        "lineage": lineage,
+        "metrics": metrics,
+        "committed_at_unix": time.time(),
+    }
+    os.makedirs(os.path.join(index_dir, "_manifests"), exist_ok=True)
+    tmp = _manifest_path(index_dir, stage) + ".tmp"
+    with open(tmp, "w") as fp:
+        json.dump(manifest, fp, indent=2, sort_keys=True)
+    os.replace(tmp, _manifest_path(index_dir, stage))
+    return manifest
+
+
+def read_manifests(index_dir: str) -> dict[str, dict[str, Any]]:
+    mdir = os.path.join(index_dir, "_manifests")
+    out = {}
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as fp:
+                    out[name[:-5]] = json.load(fp)
+    return out
+
+
+def atomic_write_parquet(df: DataFrame, dest: str, partition_by: list[str] | None = None,
+                         sort_within: list[str] | None = None) -> None:
+    """Write parquet to ``dest.tmp`` then atomically rename to ``dest``.
+    ``sort_within`` orders rows inside each file so Parquet row-group
+    min/max stats prune term lookups."""
+    tmp = dest + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    if os.path.exists(dest):
+        shutil.rmtree(dest)
+    os.replace(tmp, dest)

@@ -1,0 +1,84 @@
+"""Round-trip property tests for the varbyte/delta codec (SURVEY §5.2.1)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ir_spark.codec import (
+    block_stats,
+    delta_decode,
+    delta_encode,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+class TestVarbyte:
+    def test_empty(self):
+        assert varbyte_encode([]) == b""
+        assert varbyte_decode(b"").size == 0
+
+    def test_known_bytes(self):
+        # 0 -> 00; 127 -> 7f; 128 -> 0x80|0x00, 0x01
+        assert varbyte_encode([0]) == b"\x00"
+        assert varbyte_encode([127]) == b"\x7f"
+        assert varbyte_encode([128]) == b"\x80\x01"
+        assert varbyte_encode([300]) == b"\xac\x02"
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=500))
+    @settings(max_examples=200, deadline=None)
+    def test_roundtrip(self, values):
+        out = varbyte_decode(varbyte_encode(values))
+        assert out.tolist() == values
+
+    def test_large_array(self):
+        rng = np.random.default_rng(42)
+        vals = rng.integers(0, 2**40, size=100_000, dtype=np.uint64)
+        assert (varbyte_decode(varbyte_encode(vals)) == vals).all()
+
+
+class TestDelta:
+    @given(
+        st.lists(st.integers(min_value=1, max_value=2**40), min_size=0,
+                 max_size=300, unique=True)
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_roundtrip(self, ids):
+        ids = sorted(ids)
+        out = delta_decode(delta_encode(ids))
+        assert out.tolist() == ids
+
+    def test_rejects_non_increasing(self):
+        with pytest.raises(ValueError):
+            delta_encode([5, 5])
+        with pytest.raises(ValueError):
+            delta_encode([5, 3])
+
+    def test_compression_wins_on_dense_lists(self):
+        # dense ascending ids -> gaps of 1 -> 1 byte each
+        ids = np.arange(1, 100_001)
+        assert len(delta_encode(ids)) < ids.size * 1.01
+
+
+class TestBlockStats:
+    def test_blocks(self):
+        ids = np.arange(1, 301)
+        tfs = np.concatenate([np.full(128, 2), np.full(128, 7), np.full(44, 3)])
+        dls = np.concatenate([np.full(128, 50), np.full(128, 10), np.full(44, 99)])
+        last, max_tf, min_dl = block_stats(ids, tfs, dls, block=128)
+        assert last.tolist() == [128, 256, 300]
+        assert max_tf.tolist() == [2, 7, 3]
+        assert min_dl.tolist() == [50, 10, 99]
+
+    def test_upper_bound_property(self):
+        # any member weight <= bound computed from (max_tf, min_dl)
+        rng = np.random.default_rng(7)
+        ids = np.cumsum(rng.integers(1, 10, 500))
+        tfs = rng.integers(1, 30, 500)
+        dls = rng.integers(20, 900, 500)
+        last, max_tf, min_dl = block_stats(ids, tfs, dls, block=128)
+        for bi in range(len(last)):
+            lo, hi = bi * 128, min((bi + 1) * 128, 500)
+            assert tfs[lo:hi].max() == max_tf[bi]
+            assert dls[lo:hi].min() == min_dl[bi]

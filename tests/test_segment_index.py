@@ -1,0 +1,146 @@
+"""Segment index: build invariants, resume, and query parity incl. WAND
+(SURVEY §5.2.3/4/6)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from ir_spark import codec, oracle
+from ir_spark.fixtures import EDGE_QUERIES, REFERENCE_QUERIES
+from ir_spark.operators import segment_query as SQ
+from ir_spark.operators import segments as SEG
+from ir_spark.sources import storage
+
+RANGE_WIDTH = 64  # small so the 250-doc corpus spans multiple runs
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, pages_small, tmp_path_factory):
+    path, _ = pages_small
+    d = str(tmp_path_factory.mktemp("index"))
+    pages = spark.read.parquet(path)
+    report = SEG.build_segment_index(
+        spark, pages, d, source=path, n_buckets=8, range_width=RANGE_WIDTH,
+        segment_groups=2,
+    )
+    assert not report.stages_skipped
+    return d
+
+
+@pytest.fixture(scope="module")
+def sidx(spark, index_dir):
+    return SQ.SegmentIndex.load(spark, index_dir)
+
+
+class TestSegmentBuild:
+    def test_segment_invariants(self, spark, sidx, oracle_index):
+        rows = sidx.segments.collect()
+        # decode every run; reassemble per-term posting lists
+        assembled: dict[str, list[tuple[int, int]]] = {}
+        for r in rows:
+            ids = codec.delta_decode(bytes(r["doc_gaps_vb"]))
+            tfs = codec.varbyte_decode(bytes(r["tfs_vb"]))
+            dls = codec.varbyte_decode(bytes(r["doc_lens_vb"]))
+            assert (np.diff(ids) > 0).all()  # strictly increasing
+            assert ids.size == r["run_df"] == tfs.size == dls.size
+            assert r["first_doc_id"] == ids[0] and r["last_doc_id"] == ids[-1]
+            # run confinement: all ids in [run*W, (run+1)*W)
+            assert (ids // RANGE_WIDTH == r["run"]).all()
+            # bucket is the md5 bucket of the term
+            assert r["bucket"] == storage.term_bucket_py(r["term"], 8)
+            # block stats are true bounds
+            last, bmax, bmin = codec.block_stats(
+                ids, tfs.astype(np.int64),
+                codec.varbyte_decode(bytes(r["doc_lens_vb"])).astype(np.int64))
+            assert last.tolist() == list(r["block_last_doc_id"])
+            assert bmax.tolist() == list(r["block_max_tf"])
+            assert bmin.tolist() == list(r["block_min_doc_len"])
+            assembled.setdefault(r["term"], []).extend(
+                (int(d), int(t)) for d, t in zip(ids, tfs))
+        # reassembled lists == oracle posting lists, byte for byte
+        assert set(assembled) == set(oracle_index.postings)
+        for term, plist in assembled.items():
+            assert sorted(plist) == oracle_index.postings[term], term
+
+    def test_dictionary_df_matches_runs(self, sidx, oracle_index):
+        # global df per term == sum of run_df over runs
+        run_df = {
+            r["term"]: r["s"]
+            for r in sidx.segments.groupBy("term").agg(
+                __import__("pyspark.sql.functions", fromlist=["sum"]).sum("run_df").alias("s")
+            ).collect()
+        }
+        for term, plist in oracle_index.postings.items():
+            assert run_df[term] == len(plist), term
+
+
+class TestResume:
+    def test_resume_skips_committed_and_is_identical(self, spark, pages_small,
+                                                     tmp_path_factory):
+        path, _ = pages_small
+        d = str(tmp_path_factory.mktemp("resume"))
+        pages = spark.read.parquet(path)
+        kwargs = dict(source=path, n_buckets=4, range_width=RANGE_WIDTH,
+                      segment_groups=2)
+        # crash right after the first segment group commits
+        with pytest.raises(RuntimeError, match="injected failure"):
+            SEG.build_segment_index(spark, pages, d,
+                                    fail_after_stage="segments_g0", **kwargs)
+        manifests = storage.read_manifests(d)
+        assert "segments_g0" in manifests and "segments_g1" not in manifests
+        # re-run: committed stages skipped, rest completes
+        report = SEG.build_segment_index(spark, pages, d, **kwargs)
+        assert "segments_g0" in report.stages_skipped
+        assert "doc_map" in report.stages_skipped
+        assert "segments_g1" in report.stages_run
+        # resumed index == fresh index (same postings everywhere)
+        fresh = str(tmp_path_factory.mktemp("fresh"))
+        SEG.build_segment_index(spark, pages, fresh, **kwargs)
+        a = spark.read.parquet(os.path.join(d, "segments")).orderBy(
+            "term", "run").collect()
+        b = spark.read.parquet(os.path.join(fresh, "segments")).orderBy(
+            "term", "run").collect()
+        assert [(r["term"], r["run"], bytes(r["doc_gaps_vb"]), bytes(r["tfs_vb"]))
+                for r in a] == \
+               [(r["term"], r["run"], bytes(r["doc_gaps_vb"]), bytes(r["tfs_vb"]))
+                for r in b]
+
+    def test_lineage_change_rebuilds(self, spark, pages_small, tmp_path_factory):
+        path, _ = pages_small
+        d = str(tmp_path_factory.mktemp("lineage"))
+        pages = spark.read.parquet(path)
+        SEG.build_segment_index(spark, pages, d, source=path, n_buckets=4,
+                                range_width=RANGE_WIDTH, segment_groups=1)
+        report = SEG.build_segment_index(spark, pages, d, source=path,
+                                         n_buckets=4, range_width=128,
+                                         segment_groups=1)
+        assert "segments_g0" in report.stages_run  # lineage differs -> rebuilt
+
+
+MODES = ("bm25", "w1", "w2")
+
+
+class TestSegmentQueryParity:
+    @pytest.mark.parametrize("mode", MODES)
+    def test_rank_identical_to_oracle(self, spark, sidx, oracle_index, mode):
+        for q in REFERENCE_QUERIES[:8] + EDGE_QUERIES:
+            want = oracle.search(oracle_index, q, k=5, mode=mode)
+            got = [(r["doc_id"], r["score"]) for r in
+                   SQ.search_segments(spark, sidx, q, k=5, mode=mode).collect()]
+            assert [d for d, _ in got] == [d for d, _ in want], (mode, q)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9, (mode, q)
+
+    def test_wand_equals_exhaustive(self, spark, sidx, oracle_index):
+        # pruning must never change results (SURVEY §5.2.4)
+        for q in REFERENCE_QUERIES + EDGE_QUERIES:
+            ex = [(r["doc_id"], round(r["score"], 9)) for r in
+                  SQ.search_segments(spark, sidx, q, k=5, mode="bm25",
+                                     strategy="exhaustive").collect()]
+            wa = [(r["doc_id"], round(r["score"], 9)) for r in
+                  SQ.search_segments(spark, sidx, q, k=5, mode="bm25",
+                                     strategy="wand").collect()]
+            assert ex == wa, q
