@@ -1,0 +1,341 @@
+"""Driver-contract gates: Spark queries + DuckDB oracle SQL pairs.
+
+Each gate is one operator family from SURVEY §2, run over the driver's
+test tables (documents / embeddings) at a given sf_dir.  The Spark side
+exercises the REAL engine code (tokenize kernel, build aggregations,
+weighting expressions, segment index); the oracle side is plain ANSI
+SQL DuckDB can run on the same parquet.
+
+Determinism contract (driver compares row count + schema + value hash):
+- every float is emitted as micro-units: CAST(ROUND(x * 1e6) AS BIGINT)
+  — integer outputs hash identically across engines regardless of
+  last-ulp double differences;
+- every ranking orders by (score_micro DESC, id ASC) — exact tie-break;
+- top-k gates over-fetch from the engine (k*5 raw candidates), then
+  re-rank on the quantized score, so an oracle and the engine can never
+  disagree inside a quantization tie.
+
+The documents corpus is clean lowercase [a-z ] text, on which the full
+reference tokenizer provably equals "split on spaces, keep len>1"
+(tests/test_text.py::test_simple_equals_full_on_clean_prose), so the
+SQL oracle tokenizes with string_split while the Spark side runs the
+real Arrow kernel.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import build as B
+from .operators import query as Q
+from .text import STOPWORDS, tokenize
+
+# --- shared SQL fragments (DuckDB dialect; Spark side uses engine code) ------
+
+STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+# tokens incl. stopwords (doc_len semantics D2); len>1 == full tokenizer here
+TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents) u
+  WHERE LENGTH(term) > 1
+  GROUP BY doc_id, term
+),
+postings AS (SELECT * FROM toks WHERE term NOT IN ({STOP_SQL})),
+docinfo AS (
+  SELECT doc_id, SUM(tf) AS doc_len,
+         MAX(CASE WHEN term NOT IN ({STOP_SQL}) THEN tf END) AS max_tf
+  FROM toks GROUP BY doc_id
+),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(doc_len) AS avg_dl FROM docinfo),
+dict AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, SUM(tf) AS cf
+         FROM postings GROUP BY term)
+"""
+
+# the flagship query: mixed-df corpus vocabulary
+FLAGSHIP_QUERY = "fast hash join with big vector table scan"
+K_FLAGSHIP = 10
+
+
+def _read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+_INDEX_MEMO: dict[tuple, B.DataFrameIndex] = {}
+
+
+def _df_index(spark: SparkSession, sf_dir: str) -> B.DataFrameIndex:
+    """Memoized DataFrame index over documents (doc_id, text)."""
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_MEMO:
+        docs = _read_documents(spark, sf_dir).select("doc_id", "text")
+        _INDEX_MEMO[key] = B.build_dataframe_index(docs)
+    return _INDEX_MEMO[key]
+
+
+def _micro(col):
+    return F.round(col * F.lit(1000000.0)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# core IR gates
+# ---------------------------------------------------------------------------
+
+def q_tokens_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-doc term frequencies from the real tokenize kernel."""
+    docs = _read_documents(spark, sf_dir).select("doc_id", "text")
+    return B.token_counts(docs).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf"))
+
+
+def sql_tokens_tf() -> str:
+    return f"WITH {TOKS_CTE} SELECT doc_id, term, tf FROM toks"
+
+
+def q_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _df_index(spark, sf_dir)
+    return idx.dictionary.select("term", "df", F.col("cf").cast("long").alias("cf"))
+
+
+def sql_dictionary() -> str:
+    return f"WITH {TOKS_CTE} SELECT term, df, cf FROM dict"
+
+
+def q_docinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _df_index(spark, sf_dir)
+    return idx.docinfo.select(
+        "doc_id", "doc_len", F.col("max_tf").cast("long").alias("max_tf"))
+
+
+def sql_docinfo() -> str:
+    return f"WITH {TOKS_CTE} SELECT doc_id, doc_len, max_tf FROM docinfo"
+
+
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _df_index(spark, sf_dir)
+    # quantize with Spark's HALF_UP round (matches the oracle), not
+    # Python's banker's rounding
+    return spark.createDataFrame(
+        [(idx.n_docs, idx.avg_doc_len)], "n_docs long, avg double"
+    ).select("n_docs", _micro(F.col("avg")).alias("avg_doc_len_micro"))
+
+
+def sql_collection_stats() -> str:
+    return (f"WITH {TOKS_CTE} SELECT n AS n_docs, "
+            f"CAST(ROUND(avg_dl * 1000000) AS BIGINT) AS avg_doc_len_micro FROM stats")
+
+
+# --- top-k retrieval gates ----------------------------------------------------
+
+def _rerank_quantized(res: DataFrame, k: int) -> DataFrame:
+    """Quantize scores to micro-units, re-rank deterministically."""
+    return (
+        res.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search(spark, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5, mode="bm25")
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def _sql_query_terms() -> str:
+    """The flagship query through the same tokenizer + stopword filter,
+    as a VALUES list (term, qtf)."""
+    from collections import Counter
+
+    bag = Counter(t for t in tokenize(FLAGSHIP_QUERY) if t not in STOPWORDS)
+    vals = ", ".join(f"('{t}', {tf})" for t, tf in sorted(bag.items()))
+    return f"qterms AS (SELECT * FROM (VALUES {vals}) AS q(term, qtf))"
+
+
+def sql_bm25_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
+def q_w1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search(spark, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5, mode="w1")
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def q_w2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search(spark, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5, mode="w2")
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def _sql_cosine_topk(mode: str) -> str:
+    """W1/W2 reference vector-space model in SQL, integer-division idf
+    (D5), idempotent norms (D4), cosine normalization (W4)."""
+    if mode == "w1":
+        w_doc = """CASE WHEN p.tf = 0 OR d.max_tf = 0 OR t.df = 0 THEN 0.0
+         ELSE (0.4 + 0.6 * LN(p.tf + 0.5) / LN(d.max_tf + 1.0))
+              * LN(CAST(s.n // t.df AS DOUBLE)) / LN(s.n) END"""
+    else:
+        w_doc = """CASE WHEN p.tf = 0 OR d.doc_len = 0 OR t.df = 0 THEN 0.0
+         ELSE 0.4 + 0.6 * (p.tf / (p.tf + 0.5 + 1.5 * (d.doc_len / s.avg_dl)))
+              * LN(CAST(s.n // t.df AS DOUBLE)) / LN(s.n) END"""
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+qmax AS (SELECT MAX(qtf) AS mq FROM qterms),
+weighted AS (
+  SELECT p.doc_id, p.term, {w_doc} AS w
+  FROM postings p JOIN dict t USING (term) JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS norm FROM weighted GROUP BY doc_id),
+qw AS (
+  SELECT q.term,
+         CASE WHEN q.qtf = 0 OR m.mq = 0 OR COALESCE(t.df, 0) = 0 THEN 0.0
+              ELSE (0.4 + 0.6 * LN(q.qtf + 0.5) / LN(m.mq + 1.0))
+                   * LN(CAST(s.n // t.df AS DOUBLE)) / LN(s.n) END AS w_tq
+  FROM qterms q LEFT JOIN dict t USING (term) CROSS JOIN qmax m CROSS JOIN stats s
+),
+qnorm AS (SELECT SQRT(SUM(w_tq * w_tq)) AS qn FROM qw),
+dots AS (
+  SELECT w.doc_id, SUM(w.w * qw.w_tq) AS dot
+  FROM weighted w JOIN qw USING (term)
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(ROUND(CASE WHEN n.norm > 0 AND q.qn > 0
+                       THEN d.dot / n.norm / q.qn ELSE 0.0 END * 1000000)
+            AS BIGINT) AS score_micro
+FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qnorm q
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
+def q_search_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9: top-k + headline lookup (join back to the source table) +
+    S10 external id formatting."""
+    idx = _df_index(spark, sf_dir)
+    top = _rerank_quantized(
+        Q.search(spark, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5, mode="bm25"),
+        K_FLAGSHIP,
+    )
+    docs = _read_documents(spark, sf_dir)
+    return (
+        top.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "score_micro",
+            F.format_string("doc%08d", F.col("doc_id")).alias("external_id"),
+            F.substring(F.col("text"), 1, 40).alias("headline"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    )
+
+
+def sql_search_results() -> str:
+    inner = sql_bm25_topk().strip()
+    return f"""
+WITH topk AS ({inner})
+SELECT t.doc_id, t.score_micro,
+       printf('doc%08d', t.doc_id) AS external_id,
+       SUBSTRING(d.text, 1, 40) AS headline
+FROM topk t JOIN documents d USING (doc_id)
+ORDER BY t.score_micro DESC, t.doc_id ASC
+"""
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2 extraction invariant as a gate: wrap each doc in HTML,
+    run the real extract_text kernel, verify byte-identity."""
+    import pandas as pd
+
+    from .text import extract_text
+
+    docs = _read_documents(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("<html><title></title><body><p>"), F.col("text"),
+            F.lit("</p></body></html>"),
+        ).cast("binary").alias("html"),
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            extracted = [
+                extract_text(h) for h in pdf["html"]
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "extracted_len": [len(e) for e in extracted],
+                "is_identical": [e == t for e, t in
+                                 zip(extracted, pdf["text"])],
+            })
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, extracted_len int, is_identical boolean")
+
+
+def sql_html_extract() -> str:
+    # all tags strip away (empty title), so on clean [a-z ] text the
+    # extraction is byte-identical to the text column
+    return """
+SELECT doc_id, CAST(LENGTH(text) AS INT) AS extracted_len,
+       TRUE AS is_identical
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "tokens_tf": q_tokens_tf,
+        "dictionary": q_dictionary,
+        "docinfo": q_docinfo,
+        "collection_stats": q_collection_stats,
+        "bm25_topk": q_bm25_topk,
+        "w1_topk": q_w1_topk,
+        "w2_topk": q_w2_topk,
+        "search_results": q_search_results,
+        "html_extract": q_html_extract,
+    }
+
+
+def core_oracle_sql() -> dict[str, str]:
+    return {
+        "tokens_tf": sql_tokens_tf(),
+        "dictionary": sql_dictionary(),
+        "docinfo": sql_docinfo(),
+        "collection_stats": sql_collection_stats(),
+        "bm25_topk": sql_bm25_topk(),
+        "w1_topk": _sql_cosine_topk("w1"),
+        "w2_topk": _sql_cosine_topk("w2"),
+        "search_results": sql_search_results(),
+        "html_extract": sql_html_extract(),
+    }

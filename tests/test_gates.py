@@ -1,0 +1,73 @@
+"""Gate harness: mimic the driver's Spark-vs-DuckDB comparison
+(row count + schema + order-insensitive value equality) at sf0.001.
+
+The per-round driver runs the same comparison at sf0.01; this test is
+the fast local guard."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("IR_SPARK_GATE_SF", "/root/testdata/sf0.001")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _canon(df):
+    """Order-insensitive canonical form: sort columns by name, then rows."""
+    cols = sorted(df.columns)
+    rows = [tuple(row[c] for c in cols) for _, row in df.iterrows()]
+    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def test_every_query_matches_oracle(spark, entrymod, duck):
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    assert set(osql) <= set(qs), "oracle_sql keys must be a subset of queries"
+    failures = []
+    for name, fn in sorted(qs.items()):
+        sdf = fn(spark, SF_DIR).toPandas()
+        if name not in osql:
+            assert len(sdf) >= 0  # rows-only check
+            continue
+        odf = duck.sql(osql[name]).df()
+        scols, srows = _canon(sdf)
+        ocols, orows = _canon(odf)
+        if scols != ocols:
+            failures.append((name, "schema", scols, ocols))
+            continue
+        if len(srows) != len(orows):
+            failures.append((name, "rowcount", len(srows), len(orows)))
+            continue
+        if srows != orows:
+            diff = [i for i, (a, b) in enumerate(zip(srows, orows)) if a != b][:3]
+            failures.append((name, "values", [(srows[i], orows[i]) for i in diff]))
+    assert not failures, failures
+
+
+def test_entry_smoke(spark, entrymod):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"doc_id", "score_micro"}
