@@ -1,0 +1,509 @@
+"""Driver-contract gates for the training-data-pipeline operators:
+deduplication, similarity/ANN search, text analysis, multimodal
+plumbing.  Companion to gates.py (core IR); same determinism contract
+(micro-quantized floats, explicit tie-breaks, md5-portable hashing).
+
+Spark sides call the real operators in ir_spark.operators.{dedup,
+similarity, textstats, multimodal}; oracle sides are DuckDB SQL over
+the same parquet views.  MinHash/SimHash/fingerprints are exactly
+reproducible cross-engine because every hash is md5 of an explicit
+string and MinHash minimizes the hex string (lexicographic == numeric
+on the 128-bit value).
+
+Derived corpora (dedup gates need duplicates; the synthetic corpus has
+none): exact copies of every 10th doc and drop-first-word variants of
+every 7th doc, appended with doc_id + 10_000_000 — pure column
+expressions, identical in both engines, no external data.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .gates import TOKS_CTE
+from .operators import build as B
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import textstats as X
+from .text import STOPWORDS
+
+DUP_OFFSET = 10_000_000
+N_HASHES, N_BANDS, BAND_ROWS = 16, 4, 4
+JACCARD_MIN_MICRO = 300_000  # 0.3
+ANN_K = 10
+ANN_QUERY_VEC_ID = 0
+IVF_PROBES = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --- derived dedup corpora (identical construction in SQL below) -----------
+
+def _with_exact_dups(docs: DataFrame) -> DataFrame:
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text")
+    return docs.unionByName(copies)
+
+
+def _with_near_dups(docs: DataFrame) -> DataFrame:
+    variants = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"))
+    return docs.unionByName(variants)
+
+
+_SQL_EXACT_CORPUS = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)"""
+
+_SQL_NEAR_CORPUS = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS doc_id,
+         substr(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 7 = 0
+)"""
+
+# distinct word 3-gram shingles over `corpus` (matches D.word_shingles)
+_SQL_SHINGLES = """
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                   t -> length(t) > 0) AS w FROM corpus)
+  WHERE len(w) >= 3
+)"""
+
+
+def _sql_minhash_bands() -> str:
+    mins = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES))
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS band_hash FROM mh".format(
+            b=b, cols=", ".join(f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS)))
+        for b in range(N_BANDS))
+    return f"mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),\nbands AS ({bands})"
+
+
+# ---------------------------------------------------------------------------
+# dedup gates
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dup_groups(_with_exact_dups(_docs(spark, sf_dir)))
+
+
+def sql_dedup_exact() -> str:
+    return f"""
+WITH {_SQL_EXACT_CORPUS}
+SELECT md5(text) AS text_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) band signatures (4 bands x 4 rows) per document."""
+    sh = D.word_shingles(_docs(spark, sf_dir), n=3)
+    return D.lsh_bands(D.minhash_signatures(sh, N_HASHES), N_BANDS, BAND_ROWS)
+
+
+def sql_minhash_bands() -> str:
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{_SQL_SHINGLES.lstrip()},
+{_sql_minhash_bands()}
+SELECT doc_id, band, band_hash FROM bands
+"""
+
+
+def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs verified by exact shingle Jaccard >= 0.3."""
+    corpus = _with_near_dups(_docs(spark, sf_dir))
+    sh = D.word_shingles(corpus, n=3)
+    bands = D.lsh_bands(D.minhash_signatures(sh, N_HASHES), N_BANDS, BAND_ROWS)
+    pairs = D.lsh_candidate_pairs(bands)
+    return D.jaccard_for_pairs(pairs, sh).filter(
+        F.col("jaccard_micro") >= JACCARD_MIN_MICRO)
+
+
+def sql_lsh_near_dup_pairs() -> str:
+    return f"""
+WITH {_SQL_NEAR_CORPUS},
+{_SQL_SHINGLES.lstrip()},
+{_sql_minhash_bands()},
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id)
+SELECT c.a, c.b,
+       CAST(ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                  / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) * 1000000.0)
+            AS BIGINT) AS jaccard_micro
+FROM cand c
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sz za ON za.doc_id = c.a
+JOIN sz zb ON zb.doc_id = c.b
+WHERE CAST(ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                 / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) * 1000000.0)
+           AS BIGINT) >= {JACCARD_MIN_MICRO}
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over the real tokenize kernel's (term, tf)."""
+    tokens = B.token_counts(_docs(spark, sf_dir))
+    return D.simhash32(tokens)
+
+
+def sql_simhash() -> str:
+    return f"""
+WITH {TOKS_CTE},
+bits AS (
+  SELECT doc_id, r.pos,
+         SUM(CASE WHEN (((strpos('0123456789abcdef',
+                                 substr(md5(term), r.pos // 4 + 1, 1)) - 1)
+                         >> (3 - r.pos % 4)) % 2) = 1
+                  THEN tf ELSE -tf END) AS s
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS pos) r
+  GROUP BY doc_id, r.pos
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << (31 - pos)
+                ELSE CAST(0 AS BIGINT) END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for all sampled-doc pairs sharing a
+    source partition (the blocked all-pairs pattern: block key bounds
+    the quadratic join)."""
+    full = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sample = full.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text", "source")
+    pairs = (
+        sample.select(F.col("doc_id").alias("a"), F.col("source").alias("src"))
+        .join(sample.select(F.col("doc_id").alias("b"), F.col("source").alias("src")), "src")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    sh = D.word_shingles(sample.select("doc_id", "text"), n=3)
+    return D.jaccard_for_pairs(pairs, sh)
+
+
+def sql_ngram_jaccard_pairs() -> str:
+    return """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+sample AS (SELECT doc_id, source FROM documents WHERE doc_id % 10 = 0),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                   t -> length(t) > 0) AS w FROM corpus)
+  WHERE len(w) >= 3
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sample x JOIN sample y ON x.source = y.source AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id)
+SELECT c.a, c.b,
+       CAST(ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                  / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) * 1000000.0)
+            AS BIGINT) AS jaccard_micro
+FROM cand c
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sz za ON za.doc_id = c.a
+JOIN sz zb ON zb.doc_id = c.b
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity / ANN gates
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == ANN_QUERY_VEC_ID)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row.embedding]
+
+
+def _rerank_vec(res: DataFrame, k: int) -> DataFrame:
+    return (
+        res.select("vec_id", F.round(F.col("score") * 1e6).cast("long").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (the ANN correctness baseline)."""
+    qv = _query_vec(spark, sf_dir)
+    raw = S.cosine_topk(_emb(spark, sf_dir), qv, k=ANN_K * 5)
+    return _rerank_vec(
+        raw.select("vec_id", "score"), ANN_K)
+
+
+_SQL_EMB_COMPS = f"""
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {ANN_QUERY_VEC_ID}),
+qcomps AS (SELECT CAST(unnest(qe) AS DOUBLE) AS e,
+                  generate_subscripts(qe, 1) AS pos FROM q),
+qn AS (SELECT SQRT(SUM(e * e)) AS n FROM qcomps),
+comps AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e,
+                 generate_subscripts(embedding, 1) AS pos FROM embeddings)"""
+
+
+def sql_ann_cosine_topk() -> str:
+    return f"""
+WITH {_SQL_EMB_COMPS},
+dots AS (
+  SELECT a.vec_id, SUM(a.e * b.e) AS dot, SQRT(SUM(a.e * a.e)) AS dn
+  FROM comps a JOIN qcomps b USING (pos) GROUP BY a.vec_id
+)
+SELECT vec_id,
+       CAST(ROUND(CASE WHEN dn > 0 AND qn.n > 0 THEN dot / dn / qn.n
+                       ELSE 0.0 END * 1000000) AS BIGINT) AS score_micro
+FROM dots CROSS JOIN qn
+ORDER BY score_micro DESC, vec_id ASC LIMIT {ANN_K}
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe the 3 nearest label-partition centroids,
+    exact cosine within probed partitions only."""
+    qv = _query_vec(spark, sf_dir)
+    raw = S.ivf_topk(_emb(spark, sf_dir), qv, k=ANN_K * 5, n_probe=IVF_PROBES)
+    return _rerank_vec(raw.select("vec_id", "score"), ANN_K)
+
+
+def sql_ann_ivf_topk() -> str:
+    return f"""
+WITH {_SQL_EMB_COMPS},
+cent AS (SELECT label, pos, AVG(e) AS c FROM comps GROUP BY label, pos),
+cdots AS (
+  SELECT label, CAST(ROUND(SUM(cent.c * b.e) * 1000000) AS BIGINT) AS dot_micro
+  FROM cent JOIN qcomps b USING (pos) GROUP BY label
+),
+probes AS (SELECT label FROM cdots ORDER BY dot_micro DESC, label ASC LIMIT {IVF_PROBES}),
+dots AS (
+  SELECT a.vec_id, SUM(a.e * b.e) AS dot, SQRT(SUM(a.e * a.e)) AS dn
+  FROM comps a JOIN qcomps b USING (pos)
+  WHERE a.label IN (SELECT label FROM probes)
+  GROUP BY a.vec_id
+)
+SELECT vec_id,
+       CAST(ROUND(CASE WHEN dn > 0 AND qn.n > 0 THEN dot / dn / qn.n
+                       ELSE 0.0 END * 1000000) AS BIGINT) AS score_micro
+FROM dots CROSS JOIN qn
+ORDER BY score_micro DESC, vec_id ASC LIMIT {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text-analysis gates
+# ---------------------------------------------------------------------------
+
+_SQL_STOPLIST = "[{}]".format(", ".join(f"'{w}'" for w in sorted(STOPWORDS)))
+_SQL_W = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_id(_docs(spark, sf_dir))
+
+
+def sql_lang_id() -> str:
+    return f"""
+WITH feats AS (
+  SELECT doc_id, len(w) AS n_tok,
+         len(list_filter(w, t -> list_contains({_SQL_STOPLIST}, t))) AS n_stop
+  FROM (SELECT doc_id, {_SQL_W} AS w FROM documents)
+)
+SELECT doc_id,
+       CASE WHEN n_tok > 0 AND CAST(n_stop AS DOUBLE) / n_tok >= 0.05
+            THEN 'en' ELSE 'und' END AS lang_pred,
+       CAST(ROUND(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / n_tok
+                       ELSE 0.0 END * 1000000) AS BIGINT) AS stop_ratio_micro
+FROM feats
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_scores(_docs(spark, sf_dir))
+
+
+def sql_quality_score() -> str:
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(w) AS DOUBLE) AS n_tok,
+         CASE WHEN len(w) > 0
+              THEN CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN len(w) > 0
+              THEN CAST(len(list_filter(w, t -> list_contains({_SQL_STOPLIST}, t))) AS DOUBLE) / len(w)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(w) > 0
+              THEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+              ELSE 0.0 END AS ttr
+  FROM (SELECT doc_id, {_SQL_W} AS w FROM documents)
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(ROUND(mean_len * 1000000) AS BIGINT) AS mean_token_len_micro,
+       CAST(ROUND(stop_ratio * 1000000) AS BIGINT) AS stop_ratio_micro,
+       CAST(ROUND(ttr * 1000000) AS BIGINT) AS ttr_micro,
+       CAST(mean_len BETWEEN 3.0 AND 10.0
+            AND stop_ratio BETWEEN 0.01 AND 0.5
+            AND ttr BETWEEN 0.2 AND 1.0
+            AND n_tok >= 10 AS INT) AS keep
+FROM feats
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_stats(_docs(spark, sf_dir))
+
+
+def sql_token_stats() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_ws_tokens,
+       CAST(COALESCE(list_sum(list_transform(w, t -> CAST(CEIL(length(t) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_chunks,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM (SELECT doc_id, text, {_SQL_W} AS w FROM documents)
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprints(_docs(spark, sf_dir))
+
+
+def sql_doc_fingerprint() -> str:
+    return """
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, length(text) - 6),
+                               i -> substr(text, i, 8))) AS gram
+  FROM documents WHERE length(text) >= 8
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+       MIN(md5(gram)) AS min_gram_md5
+FROM grams GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing gates
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: documents' text bytes stand in
+    for an image payload; the Arrow kernel extracts metadata (decode
+    itself stubbed — see operators/multimodal.py)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+    return M.decode_image_meta(docs)
+
+
+def sql_multimodal_meta() -> str:
+    # mirrors _fake_decode: width = n%640+1, height = (n*7)%480+1
+    return """
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+       CAST(LENGTH(text) % 640 + 1 AS INT) AS width,
+       CAST((LENGTH(text) * 7) % 480 + 1 AS INT) AS height,
+       'fake' AS format
+FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan over the binary payload (every 256 bytes)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+    return M.frame_sample_plan(docs, every_n_bytes=256)
+
+
+def sql_frame_sample() -> str:
+    return """
+SELECT doc_id, CAST(i AS INT) AS frame_no, CAST(i * 256 AS INT) AS byte_offset
+FROM (SELECT doc_id, unnest(range(0, GREATEST(CAST(CEIL(LENGTH(text) / 256.0) AS BIGINT), 1))) AS i
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "minhash_bands": q_minhash_bands,
+        "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_stats": q_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "frame_sample": q_frame_sample,
+    }
+
+
+def analytics_oracle_sql() -> dict[str, str]:
+    return {
+        "dedup_exact": sql_dedup_exact(),
+        "minhash_bands": sql_minhash_bands(),
+        "lsh_near_dup_pairs": sql_lsh_near_dup_pairs(),
+        "simhash": sql_simhash(),
+        "ngram_jaccard_pairs": sql_ngram_jaccard_pairs(),
+        "ann_cosine_topk": sql_ann_cosine_topk(),
+        "ann_ivf_topk": sql_ann_ivf_topk(),
+        "lang_id": sql_lang_id(),
+        "quality_score": sql_quality_score(),
+        "token_stats": sql_token_stats(),
+        "doc_fingerprint": sql_doc_fingerprint(),
+        "multimodal_meta": sql_multimodal_meta(),
+        "frame_sample": sql_frame_sample(),
+    }

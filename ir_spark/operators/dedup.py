@@ -1,0 +1,188 @@
+"""Deduplication operators for large-scale corpus curation.
+
+The reference engine has no dedup (its 1,400-doc corpus needs none);
+these are the standard web-corpus curation operators a 100 TB
+training-data pipeline runs before indexing, built Spark-first:
+
+- exact dedup: one hash + one groupBy (map-side partial agg).
+- MinHash: shingle explode -> ONE groupBy(doc_id) with n_hashes MIN
+  aggregations — a single shuffle whose payload is n_hashes * 32 bytes
+  per doc regardless of doc length (partial mins combine map-side).
+- LSH banding: band signatures -> self-join on (band, band_hash).
+  Equi-join on a high-cardinality hash key → well-distributed shuffle;
+  degenerate buckets (boilerplate pages) are the skew risk at scale —
+  AQE skew-join splitting handles the join side, and a bucket-size cap
+  (``max_bucket`` guard) bounds the quadratic pair blowup, which no
+  join strategy can absorb.
+- SimHash: declarative bit arithmetic over (term, tf) — stays in
+  whole-stage codegen, no Python.
+
+Portability contract: every hash is ``md5`` of an explicit string —
+identical in Spark and ANSI/DuckDB SQL — and MinHash minimizes the md5
+*hex string* (lexicographic order == numeric order on the 128-bit
+value), so the DuckDB oracle can reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    (doc_id, text) -> (text_md5, n_copies, min_doc_id, max_doc_id)
+    for groups with more than one member.  One shuffle.
+    """
+    return (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, text) -> (doc_id, shingle) — distinct word n-grams.
+
+    The n-gram array is built with JVM higher-order functions
+    (transform/slice over the split array) — no Python worker, no
+    shuffle until the consumer aggregates.
+    """
+    # guard: Spark's sequence(1, 0) counts DOWN — short docs must map
+    # to an empty gram array, not a descending index range
+    grams = F.expr(
+        f"CASE WHEN size(split(text, ' ')) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+        f" i -> array_join(slice(split(text, ' '), i, {n}), ' ')) END"
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, shingle) -> (doc_id, h0..h{n-1}) MinHash signature.
+
+    h_i(doc) = min over shingles of md5(i || ':' || shingle), minimized
+    as a hex string.  All n_hashes minima come out of ONE aggregation
+    pass (map-side combine), so the shuffle carries one row per doc.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+    """Signature -> (doc_id, band, band_hash): md5 of each band's
+    concatenated row-hashes.  bands*rows must equal the signature width."""
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        out.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols).cast("binary")).alias("band_hash"),
+            )
+        )
+    return signatures.select(
+        "doc_id", F.explode(F.array(*out)).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """Bucket self-join -> distinct candidate pairs (a < b).
+
+    ``max_bucket`` drops degenerate buckets (identical boilerplate at
+    web scale) whose quadratic pair expansion would dominate the job;
+    dropped buckets should be routed to exact-dedup instead.
+    """
+    sized = bands_df.groupBy("band", "band_hash").agg(
+        F.count("*").alias("sz"), F.collect_list("doc_id").alias("members")
+    ).filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
+    pairs = sized.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, a ->"
+                " transform(filter(members, b -> b > a), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
+
+
+def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """(a, b) x (doc_id, shingle) -> (a, b, jaccard_micro).
+
+    Intersection via a co-grouped double join on shingle sets; set
+    sizes broadcast back.  At scale the pairs side is tiny relative to
+    the corpus (LSH already pruned), so both joins shuffle only the
+    candidate docs' shingles.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = shingles.select(F.col("doc_id").alias("a"), "shingle")
+    sh_b = shingles.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "a").join(sh_b, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(sz_a, "a")
+        .join(sz_b, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("n_inter"), F.lit(0)))
+                * 1e6
+            ).cast("long").alias("jaccard_micro"),
+        )
+    )
+
+
+def simhash32(tokens: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) -> (doc_id, simhash) — 32-bit SimHash.
+
+    Bit b of md5(term)'s first 8 hex digits contributes +tf/-tf; the
+    sign of each bit-sum sets the output bit.  Fully declarative: the
+    32-way bit expansion is an explode over a literal sequence, the
+    per-bit sums are one groupBy(doc_id) with a pivot-free conditional
+    sum — everything stays in whole-stage codegen.  (At 100 TB the
+    same math runs as a numpy pandas-UDF fused into the tokenize
+    kernel; this form is the exact portable spec.)
+    """
+    bit = F.expr(
+        "shiftright(instr('0123456789abcdef',"
+        " substr(md5(cast(term as binary)), cast(pos / 4 as int) + 1, 1)) - 1,"
+        " 3 - pos % 4) % 2"
+    )
+    expanded = (
+        tokens.select("doc_id", "term", "tf",
+                      F.explode(F.sequence(F.lit(0), F.lit(31))).alias("pos"))
+        .select(
+            "doc_id", "pos",
+            F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf")).alias("delta"),
+        )
+    )
+    bits = expanded.groupBy("doc_id", "pos").agg(F.sum("delta").alias("s"))
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), 31 - pos)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

@@ -1,0 +1,108 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline)
+and an IVF-style partition-probed variant (the scale path).
+
+Input table: ``embeddings(vec_id:long, embedding:array<float>,
+label:int)`` (unit-normalized vectors — cosine == dot product, but we
+divide by norms anyway so the operators are correct on raw vectors).
+
+Spark-first design:
+- dot products via ``zip_with`` + ``aggregate`` higher-order functions
+  — per-row JVM evaluation, float64 accumulation, NO Python worker and
+  NO shuffle for the scan+score phase; the only shuffle is the final
+  TakeOrderedAndProject top-k merge (k rows per partition).
+- IVF: coarse quantization by an existing partition key (here
+  ``label``; at scale a KMeans codebook id baked into the table and
+  used as the Parquet partition column).  The query probes the
+  ``n_probe`` nearest centroids, and partition pruning skips every
+  other partition's files entirely — the 100 TB path reads only
+  ``n_probe / n_partitions`` of the data.
+- centroids: one groupBy(label) over posexploded components — shuffle
+  payload is n_labels * dim rows, independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _qlit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+
+
+def dot_expr(vec_col: Column, query_vec: list[float]) -> Column:
+    """Float64 dot product of an array<float> column with a literal
+    query vector, evaluated JVM-side (sequential fold — deterministic
+    summation order, reproducible across engines)."""
+    prods = F.zip_with(vec_col, _qlit(query_vec),
+                       lambda x, y: x.cast("double") * y)
+    return F.aggregate(prods, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def norm_expr(vec_col: Column) -> Column:
+    sq = F.aggregate(
+        vec_col, F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    return F.sqrt(sq)
+
+
+def cosine_scores(emb: DataFrame, query_vec: list[float]) -> DataFrame:
+    """(vec_id, embedding, ...) -> (vec_id, score:double) cosine vs the
+    query.  Narrow (no shuffle); feeds TakeOrderedAndProject."""
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    dot = dot_expr(F.col("embedding"), query_vec)
+    dn = norm_expr(F.col("embedding"))
+    score = F.when((dn > 0) & (F.lit(qn) > 0), dot / dn / F.lit(qn)).otherwise(F.lit(0.0))
+    return emb.select("vec_id", score.alias("score"))
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
+    """Brute-force exact top-k: per-partition heap + driver merge
+    (TakeOrderedAndProject) — the correctness baseline for ANN."""
+    return (
+        cosine_scores(emb, query_vec)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """(label, pos, c) — elementwise mean embedding per label.
+    posexplode -> groupBy: one shuffle of (labels x dim) partial sums."""
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+
+
+def nearest_labels(centroids: DataFrame, query_vec: list[float],
+                   n_probe: int) -> list[int]:
+    """Driver-side probe selection: dot(query, centroid) per label,
+    top n_probe (micro-quantized, label-asc tie-break).  The centroid
+    table is tiny (n_labels x dim) — collect is the right move."""
+    scored = (
+        centroids.groupBy("label")
+        .agg(F.sum(
+            F.col("c") * F.element_at(_qlit(query_vec), F.col("pos") + 1)
+        ).alias("dot"))
+        .select("label", F.round(F.col("dot") * 1e6).cast("long").alias("dot_micro"))
+        .orderBy(F.desc("dot_micro"), F.asc("label"))
+        .limit(n_probe)
+    )
+    return [r.label for r in scored.collect()]
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             n_probe: int = 3, centroids: DataFrame | None = None) -> DataFrame:
+    """IVF-style ANN: probe the n_probe nearest label partitions, then
+    exact cosine within them.  ``label IN (...)`` is a pushed-down
+    partition filter when the table is partitioned/bucketed by label —
+    the scan never touches unprobed partitions."""
+    if centroids is None:
+        centroids = label_centroids(emb)
+    probes = nearest_labels(centroids, query_vec, n_probe)
+    pruned = emb.filter(F.col("label").isin(probes))
+    return cosine_topk(pruned, query_vec, k)

@@ -1,0 +1,128 @@
+"""Text-analysis operators for corpus curation: language ID, quality
+scoring, token statistics, document fingerprinting.
+
+All four are pure column pipelines over ``documents(doc_id, text)`` —
+split/filter/aggregate higher-order functions on the token array, no
+Python worker, no shuffle (fingerprints aggregate per doc over
+exploded grams: one partial-agg shuffle of a few rows per doc).
+
+These are curation heuristics, not models: language ID is a stopword-
+hit-rate test (the classic cheap filter before a real classifier),
+quality scoring is the Gopher/C4-style length + repetition + stopword
+profile, fingerprints are content-defined k-gram hashes for
+provenance/near-dup triage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..text import STOPWORDS
+
+# frozen probe set: high-frequency English function words (subset of
+# the engine stopword list, SPIMI.java:12-17 — see SURVEY D9)
+LANG_PROBE_WORDS = sorted(STOPWORDS)
+
+_STOP_ARR = "array({})".format(",".join(f"'{w}'" for w in LANG_PROBE_WORDS))
+
+
+def _toks() -> str:
+    return "filter(split(text, ' '), t -> length(t) > 0)"
+
+
+def lang_id(docs: DataFrame, en_threshold: float = 0.05) -> DataFrame:
+    """(doc_id, text) -> (doc_id, lang_pred, stop_ratio_micro).
+
+    Predicts 'en' when the fraction of tokens that are English
+    function words clears ``en_threshold``, else 'und'.
+    """
+    n_tok = F.expr(f"size({_toks()})")
+    n_stop = F.expr(f"size(filter({_toks()}, t -> array_contains({_STOP_ARR}, t)))")
+    ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.when(ratio >= en_threshold, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+        F.round(ratio * 1e6).cast("long").alias("stop_ratio_micro"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> per-doc quality profile + composite score.
+
+    Features (all micro-quantized for cross-engine determinism):
+      n_tokens, mean token length, stopword ratio, distinct-token
+      (type/token) ratio; score = mean_len-in-[3,10] * stop-ratio-
+      in-[0.01,0.5] * ttr-in-[0.2,1.0] gate product (1 = keep).
+    """
+    n_tok = F.expr(f"size({_toks()})").cast("double")
+    mean_len = F.when(
+        n_tok > 0,
+        F.expr(f"aggregate({_toks()}, 0L, (a, t) -> a + length(t))").cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tok > 0,
+        F.expr(f"size(filter({_toks()}, t -> array_contains({_STOP_ARR}, t)))").cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    ttr = F.when(
+        n_tok > 0,
+        F.expr(f"size(array_distinct({_toks()}))").cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    keep = (
+        mean_len.between(3.0, 10.0)
+        & stop_ratio.between(0.01, 0.5)
+        & ttr.between(0.2, 1.0)
+        & (n_tok >= 10)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_len * 1e6).cast("long").alias("mean_token_len_micro"),
+        F.round(stop_ratio * 1e6).cast("long").alias("stop_ratio_micro"),
+        F.round(ttr * 1e6).cast("long").alias("ttr_micro"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def token_stats(docs: DataFrame, chunk: int = 4) -> DataFrame:
+    """(doc_id, text) -> (doc_id, n_ws_tokens, n_chunks, n_chars).
+
+    n_chunks is a BPE-ish upper bound: ceil(len/chunk) fixed-size
+    pieces per whitespace token — the cheap token-budget estimator a
+    training pipeline runs over every document.
+    """
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({_toks()})").cast("long").alias("n_ws_tokens"),
+        F.expr(
+            f"aggregate({_toks()}, 0L, (a, t) -> a + cast(ceil(length(t) / {chunk}.0) as long))"
+        ).alias("n_chunks"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def char_grams(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(doc_id, gram) — distinct rolling character k-grams."""
+    # sequence(1, 0) counts down in Spark — short docs need an
+    # explicit empty array
+    grams = F.expr(
+        f"CASE WHEN length(text) < {k} THEN array()"
+        f" ELSE transform(sequence(1, length(text) - {k - 1}),"
+        f" i -> substr(text, i, {k})) END"
+    )
+    return docs.select("doc_id", F.explode(grams).alias("gram")).distinct()
+
+
+def fingerprints(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(doc_id, text) -> (doc_id, n_distinct_grams, min_gram_md5).
+
+    Content fingerprint: the minimum md5 over all rolling k-grams (a
+    1-permutation MinHash over character shingles) plus the distinct
+    gram count.  Robust to small edits in proportion to doc length;
+    portable (md5 string-min) so an SQL oracle reproduces it exactly.
+    """
+    g = char_grams(docs, k=k)
+    return g.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct_grams"),
+        F.min(F.md5(F.col("gram").cast("binary"))).alias("min_gram_md5"),
+    )
