@@ -23,6 +23,8 @@ from ..text import tokenize
 TOKEN_COUNTS_SCHEMA = "doc_id long, term string, tf int"
 
 
+
+
 def tokenize_counts_kernel(
     batches: Iterator[pd.DataFrame], stem: bool = False
 ) -> Iterator[pd.DataFrame]:
@@ -53,6 +55,22 @@ def make_tokenize_counts(stem: bool = False):
         return tokenize_counts_kernel(batches, stem=stem)
 
     return kernel
+
+
+def extract_text_udf(col):
+    """T1/T2 HTML extraction as a vectorized pandas UDF over a column
+    (ir_spark/text.py::extract_text — the byte-identical invariant);
+    used by jobs/build_index.py --from-html.  Built lazily so importing
+    this module never requires an active SparkSession."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..text import extract_text
+
+    @pandas_udf("string")
+    def _extract(html: pd.Series) -> pd.Series:
+        return html.map(lambda h: None if h is None else extract_text(h))
+
+    return _extract(col)
 
 
 def tokenize_query(text: str, stem: bool = False) -> dict[str, int]:

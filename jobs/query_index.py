@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""spark-submit entry point: top-k retrieval over a built segment index.
+
+Usage (north-rule deployment path)::
+
+    spark-submit --py-files dist/ir_spark.zip jobs/query_index.py \
+        --index-dir /data/index           \
+        --queries   queries.txt           \  # one query per line (S5)
+        [--k 5] [--mode bm25|w1|w2] [--k1 1.2] [--b 0.75] \
+        [--strategy auto|wand|exhaustive] [--stem] \
+        [--output /data/results]             # parquet sink; stdout if absent
+
+Output schema: (query_id:int, query:string, rank:int, doc_id:long,
+score:double) — deterministic (score desc, doc_id asc) ordering (D8),
+mirroring the reference's per-query result files (Driver.java:66-71).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--queries", required=True,
+                    help="text file, one query per line")
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--mode", default="bm25", choices=["bm25", "w1", "w2"])
+    ap.add_argument("--k1", type=float, default=1.2)
+    ap.add_argument("--b", type=float, default=0.75)
+    ap.add_argument("--strategy", default="auto",
+                    choices=["auto", "wand", "exhaustive"])
+    ap.add_argument("--stem", action="store_true")
+    ap.add_argument("--output", default=None, help="parquet output path")
+    ap.add_argument("--local-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from ir_spark.operators.segment_query import SegmentIndex, search_segments
+
+    if args.local_cpus is not None:
+        from ir_spark.session import get_spark
+
+        spark = get_spark("ir_spark_query_index", cpus=args.local_cpus)
+    else:
+        spark = (
+            SparkSession.builder.appName("ir_spark_query_index")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .getOrCreate()
+        )
+
+    with open(args.queries) as fh:
+        queries = [ln.strip() for ln in fh if ln.strip()]
+
+    sidx = SegmentIndex.load(spark, args.index_dir)
+    all_rows = []
+    for qid, q in enumerate(queries, start=1):
+        hits = search_segments(
+            spark, sidx, q, k=args.k, mode=args.mode, k1=args.k1, b=args.b,
+            stem=args.stem, strategy=args.strategy,
+        ).collect()
+        for rank, row in enumerate(hits, start=1):
+            all_rows.append((qid, q, rank, int(row["doc_id"]), float(row["score"])))
+
+    schema = "query_id int, query string, rank int, doc_id long, score double"
+    results = spark.createDataFrame(all_rows, schema)
+    if args.output:
+        results.coalesce(1).write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"output": args.output, "n_queries": len(queries),
+                          "n_rows": len(all_rows)}))
+    else:
+        for r in all_rows:
+            print(json.dumps({"query_id": r[0], "query": r[1], "rank": r[2],
+                              "doc_id": r[3], "score": r[4]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,86 @@
+"""North-rule deployment path: spark-submit --py-files ir_spark.zip
+(BASELINE.json north_rule "run via spark-submit --py-files").
+
+Packages ir_spark into a zip, then runs the real build + query jobs as
+subprocesses via spark-submit from a scratch cwd (so imports can only
+come from the zip), and checks the query results against the in-process
+engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+
+
+def _run(cmd: list[str], cwd: str) -> str:
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # imports must come from the --py-files zip
+    env.setdefault("PYSPARK_PYTHON", sys.executable)
+    env.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+    proc = subprocess.run(
+        cmd, cwd=cwd, env=env, capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, f"{cmd}\n--- stdout\n{proc.stdout}\n--- stderr\n{proc.stderr[-4000:]}"
+    return proc.stdout
+
+
+def test_spark_submit_build_and_query(tmp_path):
+    zip_path = tmp_path / "ir_spark.zip"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "package_pyfiles.py"),
+         "--out", str(zip_path)],
+        check=True, capture_output=True,
+    )
+    assert zip_path.exists() and zip_path.stat().st_size > 10_000
+
+    index_dir = tmp_path / "index"
+    qfile = tmp_path / "queries.txt"
+    qfile.write_text("first query about data\nsecond query mentions table\n")
+
+    common = [SPARK_SUBMIT, "--master", "local[4]",
+              "--conf", "spark.ui.enabled=false",
+              "--py-files", str(zip_path)]
+
+    out = _run(common + [os.path.join(REPO, "jobs", "build_index.py"),
+                         "--input", os.path.join(SF_DIR, "documents.parquet"),
+                         "--index-dir", str(index_dir),
+                         "--segment-groups", "2"],
+               cwd=str(tmp_path))
+    report = json.loads(out.strip().splitlines()[-1])
+    assert "stats" in report["stages_run"]
+    assert (index_dir / "segments").exists()
+
+    out = _run(common + [os.path.join(REPO, "jobs", "query_index.py"),
+                         "--index-dir", str(index_dir),
+                         "--queries", str(qfile),
+                         "--k", "5", "--mode", "bm25"],
+               cwd=str(tmp_path))
+    rows = [json.loads(ln) for ln in out.strip().splitlines() if ln.startswith("{")]
+    assert rows, "no query results"
+    assert {r["query_id"] for r in rows} == {1, 2}
+    for r in rows:
+        assert r["score"] > 0.0
+
+    # resume: re-running the build skips every stage
+    out = _run(common + [os.path.join(REPO, "jobs", "build_index.py"),
+                         "--input", os.path.join(SF_DIR, "documents.parquet"),
+                         "--index-dir", str(index_dir),
+                         "--segment-groups", "2"],
+               cwd=str(tmp_path))
+    report2 = json.loads(out.strip().splitlines()[-1])
+    assert report2["stages_run"] == []
+    assert set(report2["stages_skipped"]) >= {"doc_map", "postings", "stats"}
