@@ -137,7 +137,10 @@ SELECT doc_id, band, band_hash FROM bands
 def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs verified by exact shingle Jaccard >= 0.3."""
     corpus = _with_near_dups(_docs(spark, sf_dir))
-    sh = D.word_shingles(corpus, n=3)
+    # shingles feed four consumers (minhash + both jaccard sides +
+    # sizes); persist the post-distinct set so the split/explode/
+    # distinct pipeline runs once
+    sh = D.word_shingles(corpus, n=3).persist()
     bands = D.lsh_bands(D.minhash_signatures(sh, N_HASHES), N_BANDS, BAND_ROWS)
     pairs = D.lsh_candidate_pairs(bands)
     return D.jaccard_for_pairs(pairs, sh).filter(

@@ -29,25 +29,60 @@ from ..text import STOPWORDS
 
 
 def assign_doc_ids(pages: DataFrame) -> DataFrame:
-    """Deterministic dense doc ids: dense_rank() over url (1-based,
-    matching the Java reference's 1-based ids, Indexer.java:88,116).
+    """Deterministic dense doc ids: 1-based rank over url (matching the
+    Java reference's 1-based sequential ids, Indexer.java:88,116).
 
-    This is a global sort — run once, persist the result as
-    ``doc_map``, reuse on resume.  At 10^12 docs, prefer assigning ids
-    per url-range partition (rank within range + range offsets), which
-    ``repartitionByRange('url')`` + window-within-partition gives for
-    free; the plain window is correct at any scale, just one sort.
+    Scale path (SURVEY §7.2.4): a naive ``dense_rank().over(orderBy)``
+    funnels every url through ONE partition.  Instead: range-partition
+    distinct urls, rank *within* each range partition (parallel), then
+    add per-partition offsets (a driver-side cumsum over partition
+    counts — one tiny collect) via a broadcast join.  Global order =
+    (range order, within-range order), so the ids are identical to the
+    single-sort formulation at any parallelism, and the heavy sort runs
+    fully parallel.  Run once, persist as ``doc_map``, reuse on resume.
     """
-    w = Window.orderBy("url")
-    return pages.select("url").distinct().withColumn(
-        "doc_id", F.dense_rank().over(w).cast("long")
+    spark = pages.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    urls = (
+        pages.select("url").distinct()
+        .repartitionByRange(n_parts, "url")
+        .withColumn("_pid", F.spark_partition_id())
     )
+    w = Window.partitionBy("_pid").orderBy("url")
+    ranked = urls.withColumn("_rk", F.row_number().over(w)).persist()
+    counts = sorted(
+        (r["_pid"], r["n"]) for r in
+        ranked.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, running = [], 0
+    for pid, n in counts:
+        offsets.append((pid, running))
+        running += n
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "_pid int, _off long")
+    )
+    out = ranked.join(off_df, "_pid").select(
+        "url", (F.col("_rk") + F.col("_off")).cast("long").alias("doc_id")
+    )
+    return out
 
 
 def token_counts(pages: DataFrame, stem: bool = False) -> DataFrame:
     """(doc_id, text) -> (doc_id, term, tf) via the Arrow kernel.
-    Column pruning: only doc_id + text reach the Python worker."""
-    return pages.select("doc_id", "text").mapInPandas(
+    Column pruning: only doc_id + text reach the Python worker.
+
+    Small inputs (fewer scan partitions than cores — e.g. one parquet
+    file) would run the CPU-bound tokenize kernel serially; repartition
+    the 2-column projection up to cluster width first.  Large inputs
+    (partitions >= cores) keep their scan partitioning — no shuffle on
+    the 100 TB path.
+    """
+    sel = pages.select("doc_id", "text")
+    sc = sel.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if sel.rdd.getNumPartitions() < target:
+        sel = sel.repartition(2 * target)
+    return sel.mapInPandas(
         make_tokenize_counts(stem=stem), schema=TOKEN_COUNTS_SCHEMA
     )
 

@@ -166,23 +166,25 @@ def simhash32(tokens: DataFrame) -> DataFrame:
     same math runs as a numpy pandas-UDF fused into the tokenize
     kernel; this form is the exact portable spec.)
     """
-    bit = F.expr(
-        "shiftright(instr('0123456789abcdef',"
-        " substr(md5(cast(term as binary)), cast(pos / 4 as int) + 1, 1)) - 1,"
-        " 3 - pos % 4) % 2"
-    )
-    expanded = (
-        tokens.select("doc_id", "term", "tf",
-                      F.explode(F.sequence(F.lit(0), F.lit(31))).alias("pos"))
-        .select(
-            "doc_id", "pos",
-            F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf")).alias("delta"),
-        )
-    )
-    bits = expanded.groupBy("doc_id", "pos").agg(F.sum("delta").alias("s"))
-    return bits.groupBy("doc_id").agg(
+    # v = first 32 bits of md5(term); bit pos (MSB-first over the first
+    # 8 hex digits) == bit (31 - pos) of v.  One conv() per token row +
+    # 32 conditional-sum agg columns — no row expansion, ONE shuffle of
+    # one 32-column row per doc (vs a 32x explode).
+    v = F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 8), 16, 10
+               ).cast("long")
+    per_tok = tokens.select("doc_id", "tf", v.alias("h32"))
+    aggs = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), 31 - pos)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(F.col("h32"), 31 - pos).bitwiseAND(F.lit(1)) == 1,
+                   F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"s{pos}")
+        for pos in range(32)
+    ]
+    bitsums = per_tok.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for pos in range(32):
+        term_bit = F.when(F.col(f"s{pos}") > 0,
+                          F.lit(1 << (31 - pos)).cast("long")
+                          ).otherwise(F.lit(0).cast("long"))
+        sim = term_bit if sim is None else sim + term_bit
+    return bitsums.select("doc_id", sim.alias("simhash"))

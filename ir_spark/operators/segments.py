@@ -51,7 +51,12 @@ from .build import (
     token_counts,
 )
 
-DEFAULT_RANGE_WIDTH = 1 << 14  # docs per run locally; 2^22ish on a cluster
+# Docs per posting run.  Smaller runs = more (term, run) groups = finer
+# encode/query parallelism and tighter head-term balance; larger runs =
+# fewer rows and better compression.  2^11 keeps every local corpus
+# (5k-200k docs) at tens of runs so head terms split across all cores;
+# on a 1000-executor cluster use ~2^22 (10^12 docs -> ~240k runs).
+DEFAULT_RANGE_WIDTH = 1 << 11
 
 _ENCODED = T.StructType(
     [
