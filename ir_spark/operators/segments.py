@@ -254,6 +254,13 @@ def build_segment_index(
                    F.lit(segment_groups)) == g
         )
         seg = encode_segments(part, n_buckets, range_width)
+        # cluster rows by bucket before the partitioned write: one task
+        # per bucket -> one sorted file per bucket dir (instead of one
+        # file per shuffle task per bucket — 40x the files, 40x the
+        # per-query open/list cost).  Parquet row groups keep the scan
+        # splittable for large buckets.
+        buckets_in_group = max(1, n_buckets // segment_groups)
+        seg = seg.repartition(buckets_in_group, "bucket")
         dest = os.path.join(paths["segments"], f"grp={g}")
         storage.atomic_write_parquet(
             seg, dest, partition_by=["bucket"], sort_within=["term", "run"]
