@@ -36,6 +36,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(gates_analytics.analytics_queries())
     except ImportError:
         pass
+    try:
+        from ir_spark import gates_streaming
+
+        out.update(gates_streaming.streaming_queries())
+    except ImportError:
+        pass
     return out
 
 
@@ -47,6 +53,12 @@ def oracle_sql() -> dict[str, str]:
         from ir_spark import gates_analytics
 
         out.update(gates_analytics.analytics_oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from ir_spark import gates_streaming
+
+        out.update(gates_streaming.streaming_oracle_sql())
     except ImportError:
         pass
     return out

@@ -138,9 +138,9 @@ def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs verified by exact shingle Jaccard >= 0.3."""
     corpus = _with_near_dups(_docs(spark, sf_dir))
     # shingles feed four consumers (minhash + both jaccard sides +
-    # sizes); persist the post-distinct set so the split/explode/
-    # distinct pipeline runs once
-    sh = D.word_shingles(corpus, n=3).persist()
+    # sizes) — measured: Spark's ReusedExchange already dedupes the
+    # distinct shuffle, and an explicit persist() is net slower
+    sh = D.word_shingles(corpus, n=3)
     bands = D.lsh_bands(D.minhash_signatures(sh, N_HASHES), N_BANDS, BAND_ROWS)
     pairs = D.lsh_candidate_pairs(bands)
     return D.jaccard_for_pairs(pairs, sh).filter(

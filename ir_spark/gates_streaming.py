@@ -1,0 +1,163 @@
+"""Driver-contract gates: streaming-surface operators.
+
+Two families:
+- event-time analytics over the ``events`` table (tumbling windows,
+  sessionization, JSON props).  The gate runs the SAME DataFrame
+  function that the streaming tests drive through readStream; the
+  DuckDB oracle reproduces the exact values in ANSI SQL.
+- incremental index maintenance: build the segment index in two
+  streamed batches over ``documents`` and answer the flagship BM25
+  query — the oracle is the same SQL as the batch bm25 gate, proving
+  streamed == batch results value-for-value.
+
+Timestamps are emitted as epoch microseconds (BIGINT) so value hashes
+are engine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .streaming import windows as W
+
+WINDOW_SEC = 300
+SESSION_GAP_MIN = 30
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the parquet carries naive timestamps (TIMESTAMP_NTZ in Spark 4);
+    # cast to session-TZ (UTC) instants so window/watermark/unix_micros
+    # apply — DuckDB's epoch() treats the same naive values as UTC
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = W.tumbling_counts(_events(spark, sf_dir), width="5 minutes")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type", "n_events", "sum_value_micro",
+    )
+
+
+def sql_events_tumbling() -> str:
+    return f"""
+SELECT CAST(FLOOR(epoch(ts) / {WINDOW_SEC}) AS BIGINT) * {WINDOW_SEC} * 1000000
+         AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(value) * 1000000.0) AS BIGINT) AS sum_value_micro
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = W.sessionize(_events(spark, sf_dir), gap_minutes=SESSION_GAP_MIN)
+    return out.select(
+        "user_id", "session_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+def sql_events_sessions() -> str:
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessioned GROUP BY user_id, session_id
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.json_prop_stats(_events(spark, sf_dir))
+
+
+def sql_events_json_props() -> str:
+    return """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       MIN(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS min_k,
+       MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-index gate: stream documents into the segment index
+    in two batches, query, map ids back — must equal the batch oracle."""
+    from .gates import FLAGSHIP_QUERY, K_FLAGSHIP
+    from .operators.segment_query import SegmentIndex, search_segments
+    from .streaming.incremental import update_segment_index
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pages = docs.select(
+        F.format_string("doc://%012d", "doc_id").alias("url"), "text")
+    index_dir = tempfile.mkdtemp(prefix="ir_spark_stream_gate_")
+    half = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    update_segment_index(
+        spark, pages.filter(F.col("url") <= F.format_string("doc://%012d", F.lit(half))),
+        index_dir, batch_tag="b0")
+    update_segment_index(spark, pages, index_dir, batch_tag="b1")
+
+    sidx = SegmentIndex.load(spark, index_dir)
+    # over-fetch then re-rank on quantized score (same determinism
+    # contract as the batch bm25 gate)
+    raw = search_segments(spark, sidx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                          mode="bm25", strategy="exhaustive")
+    doc_map = spark.read.parquet(os.path.join(index_dir, "doc_map"))
+    orig = doc_map.select(
+        F.substring("url", 7, 12).cast("long").alias("orig_doc_id"), "doc_id")
+    return (
+        raw.join(orig, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"),
+                F.round(F.col("score") * 1e6).cast("long").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(K_FLAGSHIP)
+    )
+
+
+def sql_stream_bm25_topk() -> str:
+    from .gates import sql_bm25_topk
+
+    return sql_bm25_topk()
+
+
+def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "events_tumbling": q_events_tumbling,
+        "events_sessions": q_events_sessions,
+        "events_json_props": q_events_json_props,
+        "stream_bm25_topk": q_stream_bm25_topk,
+    }
+
+
+def streaming_oracle_sql() -> dict[str, str]:
+    return {
+        "events_tumbling": sql_events_tumbling(),
+        "events_sessions": sql_events_sessions(),
+        "events_json_props": sql_events_json_props(),
+        "stream_bm25_topk": sql_stream_bm25_topk(),
+    }

@@ -89,9 +89,11 @@ class SegmentIndex:
         return self.spark.read.parquet(index_paths(self.index_dir)["norms"])
 
     def df_of(self, terms: list[str]) -> dict[str, int]:
+        # sum, not read: incremental appends (streaming/incremental.py)
+        # store dictionary DELTA rows per batch — df(term) is their sum
         rows = (
             self.dictionary.filter(F.col("term").isin(terms))
-            .select("term", "df").collect()
+            .groupBy("term").agg(F.sum("df").alias("df")).collect()
         )
         return {r["term"]: int(r["df"]) for r in rows}
 

@@ -1,0 +1,229 @@
+"""Incremental (streaming) segment-index maintenance.
+
+The batch index (operators/segments.py) shards every posting list into
+doc-id-range *runs*.  That makes incremental updates append-only:
+
+- new documents get doc ids ABOVE the current maximum (per-batch offset
+  from the committed doc_map), so their postings land in new (or the
+  tail) runs;
+- the query kernel (operators/segment_query.py) accumulates any number
+  of segment rows per (term, run) — two rows with disjoint doc ids sum
+  correctly — so appended rows need NO merge/rewrite of existing
+  segments;
+- the dictionary becomes append-only delta rows (term, df, cf);
+  readers aggregate with sum(df) (SegmentIndex.df_of does);
+- docinfo rows append; global stats (N, avgDocLen) are recomputed from
+  docinfo and re-committed after each batch;
+- w1/w2 cosine norms depend on global df, so appends invalidate them —
+  ``refresh_norms`` recomputes them (one agg) when cosine modes are
+  needed; BM25/W-modes' df/N/avg_dl are always current.
+
+``stream_index`` wires this into Structured Streaming:
+``readStream.parquet(dir)`` -> ``foreachBatch(update)`` with a
+checkpoint for exactly-once; replayed batches are skipped via a
+``stream_batch_<id>`` manifest (idempotent foreachBatch — the standard
+Spark pattern for exactly-once sinks without transactional storage).
+
+Reference parity note: the reference's only "incremental" facility is
+whole-index re-serialization (Driver.java:26-57); this module is the
+Spark-native generalization the north star's resumable-build
+requirement implies.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import storage
+from ..operators.build import build_dictionary, build_docinfo, build_postings, token_counts
+from ..operators.segments import encode_segments, index_paths
+from ..operators.query import doc_weight_expr
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+
+def _next_grp(segments_dir: str) -> int:
+    """Increment batches write grp=<n> partition dirs above existing."""
+    if not os.path.isdir(segments_dir):
+        return 0
+    grps = [int(d.split("=", 1)[1]) for d in os.listdir(segments_dir)
+            if d.startswith("grp=")]
+    return max(grps, default=-1) + 1
+
+
+def update_segment_index(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    index_dir: str,
+    *,
+    stem: bool = False,
+    n_buckets: int | None = None,
+    range_width: int | None = None,
+    batch_tag: str | None = None,
+) -> dict:
+    """Append a batch of pages to an existing (possibly empty) index.
+
+    Usable directly for batch appends and from foreachBatch.  Returns
+    batch metrics.  Layout parameters are read from the committed stats
+    manifest when present so every increment matches the base build.
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    paths = index_paths(index_dir)
+    manifests = storage.read_manifests(index_dir)
+    if "stats" in manifests:
+        lineage = manifests["stats"]["lineage"]
+        n_buckets = int(lineage["n_buckets"])
+        range_width = int(lineage["range_width"])
+    else:
+        from ..operators.segments import DEFAULT_RANGE_WIDTH
+
+        lineage = {
+            "source": "stream", "stem": stem,
+            "n_buckets": n_buckets or storage.DEFAULT_BUCKETS,
+            "range_width": range_width or DEFAULT_RANGE_WIDTH,
+            "segment_groups": 0,
+        }
+        n_buckets = lineage["n_buckets"]
+        range_width = lineage["range_width"]
+
+    t0 = time.time()
+
+    # -- doc ids: offset above the committed maximum ----------------------
+    have_doc_map = os.path.isdir(paths["doc_map"])
+    if have_doc_map:
+        old_map = spark.read.parquet(paths["doc_map"])
+        offset = old_map.agg(F.max("doc_id")).collect()[0][0] or 0
+        fresh = new_pages.select("url", "text").join(
+            old_map.select("url"), "url", "left_anti")
+    else:
+        offset = 0
+        fresh = new_pages.select("url", "text")
+
+    # batch-local deterministic ids (rank over url within the batch),
+    # shifted above the committed id space
+    from ..operators.build import assign_doc_ids
+
+    batch_map = assign_doc_ids(fresh).withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(offset)).cast("long"))
+    n_new = batch_map.count()
+    if n_new == 0:
+        return {"n_new_docs": 0, "wall_sec": time.time() - t0}
+    batch_map.write.mode("append").parquet(paths["doc_map"])
+
+    # re-derive the batch ids from the DURABLE doc_map (ids > offset).
+    # Joining against ``fresh`` here would be wrong: its anti-join plan
+    # re-reads doc_map lazily, and after the append it would filter the
+    # batch out (lazy evaluation over mutated storage).
+    pages_ids = new_pages.select("url", "text").join(
+        spark.read.parquet(paths["doc_map"]).filter(F.col("doc_id") > offset),
+        "url")
+
+    # -- tokenize once; docinfo + postings + dictionary deltas ------------
+    tokens = token_counts(pages_ids, stem=stem).persist()
+    build_docinfo(tokens).write.mode("append").parquet(paths["docinfo"])
+    flat = build_postings(tokens)
+    build_dictionary(flat).write.mode("append").parquet(paths["dictionary"])
+
+    # -- segment rows for the new docs (append-only: disjoint doc ids) ---
+    docinfo_new = spark.read.parquet(paths["docinfo"]).filter(
+        F.col("doc_id") > offset)
+    flat_full = flat.join(docinfo_new, "doc_id")
+    # keep the flat postings checkpoint complete too (norm refresh +
+    # re-derivations read it), then encode from the written parquet so
+    # the tokenize->join pipeline runs once
+    flat_full.write.mode("append").parquet(paths["postings"])
+    flat_written = spark.read.parquet(paths["postings"]).filter(
+        F.col("doc_id") > offset)
+    seg = encode_segments(flat_written, n_buckets, range_width)
+    grp = _next_grp(paths["segments"])
+    seg = seg.repartition(max(1, n_buckets // 4), "bucket")
+    (seg.sortWithinPartitions("term", "run")
+        .write.mode("append").partitionBy("bucket")
+        .parquet(os.path.join(paths["segments"], f"grp={grp}")))
+    tokens.unpersist()
+
+    # -- refresh global stats ---------------------------------------------
+    docinfo = spark.read.parquet(paths["docinfo"])
+    stats = docinfo.agg(F.count("*").alias("n"),
+                        F.avg("doc_len").alias("avg")).collect()[0]
+    metrics = {
+        "n_docs": int(stats["n"]),
+        "avg_doc_len": float(stats["avg"]),
+        "n_new_docs": n_new,
+        "last_batch": batch_tag or "",
+        "wall_sec": time.time() - t0,
+    }
+    storage.commit_stage(index_dir, "stats", lineage, metrics)
+    return metrics
+
+
+def refresh_norms(spark: SparkSession, index_dir: str) -> None:
+    """Recompute w1/w2 cosine norms over the whole index (appends make
+    them stale because idf moves with df/N).  One join + one agg."""
+    paths = index_paths(index_dir)
+    manifests = storage.read_manifests(index_dir)
+    stats = manifests["stats"]["metrics"]
+    n_docs, avg_dl = int(stats["n_docs"]), float(stats["avg_doc_len"])
+    docinfo = spark.read.parquet(paths["docinfo"])
+    dictionary = (spark.read.parquet(paths["dictionary"])
+                  .groupBy("term").agg(F.sum("df").alias("df")))
+    postings = spark.read.parquet(paths["postings"]) if os.path.isdir(
+        paths["postings"]) else None
+    if postings is None:
+        # reconstruct (term, doc_id, tf, doc_len, max_tf) from segments
+        raise NotImplementedError(
+            "refresh_norms over segment-only indexes: decode path not "
+            "needed yet — streamed indexes serve bm25/w-modes")
+    joined = postings.join(dictionary, "term")
+    w1 = doc_weight_expr("w1", n_docs, avg_dl)
+    w2 = doc_weight_expr("w2", n_docs, avg_dl)
+    norms = joined.groupBy("doc_id").agg(
+        F.sqrt(F.sum(w1 * w1)).alias("norm_w1"),
+        F.sqrt(F.sum(w2 * w2)).alias("norm_w2"),
+    )
+    storage.atomic_write_parquet(norms, paths["norms"])
+
+
+def stream_index(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    schema: str = PAGES_SCHEMA,
+    stem: bool = False,
+    available_now: bool = True,
+):
+    """Continuously (or catch-up with availableNow) index new page
+    files dropped into ``source_dir``.
+
+    Exactly-once: the streaming checkpoint replays uncommitted batches
+    after a crash; ``stream_batch_<id>`` manifests make the replayed
+    ``update_segment_index`` a no-op (idempotent foreachBatch).
+    """
+    checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        stage = f"stream_batch_{batch_id}"
+        lineage = {"source": source_dir, "stem": stem}
+        if storage.stage_committed(index_dir, stage, lineage):
+            return
+        m = update_segment_index(
+            spark, batch_df, index_dir, stem=stem,
+            batch_tag=f"batch_{batch_id}")
+        storage.commit_stage(index_dir, stage, lineage, m)
+
+    reader = spark.readStream.schema(schema).parquet(source_dir)
+    writer = reader.writeStream.foreachBatch(_update).option(
+        "checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query

@@ -1,0 +1,79 @@
+"""Event-time windowed aggregations + sessionization over the
+``events`` stream table.
+
+All transformations are written on plain DataFrames so the SAME
+function runs in batch (driver-contract gates, DuckDB-oracle-checked)
+and under Structured Streaming (``readStream`` + watermark — proven in
+tests/test_streaming.py).  That is the idiomatic Spark pattern: the
+logical plan is identical, only the source/sink differ.
+
+Scale notes: tumbling windows aggregate with partial+final hash agg on
+(window, event_type) — low cardinality keys, map-side combined.
+Sessionization shuffles once on user_id; the lag/cumsum window runs
+within each user partition (Window.partitionBy — parallel, unlike a
+global orderBy window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes",
+                    watermark: str = "10 minutes",
+                    streaming: bool = False) -> DataFrame:
+    """Per event_type x tumbling window: count + sum(value).
+
+    In streaming mode the watermark bounds state and drops events later
+    than ``watermark``; batch mode computes the same windows exactly.
+    """
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value") * 1e6).cast("long").alias("sum_value_micro"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value_micro")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessions: a new session starts when the gap from the
+    previous event exceeds ``gap_minutes``.  Classic lag + running-sum
+    assignment; one shuffle on user_id.
+
+    Returns (user_id, session_id, session_start, session_end, n_events)
+    with session_id dense per user starting at 1.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = events.select(
+        "user_id", "ts", "event_id",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+        .alias("is_new"),
+    )
+    sessioned = marked.withColumn(
+        "session_id", F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count("*").alias("n_events"))
+    )
+
+
+def json_prop_stats(events: DataFrame) -> DataFrame:
+    """Extract the integer ``k`` property from the JSON ``props``
+    column and aggregate per event_type — JSON path + agg, all JVM."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )

@@ -1,0 +1,180 @@
+"""Structured Streaming surface (ir_spark/streaming/):
+
+- incremental index maintenance: streamed batches == batch build,
+  value-identical BM25 results (modulo the doc-id permutation, compared
+  via urls);
+- stream_index end-to-end through readStream/foreachBatch/availableNow
+  with checkpoint + batch-replay idempotency;
+- windowed aggregation through a real stream with watermark == batch
+  result (late-data semantics aside, availableNow replays everything).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ir_spark.fixtures import generate_pages, pages_to_parquet
+from ir_spark.operators.segment_query import SegmentIndex, search_segments
+from ir_spark.operators.segments import build_segment_index
+from ir_spark.streaming.incremental import (
+    refresh_norms,
+    stream_index,
+    update_segment_index,
+)
+from ir_spark.streaming.windows import sessionize, tumbling_counts
+
+N_DOCS = 400
+QUERIES = [
+    "flow pressure boundary layer",
+    "supersonic wing heat transfer",
+    "experimental shock wave theory",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream_corpus")
+    pages = generate_pages(N_DOCS, seed=7)
+    full = str(root / "full.parquet")
+    pages_to_parquet(pages, full)
+    part_dir = root / "parts"
+    part_dir.mkdir()
+    cut = N_DOCS // 3
+    pages_to_parquet(pages[:cut], str(part_dir / "part0.parquet"))
+    pages_to_parquet(pages[cut:], str(part_dir / "part1.parquet"))
+    return {"full": full, "parts": str(part_dir)}
+
+
+def _topk_by_url(spark, index_dir, k=10):
+    sidx = SegmentIndex.load(spark, index_dir)
+    doc_map = spark.read.parquet(os.path.join(index_dir, "doc_map"))
+    out = {}
+    for q in QUERIES:
+        hits = search_segments(spark, sidx, q, k=k, mode="bm25",
+                               strategy="exhaustive")
+        rows = hits.join(doc_map, "doc_id").select("url", "score").collect()
+        out[q] = sorted((r["url"], round(r["score"], 8)) for r in rows)
+    return out
+
+
+def test_incremental_equals_batch(spark, corpus, tmp_path):
+    batch_dir = str(tmp_path / "batch_idx")
+    stream_dir = str(tmp_path / "incr_idx")
+    pages = spark.read.parquet(corpus["full"])
+    build_segment_index(spark, pages, batch_dir, source="full")
+
+    p0 = spark.read.parquet(os.path.join(corpus["parts"], "part0.parquet"))
+    p1 = spark.read.parquet(os.path.join(corpus["parts"], "part1.parquet"))
+    m0 = update_segment_index(spark, p0, stream_dir, batch_tag="b0")
+    m1 = update_segment_index(spark, p1, stream_dir, batch_tag="b1")
+    assert m0["n_new_docs"] + m1["n_new_docs"] == N_DOCS
+    assert m1["n_docs"] == N_DOCS
+
+    assert _topk_by_url(spark, stream_dir) == _topk_by_url(spark, batch_dir)
+
+    # re-sending an already-indexed batch is a no-op (url anti-join)
+    m2 = update_segment_index(spark, p0, stream_dir, batch_tag="b0-again")
+    assert m2["n_new_docs"] == 0
+
+
+def test_incremental_cosine_after_refresh(spark, corpus, tmp_path):
+    batch_dir = str(tmp_path / "batch_idx")
+    stream_dir = str(tmp_path / "incr_idx")
+    pages = spark.read.parquet(corpus["full"])
+    build_segment_index(spark, pages, batch_dir, source="full")
+    p0 = spark.read.parquet(os.path.join(corpus["parts"], "part0.parquet"))
+    p1 = spark.read.parquet(os.path.join(corpus["parts"], "part1.parquet"))
+    update_segment_index(spark, p0, stream_dir, batch_tag="b0")
+    update_segment_index(spark, p1, stream_dir, batch_tag="b1")
+    refresh_norms(spark, stream_dir)
+
+    sidx_s = SegmentIndex.load(spark, stream_dir)
+    sidx_b = SegmentIndex.load(spark, batch_dir)
+    dm_s = spark.read.parquet(os.path.join(stream_dir, "doc_map"))
+    dm_b = spark.read.parquet(os.path.join(batch_dir, "doc_map"))
+    for q in QUERIES[:1]:
+        def by_url(sidx, dm):
+            hits = search_segments(spark, sidx, q, k=10, mode="w2",
+                                   strategy="exhaustive")
+            return sorted((r["url"], round(r["score"], 8))
+                          for r in hits.join(dm, "doc_id").collect())
+        assert by_url(sidx_s, dm_s) == by_url(sidx_b, dm_b)
+
+
+def test_stream_index_readstream(spark, corpus, tmp_path):
+    """True Structured Streaming path: two files, availableNow, then a
+    replay with the same checkpoint is a no-op."""
+    index_dir = str(tmp_path / "sidx")
+    stream_index(spark, corpus["parts"], index_dir)
+    sidx = SegmentIndex.load(spark, index_dir)
+    assert sidx.n_docs == N_DOCS
+
+    batch_dir = str(tmp_path / "bidx")
+    build_segment_index(spark, spark.read.parquet(corpus["full"]), batch_dir,
+                        source="full")
+    assert _topk_by_url(spark, index_dir) == _topk_by_url(spark, batch_dir)
+
+    # replay: same source + checkpoint -> no new batches, index unchanged
+    n_before = spark.read.parquet(os.path.join(index_dir, "docinfo")).count()
+    stream_index(spark, corpus["parts"], index_dir)
+    assert spark.read.parquet(os.path.join(index_dir, "docinfo")).count() == n_before
+
+
+def test_tumbling_window_stream_equals_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_micro"])
+        for r in tumbling_counts(events).collect()
+    }
+
+    src = str(tmp_path / "events_src")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                os.path.join(src, "e.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string")
+        .parquet(src)
+    )
+    out = tumbling_counts(stream, streaming=True)
+    q = (out.writeStream.format("memory").queryName("tumbling")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_micro"])
+        for r in spark.sql("select * from tumbling").collect()
+    }
+    assert streamed == batch
+
+
+def test_sessionize_invariants(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = sessionize(events, gap_minutes=30)
+    agg = sess.agg(
+        F.sum("n_events").alias("total"),
+        F.min("session_id").alias("min_sid"),
+    ).collect()[0]
+    assert agg["total"] == events.count()
+    assert agg["min_sid"] == 1
+    # no session may contain an internal gap > 30 min: every session's
+    # span divided by (n_events-1) avg gap is bounded by max single gap;
+    # check directly that consecutive sessions of a user don't overlap
+    w = sess.selectExpr("user_id", "session_id", "session_start", "session_end")
+    joined = w.alias("x").join(
+        w.alias("y"),
+        (F.col("x.user_id") == F.col("y.user_id"))
+        & (F.col("x.session_id") + 1 == F.col("y.session_id")),
+    )
+    bad = joined.filter(
+        F.col("y.session_start").cast("long")
+        - F.col("x.session_end").cast("long") <= 30 * 60).count()
+    assert bad == 0
