@@ -309,6 +309,74 @@ ORDER BY score_micro DESC, vec_id ASC LIMIT {ANN_K}
 """
 
 
+EMB_DUP_OFFSET_EXACT = 100_000
+EMB_DUP_OFFSET_MIXED = 200_000
+EMB_NEAR_DUP_MIN = 0.4
+
+
+def _with_vector_dups(emb: DataFrame) -> DataFrame:
+    """Planted embedding near-dups, arithmetic-free (slices/copies of
+    existing float values — bit-identical across engines): exact copies
+    of vec_id<10, and half-spliced vectors (first half of v, second
+    half of v+1, cosine ~0.5 vs the parent) for vec_id<30."""
+    base = emb.select("vec_id", "embedding", "label")
+    exact = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + EMB_DUP_OFFSET_EXACT).alias("vec_id"),
+        "embedding", "label")
+    nxt = emb.select((F.col("vec_id") - 1).alias("vec_id"),
+                     F.col("embedding").alias("emb_next"))
+    mixed = (
+        emb.filter(F.col("vec_id") < 30).join(nxt, "vec_id")
+        .select(
+            (F.col("vec_id") + EMB_DUP_OFFSET_MIXED).alias("vec_id"),
+            F.concat(F.slice("embedding", 1, 32),
+                     F.slice("emb_next", 33, 32)).alias("embedding"),
+            "label",
+        )
+    )
+    return base.unionByName(exact).unionByName(mixed)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: exact cosine >= 0.4 within each
+    label block (blocked-exact — the IVF-bucket pattern at scale)."""
+    emb = _with_vector_dups(_emb(spark, sf_dir))
+    return S.embedding_near_dup_pairs(emb, threshold=EMB_NEAR_DUP_MIN)
+
+
+def sql_embedding_near_dup() -> str:
+    return f"""
+WITH emb2 AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_DUP_OFFSET_EXACT}, embedding, label
+  FROM embeddings WHERE vec_id < 10
+  UNION ALL
+  SELECT a.vec_id + {EMB_DUP_OFFSET_MIXED},
+         a.embedding[1:32] || b.embedding[33:64], a.label
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id < 30
+),
+comps AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e,
+                 generate_subscripts(embedding, 1) AS pos FROM emb2),
+norms AS (SELECT vec_id, SQRT(SUM(e * e)) AS n FROM comps GROUP BY vec_id),
+dots AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, SUM(x.e * y.e) AS dot
+  FROM comps x JOIN comps y ON x.pos = y.pos AND x.label = y.label
+                           AND x.vec_id < y.vec_id
+  GROUP BY x.vec_id, y.vec_id
+)
+SELECT d.a, d.b,
+       CAST(ROUND(CASE WHEN na.n > 0 AND nb.n > 0
+                       THEN d.dot / na.n / nb.n ELSE 0.0 END * 1000000)
+            AS BIGINT) AS cosine_micro
+FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
+WHERE CAST(ROUND(CASE WHEN na.n > 0 AND nb.n > 0
+                      THEN d.dot / na.n / nb.n ELSE 0.0 END * 1000000)
+           AS BIGINT) >= {int(EMB_NEAR_DUP_MIN * 1e6)}
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: probe the 3 nearest label-partition centroids,
     exact cosine within probed partitions only."""
@@ -485,6 +553,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
@@ -503,6 +572,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": sql_ngram_jaccard_pairs(),
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
+        "embedding_near_dup": sql_embedding_near_dup(),
         "lang_id": sql_lang_id(),
         "quality_score": sql_quality_score(),
         "token_stats": sql_token_stats(),

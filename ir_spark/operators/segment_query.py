@@ -76,17 +76,31 @@ class SegmentIndex:
             range_width=int(lineage["range_width"]),
         )
 
+    # DataFrame handles are cached: spark.read.parquet lists the file
+    # tree at analysis time, and per-query re-listing dominates small-
+    # query latency.  A handle stays valid for appended files only after
+    # re-load; callers that mutate the index make a fresh SegmentIndex.
+    _dfs: dict = None
+
+    def _cached(self, name: str) -> DataFrame:
+        if self._dfs is None:
+            object.__setattr__(self, "_dfs", {})
+        if name not in self._dfs:
+            self._dfs[name] = self.spark.read.parquet(
+                index_paths(self.index_dir)[name])
+        return self._dfs[name]
+
     @property
     def segments(self) -> DataFrame:
-        return self.spark.read.parquet(index_paths(self.index_dir)["segments"])
+        return self._cached("segments")
 
     @property
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(index_paths(self.index_dir)["dictionary"])
+        return self._cached("dictionary")
 
     @property
     def norms(self) -> DataFrame:
-        return self.spark.read.parquet(index_paths(self.index_dir)["norms"])
+        return self._cached("norms")
 
     def df_of(self, terms: list[str]) -> dict[str, int]:
         # sum, not read: incremental appends (streaming/incremental.py)

@@ -95,6 +95,42 @@ def nearest_labels(centroids: DataFrame, query_vec: list[float],
     return [r.label for r in scored.collect()]
 
 
+def pair_cosine_expr(va: Column, vb: Column) -> Column:
+    """Exact float64 cosine between two array<float> columns (JVM
+    higher-order fns, sequential fold — deterministic order)."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    na, nb = norm_expr(va), norm_expr(vb)
+    return F.when((na > 0) & (nb > 0), dot / na / nb).otherwise(F.lit(0.0))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.6,
+                             block_col: str = "label") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: exact cosine >= threshold
+    within each ``block_col`` partition.
+
+    Blocked-exact is the scale pattern: the quadratic self-join runs
+    only within blocks (here ``label``; at 100 TB an IVF/LSH bucket id
+    materialized as the table's partition column), so cost is
+    sum(n_block^2) instead of n^2, the join shuffles on a high-
+    cardinality key, and AQE splits skewed blocks.  Candidate recall is
+    the blocking key's recall — near-identical vectors share a coarse
+    bucket by construction.
+    """
+    a = emb.select(F.col(block_col).alias("blk"),
+                   F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col(block_col).alias("blk"),
+                   F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, "blk").filter(F.col("a") < F.col("b"))
+    cos = pair_cosine_expr(F.col("ea"), F.col("eb"))
+    return (
+        pairs.select("a", "b",
+                     F.round(cos * 1e6).cast("long").alias("cosine_micro"))
+        .filter(F.col("cosine_micro") >= int(round(threshold * 1e6)))
+    )
+
+
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              n_probe: int = 3, centroids: DataFrame | None = None) -> DataFrame:
     """IVF-style ANN: probe the n_probe nearest label partitions, then

@@ -155,6 +155,46 @@ def test_tumbling_window_stream_equals_batch(spark, tmp_path):
     assert streamed == batch
 
 
+def _stream_gate_names():
+    from ir_spark import gates_streaming
+
+    return sorted(gates_streaming.streaming_queries())
+
+
+@pytest.mark.parametrize("name", _stream_gate_names())
+def test_stream_gate_matches_oracle(spark, name):
+    """Driver-mirror parity for the streaming gates (sf0.001)."""
+    import math
+
+    import duckdb
+
+    from ir_spark import gates_streaming
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["documents", "events"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def norm(rows):
+        out = []
+        for r in rows:
+            row = []
+            for v in r:
+                if isinstance(v, float):
+                    assert float(v).is_integer() or math.isnan(v)
+                    v = int(v)
+                row.append(v)
+            out.append(tuple(row))
+        return sorted(out)
+
+    sdf = gates_streaming.streaming_queries()[name](spark, sf_dir)
+    sql = gates_streaming.streaming_oracle_sql()[name]
+    spark_rows = norm([tuple(r) for r in sdf.collect()])
+    duck_rows = norm(con.sql(sql).fetchall())
+    assert len(spark_rows) > 0
+    assert spark_rows == duck_rows
+
+
 def test_sessionize_invariants(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
         .withColumn("ts", F.col("ts").cast("timestamp"))
