@@ -283,10 +283,13 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
                        k1=k1, b=b, range_width=sidx.range_width)
 
     if strategy == "auto":
-        # pruning pays for its metadata pass only when there are enough
-        # doc-range runs to skip; tiny indexes go straight to exhaustive
+        # pruning pays for its metadata pass (an extra Spark job +
+        # driver seed-scoring) only when there are MANY doc-range runs
+        # to skip; below ~256 runs the exhaustive scan is cheaper
+        # (measured: wand p50 3.1s vs exhaustive ~0.9s at 49 runs).
+        # Cluster-scale indexes (10^5+ runs) always take the wand path.
         n_runs_max = sidx.n_docs // sidx.range_width + 1
-        strategy = "wand" if n_runs_max >= 32 else "exhaustive"
+        strategy = "wand" if n_runs_max >= 256 else "exhaustive"
 
     if mode == "bm25":
         theta, keep_runs, run_term_ub = 0.0, None, None

@@ -253,6 +253,13 @@ def build_segment_index(
             F.pmod(storage.term_bucket_col(F.col("term"), n_buckets),
                    F.lit(segment_groups)) == g
         )
+        # AQE's partition coalescing sizes by shuffle bytes and shrinks
+        # the collect_list agg output to a handful of partitions, which
+        # then strangles the encode UDF's parallelism (measured 1.5x
+        # slower at 32 cores).  Disable it for the encode job only.
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev_coalesce = spark.conf.get(coalesce_key, "true")
+        spark.conf.set(coalesce_key, "false")
         seg = encode_segments(part, n_buckets, range_width)
         # cluster rows by bucket before the partitioned write: one task
         # per bucket -> one sorted file per bucket dir (instead of one
@@ -265,6 +272,7 @@ def build_segment_index(
         storage.atomic_write_parquet(
             seg, dest, partition_by=["bucket"], sort_within=["term", "run"]
         )
+        spark.conf.set(coalesce_key, prev_coalesce)
         written = spark.read.parquet(dest)
         agg = written.agg(
             F.count("*").alias("runs"),
