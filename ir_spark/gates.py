@@ -309,6 +309,79 @@ FROM documents
 """
 
 
+_SEG_MEMO: dict[tuple, str] = {}
+
+
+def _seg_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized compressed segment index over documents (built once per
+    session per sf_dir, in a temp dir)."""
+    import tempfile
+
+    from .operators.segments import build_segment_index
+
+    key = (id(spark), sf_dir)
+    if key not in _SEG_MEMO:
+        pages = _read_documents(spark, sf_dir).select(
+            F.format_string("doc://%012d", "doc_id").alias("url"), "text")
+        d = tempfile.mkdtemp(prefix="ir_spark_gate_seg_")
+        build_segment_index(spark, pages, d, source=sf_dir)
+        _SEG_MEMO[key] = d
+    return _SEG_MEMO[key]
+
+
+def q_segment_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C3/S7 as a value gate: posting lists for the flagship-query
+    terms, decoded back out of the delta+varbyte compressed segments
+    (bucket-pruned scan -> numpy decode -> doc_map id mapping).  The
+    oracle is the plain (term, doc_id, tf) relation — proving the
+    compressed round trip end-to-end (reference intent:
+    Compression.java:121-197 / compressed_index.py:11-84, per SURVEY
+    D6)."""
+    import pandas as pd
+
+    from . import codec
+    from .operators.segment_query import SegmentIndex
+    from .sources import storage as _st
+
+    sidx = SegmentIndex.load(spark, _seg_index_dir(spark, sf_dir))
+    terms = sorted(
+        t for t in set(tokenize(FLAGSHIP_QUERY)) if t not in STOPWORDS)
+    buckets = sorted({_st.term_bucket_py(t, sidx.n_buckets) for t in terms})
+    hits = sidx.segments.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+
+    def decode(batches):
+        for pdf in batches:
+            ts, ids, tfs = [], [], []
+            for row in pdf.itertuples(index=False):
+                d_ids = codec.delta_decode(row.doc_gaps_vb)
+                d_tfs = codec.varbyte_decode(row.tfs_vb)
+                ts.extend([row.term] * len(d_ids))
+                ids.extend(d_ids.tolist())
+                tfs.extend(d_tfs.tolist())
+            yield pd.DataFrame({"term": ts, "internal_id": ids, "tf": tfs})
+
+    decoded = hits.select("term", "doc_gaps_vb", "tfs_vb").mapInPandas(
+        decode, "term string, internal_id long, tf long")
+    doc_map = spark.read.parquet(
+        os.path.join(_seg_index_dir(spark, sf_dir), "doc_map"))
+    orig = doc_map.select(
+        F.col("doc_id").alias("internal_id"),
+        F.substring("url", 7, 12).cast("long").alias("doc_id"))
+    return decoded.join(F.broadcast(orig), "internal_id").select(
+        "term", "doc_id", "tf")
+
+
+def sql_segment_postings() -> str:
+    terms = sorted(
+        t for t in set(tokenize(FLAGSHIP_QUERY)) if t not in STOPWORDS)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {TOKS_CTE}
+SELECT term, doc_id, tf FROM postings WHERE term IN ({in_list})
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -324,6 +397,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_topk": q_w2_topk,
         "search_results": q_search_results,
         "html_extract": q_html_extract,
+        "segment_postings": q_segment_postings,
     }
 
 
@@ -338,4 +412,5 @@ def core_oracle_sql() -> dict[str, str]:
         "w2_topk": _sql_cosine_topk("w2"),
         "search_results": sql_search_results(),
         "html_extract": sql_html_extract(),
+        "segment_postings": sql_segment_postings(),
     }
