@@ -102,9 +102,27 @@ class SegmentIndex:
     def norms(self) -> DataFrame:
         return self._cached("norms")
 
+    # vocabularies up to this size are pulled to the driver once and
+    # probed locally (saves one Spark job per query); larger ones use
+    # the pushdown-pruned scan per query (the cluster-scale path)
+    LOCAL_DICT_MAX = 2_000_000
+
     def df_of(self, terms: list[str]) -> dict[str, int]:
-        # sum, not read: incremental appends (streaming/incremental.py)
-        # store dictionary DELTA rows per batch — df(term) is their sum
+        if self._dfs is None:
+            object.__setattr__(self, "_dfs", {})
+        if "local_dict" not in self._dfs:
+            # sum, not read: incremental appends (streaming/
+            # incremental.py) store dictionary DELTA rows per batch —
+            # df(term) is their sum
+            agg = self.dictionary.groupBy("term").agg(
+                F.sum("df").alias("df"))
+            n_terms = agg.count()
+            self._dfs["local_dict"] = (
+                {r["term"]: int(r["df"]) for r in agg.collect()}
+                if n_terms <= self.LOCAL_DICT_MAX else None)
+        local = self._dfs["local_dict"]
+        if local is not None:
+            return {t: local[t] for t in terms if t in local}
         rows = (
             self.dictionary.filter(F.col("term").isin(terms))
             .groupBy("term").agg(F.sum("df").alias("df")).collect()
