@@ -48,7 +48,18 @@ def main() -> int:
 
     spark = get_spark(f"ir_spark_scale_{args.cpus}", cpus=args.cpus)
     pages = spark.read.parquet(args.input).select("url", "text")
-    n_docs = pages.count()  # warms the scan; excluded from build timing
+    n_docs = pages.count()
+
+    # JVM/Python steady-state warm-up, excluded from timing: the first
+    # job of a fresh JVM pays executor+Python-worker launch, codegen
+    # compilation and classloading (~10s measured) — a per-process
+    # constant that is noise for throughput-scaling purposes (a real
+    # cluster's executors are long-lived).
+    from ir_spark.operators.build import assign_doc_ids, token_counts
+
+    warm = pages.limit(2000)
+    token_counts(warm).groupBy("term").count().count()
+    assign_doc_ids(warm.select("url", "text")).count()
 
     t0 = time.time()
     build_segment_index(
