@@ -55,10 +55,14 @@ def main() -> int:
     # compilation and classloading (~10s measured) — a per-process
     # constant that is noise for throughput-scaling purposes (a real
     # cluster's executors are long-lived).
+    from pyspark.sql import functions as F
+
     from ir_spark.operators.build import assign_doc_ids, token_counts
 
     warm = pages.limit(2000)
-    token_counts(warm).groupBy("term").count().count()
+    token_counts(
+        warm.withColumn("doc_id", F.monotonically_increasing_id())
+    ).groupBy("term").count().count()
     assign_doc_ids(warm.select("url", "text")).count()
 
     t0 = time.time()
