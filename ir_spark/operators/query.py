@@ -72,14 +72,24 @@ def doc_weight_expr(mode: str, n_docs: int, avg_doc_len: float,
 def doc_norms(index: DataFrameIndex, mode: str, k1: float = 1.2,
               b: float = 0.75) -> DataFrame:
     """Idempotent per-doc L2 norms over ALL index terms (D4; A7).
-    One full postings sweep + hash agg; cache per (index, mode)."""
-    w = doc_weight_expr(mode, index.n_docs, index.avg_doc_len, k1, b)
-    joined = index.postings.join(
-        index.dictionary.select("term", "df"), "term"
-    ).join(index.docinfo, "doc_id")
-    return joined.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
-    )
+    One full postings sweep + hash agg, persisted per (index, mode,
+    k1, b) — norms are query-independent, so repeated cosine queries
+    reuse the cached table instead of re-sweeping the index."""
+    cache = getattr(index, "_norms_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(index, "_norms_cache", cache)
+    key = (mode, k1, b)
+    if key not in cache:
+        w = doc_weight_expr(mode, index.n_docs, index.avg_doc_len, k1, b)
+        joined = index.postings.join(
+            index.dictionary.select("term", "df"), "term"
+        ).join(index.docinfo, "doc_id")
+        cache[key] = joined.select("doc_id", w.alias("w")).groupBy(
+            "doc_id").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+        ).persist()
+    return cache[key]
 
 
 def compute_query_weights(bag: dict[str, int], dfs: dict[str, int],
