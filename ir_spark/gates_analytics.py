@@ -179,6 +179,80 @@ WHERE CAST(ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
 """
 
 
+CURATE_MIN_WORDS = 5
+
+
+def _with_all_dups(docs: DataFrame) -> DataFrame:
+    """Curation-gate corpus: base + exact copies (every 10th doc) +
+    drop-first-word near variants (every 7th doc)."""
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text")
+    variants = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2 * DUP_OFFSET).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"))
+    return docs.unionByName(copies).unionByName(variants)
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: exact dedup -> LSH near-dup drop ->
+    quality floor; emits the kept (doc_id, n_words)."""
+    corpus = _with_all_dups(_docs(spark, sf_dir))
+    kept = D.curate(corpus, jaccard_threshold=0.3,
+                    min_words=CURATE_MIN_WORDS)
+    n_words = F.size(F.filter(F.split("text", " "),
+                              lambda w: F.length(w) > 0)).cast("long")
+    return kept.select("doc_id", n_words.alias("n_words"))
+
+
+def sql_curation_pipeline() -> str:
+    return f"""
+WITH corpus0 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {2 * DUP_OFFSET}, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 7 = 0
+),
+keep_exact AS (
+  SELECT MIN(doc_id) AS doc_id FROM corpus0 GROUP BY md5(text)
+),
+corpus AS (SELECT c.doc_id, c.text FROM corpus0 c JOIN keep_exact USING (doc_id)),
+{_SQL_SHINGLES.lstrip()},
+{_sql_minhash_bands()},
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+drop_near AS (
+  SELECT DISTINCT c.b AS doc_id
+  FROM cand c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sz za ON za.doc_id = c.a
+  JOIN sz zb ON zb.doc_id = c.b
+  WHERE CAST(ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                   / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) * 1000000.0)
+             AS BIGINT) >= {JACCARD_MIN_MICRO}
+)
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> length(t) > 0)) AS BIGINT) AS n_words
+FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)
+  AND len(list_filter(string_split(text, ' '), t -> length(t) > 0))
+      >= {CURATE_MIN_WORDS}
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over the real tokenize kernel's (term, tf)."""
     tokens = B.token_counts(_docs(spark, sf_dir))
@@ -549,6 +623,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "curation_pipeline": q_curation_pipeline,
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -568,6 +643,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "dedup_exact": sql_dedup_exact(),
         "minhash_bands": sql_minhash_bands(),
         "lsh_near_dup_pairs": sql_lsh_near_dup_pairs(),
+        "curation_pipeline": sql_curation_pipeline(),
         "simhash": sql_simhash(),
         "ngram_jaccard_pairs": sql_ngram_jaccard_pairs(),
         "ann_cosine_topk": sql_ann_cosine_topk(),

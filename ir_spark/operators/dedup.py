@@ -155,6 +155,45 @@ def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     )
 
 
+def curate(docs: DataFrame, *, jaccard_threshold: float = 0.3,
+           min_words: int = 5, n_hashes: int = 16, bands: int = 4,
+           rows: int = 4, shingle_n: int = 3) -> DataFrame:
+    """End-to-end corpus curation: exact dedup -> LSH near-dup drop ->
+    quality filter.  Returns the KEPT (doc_id, text) rows.
+
+    Deterministic keep rules (reproducible in SQL, no connected
+    components needed):
+      1. exact: keep the min doc_id of each identical-text group;
+      2. near: for every verified pair (a < b, jaccard >= threshold)
+         drop b — a greedy keep-lowest-id pass;
+      3. quality: drop docs with fewer than ``min_words`` words.
+
+    Scale: each step is the corresponding operator above (one shuffle
+    each); the near-dup drop joins the (small) dropped-id set back as
+    an anti-join, broadcast when it fits.
+    """
+    # 1. exact dedup: keep min doc_id per text hash
+    keep_exact = (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+        .groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    )
+    stage1 = docs.join(
+        keep_exact.select(F.col("keep_id").alias("doc_id")), "doc_id")
+
+    # 2. near-dup drop over the exact-deduped corpus
+    sh = word_shingles(stage1, n=shingle_n)
+    bands_df = lsh_bands(minhash_signatures(sh, n_hashes), bands, rows)
+    cand = lsh_candidate_pairs(bands_df)
+    verified = jaccard_for_pairs(cand, sh).filter(
+        F.col("jaccard_micro") >= int(round(jaccard_threshold * 1e6)))
+    drop_near = verified.select(F.col("b").alias("doc_id")).distinct()
+    stage2 = stage1.join(drop_near, "doc_id", "left_anti")
+
+    # 3. quality floor: at least min_words whitespace words
+    n_words = F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0))
+    return stage2.filter(n_words >= min_words).select("doc_id", "text")
+
+
 def simhash32(tokens: DataFrame) -> DataFrame:
     """(doc_id, term, tf) -> (doc_id, simhash) — 32-bit SimHash.
 
