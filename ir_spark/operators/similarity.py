@@ -118,12 +118,24 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.6,
     the blocking key's recall — near-identical vectors share a coarse
     bucket by construction.
     """
-    a = emb.select(F.col(block_col).alias("blk"),
-                   F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col(block_col).alias("blk"),
-                   F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    # norms once per vector (not per pair — the self-join would
+    # otherwise recompute each side's norm |block| times)
+    with_norm = emb.select(
+        F.col(block_col).alias("blk"), "vec_id", "embedding",
+        norm_expr(F.col("embedding")).alias("nrm"))
+    a = with_norm.select("blk", F.col("vec_id").alias("a"),
+                         F.col("embedding").alias("ea"),
+                         F.col("nrm").alias("na"))
+    b = with_norm.select("blk", F.col("vec_id").alias("b"),
+                         F.col("embedding").alias("eb"),
+                         F.col("nrm").alias("nb"))
     pairs = a.join(b, "blk").filter(F.col("a") < F.col("b"))
-    cos = pair_cosine_expr(F.col("ea"), F.col("eb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    cos = F.when((F.col("na") > 0) & (F.col("nb") > 0),
+                 dot / F.col("na") / F.col("nb")).otherwise(F.lit(0.0))
     return (
         pairs.select("a", "b",
                      F.round(cos * 1e6).cast("long").alias("cosine_micro"))
