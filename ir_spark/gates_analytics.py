@@ -599,6 +599,27 @@ FROM documents
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing: payload -> pseudo-embedding (STUB
+    encoder), exploded to (doc_id, pos, feature_micro)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+    feats = M.extract_features(docs)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("pos", "v")
+    ).select("doc_id", "pos",
+             F.round(F.col("v") * 1e6).cast("long").alias("feature_micro"))
+
+
+def sql_multimodal_features() -> str:
+    return f"""
+SELECT doc_id, CAST(j AS INT) AS pos,
+       ((('0x' || substr(md5(text || ':' || j), 1, 8))::BIGINT % 2000001)
+        - 1000000) AS feature_micro
+FROM documents CROSS JOIN (SELECT unnest(range(0, {M.FEATURE_DIM})) AS j)
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan over the binary payload (every 256 bytes)."""
     docs = _docs(spark, sf_dir).select(
@@ -634,6 +655,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
     }
 
@@ -654,5 +676,6 @@ def analytics_oracle_sql() -> dict[str, str]:
         "token_stats": sql_token_stats(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "multimodal_meta": sql_multimodal_meta(),
+        "multimodal_features": sql_multimodal_features(),
         "frame_sample": sql_frame_sample(),
     }

@@ -71,6 +71,45 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return cols.mapInPandas(kernel, DECODE_SCHEMA)
 
 
+FEATURE_DIM = 8
+FEATURES_SCHEMA = "doc_id long, features array<double>"
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic pseudo-embedding from md5 of (payload, dim index),
+    components in [-1, 1] at 1e-6 resolution.  STUB — the seam where a
+    real vision/audio encoder (CLIP-style) plugs in on clusters that
+    ship one; the Spark plumbing (schema, batching, downstream ANN
+    compatibility) is real and tested."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(payload + f":{j}".encode()).hexdigest()[:8]
+        out.append(((int(h, 16) % 2000001) - 1000000) / 1e6)
+    return out
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload",
+                     dim: int = FEATURE_DIM) -> DataFrame:
+    """(doc_id, payload:binary) -> (doc_id, features:array<double>) via
+    an Arrow-batched kernel.  Output feeds the similarity operators
+    (cosine top-k / IVF / near-dup) unchanged — the multimodal
+    embedding path of a curation pipeline."""
+    cols = df.select("doc_id", payload_col)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "features": [
+                    _fake_features(bytes(p), dim) for p in pdf[payload_col]
+                ],
+            })
+
+    return cols.mapInPandas(kernel, FEATURES_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n_bytes: int = 1 << 10) -> DataFrame:
     """Video-style frame sampling plan: (doc_id, frame_no, byte_offset)
     rows derived from payload length — the partition-explode shape a
