@@ -177,8 +177,13 @@ def curate(docs: DataFrame, *, jaccard_threshold: float = 0.3,
         docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
         .groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     )
+    # persisted: stage1 fans out into 5 consumers (shingles x4 + the
+    # final anti-join) behind a groupBy+join; measured ~1.5x faster
+    # than recompute here (unlike shallow pipelines, where exchange
+    # reuse suffices).  Cache lives until the session drops it.
     stage1 = docs.join(
-        keep_exact.select(F.col("keep_id").alias("doc_id")), "doc_id")
+        keep_exact.select(F.col("keep_id").alias("doc_id")), "doc_id"
+    ).persist()
 
     # 2. near-dup drop over the exact-deduped corpus
     sh = word_shingles(stage1, n=shingle_n)
