@@ -105,3 +105,38 @@ def block_stats(doc_ids: np.ndarray, tfs: np.ndarray,
     max_tf = np.maximum.reduceat(tfs, starts)
     min_dl = np.minimum.reduceat(doc_lens, starts)
     return last.astype(np.int64), max_tf.astype(np.int32), min_dl.astype(np.int64)
+
+
+def block_skyline(tfs: np.ndarray, doc_lens: np.ndarray, block: int = BLOCK):
+    """Per-block Pareto skyline of (tf, doc_len) pairs, flattened.
+
+    All weight modes (W1/W2/BM25) increase in tf and decrease in
+    doc_len, so max over a block's docs of w(tf_d, dl_d) equals the max
+    over its skyline (points not dominated by tf>= & dl<=).  Unlike the
+    (max_tf, min_doc_len) cross-combination — which pairs one doc's tf
+    with ANOTHER doc's length and can exceed every real score by far —
+    the skyline bound is attained by an actual posting, making
+    block-max pruning tight for every (k1, b) without storing
+    parameter-specific impact scores.
+
+    Returns (sky_block: int32[], sky_tf: int32[], sky_dl: int64[]) —
+    parallel arrays, typically 1-10 pairs per 128-posting block.
+    """
+    n = tfs.size
+    sky_block: list[int] = []
+    sky_tf: list[int] = []
+    sky_dl: list[int] = []
+    for bno, start in enumerate(range(0, n, block)):
+        tf_b = tfs[start:start + block]
+        dl_b = doc_lens[start:start + block]
+        order = np.lexsort((dl_b, -tf_b))  # tf desc, dl asc
+        best_dl = None
+        for i in order:
+            if best_dl is None or dl_b[i] < best_dl:
+                best_dl = dl_b[i]
+                sky_block.append(bno)
+                sky_tf.append(int(tf_b[i]))
+                sky_dl.append(int(dl_b[i]))
+    return (np.asarray(sky_block, dtype=np.int32),
+            np.asarray(sky_tf, dtype=np.int32),
+            np.asarray(sky_dl, dtype=np.int64))

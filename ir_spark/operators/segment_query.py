@@ -201,13 +201,20 @@ def _make_run_kernel(weights: dict[str, float], dfs: dict[str, int], *,
             dls = codec.varbyte_decode(row.doc_lens_vb).astype(np.int64)
             mtfs = codec.varbyte_decode(row.max_tfs_vb).astype(np.int64)
             if ub_by_term is not None and theta > 0.0:
-                # block skip: ub of this block + best others < theta
+                # block skip: ub of this block + best others < theta.
+                # Per-block bound = max over the block's (tf, doc_len)
+                # skyline — attained by a real posting, so tight.
                 others = total_ub - ub_by_term.get(term, 0.0)
-                bmax = np.asarray(row.block_max_tf, dtype=np.int64)
-                bmin = np.asarray(row.block_min_doc_len, dtype=np.int64)
-                block_ub = _np_doc_weight(
-                    mode, bmax, bmin, bmax, df_t, n_docs, avg_dl, k1, b
-                ) * w_tq
+                sky_idx = np.asarray(row.block_sky_idx, dtype=np.int64)
+                sky_tf = np.asarray(row.block_sky_tf, dtype=np.int64)
+                sky_dl = np.asarray(row.block_sky_dl, dtype=np.int64)
+                pair_w = _np_doc_weight(
+                    mode, sky_tf, sky_dl, sky_tf, df_t, n_docs, avg_dl,
+                    k1, b)
+                n_blocks = len(row.block_last_doc_id)
+                block_ub = np.full(n_blocks, -np.inf)
+                np.maximum.at(block_ub, sky_idx, pair_w)
+                block_ub = block_ub * w_tq
                 keep_blocks = (block_ub + others) >= theta
                 if not keep_blocks.all():
                     keep = np.repeat(keep_blocks, codec.BLOCK)[: ids.size]
@@ -246,11 +253,11 @@ def _prune_runs(spark: SparkSession, hits: DataFrame,
     )
     meta = (
         hits.select("term", "run",
-                    F.explode(F.arrays_zip("block_max_tf", "block_min_doc_len"))
+                    F.explode(F.arrays_zip("block_sky_tf", "block_sky_dl"))
                     .alias("blk"))
         .select("term", "run",
-                F.col("blk.block_max_tf").alias("tf"),
-                F.col("blk.block_min_doc_len").alias("doc_len"))
+                F.col("blk.block_sky_tf").alias("tf"),
+                F.col("blk.block_sky_dl").alias("doc_len"))
         .join(F.broadcast(w_tq_df), "term")
     )
     # reuse the Catalyst weight expr; max_tf := tf for the bound

@@ -69,6 +69,11 @@ _ENCODED = T.StructType(
         T.StructField("block_last_doc_id", T.ArrayType(T.LongType())),
         T.StructField("block_max_tf", T.ArrayType(T.IntegerType())),
         T.StructField("block_min_doc_len", T.ArrayType(T.LongType())),
+        # Pareto skyline of (tf, doc_len) per block (codec.block_skyline)
+        # — tight attained upper bounds for block-max WAND
+        T.StructField("block_sky_idx", T.ArrayType(T.IntegerType())),
+        T.StructField("block_sky_tf", T.ArrayType(T.IntegerType())),
+        T.StructField("block_sky_dl", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -85,6 +90,7 @@ def _encode_postings(doc_ids: pd.Series, tfs: pd.Series, doc_lens: pd.Series,
         dl = np.asarray(dl, dtype=np.int64)
         mtf = np.asarray(mtf, dtype=np.int64)
         last, bmax_tf, bmin_dl = codec.block_stats(ids, tf, dl)
+        sky_idx, sky_tf, sky_dl = codec.block_skyline(tf, dl)
         out["first_doc_id"].append(int(ids[0]))
         out["last_doc_id"].append(int(ids[-1]))
         out["doc_gaps_vb"].append(codec.delta_encode(ids))
@@ -94,6 +100,9 @@ def _encode_postings(doc_ids: pd.Series, tfs: pd.Series, doc_lens: pd.Series,
         out["block_last_doc_id"].append(last.tolist())
         out["block_max_tf"].append(bmax_tf.tolist())
         out["block_min_doc_len"].append(bmin_dl.tolist())
+        out["block_sky_idx"].append(sky_idx.tolist())
+        out["block_sky_tf"].append(sky_tf.tolist())
+        out["block_sky_dl"].append(sky_dl.tolist())
     return pd.DataFrame(out)
 
 

@@ -82,3 +82,27 @@ class TestBlockStats:
             lo, hi = bi * 128, min((bi + 1) * 128, 500)
             assert tfs[lo:hi].max() == max_tf[bi]
             assert dls[lo:hi].min() == min_dl[bi]
+
+
+class TestBlockSkyline:
+    @given(st.lists(st.tuples(st.integers(1, 50), st.integers(1, 500)),
+                    min_size=1, max_size=300))
+    @settings(max_examples=100, deadline=None)
+    def test_skyline_bound_tight_and_valid(self, pairs):
+        from ir_spark.codec import block_skyline
+
+        tfs = np.array([p[0] for p in pairs], dtype=np.int64)
+        dls = np.array([p[1] for p in pairs], dtype=np.int64)
+        sky_idx, sky_tf, sky_dl = block_skyline(tfs, dls, block=128)
+        # every skyline pair is a real posting of its block
+        for bi, t, d in zip(sky_idx, sky_tf, sky_dl):
+            blk = slice(bi * 128, (bi + 1) * 128)
+            assert ((tfs[blk] == t) & (dls[blk] == d)).any()
+        # dominance: every posting is covered by a same-block skyline
+        # pair with tf >= and dl <= (so any monotone weight is bounded)
+        for i, (t, d) in enumerate(zip(tfs, dls)):
+            bi = i // 128
+            covered = any(st_ >= t and sd <= d
+                          for sb, st_, sd in zip(sky_idx, sky_tf, sky_dl)
+                          if sb == bi)
+            assert covered, (i, t, d)

@@ -144,3 +144,66 @@ class TestSegmentQueryParity:
                   SQ.search_segments(spark, sidx, q, k=5, mode="bm25",
                                      strategy="wand").collect()]
             assert ex == wa, q
+
+
+class TestWandManyRuns:
+    """Pruning correctness at a run count where it actually engages
+    (the small-corpus fixture has only ~4 runs; here ~90)."""
+
+    @pytest.fixture(scope="class")
+    def big_index(self, spark, tmp_path_factory):
+        from ir_spark.fixtures import generate_pages, pages_to_parquet
+
+        root = tmp_path_factory.mktemp("wand_big")
+        src = str(root / "pages.parquet")
+        pages_to_parquet(generate_pages(3000, seed=3), src)
+        d = str(root / "idx")
+        SEG.build_segment_index(
+            spark, spark.read.parquet(src), d, source=src,
+            n_buckets=8, range_width=32, segment_groups=1)
+        return SQ.SegmentIndex.load(spark, d)
+
+    def test_wand_equals_exhaustive_many_runs(self, spark, big_index):
+        pruned_something = False
+        for q in REFERENCE_QUERIES[:8]:
+            ex = [(r["doc_id"], round(r["score"], 9)) for r in
+                  SQ.search_segments(spark, big_index, q, k=5, mode="bm25",
+                                     strategy="exhaustive").collect()]
+            wa = [(r["doc_id"], round(r["score"], 9)) for r in
+                  SQ.search_segments(spark, big_index, q, k=5, mode="bm25",
+                                     strategy="wand").collect()]
+            assert ex == wa, q
+        # the metadata pass must actually drop runs for selective
+        # (short, idf-skewed) queries — long OR-queries' summed bounds
+        # legitimately cover every run at this run granularity
+        from ir_spark.operators.query import compute_query_weights
+        from ir_spark.oracle import parse_query
+        from pyspark.sql import functions as F
+
+        pruned_counts = []
+        for q in ["flow", "boundary layer", "aeroelastic flutter",
+                  "reynolds transonic buckling"]:
+            bag = parse_query(q)
+            if not bag:
+                continue
+            terms = sorted(bag)
+            dfs = big_index.df_of(terms)
+            weights, _ = compute_query_weights(
+                bag, dfs, big_index.n_docs, "bm25")
+            buckets = sorted({storage.term_bucket_py(t, big_index.n_buckets)
+                              for t in terms})
+            hits = big_index.segments.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            n_runs_total = hits.select("run").distinct().count()
+            theta, keep, _ = SQ._prune_runs(
+                spark, hits, weights, dfs, mode="bm25",
+                n_docs=big_index.n_docs, avg_dl=big_index.avg_doc_len,
+                k1=1.2, b=0.75, k=5,
+                kernel_args=dict(mode="bm25", n_docs=big_index.n_docs,
+                                 avg_dl=big_index.avg_doc_len, k1=1.2,
+                                 b=0.75,
+                                 range_width=big_index.range_width))
+            assert theta > 0.0, q
+            pruned_counts.append((q, n_runs_total - len(keep), n_runs_total))
+        assert any(dropped > 0 for _, dropped, _ in pruned_counts), (
+            f"pruning never engaged: {pruned_counts}")
