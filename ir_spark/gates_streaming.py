@@ -57,6 +57,31 @@ GROUP BY 1, 2
 """
 
 
+SLIDE_SEC, SLIDE_WIDTH_SEC = 300, 900
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = W.sliding_counts(_events(spark, sf_dir),
+                           width="15 minutes", slide="5 minutes")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type", "n_events",
+    )
+
+
+def sql_events_sliding() -> str:
+    # an event at t lands in windows starting at
+    # floor((t - k*slide)/slide)*slide for k covering the width
+    n_offsets = SLIDE_WIDTH_SEC // SLIDE_SEC
+    return f"""
+SELECT (CAST(FLOOR(epoch(ts) / {SLIDE_SEC}) AS BIGINT) - o.k) * {SLIDE_SEC}
+         * 1000000 AS window_start_us,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events CROSS JOIN (SELECT unnest(range(0, {n_offsets})) AS k) o
+GROUP BY 1, 2
+"""
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = W.sessionize(_events(spark, sf_dir), gap_minutes=SESSION_GAP_MIN)
     return out.select(
@@ -148,6 +173,7 @@ def sql_stream_bm25_topk() -> str:
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "events_json_props": q_events_json_props,
         "stream_bm25_topk": q_stream_bm25_topk,
@@ -157,6 +183,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def streaming_oracle_sql() -> dict[str, str]:
     return {
         "events_tumbling": sql_events_tumbling(),
+        "events_sliding": sql_events_sliding(),
         "events_sessions": sql_events_sessions(),
         "events_json_props": sql_events_json_props(),
         "stream_bm25_topk": sql_stream_bm25_topk(),

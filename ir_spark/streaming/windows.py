@@ -38,6 +38,22 @@ def tumbling_counts(events: DataFrame, width: str = "5 minutes",
     )
 
 
+def sliding_counts(events: DataFrame, width: str = "15 minutes",
+                   slide: str = "5 minutes", watermark: str = "30 minutes",
+                   streaming: bool = False) -> DataFrame:
+    """Per event_type x sliding window (width > slide: each event lands
+    in width/slide windows).  Spark expands the overlap internally —
+    the shuffle still carries one row per (event, window) pre-agg pair
+    with map-side combine."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events")
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user sessions: a new session starts when the gap from the
     previous event exceeds ``gap_minutes``.  Classic lag + running-sum
