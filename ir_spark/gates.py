@@ -48,12 +48,12 @@ toks AS (
 ),
 postings AS (SELECT * FROM toks WHERE term NOT IN ({STOP_SQL})),
 docinfo AS (
-  SELECT doc_id, SUM(tf) AS doc_len,
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len,
          MAX(CASE WHEN term NOT IN ({STOP_SQL}) THEN tf END) AS max_tf
   FROM toks GROUP BY doc_id
 ),
 stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(doc_len) AS avg_dl FROM docinfo),
-dict AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, SUM(tf) AS cf
+dict AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
          FROM postings GROUP BY term)
 """
 

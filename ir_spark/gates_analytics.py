@@ -272,8 +272,8 @@ bits AS (
   GROUP BY doc_id, r.pos
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << (31 - pos)
-                ELSE CAST(0 AS BIGINT) END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << (31 - pos)
+                     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 

@@ -123,7 +123,8 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_events_json_props() -> str:
     return """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS sum_k,
        MIN(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS min_k,
        MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k
 FROM events GROUP BY event_type

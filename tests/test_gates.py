@@ -35,10 +35,15 @@ def duck():
 
 
 def _canon(df):
-    """Order-insensitive canonical form: sort columns by name, then rows."""
+    """Order-insensitive canonical form: sort columns by name, then rows.
+
+    Also returns per-column pandas dtypes: the driver hashes *typed*
+    values, so an uncast DuckDB SUM() (HUGEINT -> float64) must fail
+    here too, not just stringify-equal (round-1 lesson, VERDICT r01)."""
     cols = sorted(df.columns)
+    dtypes = [str(df[c].dtype) for c in cols]
     rows = [tuple(row[c] for c in cols) for _, row in df.iterrows()]
-    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+    return cols, dtypes, sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 
 def test_every_query_matches_oracle(spark, entrymod, duck):
@@ -52,10 +57,13 @@ def test_every_query_matches_oracle(spark, entrymod, duck):
             assert len(sdf) >= 0  # rows-only check
             continue
         odf = duck.sql(osql[name]).df()
-        scols, srows = _canon(sdf)
-        ocols, orows = _canon(odf)
+        scols, sdt, srows = _canon(sdf)
+        ocols, odt, orows = _canon(odf)
         if scols != ocols:
             failures.append((name, "schema", scols, ocols))
+            continue
+        if sdt != odt:
+            failures.append((name, "dtype", list(zip(scols, sdt, odt))))
             continue
         if len(srows) != len(orows):
             failures.append((name, "rowcount", len(srows), len(orows)))
