@@ -61,6 +61,67 @@ dict AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS
 FLAGSHIP_QUERY = "fast hash join with big vector table scan"
 K_FLAGSHIP = 10
 
+_STEM_CTE_MEMO: str | None = None
+
+
+def _toks_cte_stem() -> str:
+    """Stemmed variant of TOKS_CTE (T9 end-to-end): DuckDB can't run
+    Porter, so the mapping {raw token -> stem} is pre-computed with the
+    frozen pure-Python porter_stem over the gate corpora vocabularies
+    (sf0.001 + sf0.01 + $IR_SPARK_GATE_SF) and inlined as a VALUES
+    list; identity stems are omitted (COALESCE falls through).  Matches
+    engine semantics: stem applied per-token after the length filter,
+    stopwords removed on the STEMMED term (oracle.py build_index),
+    doc_len still counts all tokens (D2)."""
+    global _STEM_CTE_MEMO
+    if _STEM_CTE_MEMO is not None:
+        return _STEM_CTE_MEMO
+    import duckdb
+
+    from .text import porter_stem
+
+    dirs = {"/root/testdata/sf0.001", "/root/testdata/sf0.01",
+            os.environ.get("IR_SPARK_GATE_SF", "")}
+    vocab: set[str] = set()
+    con = duckdb.connect()
+    for d in sorted(dirs):
+        p = os.path.join(d, "documents.parquet") if d else ""
+        if p and os.path.exists(p):
+            rows = con.sql(
+                "SELECT DISTINCT UNNEST(string_split(text, ' ')) AS t "
+                f"FROM read_parquet('{p}')").fetchall()
+            vocab.update(r[0] for r in rows if r[0])
+    con.close()
+    pairs = [(t, porter_stem(t)) for t in sorted(vocab)
+             if len(t) > 1 and "'" not in t]
+    vals = ", ".join(f"('{t}', '{s}')" for t, s in pairs if s != t)
+    if not vals:
+        vals = "('', '')"
+    _STEM_CTE_MEMO = f"""
+stemmap AS (SELECT * FROM (VALUES {vals}) AS m(term, stem)),
+rawtoks AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents) u
+  WHERE LENGTH(term) > 1
+),
+toks AS (
+  SELECT doc_id, COALESCE(m.stem, r.term) AS term,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM rawtoks r LEFT JOIN stemmap m USING (term)
+  GROUP BY doc_id, COALESCE(m.stem, r.term)
+),
+postings AS (SELECT * FROM toks WHERE term NOT IN ({STOP_SQL})),
+docinfo AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len,
+         MAX(CASE WHEN term NOT IN ({STOP_SQL}) THEN tf END) AS max_tf
+  FROM toks GROUP BY doc_id
+),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(doc_len) AS avg_dl FROM docinfo),
+dict AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+         FROM postings GROUP BY term)
+"""
+    return _STEM_CTE_MEMO
+
 
 def _read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -69,12 +130,13 @@ def _read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INDEX_MEMO: dict[tuple, B.DataFrameIndex] = {}
 
 
-def _df_index(spark: SparkSession, sf_dir: str) -> B.DataFrameIndex:
+def _df_index(spark: SparkSession, sf_dir: str,
+              stem: bool = False) -> B.DataFrameIndex:
     """Memoized DataFrame index over documents (doc_id, text)."""
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, stem)
     if key not in _INDEX_MEMO:
         docs = _read_documents(spark, sf_dir).select("doc_id", "text")
-        _INDEX_MEMO[key] = B.build_dataframe_index(docs)
+        _INDEX_MEMO[key] = B.build_dataframe_index(docs, stem=stem)
     return _INDEX_MEMO[key]
 
 
@@ -147,20 +209,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_quantized(raw, K_FLAGSHIP)
 
 
-def _sql_query_terms() -> str:
+def _sql_query_terms(stem: bool = False) -> str:
     """The flagship query through the same tokenizer + stopword filter,
     as a VALUES list (term, qtf)."""
     from collections import Counter
 
-    bag = Counter(t for t in tokenize(FLAGSHIP_QUERY) if t not in STOPWORDS)
+    bag = Counter(t for t in tokenize(FLAGSHIP_QUERY, stem=stem)
+                  if t not in STOPWORDS)
     vals = ", ".join(f"('{t}', {tf})" for t, tf in sorted(bag.items()))
     return f"qterms AS (SELECT * FROM (VALUES {vals}) AS q(term, qtf))"
 
 
-def sql_bm25_topk(k1: float = 1.2, b: float = 0.75) -> str:
+def sql_bm25_topk(k1: float = 1.2, b: float = 0.75,
+                  stem: bool = False) -> str:
     return f"""
-WITH {TOKS_CTE},
-{_sql_query_terms()},
+WITH {_toks_cte_stem() if stem else TOKS_CTE},
+{_sql_query_terms(stem=stem)},
 hits AS (
   SELECT p.doc_id,
          LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
@@ -177,6 +241,28 @@ SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
 FROM hits GROUP BY doc_id
 ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
 """
+
+
+def q_tokens_tf_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 end-to-end: per-doc term frequencies from the real tokenize
+    kernel with Porter stemming on (reference stem-index variant,
+    Stemmer.java:17-590, toggled at Driver.java:19)."""
+    docs = _read_documents(spark, sf_dir).select("doc_id", "text")
+    return B.token_counts(docs, stem=True).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf"))
+
+
+def sql_tokens_tf_stem() -> str:
+    return f"WITH {_toks_cte_stem()} SELECT doc_id, term, tf FROM toks"
+
+
+def q_bm25_topk_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmed index + stemmed query, BM25 top-k — the reference's stem
+    variant (stats.md:10,22-24) as a full-value gate."""
+    idx = _df_index(spark, sf_dir, stem=True)
+    raw = Q.search(spark, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                   mode="bm25", stem=True)
+    return _rerank_quantized(raw, K_FLAGSHIP)
 
 
 def q_w1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +479,8 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docinfo": q_docinfo,
         "collection_stats": q_collection_stats,
         "bm25_topk": q_bm25_topk,
+        "tokens_tf_stem": q_tokens_tf_stem,
+        "bm25_topk_stem": q_bm25_topk_stem,
         "w1_topk": q_w1_topk,
         "w2_topk": q_w2_topk,
         "search_results": q_search_results,
@@ -408,6 +496,8 @@ def core_oracle_sql() -> dict[str, str]:
         "docinfo": sql_docinfo(),
         "collection_stats": sql_collection_stats(),
         "bm25_topk": sql_bm25_topk(),
+        "tokens_tf_stem": sql_tokens_tf_stem(),
+        "bm25_topk_stem": sql_bm25_topk(stem=True),
         "w1_topk": _sql_cosine_topk("w1"),
         "w2_topk": _sql_cosine_topk("w2"),
         "search_results": sql_search_results(),
