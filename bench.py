@@ -75,6 +75,16 @@ def main() -> None:
     queries["segment_index_build"] = round(build_sec, 4)
     extras["docs_per_sec_build"] = round(n_docs / build_sec, 2)
 
+    # index-size evidence (cf. reference stats.md compressed-size table)
+    from ir_spark.sources.storage import read_manifests
+
+    stats_m = read_manifests(index_dir)["stats"]["metrics"]
+    extras["index_segments_bytes"] = stats_m["segments_bytes"]
+    extras["flat_postings_bytes"] = stats_m["flat_postings_bytes"]
+    extras["postings_payload_bytes"] = stats_m["payload_bytes"]
+    extras["raw_fixed_width_bytes"] = stats_m["raw_fixed_width_bytes"]
+    extras["compression_ratio"] = stats_m["compression_ratio"]
+
     # --- phase 2: DataFrame index (correctness path) ----------------------
     from ir_spark import gates
 

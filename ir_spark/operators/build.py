@@ -28,7 +28,8 @@ from ..functions.tokenize import TOKEN_COUNTS_SCHEMA, make_tokenize_counts
 from ..text import STOPWORDS
 
 
-def assign_doc_ids(pages: DataFrame) -> DataFrame:
+def assign_doc_ids(pages: DataFrame,
+                   caches: list | None = None) -> DataFrame:
     """Deterministic dense doc ids: 1-based rank over url (matching the
     Java reference's 1-based sequential ids, Indexer.java:88,116).
 
@@ -40,6 +41,12 @@ def assign_doc_ids(pages: DataFrame) -> DataFrame:
     (range order, within-range order), so the ids are identical to the
     single-sort formulation at any parallelism, and the heavy sort runs
     fully parallel.  Run once, persist as ``doc_map``, reuse on resume.
+
+    The internal ``ranked`` persist must outlive the returned plan's
+    first materialization; pass ``caches`` (a list) to receive the
+    cached DataFrame and ``unpersist()`` it after writing the result —
+    streaming callers invoke this once per micro-batch, so leaking one
+    cache entry per call would accumulate without bound.
     """
     spark = pages.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
@@ -50,6 +57,8 @@ def assign_doc_ids(pages: DataFrame) -> DataFrame:
     )
     w = Window.partitionBy("_pid").orderBy("url")
     ranked = urls.withColumn("_rk", F.row_number().over(w)).persist()
+    if caches is not None:
+        caches.append(ranked)
     counts = sorted(
         (r["_pid"], r["n"]) for r in
         ranked.groupBy("_pid").agg(F.count("*").alias("n")).collect()
@@ -80,7 +89,17 @@ def token_counts(pages: DataFrame, stem: bool = False) -> DataFrame:
     sel = pages.select("doc_id", "text")
     sc = sel.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if sel.rdd.getNumPartitions() < target:
+    # DataFrame-native width probe (no .rdd plan conversion): a small
+    # file count is the one case where the scan can't parallelize (one
+    # row group = one task no matter the byte splits); in-memory frames
+    # report [] and get repartitioned too, which is what we want for
+    # streaming micro-batches.  The 100 TB path (files >= cores) keeps
+    # its scan partitioning — no shuffle.
+    try:
+        n_inputs = len(sel.inputFiles())
+    except Exception:
+        n_inputs = 0
+    if n_inputs < target:
         sel = sel.repartition(2 * target)
     return sel.mapInPandas(
         make_tokenize_counts(stem=stem), schema=TOKEN_COUNTS_SCHEMA

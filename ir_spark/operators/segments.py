@@ -205,10 +205,14 @@ def build_segment_index(
     # -- stage: doc_map --------------------------------------------------
     if _stage("doc_map"):
         t0 = time.time()
-        doc_map = assign_doc_ids(pages)
+        caches: list = []
+        doc_map = assign_doc_ids(pages, caches)
         storage.atomic_write_parquet(doc_map, paths["doc_map"])
+        for c in caches:
+            c.unpersist()
         n = spark.read.parquet(paths["doc_map"]).count()
-        _commit("doc_map", {"n_docs": n, "wall_sec": time.time() - t0})
+        _commit("doc_map", {"n_docs": n, "wall_sec": time.time() - t0,
+                            "bytes": storage.tree_bytes(paths["doc_map"])})
 
     doc_map = spark.read.parquet(paths["doc_map"])
     pages_ids = pages.join(doc_map, "url")
@@ -224,7 +228,8 @@ def build_segment_index(
         if need_docinfo:
             run_stages.append("docinfo")
             storage.atomic_write_parquet(build_docinfo(tokens), paths["docinfo"])
-            _commit("docinfo", {"wall_sec": time.time() - t0})
+            _commit("docinfo", {"wall_sec": time.time() - t0,
+                                "bytes": storage.tree_bytes(paths["docinfo"])})
         else:
             skipped.append("docinfo")
         if need_postings:
@@ -235,7 +240,8 @@ def build_segment_index(
             storage.atomic_write_parquet(flat, paths["postings"])
             n_postings = spark.read.parquet(paths["postings"]).count()
             _commit("postings", {"n_postings": n_postings,
-                                 "wall_sec": time.time() - t1})
+                                 "wall_sec": time.time() - t1,
+                                 "bytes": storage.tree_bytes(paths["postings"])})
         else:
             skipped.append("postings")
         tokens.unpersist()
@@ -250,7 +256,8 @@ def build_segment_index(
         dictionary = build_dictionary(postings_flat.select("term", "doc_id", "tf"))
         storage.atomic_write_parquet(dictionary, paths["dictionary"])
         n_terms = spark.read.parquet(paths["dictionary"]).count()
-        _commit("dictionary", {"n_terms": n_terms, "wall_sec": time.time() - t0})
+        _commit("dictionary", {"n_terms": n_terms, "wall_sec": time.time() - t0,
+                               "bytes": storage.tree_bytes(paths["dictionary"])})
 
     # -- stages: segments, one job per bucket group (resume granularity) ---
     for g in range(segment_groups):
@@ -269,24 +276,31 @@ def build_segment_index(
         coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
         prev_coalesce = spark.conf.get(coalesce_key, "true")
         spark.conf.set(coalesce_key, "false")
-        seg = encode_segments(part, n_buckets, range_width)
-        # cluster rows by bucket before the partitioned write: one task
-        # per bucket -> one sorted file per bucket dir (instead of one
-        # file per shuffle task per bucket — 40x the files, 40x the
-        # per-query open/list cost).  Parquet row groups keep the scan
-        # splittable for large buckets.
-        buckets_in_group = max(1, n_buckets // segment_groups)
-        seg = seg.repartition(buckets_in_group, "bucket")
-        dest = os.path.join(paths["segments"], f"grp={g}")
-        storage.atomic_write_parquet(
-            seg, dest, partition_by=["bucket"], sort_within=["term", "run"]
-        )
-        spark.conf.set(coalesce_key, prev_coalesce)
+        try:
+            seg = encode_segments(part, n_buckets, range_width)
+            # cluster rows by bucket before the partitioned write: one
+            # task per bucket -> one sorted file per bucket dir (instead
+            # of one file per shuffle task per bucket — 40x the files,
+            # 40x the per-query open/list cost).  Parquet row groups
+            # keep the scan splittable for large buckets.
+            buckets_in_group = max(1, n_buckets // segment_groups)
+            seg = seg.repartition(buckets_in_group, "bucket")
+            dest = os.path.join(paths["segments"], f"grp={g}")
+            storage.atomic_write_parquet(
+                seg, dest, partition_by=["bucket"], sort_within=["term", "run"]
+            )
+        finally:
+            # exception-safe restore: a failed encode must not leave
+            # coalescing disabled for every later job in the session
+            spark.conf.set(coalesce_key, prev_coalesce)
         written = spark.read.parquet(dest)
         agg = written.agg(
             F.count("*").alias("runs"),
             F.sum("run_df").alias("postings"),
             F.countDistinct("term").alias("terms"),
+            F.sum(F.octet_length("doc_gaps_vb") + F.octet_length("tfs_vb")
+                  + F.octet_length("doc_lens_vb")
+                  + F.octet_length("max_tfs_vb")).alias("payload"),
         ).collect()[0]
         _commit(name, {
             "group": g,
@@ -294,6 +308,8 @@ def build_segment_index(
             "n_postings": int(agg["postings"] or 0),
             "n_terms": int(agg["terms"]),
             "wall_sec": time.time() - t0,
+            "bytes": storage.tree_bytes(dest),
+            "payload_bytes": int(agg["payload"] or 0),
         })
 
     # -- stage: norms (w1 + w2, idempotent — D4) ---------------------------
@@ -315,17 +331,75 @@ def build_segment_index(
         )
         storage.atomic_write_parquet(norms, paths["norms"])
         _commit("norms", {"n_docs": n_docs, "avg_doc_len": avg_dl,
-                          "wall_sec": time.time() - t0})
+                          "wall_sec": time.time() - t0,
+                          "bytes": storage.tree_bytes(paths["norms"])})
 
     # -- stage: stats (global scalars for the query engine) ----------------
     if _stage("stats"):
         docinfo = spark.read.parquet(paths["docinfo"])
         stats = docinfo.agg(F.count("*").alias("n"),
                             F.avg("doc_len").alias("avg")).collect()[0]
+        # index-size evidence (reference stats.md:16-24 publishes
+        # compressed vs uncompressed index sizes).  compression_ratio is
+        # the CODEC-level number comparable to the reference's -38%:
+        # varbyte stream bytes vs the same four streams fixed-width
+        # (4 x int32 per posting).  The on-disk totals are also
+        # recorded; note segments deliberately denormalize doc stats
+        # into every (term, run) row for query locality, and the flat
+        # relation is itself snappy-parquet (dictionary+RLE), so
+        # segments_bytes vs flat_postings_bytes compares two DIFFERENT
+        # trade-offs, not compressed-vs-raw.
+        seg_manifests = storage.read_manifests(index_dir)
+        payload = sum(
+            m["metrics"].get("payload_bytes", 0)
+            for name_, m in seg_manifests.items()
+            if name_.startswith("segments_g"))
+        n_post = sum(
+            m["metrics"].get("n_postings", 0)
+            for name_, m in seg_manifests.items()
+            if name_.startswith("segments_g"))
+        raw_bytes = 16 * n_post  # 4 streams x int32 fixed width
         _commit("stats", {"n_docs": int(stats["n"]),
-                          "avg_doc_len": float(stats["avg"])})
+                          "avg_doc_len": float(stats["avg"]),
+                          "segments_bytes": storage.tree_bytes(
+                              paths["segments"]),
+                          "flat_postings_bytes": storage.tree_bytes(
+                              paths["postings"]),
+                          "payload_bytes": payload,
+                          "raw_fixed_width_bytes": raw_bytes,
+                          "compression_ratio": (
+                              round(payload / raw_bytes, 4)
+                              if raw_bytes else None)})
 
     return BuildReport(index_dir, run_stages, skipped, metrics)
+
+
+def decode_segments(segments: DataFrame) -> DataFrame:
+    """Inverse of :func:`encode_segments`: segment rows back to the flat
+    (term, doc_id, tf, doc_len, max_tf) relation.  Arrow-batched numpy
+    decode, fully distributed — the re-derivation path for consumers
+    that need the flat relation after the postings checkpoint is gone
+    (e.g. refresh_norms on a streamed, segment-only index)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ts, ids, tfs, dls, mtfs = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                d_ids = codec.delta_decode(row.doc_gaps_vb)
+                n = len(d_ids)
+                ts.extend([row.term] * n)
+                ids.extend(d_ids.tolist())
+                tfs.extend(codec.varbyte_decode(row.tfs_vb).tolist())
+                dls.extend(codec.varbyte_decode(row.doc_lens_vb).tolist())
+                mtfs.extend(codec.varbyte_decode(row.max_tfs_vb).tolist())
+            yield pd.DataFrame({"term": ts, "doc_id": ids, "tf": tfs,
+                                "doc_len": dls, "max_tf": mtfs})
+
+    cols = ["term", "doc_gaps_vb", "tfs_vb", "doc_lens_vb", "max_tfs_vb"]
+    return segments.select(*cols).mapInPandas(
+        kernel,
+        "term string, doc_id long, tf long, doc_len long, max_tf long")
 
 
 def index_paths(index_dir: str) -> dict[str, str]:

@@ -94,6 +94,20 @@ def read_manifests(index_dir: str) -> dict[str, dict[str, Any]]:
     return out
 
 
+def tree_bytes(path: str) -> int:
+    """Total bytes of data files under ``path`` (parquet part files;
+    _SUCCESS/_metadata markers excluded).  Local-FS walk — on a real
+    cluster the same number comes from the Iceberg snapshot's
+    total-files-size summary or an FS content summary, one RPC."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.startswith("_") or name.startswith("."):
+                continue
+            total += os.path.getsize(os.path.join(root, name))
+    return total
+
+
 def atomic_write_parquet(df: DataFrame, dest: str, partition_by: list[str] | None = None,
                          sort_within: list[str] | None = None) -> None:
     """Write parquet to ``dest.tmp`` then atomically rename to ``dest``.

@@ -93,6 +93,20 @@ def update_segment_index(
 
     t0 = time.time()
 
+    # within-batch url dedup (the cross-batch anti-join can't catch
+    # these): keep one deterministic row per url — latest warc_ts when
+    # the column exists, else max(text) — so a doubled url can't
+    # double-count tf/doc_len/df in the appended deltas
+    if "warc_ts" in new_pages.columns:
+        new_pages = (
+            new_pages.select("url", "warc_ts", "text")
+            .groupBy("url")
+            .agg(F.max(F.struct("warc_ts", "text")).alias("_s"))
+            .select("url", F.col("_s.text").alias("text")))
+    else:
+        new_pages = (new_pages.select("url", "text").groupBy("url")
+                     .agg(F.max("text").alias("text")))
+
     # -- doc ids: offset above the committed maximum ----------------------
     have_doc_map = os.path.isdir(paths["doc_map"])
     if have_doc_map:
@@ -108,12 +122,19 @@ def update_segment_index(
     # shifted above the committed id space
     from ..operators.build import assign_doc_ids
 
-    batch_map = assign_doc_ids(fresh).withColumn(
+    caches: list = []
+    batch_map = assign_doc_ids(fresh, caches).withColumn(
         "doc_id", (F.col("doc_id") + F.lit(offset)).cast("long"))
     n_new = batch_map.count()
     if n_new == 0:
+        for c in caches:
+            c.unpersist()
         return {"n_new_docs": 0, "wall_sec": time.time() - t0}
     batch_map.write.mode("append").parquet(paths["doc_map"])
+    # release per-batch caches: foreachBatch calls this once per
+    # micro-batch and a leaked persist per batch accumulates unbounded
+    for c in caches:
+        c.unpersist()
 
     # re-derive the batch ids from the DURABLE doc_map (ids > offset).
     # Joining against ``fresh`` here would be wrong: its anti-join plan
@@ -172,13 +193,15 @@ def refresh_norms(spark: SparkSession, index_dir: str) -> None:
     docinfo = spark.read.parquet(paths["docinfo"])
     dictionary = (spark.read.parquet(paths["dictionary"])
                   .groupBy("term").agg(F.sum("df").alias("df")))
-    postings = spark.read.parquet(paths["postings"]) if os.path.isdir(
-        paths["postings"]) else None
-    if postings is None:
-        # reconstruct (term, doc_id, tf, doc_len, max_tf) from segments
-        raise NotImplementedError(
-            "refresh_norms over segment-only indexes: decode path not "
-            "needed yet — streamed indexes serve bm25/w-modes")
+    if os.path.isdir(paths["postings"]):
+        postings = spark.read.parquet(paths["postings"])
+    else:
+        # segment-only index (e.g. streamed index whose flat postings
+        # checkpoint was pruned): re-derive the flat relation from the
+        # compressed segments — distributed decode, same shape
+        from ..operators.segments import decode_segments
+
+        postings = decode_segments(spark.read.parquet(paths["segments"]))
     joined = postings.join(dictionary, "term")
     w1 = doc_weight_expr("w1", n_docs, avg_dl)
     w2 = doc_weight_expr("w2", n_docs, avg_dl)

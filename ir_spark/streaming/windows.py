@@ -63,11 +63,15 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     with session_id dense per user starting at 1.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # exact microseconds: cast-to-long truncates to whole seconds and
+    # silently disagrees with a fractional-second oracle for gaps inside
+    # (gap, gap+1s) — compare unix_micros on both sides instead
+    gap = (F.unix_micros(F.col("ts"))
+           - F.lag(F.unix_micros(F.col("ts"))).over(w))
     marked = events.select(
         "user_id", "ts", "event_id",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
-        .alias("is_new"),
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1)
+        .otherwise(0).alias("is_new"),
     )
     sessioned = marked.withColumn(
         "session_id", F.sum("is_new").over(

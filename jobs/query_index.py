@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""spark-submit entry point: top-k retrieval over a built segment index.
+r"""spark-submit entry point: top-k retrieval over a built segment index.
 
 Usage (north-rule deployment path)::
 

@@ -65,6 +65,26 @@ class TestSegmentBuild:
         for term, plist in assembled.items():
             assert sorted(plist) == oracle_index.postings[term], term
 
+    def test_manifest_bytes_and_compression(self, index_dir):
+        """Every data stage records its on-disk bytes; the codec-level
+        compression ratio (varbyte streams vs fixed-width int32, the
+        comparison reference stats.md:16-24 publishes) is recorded and
+        well under 1."""
+        man = storage.read_manifests(index_dir)
+        for stage in ("doc_map", "docinfo", "postings", "dictionary",
+                      "segments_g0", "segments_g1", "norms"):
+            assert man[stage]["metrics"].get("bytes", 0) > 0, stage
+        st = man["stats"]["metrics"]
+        assert st["segments_bytes"] > 0
+        assert st["flat_postings_bytes"] > 0
+        assert st["payload_bytes"] > 0
+        assert st["raw_fixed_width_bytes"] > st["payload_bytes"], (
+            "varbyte streams must beat fixed-width encoding")
+        assert st["compression_ratio"] == pytest.approx(
+            st["payload_bytes"] / st["raw_fixed_width_bytes"], abs=1e-3)
+        assert st["compression_ratio"] < 0.62, (  # reference: -38.3%
+            st["compression_ratio"])
+
     def test_dictionary_df_matches_runs(self, sidx, oracle_index):
         # global df per term == sum of run_df over runs
         run_df = {

@@ -105,6 +105,60 @@ def test_incremental_cosine_after_refresh(spark, corpus, tmp_path):
         assert by_url(sidx_s, dm_s) == by_url(sidx_b, dm_b)
 
 
+def test_refresh_norms_segment_only(spark, corpus, tmp_path):
+    """A streamed index that lost its flat postings checkpoint can still
+    recompute cosine norms: refresh_norms decodes the flat relation back
+    out of the compressed segments (VERDICT r01 missing item 4)."""
+    import shutil
+
+    batch_dir = str(tmp_path / "batch_idx")
+    stream_dir = str(tmp_path / "incr_idx")
+    pages = spark.read.parquet(corpus["full"])
+    build_segment_index(spark, pages, batch_dir, source="full")
+    p0 = spark.read.parquet(os.path.join(corpus["parts"], "part0.parquet"))
+    p1 = spark.read.parquet(os.path.join(corpus["parts"], "part1.parquet"))
+    update_segment_index(spark, p0, stream_dir, batch_tag="b0")
+    update_segment_index(spark, p1, stream_dir, batch_tag="b1")
+    shutil.rmtree(os.path.join(stream_dir, "postings"))
+    refresh_norms(spark, stream_dir)
+
+    sidx_s = SegmentIndex.load(spark, stream_dir)
+    sidx_b = SegmentIndex.load(spark, batch_dir)
+    dm_s = spark.read.parquet(os.path.join(stream_dir, "doc_map"))
+    dm_b = spark.read.parquet(os.path.join(batch_dir, "doc_map"))
+    for q in QUERIES[:2]:
+        for mode in ("w1", "w2"):
+            def by_url(sidx, dm):
+                hits = search_segments(spark, sidx, q, k=10, mode=mode,
+                                       strategy="exhaustive")
+                return sorted((r["url"], round(r["score"], 8))
+                              for r in hits.join(dm, "doc_id").collect())
+            assert by_url(sidx_s, dm_s) == by_url(sidx_b, dm_b), (q, mode)
+
+
+def test_within_batch_url_dedup(spark, corpus, tmp_path):
+    """Duplicate urls INSIDE one batch must not double-count tf /
+    doc_len / df (ADVICE r01): the batch is deduped to one deterministic
+    row per url before id assignment."""
+    from pyspark.sql import functions as F
+
+    clean_dir = str(tmp_path / "clean_idx")
+    dup_dir = str(tmp_path / "dup_idx")
+    p0 = spark.read.parquet(os.path.join(corpus["parts"], "part0.parquet"))
+    doubled = p0.unionAll(p0)  # every url twice in the same batch
+
+    m_clean = update_segment_index(spark, p0, clean_dir, batch_tag="b0")
+    m_dup = update_segment_index(spark, doubled, dup_dir, batch_tag="b0")
+    assert m_dup["n_new_docs"] == m_clean["n_new_docs"]
+    assert m_dup["n_docs"] == m_clean["n_docs"]
+    # identical postings stats: same doc_len sum and dictionary deltas
+    di_clean = spark.read.parquet(os.path.join(clean_dir, "docinfo"))
+    di_dup = spark.read.parquet(os.path.join(dup_dir, "docinfo"))
+    assert (di_clean.agg(F.sum("doc_len")).collect()[0][0]
+            == di_dup.agg(F.sum("doc_len")).collect()[0][0])
+    assert _topk_by_url(spark, dup_dir) == _topk_by_url(spark, clean_dir)
+
+
 def test_stream_index_readstream(spark, corpus, tmp_path):
     """True Structured Streaming path: two files, availableNow, then a
     replay with the same checkpoint is a no-op."""
