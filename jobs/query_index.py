@@ -8,11 +8,18 @@ Usage (north-rule deployment path)::
         --queries   queries.txt           \  # one query per line (S5)
         [--k 5] [--mode bm25|w1|w2] [--k1 1.2] [--b 0.75] \
         [--strategy auto|wand|exhaustive] [--stem] \
-        [--output /data/results]             # parquet sink; stdout if absent
+        [--output /data/results] \           # parquet sink; stdout if absent
+        [--render-vectors /tmp/results]      # reference-style text files
+        [--documents /data/pages.parquet]    # (url, text) for headlines
 
 Output schema: (query_id:int, query:string, rank:int, doc_id:long,
 score:double) — deterministic (score desc, doc_id asc) ordering (D8),
 mirroring the reference's per-query result files (Driver.java:66-71).
+
+``--render-vectors DIR`` additionally writes one ``<mode>-q<i>.txt``
+per query in the reference's format — rank, filename, score, headline
+and the query/document sparse vectors (Driver.java:83-105,
+SparseVector.java:48-60).
 """
 
 from __future__ import annotations
@@ -35,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["auto", "wand", "exhaustive"])
     ap.add_argument("--stem", action="store_true")
     ap.add_argument("--output", default=None, help="parquet output path")
+    ap.add_argument("--render-vectors", default=None, metavar="DIR",
+                    help="write reference-style per-query text files "
+                         "(<mode>-q<i>.txt) with sparse vectors")
+    ap.add_argument("--documents", default=None,
+                    help="(url, text) parquet for result headlines")
     ap.add_argument("--local-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -67,6 +79,23 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()
         for rank, row in enumerate(hits, start=1):
             all_rows.append((qid, q, rank, int(row["doc_id"]), float(row["score"])))
+
+    if args.render_vectors:
+        import os
+
+        from ir_spark.operators.render import render_search_results
+
+        os.makedirs(args.render_vectors, exist_ok=True)
+        docs_df = (spark.read.parquet(args.documents)
+                   if args.documents else None)
+        for i, q in enumerate(queries):  # 0-based, reference naming
+            text = render_search_results(
+                spark, args.index_dir, q, k=args.k, mode=args.mode,
+                k1=args.k1, b=args.b, stem=args.stem,
+                strategy=args.strategy, documents=docs_df)
+            with open(os.path.join(args.render_vectors,
+                                   f"{args.mode}-q{i}.txt"), "w") as fh:
+                fh.write(text)
 
     schema = "query_id int, query string, rank int, doc_id long, score double"
     results = spark.createDataFrame(all_rows, schema)
