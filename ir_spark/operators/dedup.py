@@ -157,7 +157,8 @@ def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 
 def curate(docs: DataFrame, *, jaccard_threshold: float = 0.3,
            min_words: int = 5, n_hashes: int = 16, bands: int = 4,
-           rows: int = 4, shingle_n: int = 3) -> DataFrame:
+           rows: int = 4, shingle_n: int = 3,
+           caches: list | None = None) -> DataFrame:
     """End-to-end corpus curation: exact dedup -> LSH near-dup drop ->
     quality filter.  Returns the KEPT (doc_id, text) rows.
 
@@ -180,10 +181,14 @@ def curate(docs: DataFrame, *, jaccard_threshold: float = 0.3,
     # persisted: stage1 fans out into 5 consumers (shingles x4 + the
     # final anti-join) behind a groupBy+join; measured ~1.5x faster
     # than recompute here (unlike shallow pipelines, where exchange
-    # reuse suffices).  Cache lives until the session drops it.
+    # reuse suffices).  Pass ``caches`` (a list) to receive the cached
+    # DataFrame and unpersist() it once the result is materialized;
+    # otherwise the cache lives until the session drops it.
     stage1 = docs.join(
         keep_exact.select(F.col("keep_id").alias("doc_id")), "doc_id"
     ).persist()
+    if caches is not None:
+        caches.append(stage1)
 
     # 2. near-dup drop over the exact-deduped corpus
     sh = word_shingles(stage1, n=shingle_n)

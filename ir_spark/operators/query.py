@@ -92,6 +92,18 @@ def doc_norms(index: DataFrameIndex, mode: str, k1: float = 1.2,
     return cache[key]
 
 
+def release_norms(index: DataFrameIndex) -> None:
+    """Unpersist and drop all cached norms tables for ``index`` (one
+    per (mode, k1, b)).  The cache is deliberately session-lived for
+    repeated cosine queries; long-lived drivers that retire an index
+    should call this to release executor storage."""
+    cache = getattr(index, "_norms_cache", None)
+    if cache:
+        for df in cache.values():
+            df.unpersist()
+        cache.clear()
+
+
 def compute_query_weights(bag: dict[str, int], dfs: dict[str, int],
                           n_docs: int, mode: str) -> tuple[dict[str, float], float]:
     """W3: query-term weights (always the W1 form on query-local

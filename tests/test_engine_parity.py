@@ -82,3 +82,37 @@ class TestQueryParity:
             assert [d for d, _ in got] == [d for d, _ in want], (mode, q)
             for (gd, gs), (wd, ws) in zip(got, want):
                 assert abs(gs - ws) < 1e-9, (mode, q, gd, gs, ws)
+
+
+def test_release_norms(spark, pages_small):
+    """release_norms unpersists and clears the per-(mode, k1, b) norms
+    cache (ADVICE r01 persist-leak release path)."""
+    path, _ = pages_small
+    idx = B.build_dataframe_index(spark.read.parquet(path))
+    n1 = Q.doc_norms(idx, "w1")
+    n2 = Q.doc_norms(idx, "w2")
+    assert n1.storageLevel.useMemory and n2.storageLevel.useMemory
+    assert len(idx._norms_cache) == 2
+    Q.release_norms(idx)
+    assert idx._norms_cache == {}
+    assert not n1.storageLevel.useMemory
+    assert not n2.storageLevel.useMemory
+
+
+def test_curate_cache_release(spark, pages_small):
+    """curate(caches=...) hands back its stage1 persist for release."""
+    from ir_spark.operators.dedup import curate
+
+    path, _ = pages_small
+    docs = (spark.read.parquet(path).select("url", "text")
+            .withColumn("doc_id",
+                        __import__("pyspark.sql.functions",
+                                   fromlist=["xxhash64"]).xxhash64("url"))
+            .select("doc_id", "text"))
+    caches: list = []
+    out = curate(docs, caches=caches)
+    assert out.count() > 0
+    assert len(caches) == 1 and caches[0].storageLevel.useMemory
+    for c in caches:
+        c.unpersist()
+    assert not caches[0].storageLevel.useMemory
