@@ -37,7 +37,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -206,12 +206,16 @@ def build_segment_index(
     if _stage("doc_map"):
         t0 = time.time()
         caches: list = []
-        doc_map = assign_doc_ids(pages, caches)
+        # row counts ride the write job as Observation metrics — no
+        # re-read count() job per stage (same pattern below)
+        obs = Observation()
+        doc_map = assign_doc_ids(pages, caches).observe(
+            obs, F.count(F.lit(1)).alias("n"))
         storage.atomic_write_parquet(doc_map, paths["doc_map"])
         for c in caches:
             c.unpersist()
-        n = spark.read.parquet(paths["doc_map"]).count()
-        _commit("doc_map", {"n_docs": n, "wall_sec": time.time() - t0,
+        _commit("doc_map", {"n_docs": int(obs.get["n"]),
+                            "wall_sec": time.time() - t0,
                             "bytes": storage.tree_bytes(paths["doc_map"])})
 
     doc_map = spark.read.parquet(paths["doc_map"])
@@ -236,10 +240,11 @@ def build_segment_index(
             run_stages.append("postings")
             t1 = time.time()
             docinfo = spark.read.parquet(paths["docinfo"])
-            flat = build_postings(tokens).join(docinfo, "doc_id")
+            obs = Observation()
+            flat = build_postings(tokens).join(docinfo, "doc_id").observe(
+                obs, F.count(F.lit(1)).alias("n"))
             storage.atomic_write_parquet(flat, paths["postings"])
-            n_postings = spark.read.parquet(paths["postings"]).count()
-            _commit("postings", {"n_postings": n_postings,
+            _commit("postings", {"n_postings": int(obs.get["n"]),
                                  "wall_sec": time.time() - t1,
                                  "bytes": storage.tree_bytes(paths["postings"])})
         else:
@@ -253,10 +258,13 @@ def build_segment_index(
     # -- stage: dictionary -------------------------------------------------
     if _stage("dictionary"):
         t0 = time.time()
-        dictionary = build_dictionary(postings_flat.select("term", "doc_id", "tf"))
+        obs = Observation()
+        dictionary = build_dictionary(
+            postings_flat.select("term", "doc_id", "tf")
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
         storage.atomic_write_parquet(dictionary, paths["dictionary"])
-        n_terms = spark.read.parquet(paths["dictionary"]).count()
-        _commit("dictionary", {"n_terms": n_terms, "wall_sec": time.time() - t0,
+        _commit("dictionary", {"n_terms": int(obs.get["n"]),
+                               "wall_sec": time.time() - t0,
                                "bytes": storage.tree_bytes(paths["dictionary"])})
 
     # -- stages: segments, one job per bucket group (resume granularity) ---
@@ -400,6 +408,82 @@ def decode_segments(segments: DataFrame) -> DataFrame:
     return segments.select(*cols).mapInPandas(
         kernel,
         "term string, doc_id long, tf long, doc_len long, max_tf long")
+
+
+def compact_segments(spark: SparkSession, index_dir: str) -> dict:
+    """Rewrite all segment groups into one consolidated group (grp=0)
+    and consolidate dictionary delta rows — the Lucene-merge / Iceberg-
+    compaction analogue for the append-only streamed index.
+
+    Every streamed batch appends its own ``grp=N`` tree
+    (streaming/incremental.py), so a long-running stream accumulates
+    one directory level + >=1 file per (batch, bucket) and multiple
+    segment rows per (term, run).  Compaction re-encodes from the flat
+    postings checkpoint (or the distributed segment decode when the
+    checkpoint is gone), writes one sorted file per bucket under a
+    fresh ``grp=0``, atomically swaps the tree, and collapses the
+    dictionary to one (term, df, cf) row per term.  Queries are
+    result-identical before and after; the next streamed batch simply
+    appends ``grp=1``.
+
+    Returns metrics (rows/files/bytes before and after)."""
+    paths = index_paths(index_dir)
+    manifests = storage.read_manifests(index_dir)
+    lineage = manifests["stats"]["lineage"]
+    n_buckets = int(lineage["n_buckets"])
+    range_width = int(lineage["range_width"])
+    t0 = time.time()
+
+    seg_before = spark.read.parquet(paths["segments"])
+    rows_before = seg_before.count()
+    bytes_before = storage.tree_bytes(paths["segments"])
+    files_before = sum(
+        1 for root, _d, files in os.walk(paths["segments"])
+        for f in files if not f.startswith(("_", ".")))
+
+    if os.path.isdir(paths["postings"]):
+        flat = spark.read.parquet(paths["postings"])
+    else:
+        flat = decode_segments(seg_before)
+    seg = encode_segments(flat, n_buckets, range_width)
+    seg = seg.repartition(n_buckets, "bucket")
+    tmp = paths["segments"] + ".compact.tmp"
+    storage.atomic_write_parquet(
+        seg, os.path.join(tmp, "grp=0"),
+        partition_by=["bucket"], sort_within=["term", "run"])
+    # swap the whole tree; the .tmp-then-replace makes a crash leave
+    # either the old or the new tree, never a mix
+    import shutil
+
+    old = paths["segments"] + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(paths["segments"], old)
+    os.replace(tmp, paths["segments"])
+    shutil.rmtree(old)
+
+    # consolidate dictionary deltas (sum is the read-side contract, so
+    # this is a pure rewrite)
+    dictionary = (spark.read.parquet(paths["dictionary"])
+                  .groupBy("term")
+                  .agg(F.sum("df").cast("long").alias("df"),
+                       F.sum("cf").cast("long").alias("cf")))
+    storage.atomic_write_parquet(dictionary, paths["dictionary"])
+
+    seg_after = spark.read.parquet(paths["segments"])
+    metrics = {
+        "rows_before": int(rows_before),
+        "rows_after": int(seg_after.count()),
+        "files_before": files_before,
+        "files_after": sum(
+            1 for root, _d, files in os.walk(paths["segments"])
+            for f in files if not f.startswith(("_", "."))),
+        "bytes_before": bytes_before,
+        "bytes_after": storage.tree_bytes(paths["segments"]),
+        "wall_sec": time.time() - t0,
+    }
+    storage.commit_stage(index_dir, "compaction", lineage, metrics)
+    return metrics
 
 
 def index_paths(index_dir: str) -> dict[str, str]:

@@ -9,6 +9,7 @@ Usage::
         --index-dir /data/index            \
         [--checkpoint-dir /data/ckpt] [--stem] \
         [--continuous]                        # default: availableNow catch-up
+        [--compact]                           # merge per-batch segment groups
 
 Default mode processes everything currently in --source exactly once
 (availableNow) and exits — suitable for cron-style incremental
@@ -32,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--stem", action="store_true")
     ap.add_argument("--continuous", action="store_true")
+    ap.add_argument("--compact", action="store_true",
+                    help="after catch-up, rewrite accumulated per-batch "
+                         "segment groups into one consolidated group "
+                         "(Lucene-merge analogue; results identical)")
     ap.add_argument("--local-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -59,10 +64,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.continuous:
         query.awaitTermination()
+    out = {"index_dir": args.index_dir}
+    if args.compact:
+        from ir_spark.operators.segments import compact_segments
+
+        out["compaction"] = compact_segments(spark, args.index_dir)
     from ir_spark.sources.storage import read_manifests
 
-    stats = read_manifests(args.index_dir).get("stats", {}).get("metrics", {})
-    print(json.dumps({"index_dir": args.index_dir, "stats": stats}))
+    out["stats"] = read_manifests(args.index_dir).get(
+        "stats", {}).get("metrics", {})
+    print(json.dumps(out))
     return 0
 
 

@@ -159,6 +159,47 @@ def test_within_batch_url_dedup(spark, corpus, tmp_path):
     assert _topk_by_url(spark, dup_dir) == _topk_by_url(spark, clean_dir)
 
 
+def test_compaction_preserves_results(spark, corpus, tmp_path):
+    """compact_segments rewrites N streamed groups into one: fewer
+    files, one row per (term, run), identical query results, and the
+    next append still works."""
+    from pyspark.sql import functions as F
+
+    from ir_spark.operators.segments import compact_segments
+
+    stream_dir = str(tmp_path / "compact_idx")
+    pages = spark.read.parquet(corpus["full"])
+    thirds = [
+        pages.filter(F.crc32(F.col("url")) % 3 == i) for i in range(3)
+    ]
+    for i, part in enumerate(thirds[:2]):
+        update_segment_index(spark, part, stream_dir, batch_tag=f"b{i}")
+
+    before = _topk_by_url(spark, stream_dir)
+    m = compact_segments(spark, stream_dir)
+    assert m["files_after"] < m["files_before"]
+    assert m["rows_after"] <= m["rows_before"]
+    # one consolidated group, one dictionary row per term
+    import os as _os
+
+    grps = [d for d in _os.listdir(_os.path.join(stream_dir, "segments"))
+            if d.startswith("grp=")]
+    assert grps == ["grp=0"]
+    dic = spark.read.parquet(_os.path.join(stream_dir, "dictionary"))
+    assert dic.groupBy("term").count().filter("count > 1").count() == 0
+    assert _topk_by_url(spark, stream_dir) == before
+
+    # appends keep working post-compaction (lands in grp=1)
+    update_segment_index(spark, thirds[2], stream_dir, batch_tag="b2")
+    grps = sorted(
+        d for d in _os.listdir(_os.path.join(stream_dir, "segments"))
+        if d.startswith("grp="))
+    assert grps == ["grp=0", "grp=1"]
+    full_dir = str(tmp_path / "full_idx")
+    build_segment_index(spark, pages, full_dir, source="full")
+    assert _topk_by_url(spark, stream_dir) == _topk_by_url(spark, full_dir)
+
+
 def test_stream_index_readstream(spark, corpus, tmp_path):
     """True Structured Streaming path: two files, availableNow, then a
     replay with the same checkpoint is a no-op."""
