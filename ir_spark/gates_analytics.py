@@ -639,6 +639,139 @@ FROM (SELECT doc_id, unnest(range(0, GREATEST(CAST(CEIL(LENGTH(text) / 256.0) AS
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# corpus curation gates (decontamination / repetition / sampling / mix)
+# ---------------------------------------------------------------------------
+
+DECON_N = 4          # word n-gram width for the contamination check
+DECON_BENCH_SRC = "src0"   # held-out "benchmark" slice of the corpus
+SAMPLE_RATES = {"en": 0.5, "zh": 0.8}   # per-lang keep fractions
+
+
+def _sql_ngrams(n: int, src: str = "corpus") -> str:
+    """DuckDB CTE body producing NON-distinct word n-grams (doc_id, g)
+    from ``src(doc_id, text)`` — mirror of corpus._gram_counts input."""
+    return f"""
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - {n - 2}),
+                               i -> array_to_string(w[i:i+{n - 1}], ' '))) AS g
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                   t -> length(t) > 0) AS w FROM {src})
+  WHERE len(w) >= {n}"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as C
+
+    full = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench = full.filter(F.col("source") == DECON_BENCH_SRC).select("doc_id", "text")
+    corpus = full.filter(F.col("source") != DECON_BENCH_SRC).select("doc_id", "text")
+    return C.decontaminate(corpus, bench, n=DECON_N)
+
+
+def sql_decontaminate() -> str:
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE source != '{DECON_BENCH_SRC}'),
+bench AS (SELECT doc_id, text FROM documents WHERE source = '{DECON_BENCH_SRC}'),
+cg AS (SELECT DISTINCT doc_id, g FROM ({_sql_ngrams(DECON_N, 'corpus')})),
+bg AS (SELECT DISTINCT g FROM ({_sql_ngrams(DECON_N, 'bench')})),
+hits AS (
+  SELECT cg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM cg JOIN bg USING (g) GROUP BY cg.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM cg GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated_grams,
+       s.n_grams,
+       CAST(COALESCE(h.n_hit, 0) > 0 AS INT) AS contaminated
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+"""
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as C
+
+    return C.repetition_profile(_docs(spark, sf_dir))
+
+
+def sql_repetition_filter() -> str:
+    from .operators.corpus import DUP_TRIGRAM_MAX, TOP_BIGRAM_MAX
+
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+bi AS (SELECT doc_id, g, COUNT(*) AS cnt FROM ({_sql_ngrams(2)}) GROUP BY doc_id, g),
+tri AS (SELECT doc_id, g, COUNT(*) AS cnt FROM ({_sql_ngrams(3)}) GROUP BY doc_id, g),
+bia AS (
+  SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_bigram_frac
+  FROM bi GROUP BY doc_id
+),
+tria AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt)
+           AS dup_trigram_frac
+  FROM tri GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(ROUND(COALESCE(b.top_bigram_frac, 0.0) * 1000000) AS BIGINT)
+         AS top_bigram_frac_micro,
+       CAST(ROUND(COALESCE(t.dup_trigram_frac, 0.0) * 1000000) AS BIGINT)
+         AS dup_trigram_frac_micro,
+       CAST(COALESCE(b.top_bigram_frac, 0.0) <= {TOP_BIGRAM_MAX}
+            AND COALESCE(t.dup_trigram_frac, 0.0) <= {DUP_TRIGRAM_MAX} AS INT) AS keep
+FROM documents d
+LEFT JOIN bia b ON b.doc_id = d.doc_id
+LEFT JOIN tria t ON t.doc_id = d.doc_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as C
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return C.stratified_sample(docs, SAMPLE_RATES)
+
+
+def sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES.items()))
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS key
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(ROUND(key * 1000000) AS BIGINT) AS sample_key_micro
+FROM keyed
+WHERE key < CASE lang {cases} ELSE 1.0 END
+"""
+
+
+def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as C
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return C.mix_report(docs)
+
+
+def sql_mix_report() -> str:
+    return """
+WITH per AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), t -> length(t) > 0)))
+              AS BIGINT) AS n_tokens,
+         CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens, n_chars,
+       CAST(ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () * 1000000)
+            AS BIGINT) AS token_share_micro
+FROM per
+"""
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -654,6 +787,10 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "decontaminate": q_decontaminate,
+        "repetition_filter": q_repetition_filter,
+        "stratified_sample": q_stratified_sample,
+        "mix_report": q_mix_report,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
@@ -675,6 +812,10 @@ def analytics_oracle_sql() -> dict[str, str]:
         "quality_score": sql_quality_score(),
         "token_stats": sql_token_stats(),
         "doc_fingerprint": sql_doc_fingerprint(),
+        "decontaminate": sql_decontaminate(),
+        "repetition_filter": sql_repetition_filter(),
+        "stratified_sample": sql_stratified_sample(),
+        "mix_report": sql_mix_report(),
         "multimodal_meta": sql_multimodal_meta(),
         "multimodal_features": sql_multimodal_features(),
         "frame_sample": sql_frame_sample(),

@@ -1,0 +1,202 @@
+"""Corpus-level curation operators for training-data pipelines:
+benchmark decontamination, Gopher-style repetition filtering,
+deterministic stratified sampling, and the training-mix report.
+
+The reference engine stops at indexing; these are the standard steps a
+100 TB webtext pipeline runs between crawling and training (C4/Gopher/
+RefinedWeb lineage), built Spark-first:
+
+- decontamination: word n-grams of the (small) benchmark set are
+  broadcast; the corpus side explodes grams and semi-joins — no
+  shuffle of corpus text, the broadcast join prunes in the scan stage.
+- repetition profile: two partial-aggregated shuffles per corpus
+  ((doc, gram) counts, then per-doc rollup); all expressions stay in
+  whole-stage codegen (split/transform/slice higher-order functions).
+- stratified sampling: a *deterministic* per-row md5 threshold — no
+  RNG, no driver state, identical output on any cluster layout, and
+  a pure narrow map (no shuffle at all).  This is the sampling shape
+  that survives re-runs and audits at 100 TB: membership is a pure
+  function of (doc_id, stratum policy).
+- mix report: one partial-agg shuffle to a tiny per-stratum table,
+  then a broadcast of the grand total for shares.
+
+Portability contract (same as dedup.py): hashes are md5 over explicit
+utf-8 strings so the DuckDB oracle reproduces them bit-for-bit, and
+ratios are micro-quantized to BIGINT before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+# Gopher-style keep thresholds (token-level analogues of the published
+# character-fraction rules)
+TOP_BIGRAM_MAX = 0.20       # most frequent 2-gram <= 20% of 2-grams
+DUP_TRIGRAM_MAX = 0.30      # 3-grams occurring >1x <= 30% of 3-grams
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5) -> DataFrame:
+    """Flag corpus docs sharing any word n-gram with a benchmark set.
+
+    (doc_id, text) x (doc_id, text) -> (doc_id, n_contaminated_grams,
+    n_grams, contaminated) for every corpus doc.
+
+    The benchmark side is tiny relative to the corpus (eval suites are
+    KBs, corpora are TBs) — its distinct grams are broadcast, so the
+    corpus side never shuffles: explode -> broadcast semi-count ->
+    per-doc partial agg.
+    """
+    bench_grams = word_shingles(bench.select("doc_id", "text"), n=n).select(
+        "shingle").distinct()
+    corpus_grams = word_shingles(docs.select("doc_id", "text"), n=n)
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    sizes = corpus_grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_grams", F.lit(0)).cast("long").alias(
+                "n_contaminated_grams"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).cast("int").alias(
+                "contaminated"),
+        )
+    )
+
+
+def _gram_counts(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram, cnt) — NON-distinct word n-gram counts per doc."""
+    grams = F.expr(
+        f"CASE WHEN size(split(text, ' ')) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+        f" i -> array_join(slice(split(text, ' '), i, {n}), ' ')) END"
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def repetition_profile(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition features.
+
+    (doc_id, text) -> (doc_id, top_bigram_frac_micro,
+    dup_trigram_frac_micro, keep) where
+
+    - top_bigram_frac  = count(most frequent 2-gram) / count(2-grams)
+    - dup_trigram_frac = count(3-gram occurrences in 3-grams seen >1x
+      within the doc) / count(3-grams)
+    - keep             = both under the published-style thresholds.
+
+    Docs too short for a 3-gram keep fraction 0 (nothing to repeat).
+    Two aggregations, both with map-side partial combine; no Python.
+    """
+    bi = (
+        _gram_counts(docs, 2)
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_cnt"),
+            F.sum("cnt").alias("n_bi"),
+        )
+        .select(
+            "doc_id",
+            (F.col("top_cnt").cast("double") / F.col("n_bi")).alias("top_bigram_frac"),
+        )
+    )
+    tri = (
+        _gram_counts(docs, 3)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias("dup_occ"),
+            F.sum("cnt").alias("n_tri"),
+        )
+        .select(
+            "doc_id",
+            (F.col("dup_occ").cast("double") / F.col("n_tri")).alias("dup_trigram_frac"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("top_bigram_frac", F.lit(0.0)) * 1e6).cast("long").alias(
+                "top_bigram_frac_micro"),
+            F.round(F.coalesce("dup_trigram_frac", F.lit(0.0)) * 1e6).cast("long").alias(
+                "dup_trigram_frac_micro"),
+            (
+                (F.coalesce("top_bigram_frac", F.lit(0.0)) <= TOP_BIGRAM_MAX)
+                & (F.coalesce("dup_trigram_frac", F.lit(0.0)) <= DUP_TRIGRAM_MAX)
+            ).cast("int").alias("keep"),
+        )
+    )
+
+
+def sample_key(doc_id_col) -> F.Column:
+    """Deterministic uniform-in-[0,1) key: the first 8 hex digits of
+    md5(doc_id-as-string), as a fraction of 16^8.  A pure narrow
+    projection — membership never depends on partitioning, ordering,
+    or an RNG seed, so a 100 TB re-run (or a per-partition audit)
+    reproduces the exact sample."""
+    h = F.md5(doc_id_col.cast("string").cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(float(16 ** 8))
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      default_rate: float = 1.0) -> DataFrame:
+    """Deterministic per-stratum downsampling by language.
+
+    ``rates`` maps lang -> keep fraction (e.g. ``{"en": 0.5}`` halves
+    the English share of the training mix).  Keeps a doc iff its md5
+    sample key is under its stratum's rate.  Returns the kept rows
+    with the key exposed for audit (micro-quantized).
+    """
+    rate = F.lit(float(default_rate))
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(float(r))).otherwise(rate)
+    key = sample_key(F.col("doc_id"))
+    return (
+        docs.withColumn("_key", key)
+        .filter(F.col("_key") < rate)
+        .select(
+            "doc_id", "lang",
+            F.round(F.col("_key") * 1e6).cast("long").alias("sample_key_micro"),
+        )
+    )
+
+
+def mix_report(docs: DataFrame) -> DataFrame:
+    """Training-mix report: per-(lang) doc/token/char totals and the
+    corpus share of each stratum.
+
+    One partial-agg shuffle down to ~#languages rows; the grand total
+    joins back via broadcast (a cross join of two scalar-sized sides).
+    """
+    n_tok = F.expr("size(filter(split(text, ' '), t -> length(t) > 0))")
+    per = (
+        docs.select("lang", n_tok.alias("n_tok"), F.length("text").alias("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    total = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "lang", "n_docs", "n_tokens", "n_chars",
+            F.round(F.col("n_tokens").cast("double") / F.col("total_tokens") * 1e6)
+            .cast("long").alias("token_share_micro"),
+        )
+    )
