@@ -178,9 +178,14 @@ def mix_report(docs: DataFrame) -> DataFrame:
     """Training-mix report: per-(lang) doc/token/char totals and the
     corpus share of each stratum.
 
-    One partial-agg shuffle down to ~#languages rows; the grand total
-    joins back via broadcast (a cross join of two scalar-sized sides).
+    ONE corpus scan + one partial-agg shuffle down to ~#languages
+    rows; the grand total is a window over that tiny aggregate (a
+    crossJoin(per.agg(...)) instead would re-scan the whole corpus —
+    Catalyst does not reuse the shared lineage there; verified via
+    .explain, PLANS.md §7).
     """
+    from pyspark.sql import Window
+
     n_tok = F.expr("size(filter(split(text, ' '), t -> length(t) > 0))")
     per = (
         docs.select("lang", n_tok.alias("n_tok"), F.length("text").alias("n_chars"))
@@ -191,12 +196,9 @@ def mix_report(docs: DataFrame) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
-    total = per.agg(F.sum("n_tokens").alias("total_tokens"))
-    return (
-        per.crossJoin(F.broadcast(total))
-        .select(
-            "lang", "n_docs", "n_tokens", "n_chars",
-            F.round(F.col("n_tokens").cast("double") / F.col("total_tokens") * 1e6)
-            .cast("long").alias("token_share_micro"),
-        )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "lang", "n_docs", "n_tokens", "n_chars",
+        F.round(F.col("n_tokens").cast("double") / total * 1e6)
+        .cast("long").alias("token_share_micro"),
     )
