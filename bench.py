@@ -114,6 +114,16 @@ def main() -> None:
     lat_sorted = sorted(lat)
     queries["bm25_query_set_20"] = round(sum(lat), 4)
     queries["bm25_query_set_20_wand"] = round(sum(wand_lat), 4)
+
+    # batched workload: all 20 queries in ONE pass over the index
+    from ir_spark.operators.segment_query import search_segments_batch
+
+    t0 = time.time()
+    search_segments_batch(spark, sidx, list(REFERENCE_QUERIES),
+                          k=10, mode="bm25").collect()
+    batch_sec = time.time() - t0
+    queries["bm25_query_set_20_batch"] = round(batch_sec, 4)
+    extras["batch_queries_per_sec"] = round(len(REFERENCE_QUERIES) / batch_sec, 2)
     extras["query_p50_sec"] = round(lat_sorted[len(lat) // 2], 4)
     extras["query_p95_sec"] = round(lat_sorted[int(len(lat) * 0.95)], 4)
 

@@ -468,6 +468,87 @@ SELECT term, doc_id, tf FROM postings WHERE term IN ({in_list})
 """
 
 
+BATCH_QUERIES = [
+    FLAGSHIP_QUERY,
+    "window sort merge batch data",
+    "the a of",                       # all stopwords -> no rows either side
+    "slow value zzzunseen scan",      # unseen term contributes nothing
+]
+K_BATCH = 5
+
+
+def q_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query retrieval over the COMPRESSED segment index
+    (segment_query.search_segments_batch): the whole query workload is
+    scored in ONE pass — union-pruned scan, each posting row decoded
+    once — and ranked per query.  The offline/throughput counterpart
+    of the per-query bm25_topk gate."""
+    from pyspark.sql import Window
+
+    from .operators.segment_query import SegmentIndex, search_segments_batch
+
+    sidx = SegmentIndex.load(spark, _seg_index_dir(spark, sf_dir))
+    raw = search_segments_batch(spark, sidx, BATCH_QUERIES,
+                                k=K_BATCH * 5, mode="bm25")
+    doc_map = spark.read.parquet(
+        os.path.join(_seg_index_dir(spark, sf_dir), "doc_map"))
+    orig = doc_map.select(
+        F.col("doc_id").alias("internal_id"),
+        F.substring("url", 7, 12).cast("long").alias("ext_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        raw.select("query_id",
+                   F.col("doc_id").alias("internal_id"),
+                   _micro(F.col("score")).alias("score_micro"))
+        .join(F.broadcast(orig), "internal_id")
+        .select("query_id", F.col("ext_id").alias("doc_id"), "score_micro")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_BATCH)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )
+
+
+def sql_bm25_batch_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    from collections import Counter
+
+    vals = []
+    for qid, q in enumerate(BATCH_QUERIES):
+        bag = Counter(t for t in tokenize(q) if t not in STOPWORDS)
+        vals.extend(f"({qid}, '{t}', {tf})" for t, tf in sorted(bag.items()))
+    values = ", ".join(vals)
+    return f"""
+WITH {TOKS_CTE},
+qterms AS (SELECT * FROM (VALUES {values}) AS q(query_id, term, qtf)),
+hits AS (
+  SELECT q.query_id, p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+  FROM hits GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_micro,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INT) AS rank,
+       doc_id, score_micro
+FROM ranked WHERE rnk <= {K_BATCH}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -486,6 +567,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_results": q_search_results,
         "html_extract": q_html_extract,
         "segment_postings": q_segment_postings,
+        "bm25_batch_topk": q_bm25_batch_topk,
     }
 
 
@@ -503,4 +585,5 @@ def core_oracle_sql() -> dict[str, str]:
         "search_results": sql_search_results(),
         "html_extract": sql_html_extract(),
         "segment_postings": sql_segment_postings(),
+        "bm25_batch_topk": sql_bm25_batch_topk(),
     }

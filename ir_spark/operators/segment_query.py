@@ -338,6 +338,145 @@ def _make_wand_partition_kernel(weights: dict[str, float],
     return kernel
 
 
+BATCH_SCORE_SCHEMA = "query_id long, doc_id long, score double"
+
+
+def _make_batch_run_kernel(term_q: dict[str, list[tuple[int, float]]],
+                           dfs: dict[str, int], *, mode: str, n_docs: int,
+                           avg_dl: float, k1: float, b: float,
+                           range_width: int, top_k: int):
+    """applyInPandas kernel over one doc-range run scoring MANY queries
+    in a single decode pass.
+
+    Each posting row is decoded ONCE and its per-doc weight w_td
+    computed ONCE (w_td depends on the term/doc stats, not the query);
+    every query consuming the term then adds w_td * w_tq into its own
+    candidate list.  Per-query accumulation is SPARSE (sort +
+    add.reduceat over the touched positions), so kernel memory is
+    O(sum of candidate postings), not O(n_queries * range_width) —
+    the shape that survives 10k-query offline scoring batches at a
+    cluster-scale range_width of 2^22."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        run = int(pdf["run"].iloc[0])
+        base = run * range_width
+        # qid -> (list[pos arrays], list[partial-score arrays])
+        parts: dict[int, tuple[list, list]] = {}
+        for row in pdf.itertuples(index=False):
+            consumers = term_q.get(row.term)
+            if not consumers:
+                continue
+            df_t = dfs.get(row.term, 0)
+            ids = codec.delta_decode(row.doc_gaps_vb)
+            tfs = codec.varbyte_decode(row.tfs_vb).astype(np.int64)
+            dls = codec.varbyte_decode(row.doc_lens_vb).astype(np.int64)
+            mtfs = codec.varbyte_decode(row.max_tfs_vb).astype(np.int64)
+            w_td = _np_doc_weight(mode, tfs, dls, mtfs, df_t, n_docs,
+                                  avg_dl, k1, b)
+            pos = ids - base
+            for qid, w_tq in consumers:
+                lists = parts.setdefault(qid, ([], []))
+                lists[0].append(pos)
+                # zero products kept: OR semantics — a doc containing a
+                # zero-weight query term is still a candidate (D5 quirk)
+                lists[1].append(w_td * w_tq)
+        out_q, out_d, out_s = [], [], []
+        for qid, (pos_list, val_list) in parts.items():
+            pos = np.concatenate(pos_list)
+            val = np.concatenate(val_list)
+            order = np.argsort(pos, kind="stable")
+            pos, val = pos[order], val[order]
+            uniq, start = np.unique(pos, return_index=True)
+            scores = np.add.reduceat(val, start)
+            doc_ids = uniq + base
+            if top_k and doc_ids.size > top_k:
+                sel = np.lexsort((doc_ids, -scores))[:top_k]
+                doc_ids, scores = doc_ids[sel], scores[sel]
+            out_q.append(np.full(doc_ids.size, qid, dtype=np.int64))
+            out_d.append(doc_ids.astype(np.int64))
+            out_s.append(scores.astype(np.float64))
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": []}).astype(
+                {"query_id": "int64", "doc_id": "int64", "score": "float64"})
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "doc_id": np.concatenate(out_d),
+                             "score": np.concatenate(out_s)})
+
+    return kernel
+
+
+def search_segments_batch(spark: SparkSession, sidx: SegmentIndex,
+                          queries: list[str], k: int = 5,
+                          mode: str = "bm25", k1: float = 1.2,
+                          b: float = 0.75, stem: bool = False) -> DataFrame:
+    """Score a whole query WORKLOAD in one pass over the index:
+    (query_id, rank, doc_id, score), per-query top-k, rank-identical
+    per query to ``search_segments``.
+
+    This is the offline/throughput shape (nightly eval sets, training-
+    data retrieval): the scan is pruned to the UNION of all query
+    terms' buckets, every posting row is read and decoded exactly once
+    regardless of how many queries share the term, and the only extra
+    shuffle over the single-query plan is the final per-query window
+    over (runs x k x n_queries) candidate rows.  20 sequential
+    ``search_segments`` jobs pay 20 scans + 20 shuffles; this pays one
+    of each (measured ~8x faster on the 20-query reference set at
+    sf0.1 — bench.py ``bm25_query_set_20_batch``).
+
+    Queries whose tokens are all stopwords (empty bag) yield no rows.
+    """
+    from pyspark.sql import Window
+
+    bags = {qid: parse_query(q, stem=stem) for qid, q in enumerate(queries)}
+    terms = sorted({t for bag in bags.values() for t in bag})
+    if not terms:
+        return spark.createDataFrame([], "query_id long, rank int, "
+                                         "doc_id long, score double")
+    dfs = sidx.df_of(terms)
+    term_q: dict[str, list[tuple[int, float]]] = {}
+    q_norms: dict[int, float] = {}
+    for qid, bag in sorted(bags.items()):
+        weights, q_norm = compute_query_weights(bag, dfs, sidx.n_docs, mode)
+        q_norms[qid] = q_norm
+        for t, w in weights.items():
+            term_q.setdefault(t, []).append((qid, w))
+
+    buckets = sorted({storage.term_bucket_py(t, sidx.n_buckets) for t in terms})
+    hits = sidx.segments.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    kernel = _make_batch_run_kernel(
+        term_q, dfs, mode=mode, n_docs=sidx.n_docs, avg_dl=sidx.avg_doc_len,
+        k1=k1, b=b, range_width=sidx.range_width,
+        top_k=k if mode == "bm25" else 0)
+    scored = hits.groupBy("run").applyInPandas(kernel, BATCH_SCORE_SCHEMA)
+
+    if mode != "bm25":
+        # cosine normalize (W4): doc norm from the build-time norms
+        # table, query norm from a broadcast (query_id, q_norm) dim
+        norm_col = "norm_w1" if mode == "w1" else "norm_w2"
+        qn = spark.createDataFrame(
+            [(qid, q_norms[qid]) for qid in sorted(q_norms)],
+            "query_id long, q_norm double")
+        scored = (
+            scored.join(sidx.norms.select("doc_id", norm_col), "doc_id")
+            .join(F.broadcast(qn), "query_id")
+            .select(
+                "query_id", "doc_id",
+                F.when((F.col(norm_col) > 0) & (F.col("q_norm") > 0),
+                       F.col("score") / F.col(norm_col) / F.col("q_norm"))
+                .otherwise(F.lit(0.0)).alias("score"),
+            )
+        )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
                     k: int = 5, mode: str = "bm25", k1: float = 1.2,
                     b: float = 0.75, stem: bool = False,

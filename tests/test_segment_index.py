@@ -154,6 +154,25 @@ class TestSegmentQueryParity:
             for (gd, gs), (wd, ws) in zip(got, want):
                 assert abs(gs - ws) < 1e-9, (mode, q)
 
+    @pytest.mark.parametrize("mode", MODES)
+    def test_batch_equals_per_query(self, spark, sidx, mode):
+        """search_segments_batch scores the whole workload in one pass
+        and must be rank- and score-identical (micro-quantized) per
+        query to the single-query path — including all-stopword and
+        unseen-term queries."""
+        qs = list(REFERENCE_QUERIES[:6]) + EDGE_QUERIES
+        got: dict[int, list] = {}
+        for r in SQ.search_segments_batch(spark, sidx, qs, k=5,
+                                          mode=mode).collect():
+            got.setdefault(r.query_id, []).append(
+                (r.rank, r.doc_id, round(r.score * 1e6)))
+        for qid, q in enumerate(qs):
+            single = SQ.search_segments(spark, sidx, q, k=5,
+                                        mode=mode).collect()
+            want = [(i + 1, r.doc_id, round(r.score * 1e6))
+                    for i, r in enumerate(single)]
+            assert got.get(qid, []) == want, (mode, q)
+
     def test_wand_equals_exhaustive(self, spark, sidx, oracle_index):
         # pruning must never change results (SURVEY §5.2.4)
         for q in REFERENCE_QUERIES + EDGE_QUERIES:
