@@ -68,7 +68,7 @@ def run_level(cpus: int, corpus: str, groups: int, trials: int) -> dict:
         results.append(r)
     best = max(results, key=lambda r: r["docs_per_sec"])
     # query latencies come from the last trial (the only one that ran them)
-    for k in ("query_p50_sec", "query_p95_sec", "query_mean_sec"):
+    for k in ("query_p50_sec", "query_p95_sec", "query_mean_sec", "batch_qps"):
         if k in results[-1]:
             best[k] = results[-1][k]
     best["all_trials_docs_per_sec"] = [r["docs_per_sec"] for r in results]
@@ -84,10 +84,10 @@ same input ({result['n_docs']:,} synthetic Common-Crawl-style pages,
 seed=42), one fresh local[N] JVM per level (sandbox stand-in for N vs 4N
 executors, per driver instruction).
 
-| parallelism | build sec | docs/sec | query p50 | query p95 |
-|---|---|---|---|---|
-| local[{lo['cpus']}] (N) | {lo['build_sec']} | {lo['docs_per_sec']} | {lo.get('query_p50_sec','-')} | {lo.get('query_p95_sec','-')} |
-| local[{hi['cpus']}] (4N) | {hi['build_sec']} | {hi['docs_per_sec']} | {hi.get('query_p50_sec','-')} | {hi.get('query_p95_sec','-')} |
+| parallelism | build sec | docs/sec | query p50 | query p95 | batch q/s |
+|---|---|---|---|---|---|
+| local[{lo['cpus']}] (N) | {lo['build_sec']} | {lo['docs_per_sec']} | {lo.get('query_p50_sec','-')} | {lo.get('query_p95_sec','-')} | {lo.get('batch_qps','-')} |
+| local[{hi['cpus']}] (4N) | {hi['build_sec']} | {hi['docs_per_sec']} | {hi.get('query_p50_sec','-')} | {hi.get('query_p95_sec','-')} | {hi.get('batch_qps','-')} |
 
 **Scaling efficiency (N -> 4N) = ({hi['docs_per_sec']} / {lo['docs_per_sec']}) / 4
 = {result['scaling_efficiency']:.3f}** (north-rule target: >= 0.8 — {'PASS' if result['scaling_efficiency'] >= 0.8 else 'FAIL'}).

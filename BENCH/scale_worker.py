@@ -96,6 +96,17 @@ def main() -> int:
             "query_p95_sec": round(lat_sorted[int(0.95 * (len(lat) - 1))], 4),
             "query_mean_sec": round(sum(lat) / len(lat), 4),
         })
+        # batched workload throughput (all 20 queries, one job) —
+        # best of 3 (single shared-box trials swing +/-20%)
+        from ir_spark.operators.segment_query import search_segments_batch
+
+        batch_secs = []
+        for _ in range(3):
+            tb = time.time()
+            search_segments_batch(spark, sidx, list(REFERENCE_QUERIES),
+                                  k=10, mode="bm25").collect()
+            batch_secs.append(time.time() - tb)
+        out["batch_qps"] = round(len(REFERENCE_QUERIES) / min(batch_secs), 2)
 
     print(json.dumps(out))
     return 0
