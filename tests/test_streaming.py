@@ -250,6 +250,113 @@ def test_tumbling_window_stream_equals_batch(spark, tmp_path):
     assert streamed == batch
 
 
+def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: streaming closed-session
+    output == batch lag/cumsum sessionize, row for row.  Events arrive
+    over 3 time-ordered micro-batches; a final per-user sentinel event
+    (beyond the gap) closes every open session through the normal gap
+    path."""
+    from ir_spark.streaming.stateful import sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = {
+        (r["user_id"], r["session_id"]):
+            (r["start_us"], r["end_us"], r["n_events"])
+        for r in sessionize(events, gap_minutes=30).select(
+            "user_id", "session_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events").collect()
+    }
+
+    pdf = events.select("user_id", "ts", "event_id").toPandas() \
+        .sort_values(["ts", "event_id"]).reset_index(drop=True)
+    import pandas as pd
+
+    # parquet written as timestamp[us] (Spark's stream schema can't
+    # read pandas' default nanosecond INT64)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    cuts = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        pdf.iloc[cuts[i]: cuts[i + 1]].to_parquet(
+            os.path.join(src, f"part{i}.parquet"), index=False)
+    sentinel_ts = pdf["ts"].max() + pd.Timedelta(minutes=31)
+    sent = pd.DataFrame({
+        "user_id": sorted(pdf["user_id"].unique()),
+        "ts": sentinel_ts,
+        "event_id": -1,
+    })
+    sent["ts"] = sent["ts"].astype("datetime64[us]")
+    sent.to_parquet(os.path.join(src, "part3_sentinel.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.format("memory").queryName("sessions")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = {
+        (r["user_id"], r["session_id"]):
+            (r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+    assert streamed == batch
+
+
+def test_stateful_sessionize_timeout_emission(spark, tmp_path):
+    """A session with no further events is emitted when the event-time
+    watermark passes its last event + gap (GroupState timeout) — the
+    case the batch formulation cannot express incrementally."""
+    import pandas as pd
+
+    from ir_spark.streaming.stateful import sessionize_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    src = str(tmp_path / "to_src")
+    os.makedirs(src)
+    def _wr(df, name):
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(os.path.join(src, name), index=False)
+
+    _wr(pd.DataFrame({"user_id": [1, 1],
+                      "ts": [t0, t0 + pd.Timedelta(minutes=5)],
+                      "event_id": [1, 2]}), "a.parquet")
+    # a different user 3 hours later drives the watermark past
+    # user 1's (last event + gap) without touching user 1's state
+    _wr(pd.DataFrame({"user_id": [2], "ts": [t0 + pd.Timedelta(hours=3)],
+                      "event_id": [3]}), "b.parquet")
+    # one more batch so the advanced watermark actually fires timeouts
+    _wr(pd.DataFrame({"user_id": [2],
+                      "ts": [t0 + pd.Timedelta(hours=3, minutes=1)],
+                      "event_id": [4]}), "c.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.format("memory").queryName("sessions_to")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "to_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {(r["user_id"], r["session_id"]):
+            (r["session_start_us"], r["session_end_us"], r["n_events"])
+            for r in spark.sql("select * from sessions_to").collect()}
+    us = lambda t: int(t.value // 1000)  # noqa: E731
+    assert rows[(1, 1)] == (us(t0), us(t0 + pd.Timedelta(minutes=5)), 2)
+
+
 def _stream_gate_names():
     from ir_spark import gates_streaming
 
