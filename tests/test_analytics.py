@@ -130,3 +130,73 @@ def test_mix_report_shares_sum_to_whole(spark):
     assert sum(r.n_docs for r in rows) == docs.count()
     # micro-shares sum to 1e6 up to rounding (half a micro per stratum)
     assert abs(sum(r.token_share_micro for r in rows) - 1_000_000) <= len(rows)
+
+
+# --- skew-resistance invariants (100-TB design guarantees) -----------------
+
+def test_head_term_run_sharding_bounds_segment_rows(spark, tmp_path):
+    """A Zipf-head term occurring in EVERY doc must never concentrate in
+    one reducer/segment row: posting runs are doc-range sharded, so no
+    (term, run) row holds more than range_width postings, and queries
+    on the head term still rank correctly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ir_spark.operators.segment_query import SegmentIndex, search_segments
+    from ir_spark.operators.segments import build_segment_index, decode_segments
+
+    n_docs, rw = 2000, 256
+    rows = [{"url": f"doc://{i:012d}",
+             "text": ("everywhere " * 3) + f"unique{i} filler{i % 7}"}
+            for i in range(n_docs)]
+    pages = spark.createDataFrame(pd.DataFrame(rows))
+    d = str(tmp_path / "skew_idx")
+    build_segment_index(spark, pages, d, source="skew", range_width=rw)
+
+    seg = spark.read.parquet(f"{d}/segments")
+    head = seg.filter(F.col("term") == "everywhere")
+    per_row = head.select("run", "run_df").collect()
+    # spread over every doc range (ids are 1-based: assign_doc_ids)
+    assert len(per_row) == len({i // rw for i in range(1, n_docs + 1)})
+    assert all(r["run_df"] <= rw for r in per_row)
+    # and the decoded head-term postings cover every doc exactly once
+    dec = decode_segments(head)
+    assert dec.count() == n_docs
+    assert dec.select("doc_id").distinct().count() == n_docs
+
+    # ranking still exact: every doc ties on the head term (same tf);
+    # unique terms break ties -> query mixing both must put the
+    # matching unique doc first
+    sidx = SegmentIndex.load(spark, d)
+    top = search_segments(spark, sidx, "everywhere unique42", k=3,
+                          mode="bm25").collect()
+    dm = {r["doc_id"]: r["url"]
+          for r in spark.read.parquet(f"{d}/doc_map").collect()}
+    assert dm[top[0]["doc_id"]] == "doc://000000000042"
+
+
+def test_lsh_degenerate_bucket_cap(spark):
+    """Identical boilerplate pages at web scale form one giant LSH
+    bucket whose quadratic pair expansion no join strategy can absorb;
+    max_bucket drops it (routing to exact dedup) while normal-sized
+    buckets still produce pairs."""
+    import pandas as pd
+
+    from ir_spark.operators.dedup import (
+        lsh_bands, lsh_candidate_pairs, minhash_signatures, word_shingles)
+
+    boiler = [{"doc_id": i, "text": "same boilerplate page body here okay"}
+              for i in range(50)]
+    near = [{"doc_id": 100 + i,
+             "text": f"distinct{i} alpha beta gamma delta epsilon zeta"}
+            for i in range(2)]
+    docs = spark.createDataFrame(pd.DataFrame(boiler + near))
+    bands = lsh_bands(minhash_signatures(word_shingles(docs, n=3)), 4, 4)
+    capped = lsh_candidate_pairs(bands, max_bucket=10).collect()
+    uncapped = lsh_candidate_pairs(bands, max_bucket=1000).collect()
+    boiler_ids = set(range(50))
+    # cap kills the 50-doc boilerplate bucket (would be 1225 pairs)...
+    assert not any(r["a"] in boiler_ids for r in capped)
+    assert any(r["a"] in boiler_ids for r in uncapped)
+    # ...but keeps the small near-dup bucket
+    assert {(r["a"], r["b"]) for r in capped} == {(100, 101)}
