@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""spark-submit entry point: training-data curation pipeline.
+
+Chains the corpus-curation operators into the standard pre-training
+data flow and writes the curated corpus plus a JSON report::
+
+    python jobs/package_pyfiles.py
+    spark-submit --py-files dist/ir_spark.zip jobs/curate_corpus.py \
+        --input  /data/documents        \
+        --output /data/curated          \
+        [--bench /data/benchmarks]      \  # decontamination n-gram source
+        [--sample-rate en=0.5 --sample-rate zh=0.8] \
+        [--jaccard 0.3] [--min-words 5] [--decon-n 4]
+
+Stages (each one of the operators in ir_spark/operators/{dedup,corpus}
+— see COVERAGE.md for their individual gates and plans):
+
+  1. curate():   exact dedup -> LSH near-dup drop -> quality floor
+  2. repetition_profile(): drop Gopher-style repetitive docs
+  3. decontaminate():      drop docs sharing any word n-gram with the
+                           benchmark set (skipped without --bench)
+  4. stratified_sample():  deterministic md5-threshold downsampling
+                           per language (skipped without --sample-rate)
+  5. mix_report():         per-language doc/token/char totals + shares
+                           of the final corpus (printed in the report)
+
+Input: documents-shaped table (doc_id:bigint, text:string, lang:string,
+...).  A missing lang column disables sampling.  Output: parquet with
+the surviving (doc_id, text, lang) rows; the report JSON (one line on
+stdout) records per-stage surviving-row counts and the final mix.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _get_spark(app: str, local_cpus: int | None):
+    from pyspark.sql import SparkSession
+
+    if local_cpus is not None:
+        from ir_spark.session import get_spark
+
+        return get_spark(app, cpus=local_cpus)
+    builder = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    return builder.getOrCreate()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--input-format", default="parquet")
+    ap.add_argument("--bench", default=None,
+                    help="benchmark table (doc_id, text) for decontamination")
+    ap.add_argument("--sample-rate", action="append", default=[],
+                    metavar="LANG=RATE",
+                    help="per-language keep fraction, repeatable")
+    ap.add_argument("--jaccard", type=float, default=0.3)
+    ap.add_argument("--min-words", type=int, default=5)
+    ap.add_argument("--decon-n", type=int, default=4)
+    ap.add_argument("--local-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from ir_spark.operators import corpus as C
+    from ir_spark.operators.dedup import curate
+
+    spark = _get_spark("ir_spark_curate", args.local_cpus)
+    docs = spark.read.format(args.input_format).load(args.input)
+    report: dict = {"input": args.input, "n_input": docs.count()}
+
+    # 1. exact dedup -> near-dup drop -> quality floor
+    caches: list = []
+    kept = curate(docs.select("doc_id", "text"),
+                  jaccard_threshold=args.jaccard,
+                  min_words=args.min_words, caches=caches)
+
+    # 2. repetition filter
+    rep = C.repetition_profile(kept)
+    kept = kept.join(rep.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
+
+    # 3. decontamination vs the benchmark set
+    if args.bench:
+        bench = spark.read.format(args.input_format).load(args.bench)
+        flags = C.decontaminate(kept, bench.select("doc_id", "text"),
+                                n=args.decon_n)
+        kept = kept.join(
+            flags.filter(F.col("contaminated") == 1).select("doc_id"),
+            "doc_id", "left_anti")
+
+    # re-attach metadata columns for sampling / reporting
+    extra = [c for c in ("lang", "source") if c in docs.columns]
+    kept = kept.join(docs.select("doc_id", *extra), "doc_id")
+
+    # 4. deterministic stratified sampling
+    rates = {}
+    for spec in args.sample_rate:
+        lang, _, rate = spec.partition("=")
+        rates[lang] = float(rate)
+    if rates and "lang" in kept.columns:
+        sampled_ids = C.stratified_sample(kept, rates).select("doc_id")
+        kept = kept.join(sampled_ids, "doc_id")
+
+    # one pass materializes the surviving corpus; stage-count jobs run
+    # against the written output (cheap re-read beats recomputing the
+    # whole lineage per count)
+    from ir_spark.sources.storage import atomic_write_parquet
+
+    atomic_write_parquet(kept, args.output)
+    for c in caches:
+        c.unpersist()
+    out = spark.read.parquet(args.output)
+    report["n_kept"] = out.count()
+
+    # 5. final training-mix report
+    if "lang" in out.columns:
+        report["mix"] = [r.asDict() for r in C.mix_report(out)
+                         .orderBy("lang").collect()]
+    print(json.dumps({"output": args.output, **report}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

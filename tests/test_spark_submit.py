@@ -84,3 +84,36 @@ def test_spark_submit_build_and_query(tmp_path):
     report2 = json.loads(out.strip().splitlines()[-1])
     assert report2["stages_run"] == []
     assert set(report2["stages_skipped"]) >= {"doc_map", "postings", "stats"}
+
+
+def test_spark_submit_curate_corpus(tmp_path):
+    """The curation pipeline ships and runs under spark-submit
+    --py-files: curated parquet written, per-language mix reported,
+    deterministic across reruns."""
+    zip_path = tmp_path / "ir_spark.zip"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "package_pyfiles.py"),
+         "--out", str(zip_path)],
+        check=True, capture_output=True,
+    )
+    common = [SPARK_SUBMIT, "--master", "local[4]",
+              "--conf", "spark.ui.enabled=false",
+              "--py-files", str(zip_path)]
+    out_dir = tmp_path / "curated"
+    cmd = common + [os.path.join(REPO, "jobs", "curate_corpus.py"),
+                    "--input", os.path.join(SF_DIR, "documents.parquet"),
+                    "--output", str(out_dir),
+                    "--sample-rate", "en=0.5"]
+    rep1 = json.loads(_run(cmd, cwd=str(tmp_path)).strip().splitlines()[-1])
+    assert 0 < rep1["n_kept"] <= rep1["n_input"]
+    assert {m["lang"] for m in rep1["mix"]}  # non-empty mix
+    assert abs(sum(m["token_share_micro"] for m in rep1["mix"]) - 1_000_000) \
+        <= len(rep1["mix"])
+    # deterministic: rerun reproduces the exact kept set
+    import duckdb
+
+    con = duckdb.connect()
+    ids1 = con.sql(f"SELECT doc_id FROM '{out_dir}/*.parquet' ORDER BY doc_id").fetchall()
+    rep2 = json.loads(_run(cmd, cwd=str(tmp_path)).strip().splitlines()[-1])
+    ids2 = con.sql(f"SELECT doc_id FROM '{out_dir}/*.parquet' ORDER BY doc_id").fetchall()
+    assert rep2["n_kept"] == rep1["n_kept"] and ids1 == ids2
