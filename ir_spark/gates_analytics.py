@@ -639,6 +639,42 @@ FROM (SELECT doc_id, unnest(range(0, GREATEST(CAST(CEIL(LENGTH(text) / 256.0) AS
 # registry
 # ---------------------------------------------------------------------------
 
+IVF_INDEX_CELLS = 8
+_IVF_MEMO: dict[tuple, str] = {}
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized materialized IVF index (KMeans codebook + cell-
+    partitioned vector store) over the embeddings table."""
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _IVF_MEMO:
+        d = tempfile.mkdtemp(prefix="ir_spark_ivf_")
+        S.build_ivf_index(_emb(spark, sf_dir), d, n_cells=IVF_INDEX_CELLS,
+                          max_iter=10, seed=42)
+        _IVF_MEMO[key] = d
+    return _IVF_MEMO[key]
+
+
+def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized IVF index end-to-end: KMeans codebook + cell-
+    partitioned parquet store built once (memoized), then a probe.
+    Probing ALL cells is exact brute force over the partitioned store,
+    so the DuckDB brute-force oracle value-checks the whole
+    build+assign+store+probe path; partial-probe directory pruning is
+    plan-verified in pytest (PLANS.md §8)."""
+    d = _ivf_index_dir(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    raw = S.ivf_index_topk(spark, d, qv, k=ANN_K * 5,
+                           n_probe=IVF_INDEX_CELLS)
+    return _rerank_vec(raw.select("vec_id", "score"), ANN_K)
+
+
+def sql_ann_ivf_index_topk() -> str:
+    return sql_ann_cosine_topk()
+
+
 # ---------------------------------------------------------------------------
 # corpus curation gates (decontamination / repetition / sampling / mix)
 # ---------------------------------------------------------------------------
@@ -782,6 +818,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_index_topk": q_ann_ivf_index_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -807,6 +844,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": sql_ngram_jaccard_pairs(),
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
+        "ann_ivf_index_topk": sql_ann_ivf_index_topk(),
         "embedding_near_dup": sql_embedding_near_dup(),
         "lang_id": sql_lang_id(),
         "quality_score": sql_quality_score(),

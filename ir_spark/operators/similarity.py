@@ -154,3 +154,73 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     probes = nearest_labels(centroids, query_vec, n_probe)
     pruned = emb.filter(F.col("label").isin(probes))
     return cosine_topk(pruned, query_vec, k)
+
+
+# --- materialized IVF index (build once, probe many) -----------------------
+
+def build_ivf_index(emb: DataFrame, index_dir: str, n_cells: int = 16,
+                    max_iter: int = 10, seed: int = 42) -> dict:
+    """Train a real KMeans codebook (pyspark.ml) and materialize the
+    IVF index: the embedding table rewritten as parquet PARTITIONED BY
+    its assigned cell, plus a tiny ``centroids`` table and a manifest.
+
+    This is the build-once/probe-many shape: at query time the probe
+    set becomes a directory-level partition filter, so a probe reads
+    ``n_probe / n_cells`` of the files — no per-query clustering, no
+    full scan.  Training cost is KMeans over the corpus (Spark ML,
+    distributed); assignment is one model.transform pass.
+
+    Returns the manifest dict (n_cells, n_vectors, dim)."""
+    import json
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from ..sources.storage import atomic_write_parquet
+
+    spark = emb.sparkSession
+    vec = emb.withColumn("_features",
+                         array_to_vector(F.col("embedding").cast("array<double>")))
+    model = KMeans(k=n_cells, maxIter=max_iter, seed=seed,
+                   featuresCol="_features", predictionCol="cell").fit(vec)
+    assigned = model.transform(vec).drop("_features")
+    atomic_write_parquet(assigned, os.path.join(index_dir, "vectors"),
+                         partition_by=["cell"])
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>")
+    atomic_write_parquet(centroids, os.path.join(index_dir, "centroids"))
+    row = emb.select(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size("embedding")).alias("dim")).head()
+    manifest = {"n_cells": n_cells, "n_vectors": int(row["n"]),
+                "dim": int(row["dim"]), "seed": seed}
+    with open(os.path.join(index_dir, "ivf_manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def ivf_index_topk(spark, index_dir: str, query_vec: list[float],
+                   k: int = 10, n_probe: int = 3) -> DataFrame:
+    """Top-k cosine over a materialized IVF index: pick the n_probe
+    nearest cells driver-side from the (tiny) centroid table, then scan
+    ONLY those cells' partition directories (``cell IN (...)`` is a
+    directory-level PartitionFilter — verified in PLANS.md §8).
+    With n_probe >= n_cells this is exact brute force over the
+    partitioned store."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(index_dir, "ivf_manifest.json")) as fh:
+        manifest = json.load(fh)
+    cents = (spark.read.parquet(os.path.join(index_dir, "centroids"))
+             .orderBy("cell").collect())
+    c = np.array([r["centroid"] for r in cents])
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.lexsort((np.array([r["cell"] for r in cents]), -(c @ q)))
+    probes = [int(cents[i]["cell"]) for i in order[: min(n_probe, len(cents))]]
+    vecs = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    return cosine_topk(vecs.filter(F.col("cell").isin(probes)), query_vec, k)

@@ -200,3 +200,44 @@ def test_lsh_degenerate_bucket_cap(spark):
     assert any(r["a"] in boiler_ids for r in uncapped)
     # ...but keeps the small near-dup bucket
     assert {(r["a"], r["b"]) for r in capped} == {(100, 101)}
+
+
+def test_ivf_index_build_probe_and_pruning(spark, tmp_path):
+    """Materialized IVF index: cell-partitioned store, directory-level
+    partition pruning on probes, probe-all == exact brute force, and a
+    member query's own vector is found with a single probe."""
+    import io
+    import os as _os
+    from contextlib import redirect_stdout
+
+    from ir_spark.operators.similarity import (
+        build_ivf_index, cosine_topk, ivf_index_topk)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    d = str(tmp_path / "ivf")
+    man = build_ivf_index(emb, d, n_cells=4, max_iter=5, seed=42)
+    assert man["n_vectors"] == emb.count()
+    cells = [p for p in _os.listdir(_os.path.join(d, "vectors"))
+             if p.startswith("cell=")]
+    assert len(cells) == 4  # one directory per codebook cell
+
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+
+    # partial probe: the scan must carry a directory-level
+    # PartitionFilter on cell (no full-index read)
+    probe = ivf_index_topk(spark, d, qv, k=5, n_probe=1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the query vector is a member -> its own cell contains it
+    assert probe.head()["vec_id"] == 0
+
+    # probe-all over the partitioned store == brute force on the source
+    exact = [(r["vec_id"], round(r["score"], 9))
+             for r in cosine_topk(emb, qv, k=10).collect()]
+    via_index = [(r["vec_id"], round(r["score"], 9))
+                 for r in ivf_index_topk(spark, d, qv, k=10,
+                                         n_probe=4).collect()]
+    assert via_index == exact
