@@ -675,6 +675,55 @@ def sql_ann_ivf_index_topk() -> str:
     return sql_ann_cosine_topk()
 
 
+HYBRID_K = 10
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-10 (flagship query, DataFrame engine)
+    fused with embedding-cosine top-10 via reciprocal-rank fusion.
+    The driver testdata aligns ``embeddings.vec_id`` with
+    ``documents.doc_id`` row-for-row, so the dense list re-keys
+    directly.  Each source list is its own gated engine; fusion itself
+    touches only the two top-N lists (no corpus access)."""
+    from .gates import q_bm25_topk
+    from .operators import hybrid as H
+
+    lex = H.ranked(q_bm25_topk(spark, sf_dir), "score_micro")
+    dense = H.ranked(
+        q_ann_cosine_topk(spark, sf_dir).withColumnRenamed("vec_id", "doc_id"),
+        "score_micro")
+    return H.rrf_fuse([lex, dense], k=HYBRID_K)
+
+
+def sql_hybrid_rrf_topk() -> str:
+    from .gates import sql_bm25_topk
+    from .operators.hybrid import RRF_C
+
+    return f"""
+WITH lex_base AS ({sql_bm25_topk()}),
+dense_base AS ({sql_ann_cosine_topk()}),
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+  FROM lex_base
+),
+dense AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_micro DESC, vec_id) AS rnk
+  FROM dense_base
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         CAST(ROUND((COALESCE(1.0 / ({RRF_C} + l.rnk), 0.0)
+                     + COALESCE(1.0 / ({RRF_C} + d.rnk), 0.0)) * 1000000)
+              AS BIGINT) AS rrf_micro
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, rrf_micro,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
+FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {HYBRID_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus curation gates (decontamination / repetition / sampling / mix)
 # ---------------------------------------------------------------------------
@@ -819,6 +868,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index_topk": q_ann_ivf_index_topk,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -845,6 +895,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
         "ann_ivf_index_topk": sql_ann_ivf_index_topk(),
+        "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "embedding_near_dup": sql_embedding_near_dup(),
         "lang_id": sql_lang_id(),
         "quality_score": sql_quality_score(),

@@ -241,3 +241,24 @@ def test_ivf_index_build_probe_and_pruning(spark, tmp_path):
                  for r in ivf_index_topk(spark, d, qv, k=10,
                                          n_probe=4).collect()]
     assert via_index == exact
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: score = sum 1/(c+rank) with 0 for missing lists; ties break
+    by id ascending."""
+    from ir_spark.operators.hybrid import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], ["doc_id", "rank"])
+    dense = spark.createDataFrame([(20, 1), (40, 2)], ["doc_id", "rank"])
+    out = {r["doc_id"]: (r["rrf_micro"], r["rank"])
+           for r in rrf_fuse([lex, dense], k=10, c=60).collect()}
+    assert out[20] == (round((1 / 61 + 1 / 62) * 1e6), 1)  # in both lists
+    assert out[10][0] == round(1 / 61 * 1e6)
+    assert out[40][0] == round(1 / 62 * 1e6)
+    # 10 (rank 1 lexical-only) beats 40 (rank 2 dense-only); doc 30 last
+    assert out[10][1] == 2 and out[40][1] == 3 and out[30][1] == 4
+    # same-rank singletons tie on score -> id-asc order
+    a = spark.createDataFrame([(7, 1)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(3, 1)], ["doc_id", "rank"])
+    rows = rrf_fuse([a, b], k=2).collect()
+    assert [r["doc_id"] for r in rows] == [3, 7]
