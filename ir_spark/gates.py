@@ -221,7 +221,8 @@ def _sql_query_terms(stem: bool = False) -> str:
 
 
 def sql_bm25_topk(k1: float = 1.2, b: float = 0.75,
-                  stem: bool = False) -> str:
+                  stem: bool = False, doc_where: str = "") -> str:
+    where = f"WHERE {doc_where}" if doc_where else ""
     return f"""
 WITH {_toks_cte_stem() if stem else TOKS_CTE},
 {_sql_query_terms(stem=stem)},
@@ -236,6 +237,7 @@ hits AS (
   JOIN dict t USING (term)
   JOIN docinfo d USING (doc_id)
   CROSS JOIN stats s
+  {where}
 )
 SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
 FROM hits GROUP BY doc_id
@@ -468,6 +470,23 @@ SELECT term, doc_id, tf FROM postings WHERE term IN ({in_list})
 """
 
 
+def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered retrieval: BM25 top-k restricted to documents
+    with lang = 'en' (global collection stats, candidate semi-join
+    before top-k — the standard filtered-search convention)."""
+    idx = _df_index(spark, sf_dir)
+    allowed = _read_documents(spark, sf_dir).filter(
+        F.col("lang") == "en").select("doc_id")
+    raw = Q.search(spark, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                   mode="bm25", doc_filter=allowed)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_bm25_filtered_topk() -> str:
+    return sql_bm25_topk(
+        doc_where="p.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")
+
+
 BATCH_QUERIES = [
     FLAGSHIP_QUERY,
     "window sort merge batch data",
@@ -568,6 +587,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "segment_postings": q_segment_postings,
         "bm25_batch_topk": q_bm25_batch_topk,
+        "bm25_filtered_topk": q_bm25_filtered_topk,
     }
 
 
@@ -586,4 +606,5 @@ def core_oracle_sql() -> dict[str, str]:
         "html_extract": sql_html_extract(),
         "segment_postings": sql_segment_postings(),
         "bm25_batch_topk": sql_bm25_batch_topk(),
+        "bm25_filtered_topk": sql_bm25_filtered_topk(),
     }

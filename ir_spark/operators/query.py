@@ -135,9 +135,19 @@ def query_weights(index: DataFrameIndex, query: str, mode: str,
 def search(spark: SparkSession, index: DataFrameIndex, query: str,
            k: int = 5, mode: str = "bm25", k1: float = 1.2,
            b: float = 0.75, stem: bool = False,
-           norms: DataFrame | None = None) -> DataFrame:
+           norms: DataFrame | None = None,
+           doc_filter: DataFrame | None = None) -> DataFrame:
     """Top-k retrieval; OR-semantics over query terms
     (QueryParser.java:159-174); deterministic tie-break (D8).
+
+    ``doc_filter``: optional (doc_id) DataFrame restricting the
+    CANDIDATE set (metadata-filtered search, e.g. lang = 'en').
+    Collection statistics (df / N / avgDocLen) stay GLOBAL — the
+    standard filtered-search convention — and the filter applies as a
+    semi-join on the posting candidates BEFORE top-k selection, so the
+    returned k rows are exactly the top-k of the filtered universe.
+    At scale a selective filter side broadcasts; a wide one shuffles
+    the (already query-term-pruned) candidate rows only.
 
     Returns DataFrame (doc_id, score), k rows, already ordered.
     """
@@ -157,6 +167,8 @@ def search(spark: SparkSession, index: DataFrameIndex, query: str,
             F.col("term").isin(list(weights)))).select("term", "df"), "term")
         .join(index.docinfo, "doc_id")
     )
+    if doc_filter is not None:
+        hits = hits.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
     w_td = doc_weight_expr(mode, index.n_docs, index.avg_doc_len, k1, b)
     scores = (
         hits.select("doc_id", (w_td * F.col("w_tq")).alias("partial"))
