@@ -568,6 +568,113 @@ FROM ranked WHERE rnk <= {K_BATCH}
 """
 
 
+# --- positional index / phrase / proximity (beyond-reference surface) --------
+
+# DuckDB-side kept-token position stream: 0-based index among tokens
+# surviving the length filter, numbered in original order (matches
+# positions.token_positions on the clean space-separated gate corpus,
+# the same equivalence tokenize_simple() rests on).
+SEQ_CTE = """
+seq AS (
+  SELECT doc_id, term,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+              AS INT) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents)
+  WHERE LENGTH(term) > 1
+)
+"""
+
+PHRASE_TERMS = ["table", "hash"]
+PROX_A, PROX_B, PROX_WINDOW = "hash", "join", 5
+
+_POS_STORE_MEMO: dict[tuple, str] = {}
+
+
+def _pos_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized term-bucketed positional store (built once per session
+    per sf_dir, in a temp dir)."""
+    import tempfile
+
+    from .operators.positions import build_positional_store
+
+    key = (id(spark), sf_dir)
+    if key not in _POS_STORE_MEMO:
+        docs = _read_documents(spark, sf_dir).select("doc_id", "text")
+        d = tempfile.mkdtemp(prefix="ir_spark_gate_pos_")
+        build_positional_store(spark, docs, d)
+        _POS_STORE_MEMO[key] = d
+    return _POS_STORE_MEMO[key]
+
+
+def q_positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional relation as a full-value gate: (doc_id, term, pos)
+    exploded from the Arrow kernel's (doc_id, term, positions) rows.
+    Beyond-reference surface — the reference discards token order
+    (SPIMI.java:111-117)."""
+    from .operators.positions import token_positions
+
+    docs = _read_documents(spark, sf_dir).select("doc_id", "text")
+    rel = token_positions(docs)
+    return rel.select(
+        "doc_id", "term", F.explode("positions").alias("pos")
+    ).select("doc_id", "term", F.col("pos").cast("int").alias("pos"))
+
+
+def sql_positional_postings() -> str:
+    return f"WITH {SEQ_CTE} SELECT doc_id, term, pos FROM seq"
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over the COMPRESSED positional store
+    (bucket-pruned scan -> delta+varbyte decode of only the phrase
+    terms -> array-intersect fold): (doc_id, phrase_tf)."""
+    from .operators.positions import phrase_search_store
+
+    return phrase_search_store(spark, _pos_store_dir(spark, sf_dir),
+                               PHRASE_TERMS)
+
+
+def sql_phrase_match() -> str:
+    joins = " ".join(
+        f"JOIN seq t{i} ON t{i}.doc_id = t0.doc_id"
+        f" AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, len(PHRASE_TERMS)))
+    conds = " AND ".join(
+        f"t{i}.term = '{t}'" for i, t in enumerate(PHRASE_TERMS))
+    return f"""
+WITH {SEQ_CTE}
+SELECT t0.doc_id, CAST(COUNT(*) AS BIGINT) AS phrase_tf
+FROM seq t0 {joins}
+WHERE {conds}
+GROUP BY t0.doc_id
+"""
+
+
+def q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered proximity search: docs where min |pos_a - pos_b| <=
+    window, with the min distance."""
+    from .operators.positions import proximity_search, token_positions
+
+    docs = _read_documents(spark, sf_dir).select("doc_id", "text")
+    rel = token_positions(docs)
+    return proximity_search(rel, PROX_A, PROX_B, PROX_WINDOW)
+
+
+def sql_proximity_match() -> str:
+    return f"""
+WITH {SEQ_CTE}
+SELECT a.doc_id, CAST(MIN(ABS(a.pos - b.pos)) AS INT) AS min_dist
+FROM seq a JOIN seq b ON b.doc_id = a.doc_id
+WHERE a.term = '{PROX_A}' AND b.term = '{PROX_B}'
+GROUP BY a.doc_id
+HAVING MIN(ABS(a.pos - b.pos)) <= {PROX_WINDOW}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -588,6 +695,9 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_postings": q_segment_postings,
         "bm25_batch_topk": q_bm25_batch_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
+        "positional_postings": q_positional_postings,
+        "phrase_match": q_phrase_match,
+        "proximity_match": q_proximity_match,
     }
 
 
@@ -607,4 +717,7 @@ def core_oracle_sql() -> dict[str, str]:
         "segment_postings": sql_segment_postings(),
         "bm25_batch_topk": sql_bm25_batch_topk(),
         "bm25_filtered_topk": sql_bm25_filtered_topk(),
+        "positional_postings": sql_positional_postings(),
+        "phrase_match": sql_phrase_match(),
+        "proximity_match": sql_proximity_match(),
     }

@@ -1,0 +1,292 @@
+"""Positional index + phrase / proximity search.
+
+The reference engine indexes only (term -> doc_id, tf) — its SPIMI
+invert loop keeps a per-term count and discards token order
+(SPIMI.java:111-117, Indexer.java:104-111) — so phrase and proximity
+queries are out of its reach.  A web-scale fulltext index needs them;
+this module adds the positional layer Spark-first:
+
+* ``token_positions`` — one Arrow-batched ``mapInPandas`` pass emits
+  (doc_id, term, positions array<int>) with positions final per row
+  (a document never spans rows), so NO downstream aggregation is
+  needed: the relation is born grouped.  Position = 0-based index in
+  the kept-token stream of the canonical ``tokenize`` pipeline
+  (stopwords occupy positions and get posting rows — phrases like
+  "state of the art" need them).
+* ``phrase_search`` — match a k-term phrase with k-1 JVM-side
+  ``array_intersect(transform(prev, +1), next)`` folds over ONE
+  map-assembled row per candidate document: one shuffle on doc_id
+  over only the phrase terms' postings, no positional explode, no
+  self-join.  Overlapping occurrences count (positions [15,16,17] of
+  "batch" contain "batch batch" twice).
+* ``proximity_search`` — unordered within-window match for a term
+  pair, min pairwise distance via a sorted two-array scan inside a
+  higher-order expression; same one-shuffle shape.
+
+Scale shape (100 TB): both searches touch only the queried terms'
+rows.  With the positional relation stored term-bucketed (see
+``build_positional_store``), the scan prunes to len(phrase) buckets
+and pushes ``term IN (...)`` into parquet row-group stats, exactly
+like the tf segment store (PLANS.md §1); the positions themselves
+travel delta+varbyte-encoded (codec.py) and are decoded only for
+candidate documents.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..codec import delta_decode, delta_encode
+from ..sources.storage import (
+    DEFAULT_BUCKETS,
+    atomic_write_parquet,
+    term_bucket_col,
+    term_bucket_py,
+)
+from ..text import tokenize
+
+POSITIONS_SCHEMA = "doc_id long, term string, positions array<int>"
+
+
+def token_positions_kernel(
+    batches: Iterator[pd.DataFrame], stem: bool = False
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, text) -> (doc_id, term, positions).
+
+    Positions are collected per document inside the batch; each output
+    row is a complete posting (tf == len(positions))."""
+    for pdf in batches:
+        doc_ids: list[int] = []
+        terms: list[str] = []
+        poss: list[list[int]] = []
+        for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+            if text is None:
+                continue
+            per_term: dict[str, list[int]] = {}
+            for pos, term in enumerate(tokenize(text, stem=stem)):
+                per_term.setdefault(term, []).append(pos)
+            for term, plist in per_term.items():
+                doc_ids.append(doc_id)
+                terms.append(term)
+                poss.append(plist)
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "term": terms, "positions": poss})
+
+
+def token_positions(pages: DataFrame, stem: bool = False) -> DataFrame:
+    """(doc_id, text) -> (doc_id, term, positions) via the Arrow kernel.
+
+    Same small-input width guard as ``build.token_counts``: a
+    one-file scan would run the CPU-bound kernel serially."""
+    sel = pages.select("doc_id", "text")
+    sc = sel.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n_inputs = len(sel.inputFiles())
+    except Exception:
+        n_inputs = 0
+    if n_inputs < target:
+        sel = sel.repartition(2 * target)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return token_positions_kernel(batches, stem=stem)
+
+    return sel.mapInPandas(kernel, schema=POSITIONS_SCHEMA)
+
+
+def _phrase_candidates(positions: DataFrame,
+                       terms: Sequence[str]) -> DataFrame:
+    """Documents containing ALL phrase terms, with one map row
+    {term -> positions} each: filter to the phrase vocabulary (the
+    only rows that ever shuffle), group once on doc_id."""
+    uniq = sorted(set(terms))
+    return (
+        positions.filter(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("term", "positions"))).alias("m"))
+        .filter(F.size(F.map_keys(F.col("m"))) == len(uniq))
+    )
+
+
+def phrase_search(positions: DataFrame, terms: Sequence[str]) -> DataFrame:
+    """Exact phrase match -> (doc_id, phrase_tf), phrase_tf >= 1.
+
+    Folds ``cand = array_intersect(transform(cand, +1), m[t])`` across
+    the phrase — entirely JVM-side on sorted int arrays, no explode.
+    ``phrase_tf`` counts occurrences by START position (overlaps
+    allowed), matching the positional self-join semantics."""
+    if not terms:
+        raise ValueError("empty phrase")
+    grouped = _phrase_candidates(positions, terms)
+    cand = F.col("m")[terms[0]]
+    for t in terms[1:]:
+        cand = F.array_intersect(
+            F.transform(cand, lambda x: x + 1), F.col("m")[t])
+    out = grouped.select(
+        "doc_id", F.size(cand).cast("long").alias("phrase_tf"))
+    return out.filter(F.col("phrase_tf") > 0)
+
+
+def proximity_search(positions: DataFrame, term_a: str, term_b: str,
+                     window: int) -> DataFrame:
+    """Unordered proximity match -> (doc_id, min_dist) where
+    min |pos_a - pos_b| <= window.
+
+    The min pairwise distance of two SORTED position arrays is found
+    by a linear merge: for each a, the closest b is the first b >= a
+    or its predecessor.  Expressed with ``aggregate`` over a and a
+    binary-search-free ``filter`` window per element would be O(n*m);
+    instead we lean on the arrays being small per document and compute
+    the exact min via a flattened pairwise transform — still JVM-side
+    codegen, no Python.  (At 100 TB the per-document position arrays
+    stay bounded by doc_len, not corpus size, so the per-row cost is
+    flat; the distributed cost is the same pruned scan + one shuffle
+    as ``phrase_search``.)"""
+    if term_a == term_b:
+        raise ValueError("proximity terms must differ")
+    grouped = _phrase_candidates(positions, [term_a, term_b])
+    dists = F.flatten(F.transform(
+        F.col("m")[term_a],
+        lambda a: F.transform(F.col("m")[term_b],
+                              lambda b: F.abs(a - b))))
+    out = grouped.select(
+        "doc_id", F.array_min(dists).cast("int").alias("min_dist"))
+    return out.filter(F.col("min_dist") <= window)
+
+
+# --- term-bucketed positional store (the 100 TB layout) ----------------------
+
+_STORE_SCHEMA = ("bucket int, term string, doc_ids binary, pos_lens binary, "
+                 "positions binary, n_docs long")
+
+
+def _encode_positional(pdf_iter: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+    """groupBy(term) applyInPandas-free encode: each input row carries
+    the term's full (doc_id, positions) set collected as arrays; emit
+    one delta+varbyte blob triple per term."""
+    for pdf in pdf_iter:
+        rows = []
+        for _, r in pdf.iterrows():
+            pairs = sorted(zip(r["doc_ids_arr"], r["positions_arr"]))
+            doc_ids = np.array([p[0] for p in pairs], dtype=np.int64)
+            pos_lists = [np.asarray(p[1], dtype=np.int64) for p in pairs]
+            lens = np.array([len(p) for p in pos_lists], dtype=np.int64)
+            flat = (np.concatenate(pos_lists)
+                    if pos_lists else np.array([], dtype=np.int64))
+            rows.append({
+                "bucket": int(r["bucket"]),
+                "term": r["term"],
+                "doc_ids": delta_encode(doc_ids),
+                "pos_lens": delta_encode(np.cumsum(lens))
+                if len(lens) else b"",
+                # positions restart the delta at each doc boundary is
+                # NOT needed: decode re-splits by lens, and per-doc
+                # positions are already ascending, so one global delta
+                # stream would corrupt boundaries — encode per doc,
+                # concatenated as deltas within the doc only.
+                "positions": b"".join(delta_encode(pl) for pl in pos_lists),
+                "n_docs": int(len(doc_ids)),
+            })
+        yield pd.DataFrame(
+            rows, columns=["bucket", "term", "doc_ids", "pos_lens",
+                           "positions", "n_docs"])
+
+
+def build_positional_store(spark: SparkSession, pages: DataFrame,
+                           out_dir: str, stem: bool = False,
+                           n_buckets: int = DEFAULT_BUCKETS) -> None:
+    """Persist the positional relation term-bucketed with delta+varbyte
+    position blobs: <out_dir>/store/bucket=N/...  One sorted file per
+    bucket; phrase queries read len(phrase) buckets, term-pushdown
+    prunes row groups (same layout discipline as the tf segments,
+    storage.py module docstring)."""
+    rel = token_positions(pages, stem=stem)
+    per_term = (
+        rel.withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
+        .groupBy("bucket", "term")
+        .agg(F.collect_list("doc_id").alias("doc_ids_arr"),
+             F.collect_list("positions").alias("positions_arr"))
+    )
+    encoded = (
+        per_term.repartition(n_buckets, "bucket")
+        .mapInPandas(_encode_positional, schema=_STORE_SCHEMA)
+        .sortWithinPartitions("term")
+    )
+    atomic_write_parquet(encoded, os.path.join(out_dir, "store"),
+                         partition_by=["bucket"])
+
+
+def read_positional_store(spark: SparkSession, store_dir: str,
+                          terms: Sequence[str],
+                          n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Decode (doc_id, term, positions) for exactly ``terms`` from the
+    bucketed store: bucket-pruned scan + term pushdown, then a
+    mapInPandas decode of only the matching blobs."""
+    uniq = sorted(set(terms))
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in uniq})
+    seg = spark.read.parquet(os.path.join(store_dir, "store")).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids_out: list[int] = []
+            terms_out: list[str] = []
+            poss_out: list[np.ndarray] = []
+            for _, r in pdf.iterrows():
+                doc_ids = delta_decode(r["doc_ids"])
+                ends = delta_decode(r["pos_lens"])
+                starts = np.concatenate(([0], ends[:-1]))
+                buf, off = r["positions"], 0
+                # per-doc delta streams are self-delimiting only via
+                # lens; walk the buffer doc by doc
+                flat_parts = []
+                for n in (ends - starts):
+                    # each doc's stream has exactly n varbyte values;
+                    # decode incrementally
+                    vals, consumed = _decode_n(buf, off, int(n))
+                    flat_parts.append(np.cumsum(vals))
+                    off += consumed
+                for d, pos in zip(doc_ids, flat_parts):
+                    doc_ids_out.append(int(d))
+                    terms_out.append(r["term"])
+                    poss_out.append(pos.astype(np.int32))
+            yield pd.DataFrame({"doc_id": doc_ids_out, "term": terms_out,
+                                "positions": poss_out})
+
+    return seg.mapInPandas(decode, schema=POSITIONS_SCHEMA)
+
+
+def _decode_n(buf: bytes, off: int, n: int) -> tuple[np.ndarray, int]:
+    """Decode exactly n varbyte values starting at buf[off]; return
+    (gap values, bytes consumed)."""
+    vals = np.empty(n, dtype=np.int64)
+    i = off
+    for k in range(n):
+        v = 0
+        shift = 0
+        while True:
+            byte = buf[i]
+            i += 1
+            v |= (byte & 0x7F) << shift
+            if byte & 0x80 == 0:
+                break
+            shift += 7
+        vals[k] = v
+    return vals, i - off
+
+
+def phrase_search_store(spark: SparkSession, store_dir: str,
+                        terms: Sequence[str],
+                        n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """phrase_search over the compressed bucketed store."""
+    rel = read_positional_store(spark, store_dir, terms, n_buckets)
+    return phrase_search(rel, terms)

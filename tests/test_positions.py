@@ -1,0 +1,173 @@
+"""Positional index + phrase / proximity search (operators/positions.py).
+
+Ground truth is a driver-side pure-Python evaluation over the frozen
+``tokenize`` stream — same texts, same pipeline — so the Spark side is
+checked value-for-value including messy salted web text (the DuckDB
+gate covers only the clean space-separated corpus).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ir_spark.operators.positions import (
+    build_positional_store,
+    phrase_search,
+    phrase_search_store,
+    proximity_search,
+    read_positional_store,
+    token_positions,
+)
+from ir_spark.text import tokenize
+
+
+@pytest.fixture(scope="module")
+def docs(spark, pages_small):
+    path, pages = pages_small
+    from ir_spark.operators.build import assign_doc_ids
+
+    raw = spark.read.parquet(path)
+    ids = assign_doc_ids(raw)
+    df = raw.join(ids, "url").select("doc_id", "text")
+    return df, {r["doc_id"]: r["text"] for r in df.collect()}
+
+
+def _py_positions(texts: dict[int, str]) -> dict[tuple[int, str], list[int]]:
+    out: dict[tuple[int, str], list[int]] = {}
+    for doc_id, text in texts.items():
+        for pos, term in enumerate(tokenize(text)):
+            out.setdefault((doc_id, term), []).append(pos)
+    return out
+
+
+def _py_phrase(texts, terms):
+    """(doc_id -> count of phrase START positions), overlaps allowed."""
+    out = {}
+    for doc_id, text in texts.items():
+        toks = tokenize(text)
+        n = sum(
+            1
+            for i in range(len(toks) - len(terms) + 1)
+            if toks[i : i + len(terms)] == list(terms)
+        )
+        if n:
+            out[doc_id] = n
+    return out
+
+
+def test_token_positions_matches_pure_python(docs):
+    df, texts = docs
+    got = {
+        (r["doc_id"], r["term"]): list(r["positions"])
+        for r in token_positions(df).collect()
+    }
+    assert got == _py_positions(texts)
+
+
+def _pick_phrase(texts, k):
+    """Most frequent k-gram in the fixture corpus (deterministic)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for text in texts.values():
+        toks = tokenize(text)
+        for i in range(len(toks) - k + 1):
+            c[tuple(toks[i : i + k])] += 1
+    (terms, n), = c.most_common(1)
+    assert n >= 2
+    return list(terms)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_phrase_search_matches_brute_force(docs, k):
+    df, texts = docs
+    terms = _pick_phrase(texts, k)
+    rel = token_positions(df)
+    got = {r["doc_id"]: r["phrase_tf"]
+           for r in phrase_search(rel, terms).collect()}
+    assert got == _py_phrase(texts, terms)
+
+
+def test_phrase_overlapping_occurrences(spark):
+    df = spark.createDataFrame(
+        [(1, "batch batch batch end"), (2, "batch end batch batch")],
+        "doc_id long, text string")
+    rel = token_positions(df)
+    got = {r["doc_id"]: r["phrase_tf"]
+           for r in phrase_search(rel, ["batch", "batch"]).collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_phrase_term_missing_everywhere(docs):
+    df, _ = docs
+    rel = token_positions(df)
+    assert phrase_search(rel, ["zzz_unseen", "term"]).count() == 0
+
+
+def test_proximity_matches_brute_force(docs):
+    df, texts = docs
+    # two mid-frequency terms guaranteed by the fixture vocabulary
+    pos = _py_positions(texts)
+    from collections import Counter
+
+    term_df = Counter(t for (_, t) in pos)
+    a, b = [t for t, _ in term_df.most_common(6)][4:6]
+    window = 8
+    want = {}
+    for doc_id in {d for (d, t) in pos if t == a}:
+        if (doc_id, b) not in pos:
+            continue
+        dist = min(
+            abs(pa - pb)
+            for pa in pos[(doc_id, a)]
+            for pb in pos[(doc_id, b)]
+        )
+        if dist <= window:
+            want[doc_id] = dist
+    rel = token_positions(df)
+    got = {r["doc_id"]: r["min_dist"]
+           for r in proximity_search(rel, a, b, window).collect()}
+    assert got == want
+
+
+def test_positional_store_round_trip(spark, docs, tmp_path):
+    """Compressed store decode == direct relation, for a term subset
+    spanning several buckets; phrase via store == phrase via relation."""
+    df, texts = docs
+    store = str(tmp_path / "posidx")
+    build_positional_store(spark, df, store)
+    rel = token_positions(df)
+
+    terms = _pick_phrase(texts, 2)
+    probe = sorted({*terms, "the"} )
+    direct = {
+        (r["doc_id"], r["term"]): list(r["positions"])
+        for r in rel.filter(F.col("term").isin(probe)).collect()
+    }
+    decoded = {
+        (r["doc_id"], r["term"]): list(r["positions"])
+        for r in read_positional_store(spark, store, probe).collect()
+    }
+    assert decoded == direct
+
+    via_store = {r["doc_id"]: r["phrase_tf"]
+                 for r in phrase_search_store(spark, store, terms).collect()}
+    assert via_store == _py_phrase(texts, terms)
+
+
+def test_store_scan_prunes_buckets(spark, docs, tmp_path):
+    """The store read plan keeps only the queried terms' buckets (dir
+    pruning) — the 100 TB property: a phrase query reads len(phrase)
+    buckets, not the corpus."""
+    df, _ = docs
+    store = str(tmp_path / "posidx")
+    build_positional_store(spark, df, store)
+    plan = read_positional_store(
+        spark, store, ["the"])._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"partition filters: \[[^\]]*bucket", plan, re.I)
+    assert m or "PartitionFilters" in plan, plan[:2000]
