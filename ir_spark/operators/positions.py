@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codec import delta_decode, delta_encode
+from ..codec import delta_decode, delta_encode, varbyte_decode
 from ..sources.storage import (
     DEFAULT_BUCKETS,
     atomic_write_parquet,
@@ -245,43 +245,24 @@ def read_positional_store(spark: SparkSession, store_dir: str,
                 doc_ids = delta_decode(r["doc_ids"])
                 ends = delta_decode(r["pos_lens"])
                 starts = np.concatenate(([0], ends[:-1]))
-                buf, off = r["positions"], 0
-                # per-doc delta streams are self-delimiting only via
-                # lens; walk the buffer doc by doc
-                flat_parts = []
-                for n in (ends - starts):
-                    # each doc's stream has exactly n varbyte values;
-                    # decode incrementally
-                    vals, consumed = _decode_n(buf, off, int(n))
-                    flat_parts.append(np.cumsum(vals))
-                    off += consumed
-                for d, pos in zip(doc_ids, flat_parts):
+                # the positions blob is per-doc delta streams laid end
+                # to end; varbyte is self-delimiting, so ONE vectorized
+                # decode yields all gaps in order, and the per-doc
+                # cumsum restart becomes a segmented cumsum (subtract
+                # the running total at each doc boundary)
+                gaps = varbyte_decode(r["positions"]).astype(np.int64)
+                cs = np.cumsum(gaps)
+                cs_before = np.concatenate(([0], cs))[starts]
+                flat = (cs - np.repeat(cs_before, ends - starts)).astype(
+                    np.int32)
+                for d, pos in zip(doc_ids, np.split(flat, starts[1:])):
                     doc_ids_out.append(int(d))
                     terms_out.append(r["term"])
-                    poss_out.append(pos.astype(np.int32))
+                    poss_out.append(pos)
             yield pd.DataFrame({"doc_id": doc_ids_out, "term": terms_out,
                                 "positions": poss_out})
 
     return seg.mapInPandas(decode, schema=POSITIONS_SCHEMA)
-
-
-def _decode_n(buf: bytes, off: int, n: int) -> tuple[np.ndarray, int]:
-    """Decode exactly n varbyte values starting at buf[off]; return
-    (gap values, bytes consumed)."""
-    vals = np.empty(n, dtype=np.int64)
-    i = off
-    for k in range(n):
-        v = 0
-        shift = 0
-        while True:
-            byte = buf[i]
-            i += 1
-            v |= (byte & 0x7F) << shift
-            if byte & 0x80 == 0:
-                break
-            shift += 7
-        vals[k] = v
-    return vals, i - off
 
 
 def phrase_search_store(spark: SparkSession, store_dir: str,
