@@ -656,11 +656,13 @@ GROUP BY t0.doc_id
 
 def q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered proximity search: docs where min |pos_a - pos_b| <=
-    window, with the min distance."""
-    from .operators.positions import proximity_search, token_positions
+    window, with the min distance.  Runs over the COMPRESSED store
+    (shared with phrase_match) — a proximity query decodes exactly two
+    terms' position blobs, never re-tokenizes the corpus."""
+    from .operators.positions import proximity_search, read_positional_store
 
-    docs = _read_documents(spark, sf_dir).select("doc_id", "text")
-    rel = token_positions(docs)
+    rel = read_positional_store(spark, _pos_store_dir(spark, sf_dir),
+                                [PROX_A, PROX_B])
     return proximity_search(rel, PROX_A, PROX_B, PROX_WINDOW)
 
 
@@ -672,6 +674,80 @@ FROM seq a JOIN seq b ON b.doc_id = a.doc_id
 WHERE a.term = '{PROX_A}' AND b.term = '{PROX_B}'
 GROUP BY a.doc_id
 HAVING MIN(ABS(a.pos - b.pos)) <= {PROX_WINDOW}
+"""
+
+
+# --- boolean retrieval + lexicon helpers (beyond-reference surface) ----------
+
+BOOL_MUST = ["hash", "join"]
+BOOL_NOT = ["vector"]
+BOOL_SHOULD = ["fast", "scan"]
+SPELL_TERM, SPELL_K, SPELL_DIST = "sart", 5, 2
+PREFIX, PREFIX_K = "s", 10
+
+
+def q_boolean_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval: (hash AND join) AND NOT vector AND (fast OR
+    scan) -> (doc_id, n_should).  Reference is ranked-only; see
+    operators/boolean.py docstring."""
+    from .operators.boolean import boolean_search
+
+    idx = _df_index(spark, sf_dir)
+    return boolean_search(idx.postings, must=BOOL_MUST, must_not=BOOL_NOT,
+                          should=BOOL_SHOULD, min_should=1)
+
+
+def sql_boolean_match() -> str:
+    vocab = sorted({*BOOL_MUST, *BOOL_NOT, *BOOL_SHOULD})
+    in_list = ", ".join(f"'{t}'" for t in vocab)
+    must = ", ".join(f"'{t}'" for t in BOOL_MUST)
+    mnot = ", ".join(f"'{t}'" for t in BOOL_NOT)
+    should = ", ".join(f"'{t}'" for t in BOOL_SHOULD)
+    return f"""
+WITH {TOKS_CTE}
+SELECT doc_id, CAST(n_should AS INT) AS n_should FROM (
+  SELECT doc_id,
+    COUNT(DISTINCT CASE WHEN term IN ({must}) THEN term END) AS n_must,
+    COUNT(DISTINCT CASE WHEN term IN ({mnot}) THEN term END) AS n_not,
+    COUNT(DISTINCT CASE WHEN term IN ({should}) THEN term END) AS n_should
+  FROM postings WHERE term IN ({in_list}) GROUP BY doc_id)
+WHERE n_must = {len(BOOL_MUST)} AND n_not = 0 AND n_should >= 1
+"""
+
+
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean: top-k dictionary terms by (edit distance, df)."""
+    from .operators.lexicon import suggest_terms
+
+    idx = _df_index(spark, sf_dir)
+    return suggest_terms(idx.dictionary, SPELL_TERM, k=SPELL_K,
+                         max_dist=SPELL_DIST)
+
+
+def sql_spell_suggest() -> str:
+    return f"""
+WITH {TOKS_CTE}
+SELECT term, CAST(levenshtein(term, '{SPELL_TERM}') AS INT) AS dist, df
+FROM dict
+WHERE ABS(LENGTH(term) - {len(SPELL_TERM)}) <= {SPELL_DIST}
+  AND levenshtein(term, '{SPELL_TERM}') <= {SPELL_DIST}
+ORDER BY dist ASC, df DESC, term ASC LIMIT {SPELL_K}
+"""
+
+
+def q_prefix_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix completion: top-k terms starting with PREFIX by df."""
+    from .operators.lexicon import prefix_terms
+
+    idx = _df_index(spark, sf_dir)
+    return prefix_terms(idx.dictionary, PREFIX, k=PREFIX_K)
+
+
+def sql_prefix_terms() -> str:
+    return f"""
+WITH {TOKS_CTE}
+SELECT term, df FROM dict WHERE term LIKE '{PREFIX}%'
+ORDER BY df DESC, term ASC LIMIT {PREFIX_K}
 """
 
 
@@ -698,6 +774,9 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positional_postings": q_positional_postings,
         "phrase_match": q_phrase_match,
         "proximity_match": q_proximity_match,
+        "boolean_match": q_boolean_match,
+        "spell_suggest": q_spell_suggest,
+        "prefix_terms": q_prefix_terms,
     }
 
 
@@ -720,4 +799,7 @@ def core_oracle_sql() -> dict[str, str]:
         "positional_postings": sql_positional_postings(),
         "phrase_match": sql_phrase_match(),
         "proximity_match": sql_proximity_match(),
+        "boolean_match": sql_boolean_match(),
+        "spell_suggest": sql_spell_suggest(),
+        "prefix_terms": sql_prefix_terms(),
     }

@@ -1,0 +1,64 @@
+"""Lexicon-level query helpers: spell suggestion, prefix lookup.
+
+The reference engine has no tolerant retrieval: an unseen query term
+simply contributes nothing (QueryParser.java drops terms with no
+dictionary entry).  Real search front-ends want "did you mean" — the
+standard IR answer is edit-distance candidates over the term
+dictionary ranked by collection frequency (IIR ch. 3).
+
+Scale shape: the dictionary is ~vocabulary-sized (millions of rows at
+10^12 docs — tiny next to postings).  The candidate scan is pruned
+JVM-side by the length band |len(t) - len(q)| <= max_dist *before*
+the O(len^2) edit-distance kernel runs, and everything is built-in
+Catalyst expressions (F.levenshtein) — no Python, no shuffle besides
+the final top-k (TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def suggest_terms(dictionary: DataFrame, query_term: str, k: int = 5,
+                  max_dist: int = 2) -> DataFrame:
+    """Top-k "did you mean" candidates for ``query_term`` from a
+    (term, df, cf) dictionary -> (term, dist, df).
+
+    Rank: edit distance ASC, then df DESC (prefer common terms), then
+    term ASC — fully deterministic.  Exact matches (dist 0) rank
+    first, so callers can use this unconditionally.
+    """
+    q = query_term.strip().lower()
+    if not q:
+        raise ValueError("empty query term")
+    cand = (
+        dictionary
+        # cheap band prune before the quadratic edit-distance kernel
+        .filter(F.abs(F.length("term") - F.lit(len(q))) <= max_dist)
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+        .filter(F.col("dist") <= max_dist)
+    )
+    return (
+        cand.select("term", F.col("dist").cast("int").alias("dist"),
+                    F.col("df").cast("long").alias("df"))
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def prefix_terms(dictionary: DataFrame, prefix: str, k: int = 10) -> DataFrame:
+    """Top-k completions for ``prefix`` by df -> (term, df).
+
+    A sorted/bucketed dictionary serves this from one row-group range
+    scan (startswith pushes down as term >= p AND term < p+1).
+    """
+    p = prefix.strip().lower()
+    if not p:
+        raise ValueError("empty prefix")
+    return (
+        dictionary.filter(F.col("term").startswith(p))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )

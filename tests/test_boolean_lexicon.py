@@ -1,0 +1,136 @@
+"""Boolean retrieval (operators/boolean.py) + lexicon helpers
+(operators/lexicon.py), checked against driver-side pure-Python ground
+truth over the frozen ``tokenize`` stream on salted web text (the
+DuckDB gates cover the clean corpus)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ir_spark.operators.boolean import boolean_search
+from ir_spark.operators.lexicon import prefix_terms, suggest_terms
+from ir_spark.text import STOPWORDS, tokenize
+
+
+@pytest.fixture(scope="module")
+def idx(spark, pages_small):
+    path, _ = pages_small
+    from ir_spark.operators.build import assign_doc_ids, build_dataframe_index
+
+    raw = spark.read.parquet(path)
+    ids = assign_doc_ids(raw)
+    df = raw.join(ids, "url").select("doc_id", "text")
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    return build_dataframe_index(df), texts
+
+
+def _doc_terms(texts):
+    return {
+        d: {t for t in tokenize(x) if t not in STOPWORDS}
+        for d, x in texts.items()
+    }
+
+
+def _pick_terms(texts):
+    """Deterministic mid-frequency vocabulary picks."""
+    from collections import Counter
+
+    c = Counter(t for ts in _doc_terms(texts).values() for t in ts)
+    common = [t for t, _ in c.most_common(12)]
+    return common[0:2], [common[5]], common[8:10]  # must, not, should
+
+
+def test_boolean_matches_brute_force(idx):
+    index, texts = idx
+    (must, must_not, should) = _pick_terms(texts)
+    sets = _doc_terms(texts)
+    want = {
+        d: len(ts & set(should))
+        for d, ts in sets.items()
+        if set(must) <= ts and not (ts & set(must_not))
+        and len(ts & set(should)) >= 1
+    }
+    got = {
+        r["doc_id"]: r["n_should"]
+        for r in boolean_search(index.postings, must=must,
+                                must_not=must_not, should=should).collect()
+    }
+    assert got == want
+
+
+def test_boolean_must_only_and_min_should(idx):
+    index, texts = idx
+    (must, _, should) = _pick_terms(texts)
+    sets = _doc_terms(texts)
+    # pure conjunction
+    got = {r["doc_id"] for r in
+           boolean_search(index.postings, must=must).collect()}
+    assert got == {d for d, ts in sets.items() if set(must) <= ts}
+    # min_should = 2 over two should terms == conjunction of both
+    got2 = {r["doc_id"] for r in
+            boolean_search(index.postings, should=should,
+                           min_should=2).collect()}
+    assert got2 == {d for d, ts in sets.items() if set(should) <= ts}
+
+
+def test_boolean_rejects_bad_input(idx):
+    index, _ = idx
+    with pytest.raises(ValueError):
+        boolean_search(index.postings, must_not=["only", "negative"])
+    with pytest.raises(ValueError):
+        boolean_search(index.postings, must=["x"], must_not=["x"])
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_suggest_matches_brute_force(idx):
+    index, texts = idx
+    dfs = {}
+    for ts in _doc_terms(texts).values():
+        for t in ts:
+            dfs[t] = dfs.get(t, 0) + 1
+    # probe: a real vocabulary term with one char swapped
+    base = sorted(dfs)[len(dfs) // 2]
+    probe = base[:-1] + ("x" if base[-1] != "x" else "y")
+    want = sorted(
+        ((t, _levenshtein(t, probe), df) for t, df in dfs.items()
+         if abs(len(t) - len(probe)) <= 2
+         and _levenshtein(t, probe) <= 2),
+        key=lambda r: (r[1], -r[2], r[0]))[:5]
+    got = [(r["term"], r["dist"], r["df"])
+           for r in suggest_terms(index.dictionary, probe, k=5).collect()]
+    assert got == want
+
+
+def test_suggest_exact_match_ranks_first(idx):
+    index, texts = idx
+    term = max(
+        ((t, n) for t, n in
+         __import__("collections").Counter(
+             t for ts in _doc_terms(texts).values() for t in ts).items()),
+        key=lambda r: (r[1], r[0]))[0]
+    got = suggest_terms(index.dictionary, term, k=3).collect()
+    assert got[0]["term"] == term and got[0]["dist"] == 0
+
+
+def test_prefix_matches_brute_force(idx):
+    index, texts = idx
+    dfs = {}
+    for ts in _doc_terms(texts).values():
+        for t in ts:
+            dfs[t] = dfs.get(t, 0) + 1
+    p = sorted(dfs)[0][:2]
+    want = sorted(((t, df) for t, df in dfs.items() if t.startswith(p)),
+                  key=lambda r: (-r[1], r[0]))[:10]
+    got = [(r["term"], r["df"])
+           for r in prefix_terms(index.dictionary, p, k=10).collect()]
+    assert got == want
