@@ -686,6 +686,70 @@ SPELL_TERM, SPELL_K, SPELL_DIST = "sart", 5, 2
 PREFIX, PREFIX_K = "s", 10
 
 
+RM3_N_FB, RM3_N_EXP, RM3_ALPHA = 10, 5, 0.6
+
+
+def q_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback: RM3-expanded BM25 top-k (see
+    operators/feedback.py — reference scores only the literal bag,
+    QueryParser.java:141-174)."""
+    from .operators.feedback import search_rm3
+
+    idx = _df_index(spark, sf_dir)
+    raw = search_rm3(spark, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                     n_fb=RM3_N_FB, n_exp=RM3_N_EXP, alpha=RM3_ALPHA)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_rm3_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    bm25 = (f"LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))"
+            f" * p.tf * ({k1} + 1.0)"
+            f" / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))")
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id, {bm25} * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+fbs AS (
+  SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+  FROM hits GROUP BY doc_id),
+fb AS (SELECT doc_id, score_micro FROM fbs
+       ORDER BY score_micro DESC, doc_id ASC LIMIT {RM3_N_FB}),
+expw AS (
+  SELECT p.term,
+         CAST(ROUND(1000000.0 * SUM(CAST(p.tf AS DOUBLE) / d.doc_len
+                                    * f.score_micro / 1000000.0))
+              AS BIGINT) AS w_micro
+  FROM postings p JOIN fb f USING (doc_id) JOIN docinfo d USING (doc_id)
+  WHERE p.term NOT IN (SELECT term FROM qterms)
+  GROUP BY p.term),
+expterms AS (SELECT term, w_micro FROM expw WHERE w_micro > 0
+             ORDER BY w_micro DESC, term ASC LIMIT {RM3_N_EXP}),
+allq AS (
+  SELECT term, {RM3_ALPHA} * qtf AS w_tq FROM qterms
+  UNION ALL
+  SELECT term, (1.0 - {RM3_ALPHA}) * w_micro
+               / (SELECT MAX(w_micro) FROM expterms) FROM expterms),
+hits2 AS (
+  SELECT p.doc_id, {bm25} * a.w_tq AS partial
+  FROM postings p
+  JOIN allq a USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits2 GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 def q_boolean_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean retrieval: (hash AND join) AND NOT vector AND (fast OR
     scan) -> (doc_id, n_should).  Reference is ranked-only; see
@@ -774,6 +838,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positional_postings": q_positional_postings,
         "phrase_match": q_phrase_match,
         "proximity_match": q_proximity_match,
+        "rm3_topk": q_rm3_topk,
         "boolean_match": q_boolean_match,
         "spell_suggest": q_spell_suggest,
         "prefix_terms": q_prefix_terms,
@@ -799,6 +864,7 @@ def core_oracle_sql() -> dict[str, str]:
         "positional_postings": sql_positional_postings(),
         "phrase_match": sql_phrase_match(),
         "proximity_match": sql_proximity_match(),
+        "rm3_topk": sql_rm3_topk(),
         "boolean_match": sql_boolean_match(),
         "spell_suggest": sql_spell_suggest(),
         "prefix_terms": sql_prefix_terms(),

@@ -1,0 +1,93 @@
+"""Pseudo-relevance feedback (RM3-style query expansion).
+
+The reference engine scores exactly the literal query bag
+(QueryParser.java:141-174) — no expansion.  Classic PRF closes the
+vocabulary-mismatch gap: retrieve top-n feedback docs, mine the terms
+that characterize them, re-run the query with those terms mixed in
+(Lavrenko & Croft relevance models; the RM3 interpolation).
+
+Determinism contract: every cross-engine-visible float is quantized to
+micro-units before it participates in a *selection* (feedback-doc set,
+expansion-term set), exactly like the driver gates — so an ANSI-SQL
+oracle reproduces the same expansion and the same final ranking
+bit-for-bit.  Weights:
+
+  feedback docs  d: rel(d)  = round(1e6 * BM25(q, d))         (top n_fb)
+  expansion term t: w(t)    = round(1e6 * sum_d tf_td / len_d
+                                            * rel(d) / 1e6)   (top n_exp,
+                              original query terms excluded)
+  final bag:        alpha * qtf(t)            for original terms
+                    (1 - alpha) * w(t)/max(w) for expansion terms
+
+Scale shape: the feedback pass is one ordinary top-k query; the
+expansion mine touches only the n_fb feedback docs' posting rows
+(docinfo ⋈ broadcast(fb), postings ⋈ broadcast(that)) — no extra
+corpus sweep; the final pass is one ordinary weighted query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..oracle import parse_query
+from .build import DataFrameIndex
+from .query import search, search_weighted
+
+
+def rm3_expansion_terms(spark: SparkSession, index: DataFrameIndex,
+                        query: str, n_fb: int = 10, n_exp: int = 5,
+                        k1: float = 1.2, b: float = 0.75
+                        ) -> list[tuple[str, int]]:
+    """Mine the top-``n_exp`` expansion terms for ``query`` from its
+    top-``n_fb`` BM25 feedback docs -> [(term, w_micro)], ranked by
+    (w_micro DESC, term ASC).  Driver-side result: n_exp is tiny by
+    construction (a query bag, not data)."""
+    orig = sorted(parse_query(query))
+    if not orig:
+        return []
+    raw = search(spark, index, query, k=n_fb * 5, mode="bm25", k1=k1, b=b)
+    fb = (
+        raw.select(
+            "doc_id",
+            F.round(F.col("score") * 1000000.0).cast("long")
+            .alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(n_fb)
+    )
+    fbinfo = index.docinfo.join(F.broadcast(fb), "doc_id").select(
+        "doc_id", "doc_len", "score_micro")
+    mined = (
+        index.postings.join(F.broadcast(fbinfo), "doc_id")
+        .filter(~F.col("term").isin(orig))
+        .groupBy("term")
+        .agg(
+            F.round(F.lit(1000000.0) * F.sum(
+                F.col("tf").cast("double") / F.col("doc_len")
+                * F.col("score_micro") / F.lit(1000000.0)))
+            .cast("long").alias("w_micro"))
+        .filter(F.col("w_micro") > 0)
+        .orderBy(F.desc("w_micro"), F.asc("term"))
+        .limit(n_exp)
+    )
+    return [(r["term"], r["w_micro"]) for r in mined.collect()]
+
+
+def search_rm3(spark: SparkSession, index: DataFrameIndex, query: str,
+               k: int = 5, n_fb: int = 10, n_exp: int = 5,
+               alpha: float = 0.6, k1: float = 1.2, b: float = 0.75
+               ) -> DataFrame:
+    """RM3 retrieval: expand ``query`` from its own top-``n_fb`` docs,
+    score the interpolated bag -> (doc_id, score), k rows ordered."""
+    bag = parse_query(query)
+    if not bag:
+        return spark.createDataFrame([], "doc_id long, score double")
+    exp = rm3_expansion_terms(spark, index, query, n_fb=n_fb, n_exp=n_exp,
+                              k1=k1, b=b)
+    weights = {t: alpha * tf for t, tf in bag.items()}
+    if exp:
+        max_w = max(w for _, w in exp)
+        weights.update(
+            {t: (1.0 - alpha) * w / max_w for t, w in exp})
+    return search_weighted(spark, index, weights, k=k, mode="bm25",
+                           k1=k1, b=b)

@@ -152,6 +152,20 @@ def search(spark: SparkSession, index: DataFrameIndex, query: str,
     Returns DataFrame (doc_id, score), k rows, already ordered.
     """
     weights, q_norm = query_weights(index, query, mode, stem=stem)
+    return search_weighted(spark, index, weights, q_norm=q_norm, k=k,
+                           mode=mode, k1=k1, b=b, norms=norms,
+                           doc_filter=doc_filter)
+
+
+def search_weighted(spark: SparkSession, index: DataFrameIndex,
+                    weights: dict[str, float], q_norm: float = 0.0,
+                    k: int = 5, mode: str = "bm25", k1: float = 1.2,
+                    b: float = 0.75, norms: DataFrame | None = None,
+                    doc_filter: DataFrame | None = None) -> DataFrame:
+    """``search`` with an explicit weighted query bag (term -> w_tq)
+    instead of a query string — the entry point for query expansion
+    (pseudo-relevance feedback) and any caller that computes its own
+    query-side weights.  Same plan, same tie-break."""
     if not weights:
         return spark.createDataFrame([], "doc_id long, score double")
 

@@ -1,0 +1,83 @@
+"""RM3 pseudo-relevance feedback (operators/feedback.py) vs a
+driver-side pure-Python RM3 built on the frozen oracle index — checks
+the full chain (feedback-doc selection, expansion-term mining,
+interpolated rescoring) value-for-value on salted web text."""
+
+from __future__ import annotations
+
+import pytest
+
+from ir_spark.operators.feedback import rm3_expansion_terms, search_rm3
+from ir_spark.oracle import bm25_weight, build_index, parse_query, search
+
+N_FB, N_EXP, ALPHA, K = 5, 4, 0.6, 10
+QUERY = "fast hash join with big vector table scan"
+
+
+@pytest.fixture(scope="module")
+def both(spark, pages_small):
+    path, _ = pages_small
+    from ir_spark.operators.build import assign_doc_ids, build_dataframe_index
+
+    raw = spark.read.parquet(path)
+    ids = assign_doc_ids(raw)
+    df = raw.join(ids, "url").select("doc_id", "text")
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    oracle = build_index(sorted(texts.items()))
+    return build_dataframe_index(df), oracle
+
+
+def _py_rm3(oracle, query):
+    """Pure-Python RM3 with the operator's quantization contract."""
+    fb_raw = search(oracle, query, k=oracle.n_docs, mode="bm25")
+    fb = sorted(((d, round(s * 1e6)) for d, s in fb_raw),
+                key=lambda r: (-r[1], r[0]))[:N_FB]
+    orig = set(parse_query(query))
+    relw = dict(fb)
+    expw: dict[str, float] = {}
+    for term, plist in oracle.postings.items():
+        if term in orig:
+            continue
+        s = sum(tf / oracle.docinfo[d][0] * relw[d] / 1e6
+                for d, tf in plist if d in relw)
+        if s:
+            expw[term] = round(s * 1e6)
+    exp = sorted(((t, w) for t, w in expw.items() if w > 0),
+                 key=lambda r: (-r[1], r[0]))[:N_EXP]
+    weights = {t: ALPHA * tf for t, tf in parse_query(query).items()}
+    if exp:
+        mw = max(w for _, w in exp)
+        weights.update({t: (1 - ALPHA) * w / mw for t, w in exp})
+    scores: dict[int, float] = {}
+    for t, w_tq in weights.items():
+        df_t = oracle.df(t)
+        for d, tf in oracle.postings.get(t, ()):
+            dl = oracle.docinfo[d][0]
+            scores[d] = scores.get(d, 0.0) + w_tq * bm25_weight(
+                tf, dl, df_t, oracle.n_docs, oracle.avg_doc_len)
+    ranked = sorted(((d, round(s * 1e6)) for d, s in scores.items()),
+                    key=lambda r: (-r[1], r[0]))
+    return exp, ranked[:K]
+
+
+def test_expansion_terms_match_pure_python(spark, both):
+    index, oracle = both
+    exp, _ = _py_rm3(oracle, QUERY)
+    got = rm3_expansion_terms(spark, index, QUERY, n_fb=N_FB, n_exp=N_EXP)
+    assert got == exp
+    assert all(t not in parse_query(QUERY) for t, _ in got)
+
+
+def test_rm3_topk_matches_pure_python(spark, both):
+    index, oracle = both
+    _, want = _py_rm3(oracle, QUERY)
+    raw = search_rm3(spark, index, QUERY, k=K * 5, n_fb=N_FB,
+                     n_exp=N_EXP, alpha=ALPHA)
+    got = sorted(((r["doc_id"], round(r["score"] * 1e6))
+                  for r in raw.collect()), key=lambda r: (-r[1], r[0]))[:K]
+    assert got == want
+
+
+def test_rm3_empty_query(spark, both):
+    index, _ = both
+    assert search_rm3(spark, index, "of the", k=5).count() == 0
