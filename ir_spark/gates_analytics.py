@@ -857,8 +857,54 @@ FROM per
 """
 
 
+# --- bigram collocations (PMI) -----------------------------------------------
+
+COLLOC_MIN_N, COLLOC_K = 5, 20
+
+
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual
+    information (operators/ngrams.py) — tokenizer-vocabulary /
+    boilerplate mining surface for training pipelines."""
+    from .operators.ngrams import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=COLLOC_MIN_N,
+                        k=COLLOC_K)
+
+
+def sql_collocations_pmi() -> str:
+    return f"""
+WITH seq AS (
+  SELECT doc_id, term,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents)
+  WHERE LENGTH(term) > 1
+),
+pairs AS (
+  SELECT term AS w1,
+         LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM seq),
+big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs WHERE w2 IS NOT NULL GROUP BY w1, w2),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM big),
+l AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS nl FROM big GROUP BY w1),
+r AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS nr FROM big GROUP BY w2)
+SELECT b.w1, b.w2, b.n,
+       CAST(ROUND(1000000.0 * LN(CAST(b.n AS DOUBLE) * t.t
+                                 / (l.nl * r.nr))) AS BIGINT) AS pmi_micro
+FROM big b JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot t
+WHERE b.n >= {COLLOC_MIN_N}
+ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT {COLLOC_K}
+"""
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "collocations_pmi": q_collocations_pmi,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -886,6 +932,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def analytics_oracle_sql() -> dict[str, str]:
     return {
+        "collocations_pmi": sql_collocations_pmi(),
         "dedup_exact": sql_dedup_exact(),
         "minhash_bands": sql_minhash_bands(),
         "lsh_near_dup_pairs": sql_lsh_near_dup_pairs(),
