@@ -686,6 +686,43 @@ SPELL_TERM, SPELL_K, SPELL_DIST = "sart", 5, 2
 PREFIX, PREFIX_K = "s", 10
 
 
+QLD_MU = 1000.0
+
+
+def q_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood (Dirichlet-smoothed LM) top-k — the standard
+    LM ranking alternative to BM25 (operators/query.py::search_qld);
+    same pruned-postings plan, distributed decomposition vs the
+    oracle's textbook per-(candidate, query-term) formula."""
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search_qld(spark, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                       mu=QLD_MU)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_qld_topk(mu: float = QLD_MU) -> str:
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+qd AS (SELECT q.term, q.qtf, t.cf FROM qterms q JOIN dict t USING (term)),
+coll AS (SELECT CAST(SUM(cf) AS DOUBLE) AS c FROM dict),
+cand AS (SELECT DISTINCT p.doc_id AS doc_id FROM postings p JOIN qd USING (term)),
+hits AS (
+  SELECT cand.doc_id,
+         q.qtf * LN((COALESCE(p.tf, 0) + {mu} * q.cf / coll.c)
+                    / (d.doc_len + {mu})) AS partial
+  FROM cand
+  CROSS JOIN qd q
+  CROSS JOIN coll
+  LEFT JOIN postings p ON p.doc_id = cand.doc_id AND p.term = q.term
+  JOIN docinfo d ON d.doc_id = cand.doc_id
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 RM3_N_FB, RM3_N_EXP, RM3_ALPHA = 10, 5, 0.6
 
 
@@ -839,6 +876,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,
         "proximity_match": q_proximity_match,
         "rm3_topk": q_rm3_topk,
+        "qld_topk": q_qld_topk,
         "boolean_match": q_boolean_match,
         "spell_suggest": q_spell_suggest,
         "prefix_terms": q_prefix_terms,
@@ -865,6 +903,7 @@ def core_oracle_sql() -> dict[str, str]:
         "phrase_match": sql_phrase_match(),
         "proximity_match": sql_proximity_match(),
         "rm3_topk": sql_rm3_topk(),
+        "qld_topk": sql_qld_topk(),
         "boolean_match": sql_boolean_match(),
         "spell_suggest": sql_spell_suggest(),
         "prefix_terms": sql_prefix_terms(),

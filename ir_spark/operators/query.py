@@ -200,3 +200,80 @@ def search_weighted(spark: SparkSession, index: DataFrameIndex,
             ).otherwise(F.lit(0.0)).alias("score"),
         )
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def collection_cf_total(index: DataFrameIndex) -> int:
+    """Total collection token count over indexed (non-stopword) terms
+    (sum of cf) — the language-model denominator.  One dictionary
+    sweep, memoized per index."""
+    total = getattr(index, "_cf_total", None)
+    if total is None:
+        total = int(
+            index.dictionary.agg(F.sum("cf").alias("c")).collect()[0]["c"]
+            or 0)
+        object.__setattr__(index, "_cf_total", total)
+    return total
+
+
+def search_qld(spark: SparkSession, index: DataFrameIndex, query: str,
+               k: int = 5, mu: float = 1000.0,
+               stem: bool = False) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001) — the standard LM alternative to BM25 the reference
+    engine lacks.
+
+        score(q, d) = sum_t qtf_t * ln( (tf_td + mu*cf_t/C) / (dl_d + mu) )
+
+    over the query terms that occur in the collection (unseen terms
+    carry no information under the MLE collection model and are
+    dropped, the convention reference LM implementations use).
+
+    Distributed form: only MATCHED postings are touched.  The sum
+    decomposes as
+
+        const + sum_{matched t} qtf_t * ln(1 + tf * C / (mu * cf_t))
+              - Q * ln(dl_d + mu)
+
+    with const = sum_t qtf_t*ln(mu*cf_t/C) and Q = sum_t qtf_t both
+    driver-side scalars, so the plan is the same pruned
+    postings >< broadcast(query) >< docinfo join + one hash agg as
+    BM25 — candidates are docs with >=1 matched term, exactly the
+    OR-semantics candidate set.  No per-document pass over unmatched
+    query terms, which is what makes the textbook formula scale-hostile
+    and this form shuffle-equivalent to BM25.
+    """
+    bag = parse_query(query, stem=stem)
+    if not bag:
+        return spark.createDataFrame([], "doc_id long, score double")
+    rows = index.dictionary.filter(
+        F.col("term").isin(list(bag))).select("term", "cf").collect()
+    cfs = {r["term"]: int(r["cf"]) for r in rows if r["cf"]}
+    terms = sorted(t for t in bag if t in cfs)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    c_total = float(collection_cf_total(index))
+    const = sum(bag[t] * math.log(mu * cfs[t] / c_total) for t in terms)
+    q_len = float(sum(bag[t] for t in terms))
+
+    qdf = spark.createDataFrame(
+        [(t, float(bag[t]), float(cfs[t])) for t in terms],
+        "term string, qtf double, cf double")
+    hits = (
+        index.postings
+        .join(F.broadcast(qdf), "term")
+        .join(index.docinfo.select("doc_id", "doc_len"), "doc_id")
+    )
+    partial = F.col("qtf") * F.log(
+        F.lit(1.0) + F.col("tf") * F.lit(c_total) / (F.lit(mu) * F.col("cf")))
+    scores = (
+        hits.select("doc_id", "doc_len", partial.alias("partial"))
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("matched"),
+             F.max("doc_len").alias("doc_len"))
+        .select(
+            "doc_id",
+            (F.lit(const) + F.col("matched")
+             - F.lit(q_len) * F.log(F.col("doc_len") + F.lit(mu))
+             ).alias("score"))
+    )
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

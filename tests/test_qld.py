@@ -1,0 +1,76 @@
+"""Query-likelihood (Dirichlet LM) retrieval
+(operators/query.py::search_qld) vs a driver-side brute-force
+implementation of the textbook formula on the frozen oracle index —
+checks that the distributed matched-postings decomposition equals the
+full per-(doc, query-term) sum, including the unseen-term drop."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ir_spark.operators.query import search_qld
+from ir_spark.oracle import build_index, parse_query
+
+MU, K = 1000.0, 10
+
+QUERIES = [
+    "fast hash join with big vector table scan",
+    "spark window agg",
+    "customer the of",          # mostly stopwords
+    "zzzunseen big table",      # unseen term dropped
+    "zzzunseen qqqunseen",      # nothing survives
+]
+
+
+@pytest.fixture(scope="module")
+def both(spark, pages_small):
+    path, _ = pages_small
+    from ir_spark.operators.build import assign_doc_ids, build_dataframe_index
+
+    raw = spark.read.parquet(path)
+    ids = assign_doc_ids(raw)
+    df = raw.join(ids, "url").select("doc_id", "text")
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    oracle = build_index(sorted(texts.items()))
+    return build_dataframe_index(df), oracle
+
+
+def _py_qld(oracle, query, mu=MU, k=K):
+    """Textbook Dirichlet QL: full sum over surviving query terms for
+    every candidate doc (tf = 0 when the doc lacks the term)."""
+    bag = parse_query(query)
+    cf = {t: sum(tf for _, tf in oracle.postings.get(t, ()))
+          for t in bag}
+    terms = sorted(t for t in bag if cf.get(t))
+    if not terms:
+        return []
+    c_total = sum(sum(tf for _, tf in pl) for pl in oracle.postings.values())
+    cands = sorted({d for t in terms for d, _ in oracle.postings[t]})
+    out = []
+    for d in cands:
+        dl = oracle.docinfo[d][0]
+        tfs = {t: dict(oracle.postings[t]).get(d, 0) for t in terms}
+        s = sum(bag[t] * math.log((tfs[t] + mu * cf[t] / c_total)
+                                  / (dl + mu)) for t in terms)
+        out.append((d, s))
+    out.sort(key=lambda r: (-round(r[1] * 1e6), r[0]))
+    return [(d, round(s * 1e6)) for d, s in out[:k]]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_qld_matches_bruteforce(spark, both, query):
+    idx, oracle = both
+    got = [(r["doc_id"], round(r["score"] * 1e6))
+           for r in search_qld(spark, idx, query, k=K, mu=MU).collect()]
+    want = _py_qld(oracle, query)
+    assert got == want
+
+
+def test_qld_scores_negative_and_ordered(spark, both):
+    idx, _ = both
+    rows = search_qld(spark, idx, QUERIES[0], k=K, mu=MU).collect()
+    scores = [r["score"] for r in rows]
+    assert all(s < 0 for s in scores)  # log-probabilities
+    assert scores == sorted(scores, reverse=True)
