@@ -686,6 +686,39 @@ SPELL_TERM, SPELL_K, SPELL_DIST = "sart", 5, 2
 PREFIX, PREFIX_K = "s", 10
 
 
+KEYWORDS_K = 3
+
+
+def q_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 tf-idf keywords over the index relations
+    (operators/textstats.py::keywords_tfidf)."""
+    from .operators.textstats import keywords_tfidf
+
+    idx = _df_index(spark, sf_dir)
+    return keywords_tfidf(idx.postings, idx.dictionary, idx.n_docs,
+                          k=KEYWORDS_K)
+
+
+def sql_keywords_tfidf(k: int = KEYWORDS_K) -> str:
+    return f"""
+WITH {TOKS_CTE},
+w AS (
+  SELECT p.doc_id, p.term,
+         CAST(ROUND(p.tf * LN(CAST(s.n AS DOUBLE) / t.df) * 1000000)
+              AS BIGINT) AS w_micro
+  FROM postings p JOIN dict t USING (term) CROSS JOIN stats s
+),
+r AS (
+  SELECT doc_id, term, w_micro,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY w_micro DESC, term ASC) AS rnk
+  FROM w
+)
+SELECT doc_id, CAST(rnk AS INT) AS rank, term, w_micro
+FROM r WHERE rnk <= {k}
+"""
+
+
 QLD_MU = 1000.0
 
 
@@ -877,6 +910,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_match": q_proximity_match,
         "rm3_topk": q_rm3_topk,
         "qld_topk": q_qld_topk,
+        "keywords_tfidf": q_keywords_tfidf,
         "boolean_match": q_boolean_match,
         "spell_suggest": q_spell_suggest,
         "prefix_terms": q_prefix_terms,
@@ -904,6 +938,7 @@ def core_oracle_sql() -> dict[str, str]:
         "proximity_match": sql_proximity_match(),
         "rm3_topk": sql_rm3_topk(),
         "qld_topk": sql_qld_topk(),
+        "keywords_tfidf": sql_keywords_tfidf(),
         "boolean_match": sql_boolean_match(),
         "spell_suggest": sql_spell_suggest(),
         "prefix_terms": sql_prefix_terms(),

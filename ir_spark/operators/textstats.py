@@ -126,3 +126,35 @@ def fingerprints(docs: DataFrame, k: int = 8) -> DataFrame:
         F.count("*").alias("n_distinct_grams"),
         F.min(F.md5(F.col("gram").cast("binary"))).alias("min_gram_md5"),
     )
+
+
+def keywords_tfidf(postings: DataFrame, dictionary: DataFrame,
+                   n_docs: int, k: int = 3) -> DataFrame:
+    """Per-document keyword extraction: top-k index terms by plain
+    tf-idf (tf * ln(N/df)) — the classic document-labeling primitive
+    (and the per-doc summary a training-data pipeline attaches as
+    metadata).
+
+    Weights are quantized to micro-units BEFORE ranking so the
+    (weight desc, term asc) tie-break is deterministic across engines.
+    Plan: postings >< dictionary on term (no broadcast assumption —
+    both sides are vocabulary-sized), then one window rank partitioned
+    by doc_id; the window shuffle is keyed on doc_id, which is
+    unskewed by construction.
+
+    Returns (doc_id, rank, term, w_micro), k rows per doc.
+    """
+    from pyspark.sql import Window
+
+    w = (F.col("tf").cast("double")
+         * F.log(F.lit(float(n_docs)) / F.col("df")))
+    weighted = postings.join(dictionary.select("term", "df"), "term").select(
+        "doc_id", "term",
+        F.round(w * F.lit(1000000.0)).cast("long").alias("w_micro"))
+    rank = F.row_number().over(
+        Window.partitionBy("doc_id")
+        .orderBy(F.desc("w_micro"), F.asc("term")))
+    return (weighted.withColumn("rank", rank)
+            .filter(F.col("rank") <= k)
+            .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    "term", "w_micro"))

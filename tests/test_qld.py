@@ -74,3 +74,22 @@ def test_qld_scores_negative_and_ordered(spark, both):
     scores = [r["score"] for r in rows]
     assert all(s < 0 for s in scores)  # log-probabilities
     assert scores == sorted(scores, reverse=True)
+
+
+def test_keywords_tfidf_short_docs(spark):
+    """Docs with fewer than k indexed terms yield all their terms;
+    rank/tie-break is (w_micro desc, term asc)."""
+    from ir_spark.operators.textstats import keywords_tfidf
+
+    postings = spark.createDataFrame(
+        [(0, "alpha", 2), (0, "beta", 2), (1, "alpha", 1)],
+        "doc_id long, term string, tf long")
+    dictionary = spark.createDataFrame(
+        [("alpha", 2, 3), ("beta", 1, 2)], "term string, df long, cf long")
+    out = keywords_tfidf(postings, dictionary, n_docs=2, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    # beta (df=1) outweighs alpha (df=2) at equal tf
+    assert by_doc[0] == [(1, "beta"), (2, "alpha")]
+    assert by_doc[1] == [(1, "alpha")]
