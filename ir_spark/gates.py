@@ -686,6 +686,50 @@ SPELL_TERM, SPELL_K, SPELL_DIST = "sart", 5, 2
 PREFIX, PREFIX_K = "s", 10
 
 
+SNIPPET_WINDOW = 3
+
+
+def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC snippets around the first flagship-term occurrence
+    (operators/textstats.py::kwic_snippets)."""
+    from .operators.textstats import kwic_snippets
+
+    terms = sorted(
+        t for t in set(tokenize(FLAGSHIP_QUERY)) if t not in STOPWORDS)
+    docs = _read_documents(spark, sf_dir).select("doc_id", "text")
+    return kwic_snippets(docs, terms, window=SNIPPET_WINDOW)
+
+
+def sql_snippet_extract(window: int = SNIPPET_WINDOW) -> str:
+    terms = sorted(
+        t for t in set(tokenize(FLAGSHIP_QUERY)) if t not in STOPWORDS)
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+  FROM documents
+),
+probes AS (
+  SELECT d.doc_id, q.term,
+         COALESCE(list_position(d.w, q.term), 0) AS pos
+  FROM d CROSS JOIN (VALUES {vals}) AS q(term)
+),
+best AS (
+  SELECT doc_id, term, pos,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY pos ASC, term ASC) AS rn
+  FROM probes WHERE pos > 0
+)
+SELECT b.doc_id, CAST(b.pos AS INT) AS pos, b.term,
+       array_to_string(
+         list_slice(d.w, GREATEST(1, b.pos - {window}), b.pos + {window}),
+         ' ') AS snippet
+FROM best b JOIN d USING (doc_id)
+WHERE b.rn = 1
+"""
+
+
 KEYWORDS_K = 3
 
 
@@ -911,6 +955,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_topk": q_rm3_topk,
         "qld_topk": q_qld_topk,
         "keywords_tfidf": q_keywords_tfidf,
+        "snippet_extract": q_snippet_extract,
         "boolean_match": q_boolean_match,
         "spell_suggest": q_spell_suggest,
         "prefix_terms": q_prefix_terms,
@@ -939,6 +984,7 @@ def core_oracle_sql() -> dict[str, str]:
         "rm3_topk": sql_rm3_topk(),
         "qld_topk": sql_qld_topk(),
         "keywords_tfidf": sql_keywords_tfidf(),
+        "snippet_extract": sql_snippet_extract(),
         "boolean_match": sql_boolean_match(),
         "spell_suggest": sql_spell_suggest(),
         "prefix_terms": sql_prefix_terms(),

@@ -158,3 +158,42 @@ def keywords_tfidf(postings: DataFrame, dictionary: DataFrame,
             .filter(F.col("rank") <= k)
             .select("doc_id", F.col("rank").cast("int").alias("rank"),
                     "term", "w_micro"))
+
+
+def kwic_snippets(docs: DataFrame, terms: list[str],
+                  window: int = 3) -> DataFrame:
+    """Keyword-in-context snippet extraction: for every doc containing
+    at least one query term, the earliest-occurring term and a
+    +-window-token snippet around its first occurrence (the
+    result-page snippet the reference renders only as a headline —
+    Utils.java headline lookup; this is the generalized form).
+
+    Entirely JVM-side: whitespace token array, per-term first-position
+    probe (array_position), (pos, term)-lexicographic min for the
+    deterministic earliest-match tie-break, one slice + join for the
+    snippet.  Narrow except one doc_id-keyed agg over doc x |terms|
+    rows; no Python, no window over raw tokens.
+
+    Returns (doc_id, pos, term, snippet); pos is 1-based.
+    """
+    w = F.filter(F.split(F.col("text"), " "),
+                 lambda t: F.length(t) > 0)
+    d = docs.select("doc_id", w.alias("w"))
+    probes = d.select(
+        "doc_id",
+        F.explode(F.array([F.lit(t) for t in terms])).alias("term"),
+        F.col("w"),
+    ).select(
+        "doc_id", "term",
+        F.expr("array_position(w, term)").alias("pos"),
+    ).filter(F.col("pos") > 0)
+    best = probes.groupBy("doc_id").agg(
+        F.min(F.struct("pos", "term")).alias("b"))
+    lo = F.greatest(F.lit(1), F.col("b.pos") - F.lit(window))
+    length = F.col("b.pos") + F.lit(window) - lo + F.lit(1)
+    return best.join(d, "doc_id").select(
+        "doc_id",
+        F.col("b.pos").cast("int").alias("pos"),
+        F.col("b.term").alias("term"),
+        F.array_join(F.slice("w", lo, length), " ").alias("snippet"),
+    )

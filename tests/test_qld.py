@@ -93,3 +93,22 @@ def test_keywords_tfidf_short_docs(spark):
     # beta (df=1) outweighs alpha (df=2) at equal tf
     assert by_doc[0] == [(1, "beta"), (2, "alpha")]
     assert by_doc[1] == [(1, "alpha")]
+
+
+def test_kwic_snippets_edges(spark):
+    """Window clamps at both text edges; earliest (pos, term) wins."""
+    from ir_spark.operators.textstats import kwic_snippets
+
+    docs = spark.createDataFrame(
+        [(0, "alpha bb cc dd ee ff gg"),
+         (1, "aa bb cc dd ee ff alpha"),
+         (2, "aa beta alpha dd"),
+         (3, "no match here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           kwic_snippets(docs, ["alpha", "beta"], window=2).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0]["pos"], out[0]["snippet"]) == (1, "alpha bb cc")
+    assert (out[1]["pos"], out[1]["snippet"]) == (7, "ee ff alpha")
+    assert (out[2]["pos"], out[2]["term"]) == (2, "beta")
+    assert out[2]["snippet"] == "aa beta alpha dd"
