@@ -902,8 +902,57 @@ ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT {COLLOC_K}
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/textstats.py::pii_scrub).  The corpus
+    is clean [a-z ] text, so deterministic synthetic PII (one email,
+    one phone, one IPv4 per doc, derived from doc_id) is appended on
+    BOTH the engine and oracle sides — the gate then proves the
+    redaction output byte-identically (md5) plus the per-type counts."""
+    from .operators.textstats import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-1234 from 10.2."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ).alias("text"))
+    out = pii_scrub(aug)
+    return out.select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.md5(F.col("scrubbed").cast("binary")).alias("scrubbed_md5"))
+
+
+def sql_pii_scrub() -> str:
+    from .operators.textstats import PII_EMAIL, PII_IP, PII_PHONE
+
+    aug = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+           " || '@mail.example.com or 555-'"
+           " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+           " || '-1234 from 10.2.' || CAST(doc_id % 256 AS VARCHAR)"
+           " || '.7'")
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_IP}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IP}', '<IP>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM aug
+"""
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pii_scrub": q_pii_scrub,
         "collocations_pmi": q_collocations_pmi,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
@@ -932,6 +981,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def analytics_oracle_sql() -> dict[str, str]:
     return {
+        "pii_scrub": sql_pii_scrub(),
         "collocations_pmi": sql_collocations_pmi(),
         "dedup_exact": sql_dedup_exact(),
         "minhash_bands": sql_minhash_bands(),

@@ -197,3 +197,36 @@ def kwic_snippets(docs: DataFrame, terms: list[str],
         F.col("b.term").alias("term"),
         F.array_join(F.slice("w", lo, length), " ").alias("snippet"),
     )
+
+
+# PII patterns: ASCII-safe, identical semantics under Java regex
+# (Spark) and RE2 (DuckDB) — keep to \b, classes, and bounded repeats.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training-data curation: replace emails, NANP
+    phone numbers and IPv4 addresses with typed placeholders, and
+    count what was redacted.  Email first (its domain would otherwise
+    be visible to the IP pattern), then IP, then phone.
+
+    Pure narrow map — regexp_count + three chained regexp_replace, all
+    whole-stage-codegen; no shuffle, scales linearly with input bytes.
+
+    Returns (doc_id, n_emails, n_phones, n_ips, scrubbed).
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_IP, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IP)).cast("long").alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )

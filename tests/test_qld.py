@@ -112,3 +112,20 @@ def test_kwic_snippets_edges(spark):
     assert (out[1]["pos"], out[1]["snippet"]) == (7, "ee ff alpha")
     assert (out[2]["pos"], out[2]["term"]) == (2, "beta")
     assert out[2]["snippet"] == "aa beta alpha dd"
+
+
+def test_pii_scrub_patterns(spark):
+    from ir_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(0, "mail a@b.co and c.d@e.f.org ip 192.168.0.1 "
+             "phone 555-123-4567 fake 55-123-4567 not-ip 1234.5.6.7"),
+         (1, "clean text only")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (out[0]["n_emails"], out[0]["n_phones"], out[0]["n_ips"]) == (2, 1, 1)
+    assert out[0]["scrubbed"] == (
+        "mail <EMAIL> and <EMAIL> ip <IP> phone <PHONE> "
+        "fake 55-123-4567 not-ip 1234.5.6.7")
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (0, 0, 0)
+    assert out[1]["scrubbed"] == "clean text only"
