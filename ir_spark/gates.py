@@ -686,6 +686,60 @@ SPELL_TERM, SPELL_K, SPELL_DIST = "sart", 5, 2
 PREFIX, PREFIX_K = "s", 10
 
 
+_MERGE_MEMO: dict[tuple, str] = {}
+
+
+def _merged_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized: two half-corpus segment indexes merged into one
+    (operators/merge.py) — the distributed k-way merge of partial
+    indexes the north star calls for, built once per session."""
+    import tempfile
+
+    from .operators.merge import merge_indexes
+    from .operators.segments import build_segment_index
+
+    key = (id(spark), sf_dir)
+    if key not in _MERGE_MEMO:
+        docs = _read_documents(spark, sf_dir).select(
+            F.format_string("doc://%012d", "doc_id").alias("url"),
+            "text", "doc_id")
+        n = docs.count()
+        base = tempfile.mkdtemp(prefix="ir_spark_gate_merge_")
+        half_a = docs.filter(F.col("doc_id") < n // 2).select("url", "text")
+        half_b = docs.filter(F.col("doc_id") >= n // 2).select("url", "text")
+        build_segment_index(spark, half_a, os.path.join(base, "a"),
+                            source=sf_dir + ":a")
+        build_segment_index(spark, half_b, os.path.join(base, "b"),
+                            source=sf_dir + ":b")
+        merged = os.path.join(base, "merged")
+        merge_indexes(spark, [os.path.join(base, "a"),
+                              os.path.join(base, "b")], merged)
+        _MERGE_MEMO[key] = merged
+    return _MERGE_MEMO[key]
+
+
+def q_merged_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over a MERGED index (two independent half-corpus
+    builds re-based and combined blob-preservingly by
+    operators/merge.py::merge_indexes) vs the plain full-corpus
+    oracle — proves merge correctness end-to-end including global
+    stats (df, N, avgDocLen) reconstruction."""
+    from .operators.segment_query import SegmentIndex, search_segments
+
+    merged = _merged_index_dir(spark, sf_dir)
+    sidx = SegmentIndex.load(spark, merged)
+    raw = search_segments(spark, sidx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                          mode="bm25")
+    doc_map = spark.read.parquet(os.path.join(merged, "doc_map"))
+    orig = doc_map.select(
+        F.col("doc_id").alias("internal_id"),
+        F.substring("url", 7, 12).cast("long").alias("orig_id"))
+    mapped = raw.withColumnRenamed("doc_id", "internal_id").join(
+        F.broadcast(orig), "internal_id").select(
+        F.col("orig_id").alias("doc_id"), "score")
+    return _rerank_quantized(mapped, K_FLAGSHIP)
+
+
 SNIPPET_WINDOW = 3
 
 
@@ -956,6 +1010,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_topk": q_qld_topk,
         "keywords_tfidf": q_keywords_tfidf,
         "snippet_extract": q_snippet_extract,
+        "merged_bm25_topk": q_merged_bm25_topk,
         "boolean_match": q_boolean_match,
         "spell_suggest": q_spell_suggest,
         "prefix_terms": q_prefix_terms,
@@ -985,6 +1040,7 @@ def core_oracle_sql() -> dict[str, str]:
         "qld_topk": sql_qld_topk(),
         "keywords_tfidf": sql_keywords_tfidf(),
         "snippet_extract": sql_snippet_extract(),
+        "merged_bm25_topk": sql_bm25_topk(),
         "boolean_match": sql_boolean_match(),
         "spell_suggest": sql_spell_suggest(),
         "prefix_terms": sql_prefix_terms(),

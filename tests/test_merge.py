@@ -1,0 +1,106 @@
+"""Index merge (operators/merge.py): merging two half-corpus segment
+indexes must be query-identical to one full build, and the merge must
+be blob-preserving — posting payloads pass through byte-identical,
+only the first doc-id varint and run metadata are re-based."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ir_spark.operators.build import assign_doc_ids
+from ir_spark.operators.merge import merge_indexes
+from ir_spark.operators.segment_query import SegmentIndex, search_segments
+from ir_spark.operators.segments import build_segment_index, decode_segments
+
+QUERIES = ["fast hash join with big vector table scan", "spark window agg"]
+
+
+@pytest.fixture(scope="module")
+def merged(spark, pages_small, tmp_path_factory):
+    path, _ = pages_small
+    raw = spark.read.parquet(path)
+    ids = assign_doc_ids(raw)
+    n = ids.count()
+    half_a = ids.filter(F.col("doc_id") <= n // 2).select("url")
+    half_b = ids.filter(F.col("doc_id") > n // 2).select("url")
+    base = tmp_path_factory.mktemp("merge")
+    dirs = {k: str(base / k) for k in ("a", "b", "full", "merged")}
+    build_segment_index(spark, raw.join(half_a, "url"), dirs["a"], source="a")
+    build_segment_index(spark, raw.join(half_b, "url"), dirs["b"], source="b")
+    build_segment_index(spark, raw, dirs["full"], source="full")
+    metrics = merge_indexes(spark, [dirs["a"], dirs["b"]], dirs["merged"])
+    return dirs, metrics
+
+
+def _results_by_url(spark, index_dir, query, mode):
+    sidx = SegmentIndex.load(spark, index_dir)
+    res = search_segments(spark, sidx, query, k=10, mode=mode)
+    doc_map = spark.read.parquet(index_dir + "/doc_map")
+    rows = res.join(doc_map, "doc_id").select("url", "score").collect()
+    return sorted((r["url"], round(r["score"] * 1e6)) for r in rows)
+
+
+@pytest.mark.parametrize("mode", ["bm25", "w1", "w2"])
+@pytest.mark.parametrize("query", QUERIES)
+def test_merged_query_equals_full_build(spark, merged, query, mode):
+    dirs, _ = merged
+    assert (_results_by_url(spark, dirs["merged"], query, mode)
+            == _results_by_url(spark, dirs["full"], query, mode))
+
+
+def test_merged_stats_and_postings_equal_full(spark, merged):
+    dirs, metrics = merged
+    sm = SegmentIndex.load(spark, dirs["merged"])
+    sf = SegmentIndex.load(spark, dirs["full"])
+    assert sm.n_docs == sf.n_docs
+    assert abs(sm.avg_doc_len - sf.avg_doc_len) < 1e-9
+
+    def rel(d):
+        dec = decode_segments(spark.read.parquet(d + "/segments"))
+        dm = spark.read.parquet(d + "/doc_map")
+        return sorted(
+            (r["url"], r["term"], r["tf"], r["doc_len"], r["max_tf"])
+            for r in dec.join(dm, "doc_id").collect())
+
+    assert rel(dirs["merged"]) == rel(dirs["full"])
+    assert metrics["n_docs"] == sf.n_docs
+
+
+def test_merge_is_blob_preserving(spark, merged):
+    """Source B's rows appear in the merged index with IDENTICAL
+    tf/doc_len/max_tf payloads and gap tails — only the first varint
+    and doc-id metadata differ."""
+    from ir_spark import codec
+
+    dirs, metrics = merged
+    off = metrics["offsets"][1]
+    assert off > 0
+    src = {(r["term"], r["run"]): r for r in
+           spark.read.parquet(dirs["b"] + "/segments").collect()}
+    rw = SegmentIndex.load(spark, dirs["b"]).range_width
+    mrg = spark.read.parquet(dirs["merged"] + "/segments")
+    picked = 0
+    for r in mrg.collect():
+        key = (r["term"], r["run"] - off // rw)
+        if key not in src:
+            continue
+        s = src[key]
+        if s["first_doc_id"] + off != r["first_doc_id"]:
+            continue  # same (term, run) key could come from source A
+        picked += 1
+        assert bytes(s["tfs_vb"]) == bytes(r["tfs_vb"])
+        assert bytes(s["doc_lens_vb"]) == bytes(r["doc_lens_vb"])
+        assert bytes(s["max_tfs_vb"]) == bytes(r["max_tfs_vb"])
+        assert s["last_doc_id"] + off == r["last_doc_id"]
+        assert [x + off for x in s["block_last_doc_id"]] == list(
+            r["block_last_doc_id"])
+        assert list(codec.delta_decode(bytes(r["doc_gaps_vb"]))) == [
+            d + off for d in codec.delta_decode(bytes(s["doc_gaps_vb"]))]
+    assert picked > 50
+
+
+def test_merge_rejects_mismatched_layout(spark, merged, tmp_path):
+    dirs, _ = merged
+    with pytest.raises(ValueError):
+        merge_indexes(spark, [dirs["a"]], str(tmp_path / "x"))
