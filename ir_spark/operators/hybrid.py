@@ -44,6 +44,9 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 10, c: int = RRF_C,
     total = reduce(
         lambda x, y: x + y,
         [F.coalesce(F.col(f"_rrf{i}"), F.lit(0.0)) for i in range(len(sides))])
+    # global (unpartitioned) window is deliberate: the input is the
+    # union of already-top-N candidate lists (<= sum of N_i rows), so
+    # the single-partition sort is O(N), not a corpus-wide shuffle
     w = Window.orderBy(F.desc("rrf_micro"), F.asc(id_col))
     return (
         joined.select(
@@ -58,5 +61,6 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 10, c: int = RRF_C,
 def ranked(topk: DataFrame, order_col: str, id_col: str = "doc_id") -> DataFrame:
     """(id, score-ish) -> (id, rank) with the engine's deterministic
     (score desc, id asc) ordering."""
+    # bounded input (a top-k list) — global window is O(k) by design
     w = Window.orderBy(F.desc(order_col), F.asc(id_col))
     return topk.select(id_col, F.row_number().over(w).alias("rank"))
