@@ -568,6 +568,112 @@ FROM ranked WHERE rnk <= {K_BATCH}
 """
 
 
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking evaluation (operators/evalir.py::ranking_metrics): P@k /
+    MRR / nDCG@k of the batched BM25 run against deterministic
+    term-overlap qrels (rel = min(3, #distinct query terms in doc) —
+    graded, derivable identically in SQL)."""
+    from .operators.evalir import ranking_metrics
+
+    run = q_bm25_batch_topk(spark, sf_dir).select(
+        "query_id", "rank", "doc_id")
+    idx = _df_index(spark, sf_dir)
+    qd = [(qid, t) for qid, q in enumerate(BATCH_QUERIES)
+          for t in sorted(set(tokenize(q)) - STOPWORDS)]
+    qterms = spark.createDataFrame(qd, "query_id long, term string")
+    qrels = (
+        idx.postings.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.least(F.lit(3), F.countDistinct("term")).cast("int")
+             .alias("rel"))
+    )
+    m = ranking_metrics(run, qrels, k=K_BATCH)
+    return m.select(
+        "query_id", "n_rel",
+        _micro(F.col("p_at_k")).alias("p_at_k_micro"),
+        _micro(F.col("rr")).alias("mrr_micro"),
+        _micro(F.col("ndcg")).alias("ndcg_micro"),
+    )
+
+
+def sql_eval_metrics(k1: float = 1.2, b: float = 0.75) -> str:
+    from collections import Counter
+
+    k = K_BATCH
+    vals = []
+    for qid, q in enumerate(BATCH_QUERIES):
+        bag = Counter(t for t in tokenize(q) if t not in STOPWORDS)
+        vals.extend(f"({qid}, '{t}', {tf})" for t, tf in sorted(bag.items()))
+    values = ", ".join(vals)
+    return f"""
+WITH {TOKS_CTE},
+qterms AS (SELECT * FROM (VALUES {values}) AS q(query_id, term, qtf)),
+hits AS (
+  SELECT q.query_id, p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+  FROM hits GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id) AS rnk
+  FROM scored
+),
+qd AS (SELECT DISTINCT query_id, term FROM qterms),
+qrels AS (
+  SELECT q.query_id, p.doc_id,
+         LEAST(3, COUNT(DISTINCT p.term)) AS rel
+  FROM postings p JOIN qd q USING (term)
+  GROUP BY q.query_id, p.doc_id
+),
+topk AS (SELECT query_id, rnk AS rank, doc_id FROM ranked WHERE rnk <= {k}),
+judged AS (
+  SELECT t.query_id, t.rank, COALESCE(r.rel, 0) AS rel
+  FROM topk t LEFT JOIN qrels r
+    ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+),
+per AS (
+  SELECT query_id,
+         SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) / {float(k)} AS p_at_k,
+         MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         SUM((POW(2.0, rel) - 1.0) / LOG2(rank + 1.0)) AS dcg
+  FROM judged GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id ASC) AS irank
+  FROM qrels WHERE rel > 0
+),
+ideals AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel,
+         SUM(CASE WHEN irank <= {k}
+             THEN (POW(2.0, rel) - 1.0) / LOG2(irank + 1.0) END) AS idcg
+  FROM ideal GROUP BY query_id
+)
+SELECT CAST(p.query_id AS BIGINT) AS query_id,
+       COALESCE(i.n_rel, 0) AS n_rel,
+       CAST(ROUND(p.p_at_k * 1000000) AS BIGINT) AS p_at_k_micro,
+       CAST(ROUND(COALESCE(1.0 / p.first_rel, 0.0) * 1000000) AS BIGINT)
+         AS mrr_micro,
+       CAST(ROUND(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg ELSE 0.0 END
+                  * 1000000) AS BIGINT) AS ndcg_micro
+FROM per p LEFT JOIN ideals i USING (query_id)
+"""
+
+
 # --- positional index / phrase / proximity (beyond-reference surface) --------
 
 # DuckDB-side kept-token position stream: 0-based index among tokens
@@ -1011,6 +1117,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_tfidf": q_keywords_tfidf,
         "snippet_extract": q_snippet_extract,
         "merged_bm25_topk": q_merged_bm25_topk,
+        "eval_metrics": q_eval_metrics,
         "boolean_match": q_boolean_match,
         "spell_suggest": q_spell_suggest,
         "prefix_terms": q_prefix_terms,
@@ -1041,6 +1148,7 @@ def core_oracle_sql() -> dict[str, str]:
         "keywords_tfidf": sql_keywords_tfidf(),
         "snippet_extract": sql_snippet_extract(),
         "merged_bm25_topk": sql_bm25_topk(),
+        "eval_metrics": sql_eval_metrics(),
         "boolean_match": sql_boolean_match(),
         "spell_suggest": sql_spell_suggest(),
         "prefix_terms": sql_prefix_terms(),

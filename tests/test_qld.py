@@ -129,3 +129,27 @@ def test_pii_scrub_patterns(spark):
         "fake 55-123-4567 not-ip 1234.5.6.7")
     assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (0, 0, 0)
     assert out[1]["scrubbed"] == "clean text only"
+
+
+def test_ranking_metrics_hand_computed(spark):
+    import math
+
+    from ir_spark.operators.evalir import ranking_metrics
+
+    run = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 9), (0, 3, 1), (1, 1, 1), (1, 2, 2)],
+        "query_id long, rank int, doc_id long")
+    qrels = spark.createDataFrame(
+        [(0, 1, 3), (0, 2, 1), (0, 5, 2)],
+        "query_id long, doc_id long, rel int")
+    out = {r["query_id"]: r
+           for r in ranking_metrics(run, qrels, k=3).collect()}
+    q0 = out[0]
+    assert q0["n_rel"] == 3
+    assert abs(q0["p_at_k"] - 2 / 3) < 1e-12
+    assert q0["rr"] == 1.0
+    dcg = 1.0 + 7.0 / 2.0
+    idcg = 7.0 + 3.0 / math.log2(3.0) + 1.0 / 2.0
+    assert abs(q0["ndcg"] - dcg / idcg) < 1e-12
+    q1 = out[1]
+    assert (q1["n_rel"], q1["p_at_k"], q1["rr"], q1["ndcg"]) == (0, 0.0, 0.0, 0.0)
