@@ -1089,6 +1089,30 @@ ORDER BY df DESC, term ASC LIMIT {PREFIX_K}
 """
 
 
+WILDCARD_PATTERN, WILDCARD_K = "*er", 10
+
+
+def q_wildcard_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard term lookup via the permuterm rotation table
+    (operators/lexicon.py::wildcard_terms): the pattern is a LEADING
+    wildcard, the case a plain dictionary scan cannot prune — the
+    engine answers it with a single rotation-prefix probe; the oracle
+    brute-forces LIKE over the vocabulary."""
+    from .operators.lexicon import wildcard_terms
+
+    idx = _df_index(spark, sf_dir)
+    return wildcard_terms(idx.dictionary, WILDCARD_PATTERN, k=WILDCARD_K)
+
+
+def sql_wildcard_terms() -> str:
+    like = WILDCARD_PATTERN.replace("*", "%")
+    return f"""
+WITH {TOKS_CTE}
+SELECT term, df FROM dict WHERE term LIKE '{like}'
+ORDER BY df DESC, term ASC LIMIT {WILDCARD_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1121,6 +1145,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_match": q_boolean_match,
         "spell_suggest": q_spell_suggest,
         "prefix_terms": q_prefix_terms,
+        "wildcard_terms": q_wildcard_terms,
     }
 
 
@@ -1152,4 +1177,5 @@ def core_oracle_sql() -> dict[str, str]:
         "boolean_match": sql_boolean_match(),
         "spell_suggest": sql_spell_suggest(),
         "prefix_terms": sql_prefix_terms(),
+        "wildcard_terms": sql_wildcard_terms(),
     }

@@ -62,3 +62,53 @@ def prefix_terms(dictionary: DataFrame, prefix: str, k: int = 10) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(k)
     )
+
+
+def permuterm_rotations(dictionary: DataFrame) -> DataFrame:
+    """(term, df) -> (rotation, term, df): all rotations of term+'$'
+    (IIR ch. 3.2).  A wildcard query 'ta*le' becomes ONE prefix probe
+    'le$ta' against this table — at scale a sorted/bucketed rotation
+    table turns any single-'*' wildcard (including leading wildcards,
+    which a plain dictionary scan cannot prune) into a row-group range
+    scan instead of a full-vocabulary regex pass.
+
+    Rotation count = term length + 1, so the table is
+    O(total dictionary characters) — still tiny next to postings.
+    Built entirely JVM-side (transform over a position sequence +
+    explode)."""
+    rots = F.expr(
+        "transform(sequence(0, length(term)), "
+        "i -> concat(substr(concat(term, '$'), i + 1), "
+        "substr(concat(term, '$'), 1, i)))")
+    return (
+        dictionary.select("term", F.col("df").cast("long").alias("df"),
+                          F.explode(rots).alias("rotation"))
+        .select("rotation", "term", "df")
+    )
+
+
+def wildcard_terms(dictionary: DataFrame, pattern: str,
+                   k: int = 10) -> DataFrame:
+    """Top-k dictionary terms matching a single-'*' wildcard pattern
+    (e.g. 'ta*le', '*tion', 'spar*') ranked by df desc, term asc ->
+    (term, df).
+
+    Implemented over the permuterm rotation table: pattern 'a*b'
+    rotates to the prefix 'b$a', so the probe is a startswith filter —
+    the same pushdown-able shape as prefix_terms, never a regex over
+    the vocabulary.  For verification-sized inputs the rotation table
+    is built inline; a long-lived engine materializes it once
+    (sorted by rotation) next to the dictionary.
+    """
+    p = pattern.strip().lower()
+    if p.count("*") != 1:
+        raise ValueError("exactly one '*' supported")
+    head, tail = p.split("*")
+    probe = tail + "$" + head
+    rot = permuterm_rotations(dictionary)
+    return (
+        rot.filter(F.col("rotation").startswith(probe))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )

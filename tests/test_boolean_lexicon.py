@@ -134,3 +134,27 @@ def test_prefix_matches_brute_force(idx):
     got = [(r["term"], r["df"])
            for r in prefix_terms(index.dictionary, p, k=10).collect()]
     assert got == want
+
+
+def test_wildcard_terms_permuterm(spark):
+    """Permuterm probe equals brute-force fnmatch for leading,
+    trailing, middle, and zero-width '*' positions."""
+    import fnmatch
+
+    from ir_spark.operators.lexicon import wildcard_terms
+
+    vocab = [("table", 9, 9), ("tale", 5, 5), ("tile", 5, 6),
+             ("stream", 7, 7), ("banner", 3, 3), ("er", 2, 2),
+             ("tab", 1, 1)]
+    d = spark.createDataFrame(vocab, "term string, df long, cf long")
+    for pat in ["ta*le", "*er", "str*", "t*", "*", "ta*"]:
+        got = [r["term"] for r in wildcard_terms(d, pat, k=10).collect()]
+        want = [t for t, _, _ in vocab if fnmatch.fnmatchcase(t, pat)]
+        want.sort(key=lambda t: (-dict((v, df) for v, df, _ in vocab)[t], t))
+        assert got == want, pat
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        wildcard_terms(d, "a*b*c")
+    with _pytest.raises(ValueError):
+        wildcard_terms(d, "noglob")
