@@ -902,6 +902,43 @@ ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT {COLLOC_K}
 """
 
 
+PACK_BUDGET = 2048
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan (operators/corpus.py::pack_sequences):
+    distributed prefix sum of whitespace token counts in doc_id order;
+    the oracle computes the same stream layout with a single SQL
+    window."""
+    from .operators.corpus import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    nt = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "),
+                        lambda t: F.length(t) > 0)).alias("n_tokens"))
+    return pack_sequences(nt, budget=PACK_BUDGET)
+
+
+def sql_sequence_pack(budget: int = PACK_BUDGET) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_SQL_W}) AS BIGINT) AS n_tokens FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start
+  FROM t
+)
+SELECT doc_id, n_tokens, start,
+       start // {budget} AS bin_id,
+       start % {budget} AS bin_offset
+FROM s
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/textstats.py::pii_scrub).  The corpus
     is clean [a-z ] text, so deterministic synthetic PII (one email,
@@ -953,6 +990,7 @@ FROM aug
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pii_scrub": q_pii_scrub,
+        "sequence_pack": q_sequence_pack,
         "collocations_pmi": q_collocations_pmi,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
@@ -982,6 +1020,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def analytics_oracle_sql() -> dict[str, str]:
     return {
         "pii_scrub": sql_pii_scrub(),
+        "sequence_pack": sql_sequence_pack(),
         "collocations_pmi": sql_collocations_pmi(),
         "dedup_exact": sql_dedup_exact(),
         "minhash_bands": sql_minhash_bands(),

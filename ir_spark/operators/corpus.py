@@ -202,3 +202,60 @@ def mix_report(docs: DataFrame) -> DataFrame:
         F.round(F.col("n_tokens").cast("double") / total * 1e6)
         .cast("long").alias("token_share_micro"),
     )
+
+
+def pack_sequences(doc_tokens: DataFrame, budget: int,
+                   caches: list | None = None) -> DataFrame:
+    """Sequence packing for training-data assembly: lay documents
+    end-to-end (in doc_id order) into a global token stream and assign
+    each doc its starting bin of ``budget`` tokens — the planning step
+    of LLM-pretraining sequence packing (docs spanning a bin boundary
+    continue into the next bin; the materializer later splits them).
+
+    The global running token total is a DISTRIBUTED prefix sum (the
+    assign_doc_ids pattern, build.py): range-partition by doc_id,
+    window-cumsum within each partition (parallel), collect only the
+    P per-partition totals to the driver, broadcast the per-partition
+    offsets back.  No single-partition global window at any point.
+
+    Input (doc_id, n_tokens); returns (doc_id, n_tokens, start,
+    bin_id, bin_offset) where start is the doc's position in the
+    stream, bin_id = start // budget, bin_offset = start % budget.
+
+    Pass ``caches`` to receive the internal persist for release after
+    materialization (same contract as assign_doc_ids).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    spark = doc_tokens.sparkSession
+    from pyspark.sql import Window
+
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    parted = (
+        doc_tokens.select("doc_id", "n_tokens")
+        .repartitionByRange(n_parts, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (Window.partitionBy("_pid").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = parted.withColumn(
+        "_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))).persist()
+    if caches is not None:
+        caches.append(local)
+    totals = sorted(
+        (r["_pid"], r["t"]) for r in
+        local.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect())
+    offsets, running = [], 0
+    for pid, t in totals:
+        offsets.append((pid, running))
+        running += int(t or 0)
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "_pid int, _off long"))
+    start = (F.col("_before") + F.col("_off")).cast("long")
+    return local.join(off_df, "_pid").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        start.alias("start"),
+        F.floor(start / F.lit(budget)).cast("long").alias("bin_id"),
+        F.pmod(start, F.lit(budget)).cast("long").alias("bin_offset"),
+    )

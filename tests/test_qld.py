@@ -153,3 +153,26 @@ def test_ranking_metrics_hand_computed(spark):
     assert abs(q0["ndcg"] - dcg / idcg) < 1e-12
     q1 = out[1]
     assert (q1["n_rel"], q1["p_at_k"], q1["rr"], q1["ndcg"]) == (0, 0.0, 0.0, 0.0)
+
+
+def test_pack_sequences_invariants(spark):
+    """Start offsets are the exact prefix sum in doc_id order at any
+    partitioning; bins advance monotonically."""
+    from ir_spark.operators.corpus import pack_sequences
+
+    rows = [(i, (i * 37) % 900 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    caches: list = []
+    out = sorted(
+        (r["doc_id"], r["start"], r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(df.repartition(7), 512,
+                                caches=caches).collect())
+    for c in caches:
+        c.unpersist()
+    running = 0
+    for (doc_id, start, bin_id, bin_offset), (i, n) in zip(out, rows):
+        assert doc_id == i
+        assert start == running
+        assert bin_id == running // 512
+        assert bin_offset == running % 512
+        running += n
