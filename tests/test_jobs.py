@@ -64,3 +64,54 @@ def test_package_pyfiles_deterministic(tmp_path):
         subprocess.run([sys.executable, script, "--out", z],
                        check=True, capture_output=True)
     assert open(z1, "rb").read() == open(z2, "rb").read()
+
+
+def test_merge_index_job(tmp_path, capsys):
+    """jobs/merge_index.py merges two builds; querying the merged index
+    equals querying a full build of the union."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import build_index
+    import merge_index
+    import query_index
+
+    pages = generate_pages(120, seed=13)
+    src_a = str(tmp_path / "a.parquet")
+    src_b = str(tmp_path / "b.parquet")
+    src_all = str(tmp_path / "all.parquet")
+    pages_to_parquet(pages[:60], src_a)
+    pages_to_parquet(pages[60:], src_b)
+    pages_to_parquet(pages, src_all)
+
+    dirs = {k: str(tmp_path / k) for k in ("ia", "ib", "ifull", "im")}
+    for src, idx in ((src_a, dirs["ia"]), (src_b, dirs["ib"]),
+                     (src_all, dirs["ifull"])):
+        assert build_index.main([
+            "--input", src, "--index-dir", idx, "--segment-groups", "1",
+            "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+
+    assert merge_index.main([
+        "--sources", dirs["ia"], dirs["ib"], "--out", dirs["im"],
+        "--local-cpus", "8"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metrics"]["n_docs"] == 120
+
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("flow pressure boundary layer\n")
+    results = {}
+    for idx in ("ifull", "im"):
+        dest = str(tmp_path / f"res_{idx}")
+        assert query_index.main([
+            "--index-dir", dirs[idx], "--queries", str(qfile), "--k", "5",
+            "--output", dest, "--local-cpus", "8"]) == 0
+        from ir_spark.session import get_spark
+
+        spark = get_spark("test_jobs")
+        doc_map = spark.read.parquet(os.path.join(dirs[idx], "doc_map"))
+        res = spark.read.parquet(dest).join(doc_map, "doc_id")
+        results[idx] = sorted(
+            (r["rank"], r["url"], round(r["score"], 9))
+            for r in res.collect())
+    capsys.readouterr()
+    assert results["ifull"] == results["im"]
+    assert len(results["im"]) == 5
