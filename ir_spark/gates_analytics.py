@@ -179,6 +179,40 @@ WHERE CAST(ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: LSH-verified pairs -> connected components
+    (operators/dedup.py::connected_components, iterative min-label
+    propagation) with canonical-doc selection.  The oracle computes
+    the same components via a recursive-CTE transitive closure."""
+    corpus = _with_near_dups(_docs(spark, sf_dir))
+    sh = D.word_shingles(corpus, n=3)
+    bands = D.lsh_bands(D.minhash_signatures(sh, N_HASHES), N_BANDS,
+                        BAND_ROWS)
+    pairs = D.lsh_candidate_pairs(bands)
+    verified = D.jaccard_for_pairs(pairs, sh).filter(
+        F.col("jaccard_micro") >= JACCARD_MIN_MICRO)
+    return D.connected_components(verified.select("a", "b"))
+
+
+def sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE edges AS ({sql_lsh_near_dup_pairs()}),
+sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+lab AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+  FROM reach GROUP BY u
+)
+SELECT doc_id, cluster_id,
+       CAST(doc_id = cluster_id AS INT) AS is_canonical
+FROM lab
+"""
+
+
 CURATE_MIN_WORDS = 5
 
 
@@ -991,6 +1025,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pii_scrub": q_pii_scrub,
         "sequence_pack": q_sequence_pack,
+        "dedup_clusters": q_dedup_clusters,
         "collocations_pmi": q_collocations_pmi,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
@@ -1021,6 +1056,7 @@ def analytics_oracle_sql() -> dict[str, str]:
     return {
         "pii_scrub": sql_pii_scrub(),
         "sequence_pack": sql_sequence_pack(),
+        "dedup_clusters": sql_dedup_clusters(),
         "collocations_pmi": sql_collocations_pmi(),
         "dedup_exact": sql_dedup_exact(),
         "minhash_bands": sql_minhash_bands(),

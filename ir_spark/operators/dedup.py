@@ -237,3 +237,56 @@ def simhash32(tokens: DataFrame) -> DataFrame:
                           ).otherwise(F.lit(0).cast("long"))
         sim = term_bit if sim is None else sim + term_bit
     return bitsums.select("doc_id", sim.alias("simhash"))
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-dup CLUSTERS from verified pairs: connected components by
+    iterative min-label propagation — the step after pair generation
+    that a real dedup pipeline needs (pick one canonical doc per
+    duplicate cluster, drop the rest).
+
+    ``pairs`` is an (a, b) edge relation (undirected, any orientation).
+    Returns (doc_id, cluster_id, is_canonical) for every doc appearing
+    in an edge; cluster_id = min doc_id in the component,
+    is_canonical = 1 on exactly that doc (INT house-style flag).
+
+    Scale shape: each round is one keyed join + one min-agg (both
+    shuffle on doc_id-sized keys); rounds = component diameter, which
+    for near-dup graphs is tiny (duplicate clusters are dense blobs,
+    not paths).  Plans are truncated per round with an eager
+    localCheckpoint, otherwise the iterated lineage grows without
+    bound; convergence is detected with a count of changed labels and
+    asserted within ``max_iter``.  (The large-star/small-star CC
+    variant halves round count at web scale; min-propagation keeps
+    the same join shape and is exact for any graph.)
+    """
+    sym = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(
+               pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    labels = (sym.select(F.col("u").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neigh = (sym.join(labels.withColumnRenamed("doc_id", "v"), "v")
+                 .groupBy("u").agg(F.min("label").alias("nlabel"))
+                 .withColumnRenamed("u", "doc_id"))
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select("doc_id",
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("nlabel"), F.col("label")))
+                    .alias("label"))
+            .localCheckpoint(eager=True))
+        changed = (new_labels.withColumnRenamed("label", "new")
+                   .join(labels, "doc_id")
+                   .filter(F.col("new") != F.col("label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"did not converge in {max_iter} rounds")
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).cast("int").alias("is_canonical"))

@@ -176,3 +176,16 @@ def test_pack_sequences_invariants(spark):
         assert bin_id == running // 512
         assert bin_offset == running % 512
         running += n
+
+
+def test_connected_components_path_graph(spark):
+    """Min-label propagation converges on a path (worst diameter) and
+    labels every node with its component minimum."""
+    from ir_spark.operators.dedup import connected_components
+
+    edges = [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    out = sorted((r["doc_id"], r["cluster_id"], r["is_canonical"])
+                 for r in connected_components(pairs).collect())
+    assert out == [(1, 1, 1), (2, 1, 0), (3, 1, 0), (4, 1, 0), (5, 1, 0),
+                   (10, 10, 1), (11, 10, 0), (12, 10, 0)]
