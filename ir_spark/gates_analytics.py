@@ -936,6 +936,55 @@ ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT {COLLOC_K}
 """
 
 
+PPL_TAU = 6.0
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM perplexity filter
+    (operators/textstats.py::bigram_nll)."""
+    from .operators.textstats import bigram_nll
+
+    return bigram_nll(_docs(spark, sf_dir), tau=PPL_TAU)
+
+
+def sql_lm_perplexity(tau: float = PPL_TAU) -> str:
+    w = "list_filter(string_split(text, ' '), t -> length(t) > 1)"
+    return f"""
+WITH d AS (SELECT doc_id, {w} AS w FROM documents),
+uni AS (SELECT unnest(w) AS t FROM d),
+c1 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY t),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM c1),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+         unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+  FROM d WHERE len(w) >= 2
+),
+doc_bi AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bi GROUP BY doc_id, w1, w2
+),
+c2 AS (SELECT w1, w2, SUM(n) AS c2 FROM doc_bi GROUP BY w1, w2),
+scored AS (
+  SELECT b.doc_id, b.n,
+         b.n * LN((c2.c2 + 1.0) / (c1.c1 + v.v)) AS nlp
+  FROM doc_bi b
+  JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+  JOIN c1 ON c1.t = b.w1
+  CROSS JOIN v
+),
+per AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         -SUM(nlp) / SUM(n) AS nll
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(ROUND(nll * 1000000) AS BIGINT) AS nll_micro,
+       CAST(nll <= {tau} AS INT) AS keep
+FROM per
+"""
+
+
 PACK_BUDGET = 2048
 
 
@@ -1026,6 +1075,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "sequence_pack": q_sequence_pack,
         "dedup_clusters": q_dedup_clusters,
+        "lm_perplexity": q_lm_perplexity,
         "collocations_pmi": q_collocations_pmi,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
@@ -1057,6 +1107,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "pii_scrub": sql_pii_scrub(),
         "sequence_pack": sql_sequence_pack(),
         "dedup_clusters": sql_dedup_clusters(),
+        "lm_perplexity": sql_lm_perplexity(),
         "collocations_pmi": sql_collocations_pmi(),
         "dedup_exact": sql_dedup_exact(),
         "minhash_bands": sql_minhash_bands(),

@@ -230,3 +230,52 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(t, F.lit(PII_IP)).cast("long").alias("n_ips"),
         scrubbed.alias("scrubbed"),
     )
+
+
+def bigram_nll(docs: DataFrame, tau: float = 6.0,
+               text_col: str = "text") -> DataFrame:
+    """Perplexity filtering under a self-trained add-one-smoothed
+    bigram LM — the classic quality signal (KenLM-style perplexity
+    filtering) with the model estimated ON the corpus being scored:
+
+        P(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V)
+        nll(doc) = -mean over doc bigrams of ln P(w2|w1)
+
+    Token stream: whitespace tokens with len > 1 (the clean-corpus
+    stream contract; production swaps in the Arrow tokenizer kernel).
+    Plan: bigram expansion is a JVM transform+explode; the model is
+    two hash aggs over (bigram|unigram)-vocabulary-sized relations;
+    scoring joins per-doc DISTINCT bigram counts (not raw occurrences)
+    against the model, then one doc_id agg.  Shuffles are keyed on
+    vocabulary or doc_id — nothing quadratic, no Python.
+
+    Returns (doc_id, n_bigrams, nll_micro, keep) for docs with >= 1
+    bigram; keep = 1 iff nll <= tau (INT house-style flag).
+    """
+    w = F.filter(F.split(F.col(text_col), " "),
+                 lambda t: F.length(t) > 1)
+    d = docs.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    bi = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(w) - 1), "
+            "i -> struct(w[i - 1] AS w1, w[i] AS w2))")).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("long").alias("n"))
+    c2 = doc_bi.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+    uni = docs.select(F.explode(w).alias("t"))
+    c1 = uni.groupBy("t").agg(F.count("*").alias("c1"))
+    v = c1.count()
+    lp = F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.lit(float(v))))
+    scored = (doc_bi.join(c2, ["w1", "w2"])
+              .join(c1.withColumnRenamed("t", "w1"), "w1")
+              .select("doc_id", "n", (F.col("n") * lp).alias("nlp")))
+    per = scored.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        (-F.sum("nlp") / F.sum("n")).alias("nll"))
+    return per.select(
+        "doc_id", "n_bigrams",
+        F.round(F.col("nll") * F.lit(1000000.0)).cast("long")
+        .alias("nll_micro"),
+        (F.col("nll") <= F.lit(tau)).cast("int").alias("keep"))

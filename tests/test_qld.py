@@ -189,3 +189,24 @@ def test_connected_components_path_graph(spark):
                  for r in connected_components(pairs).collect())
     assert out == [(1, 1, 1), (2, 1, 0), (3, 1, 0), (4, 1, 0), (5, 1, 0),
                    (10, 10, 1), (11, 10, 0), (12, 10, 0)]
+
+
+def test_bigram_nll_hand_computed(spark):
+    import math
+
+    from ir_spark.operators.textstats import bigram_nll
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb aa"), (1, "bb cc"), (2, "aa")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_nll(docs, tau=1.0).collect()}
+    # model: c1 = {aa:2(d0) + 1(d2)=3, bb:2, cc:1}, V=3
+    # d0 bigrams (aa,bb),(bb,aa); d1 (bb,cc)
+    nll0 = -(math.log((1 + 1) / (3 + 3)) + math.log((1 + 1) / (2 + 3))) / 2
+    nll1 = -math.log((1 + 1) / (2 + 3))
+    assert set(out) == {0, 1}          # d2 has no bigram
+    assert out[0]["n_bigrams"] == 2
+    assert abs(out[0]["nll_micro"] - round(nll0 * 1e6)) <= 1
+    assert abs(out[1]["nll_micro"] - round(nll1 * 1e6)) <= 1
+    assert out[0]["keep"] == int(nll0 <= 1.0)
+    assert out[1]["keep"] == int(nll1 <= 1.0)
