@@ -936,6 +936,42 @@ ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT {COLLOC_K}
 """
 
 
+QUANT_PROBS = [0.25, 0.5, 0.75, 0.95]
+
+
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang token-count quantiles
+    (operators/textstats.py::token_quantiles); the quantile array is
+    flattened to scalar columns for the driver's value hash."""
+    from .operators.textstats import token_quantiles
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    per = token_quantiles(docs, QUANT_PROBS)
+    cols = [F.col("q_micro")[i].alias(f"p{int(p * 100)}_micro")
+            for i, p in enumerate(QUANT_PROBS)]
+    return per.select("lang", "n_docs", *cols)
+
+
+def sql_token_quantiles() -> str:
+    probs = ", ".join(str(p) for p in QUANT_PROBS)
+    qcols = ",\n       ".join(
+        f"CAST(ROUND(qs[{i + 1}] * 1000000) AS BIGINT) AS p{int(p * 100)}_micro"
+        for i, p in enumerate(QUANT_PROBS))
+    return f"""
+WITH t AS (
+  SELECT lang, len({_SQL_W}) AS n_tokens FROM documents
+),
+agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         quantile_cont(n_tokens, [{probs}]) AS qs
+  FROM t GROUP BY lang
+)
+SELECT lang, n_docs,
+       {qcols}
+FROM agg
+"""
+
+
 PPL_TAU = 6.0
 
 
@@ -1076,6 +1112,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "dedup_clusters": q_dedup_clusters,
         "lm_perplexity": q_lm_perplexity,
+        "token_quantiles": q_token_quantiles,
         "collocations_pmi": q_collocations_pmi,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
@@ -1108,6 +1145,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "sequence_pack": sql_sequence_pack(),
         "dedup_clusters": sql_dedup_clusters(),
         "lm_perplexity": sql_lm_perplexity(),
+        "token_quantiles": sql_token_quantiles(),
         "collocations_pmi": sql_collocations_pmi(),
         "dedup_exact": sql_dedup_exact(),
         "minhash_bands": sql_minhash_bands(),

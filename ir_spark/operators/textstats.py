@@ -279,3 +279,29 @@ def bigram_nll(docs: DataFrame, tau: float = 6.0,
         F.round(F.col("nll") * F.lit(1000000.0)).cast("long")
         .alias("nll_micro"),
         (F.col("nll") <= F.lit(tau)).cast("int").alias("keep"))
+
+
+def token_quantiles(docs: DataFrame, probs: list[float],
+                    text_col: str = "text") -> DataFrame:
+    """Per-language doc-length distribution: exact linear-interpolated
+    (type-7) quantiles of whitespace token counts, plus doc count —
+    the corpus-profiling report a mix designer reads before setting
+    sampling weights.
+
+    Exact percentile is a sort-based agg per group (fine for a
+    bounded-cardinality group key like lang); at petabyte scale with
+    high-cardinality keys swap in approx_percentile with a documented
+    error bound — same plan shape.
+
+    Returns (lang, n_docs, q_micro: array<long> aligned with probs).
+    """
+    n = F.size(F.filter(F.split(F.col(text_col), " "),
+                        lambda t: F.length(t) > 0))
+    per = docs.select("lang", n.alias("n_tokens")).groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.percentile("n_tokens", F.array(*[F.lit(p) for p in probs]))
+        .alias("qs"))
+    return per.select(
+        "lang", "n_docs",
+        F.transform("qs", lambda q: F.round(q * F.lit(1000000.0))
+                    .cast("long")).alias("q_micro"))
