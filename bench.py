@@ -85,6 +85,36 @@ def main() -> None:
     extras["raw_fixed_width_bytes"] = stats_m["raw_fixed_width_bytes"]
     extras["compression_ratio"] = stats_m["compression_ratio"]
 
+    # codec comparison on the real doc-gap stream (cf. reference
+    # stats.md:16-24, which quotes gamma and delta ratios): analytic
+    # Elias sizes via exact bit lengths (length(bin(g))), actual
+    # varbyte bytes from the written segments.  Stream = first doc id
+    # + 1 (Elias needs positives), then strictly-positive gaps — the
+    # same stream the segment blobs carry.
+    from pyspark.sql import Window as _W
+
+    flat = spark.read.parquet(os.path.join(index_dir, "postings"))
+    rw = 1 << 9
+    gw = _W.partitionBy("term", F.floor(F.col("doc_id") / rw)).orderBy(
+        "doc_id")
+    gaps = flat.select(
+        F.coalesce(F.col("doc_id") - F.lag("doc_id").over(gw),
+                   F.col("doc_id") + 1).alias("g"))
+    bl = F.length(F.bin(F.col("g")))
+    bll = F.length(F.bin(bl))
+    sizes = gaps.agg(
+        F.sum(2 * bl - 1).alias("gamma_bits"),
+        F.sum(2 * bll - 1 + bl - 1).alias("delta_bits"),
+        F.count("*").alias("n_gaps")).collect()[0]
+    seg_df = spark.read.parquet(os.path.join(index_dir, "segments"))
+    vb_gap_bytes = int(seg_df.agg(
+        F.sum(F.octet_length("doc_gaps_vb"))).collect()[0][0] or 0)
+    n_gaps = int(sizes["n_gaps"])
+    extras["gap_stream_fixed32_bytes"] = 4 * n_gaps
+    extras["gap_stream_varbyte_bytes"] = vb_gap_bytes
+    extras["gap_stream_gamma_bytes"] = (int(sizes["gamma_bits"]) + 7) // 8
+    extras["gap_stream_delta_bytes"] = (int(sizes["delta_bits"]) + 7) // 8
+
     # --- phase 2: DataFrame index (correctness path) ----------------------
     from ir_spark import gates
 

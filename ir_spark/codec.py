@@ -140,3 +140,138 @@ def block_skyline(tfs: np.ndarray, doc_lens: np.ndarray, block: int = BLOCK):
     return (np.asarray(sky_block, dtype=np.int32),
             np.asarray(sky_tf, dtype=np.int32),
             np.asarray(sky_dl, dtype=np.int64))
+
+
+# --- Elias gamma / delta (C2/C3 parity codecs) ------------------------------
+#
+# The production store stays delta+varbyte (D6: byte-aligned, fully
+# vectorized decode).  These bit-level codes exist for parity with the
+# reference's published compression comparison (stats.md:16-24 quotes
+# gamma and delta ratios) and for the analytic size report bench.py
+# emits; round-trip correctness is property-tested.  Streams are
+# prefixed with a uint32 value count so trailing pad bits are inert.
+
+def _bit_lengths(v: np.ndarray) -> np.ndarray:
+    """Exact bit length per value (no float log2), vectorized."""
+    w = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = tmp >= np.uint64(1 << shift)
+        w[mask] += shift
+        tmp[mask] >>= np.uint64(shift)
+    return w + 1
+
+
+def _pack_codes(lengths: np.ndarray, emit) -> bytes:
+    """Shared bit packer: ``lengths`` are per-value code lengths,
+    ``emit(j, starts)`` returns (positions, bits) for bit slot j."""
+    total = int(lengths.sum())
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    bits = np.zeros(total, dtype=np.uint8)
+    for j in range(int(lengths.max())):
+        pos, val = emit(j, starts)
+        bits[pos] = val
+    return np.packbits(bits).tobytes()
+
+
+def elias_gamma_encode(values: np.ndarray | list[int]) -> bytes:
+    """Elias gamma: (L-1) zeros then the L-bit value, MSB first
+    (v >= 1).  Vectorized over bit SLOTS (<= 2*64-1 iterations)."""
+    v = np.asarray(values, dtype=np.uint64)
+    header = np.uint32(v.size).tobytes()
+    if v.size == 0:
+        return header
+    if (v == 0).any():
+        raise ValueError("Elias gamma requires positive integers")
+    bl = _bit_lengths(v)
+    lengths = 2 * bl - 1
+
+    def emit(j, starts):
+        sel = np.flatnonzero(lengths > j)
+        insel = sel[j >= (bl[sel] - 1)]  # value-bit region
+        shift = (2 * bl[insel] - 2 - j).astype(np.uint64)
+        return starts[insel] + j, ((v[insel] >> shift) & np.uint64(1))
+
+    return header + _pack_codes(lengths, emit)
+
+
+def elias_gamma_decode(buf: bytes) -> np.ndarray:
+    n = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
+    out = np.empty(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf[4:], dtype=np.uint8))
+    pos = 0
+    for i in range(n):
+        z = pos
+        while bits[z] == 0:
+            z += 1
+        width = z - pos + 1  # L
+        val = 0
+        for b in bits[z:z + width]:
+            val = (val << 1) | int(b)
+        out[i] = val
+        pos = z + width
+    return out
+
+
+def elias_delta_encode(values: np.ndarray | list[int]) -> bytes:
+    """Elias delta: gamma(L) then the value's L-1 low bits (MSB
+    dropped)."""
+    v = np.asarray(values, dtype=np.uint64)
+    header = np.uint32(v.size).tobytes()
+    if v.size == 0:
+        return header
+    if (v == 0).any():
+        raise ValueError("Elias delta requires positive integers")
+    bl = _bit_lengths(v)                 # L
+    bll = _bit_lengths(bl.astype(np.uint64))  # bitlen(L)
+    glen = 2 * bll - 1                   # gamma(L) bits
+    lengths = glen + bl - 1
+
+    def emit(j, starts):
+        sel = np.flatnonzero(lengths > j)
+        # gamma(L) value-bit region: slots [bll-1, 2*bll-2]
+        g = sel[(j >= bll[sel] - 1) & (j < glen[sel])]
+        gshift = (2 * bll[g] - 2 - j).astype(np.uint64)
+        gpos = starts[g] + j
+        gbits = (bl[g].astype(np.uint64) >> gshift) & np.uint64(1)
+        # payload region: slots [glen, glen + L - 2] -> v bits L-2..0
+        p = sel[j >= glen[sel]]
+        pshift = (bl[p] - 2 - (j - glen[p])).astype(np.uint64)
+        ppos = starts[p] + j
+        pbits = (v[p] >> pshift) & np.uint64(1)
+        return np.concatenate((gpos, ppos)), np.concatenate((gbits, pbits))
+
+    return header + _pack_codes(lengths, emit)
+
+
+def elias_delta_decode(buf: bytes) -> np.ndarray:
+    n = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
+    out = np.empty(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf[4:], dtype=np.uint8))
+    pos = 0
+    for i in range(n):
+        z = pos
+        while bits[z] == 0:
+            z += 1
+        wl = z - pos + 1                 # bitlen(L)
+        width = 0
+        for b in bits[z:z + wl]:         # decode L (gamma payload)
+            width = (width << 1) | int(b)
+        pos = z + wl
+        val = 1                          # implicit MSB
+        for b in bits[pos:pos + width - 1]:
+            val = (val << 1) | int(b)
+        out[i] = val
+        pos += width - 1
+    return out
+
+
+def elias_size_bits(values: np.ndarray | list[int]) -> tuple[int, int]:
+    """Analytic (gamma_bits, delta_bits) for a positive-int stream —
+    the codec comparison without materializing the encodings."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return 0, 0
+    bl = _bit_lengths(v)
+    bll = _bit_lengths(bl.astype(np.uint64))
+    return int((2 * bl - 1).sum()), int((2 * bll - 1 + bl - 1).sum())

@@ -106,3 +106,67 @@ class TestBlockSkyline:
                           for sb, st_, sd in zip(sky_idx, sky_tf, sky_dl)
                           if sb == bi)
             assert covered, (i, t, d)
+
+
+class TestEliasCodes:
+    """C2/C3 parity codecs (gamma/delta, codec.py) — round-trip +
+    known bit patterns + analytic size identity."""
+
+    def test_known_bits(self):
+        from ir_spark.codec import elias_delta_encode, elias_gamma_encode
+
+        assert elias_gamma_encode([1])[4:] == bytes([0b10000000])
+        assert elias_gamma_encode([4])[4:] == bytes([0b00100000])
+        # delta(4): gamma(L=3)='011' + payload '00'
+        assert elias_delta_encode([4])[4:] == bytes([0b01100000])
+
+    def test_empty(self):
+        from ir_spark.codec import (
+            elias_delta_decode,
+            elias_delta_encode,
+            elias_gamma_decode,
+            elias_gamma_encode,
+        )
+
+        assert elias_gamma_decode(elias_gamma_encode([])).size == 0
+        assert elias_delta_decode(elias_delta_encode([])).size == 0
+
+    def test_rejects_zero(self):
+        from ir_spark.codec import elias_delta_encode, elias_gamma_encode
+
+        with pytest.raises(ValueError):
+            elias_gamma_encode([0])
+        with pytest.raises(ValueError):
+            elias_delta_encode([3, 0])
+
+    @given(st.lists(st.integers(min_value=1, max_value=2**50), max_size=300))
+    @settings(max_examples=100, deadline=None)
+    def test_roundtrip(self, values):
+        from ir_spark.codec import (
+            elias_delta_decode,
+            elias_delta_encode,
+            elias_gamma_decode,
+            elias_gamma_encode,
+        )
+
+        assert elias_gamma_decode(
+            elias_gamma_encode(values)).tolist() == values
+        assert elias_delta_decode(
+            elias_delta_encode(values)).tolist() == values
+
+    @given(st.lists(st.integers(min_value=1, max_value=2**50), min_size=1,
+                    max_size=300))
+    @settings(max_examples=100, deadline=None)
+    def test_size_identity(self, values):
+        from ir_spark.codec import (
+            elias_delta_encode,
+            elias_gamma_encode,
+            elias_size_bits,
+        )
+
+        gb, db = elias_size_bits(values)
+        assert gb == sum(2 * v.bit_length() - 1 for v in values)
+        assert db == sum(2 * v.bit_length().bit_length() - 1
+                         + v.bit_length() - 1 for v in values)
+        assert len(elias_gamma_encode(values)) == 4 + (gb + 7) // 8
+        assert len(elias_delta_encode(values)) == 4 + (db + 7) // 8
