@@ -813,10 +813,12 @@ def _merged_index_dir(spark: SparkSession, sf_dir: str) -> str:
         base = tempfile.mkdtemp(prefix="ir_spark_gate_merge_")
         half_a = docs.filter(F.col("doc_id") < n // 2).select("url", "text")
         half_b = docs.filter(F.col("doc_id") >= n // 2).select("url", "text")
+        # one segment group per half: gate-sized builds don't need the
+        # 4-group resume granularity, and it halves the gate's job count
         build_segment_index(spark, half_a, os.path.join(base, "a"),
-                            source=sf_dir + ":a")
+                            source=sf_dir + ":a", segment_groups=1)
         build_segment_index(spark, half_b, os.path.join(base, "b"),
-                            source=sf_dir + ":b")
+                            source=sf_dir + ":b", segment_groups=1)
         merged = os.path.join(base, "merged")
         merge_indexes(spark, [os.path.join(base, "a"),
                               os.path.join(base, "b")], merged)
