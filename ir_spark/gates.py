@@ -962,6 +962,27 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
 """
 
 
+def q_qld_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet QLD over the COMPRESSED segment index
+    (segment_query.search_segments mode='qld') — same oracle as the
+    DataFrame-engine qld_topk gate, proving both backends score the
+    LM identically."""
+    from .operators.segment_query import SegmentIndex, search_segments
+
+    sidx = SegmentIndex.load(spark, _seg_index_dir(spark, sf_dir))
+    raw = search_segments(spark, sidx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                          mode="qld", mu=QLD_MU)
+    doc_map = spark.read.parquet(
+        os.path.join(_seg_index_dir(spark, sf_dir), "doc_map"))
+    orig = doc_map.select(
+        F.col("doc_id").alias("internal_id"),
+        F.substring("url", 7, 12).cast("long").alias("orig_id"))
+    mapped = raw.withColumnRenamed("doc_id", "internal_id").join(
+        F.broadcast(orig), "internal_id").select(
+        F.col("orig_id").alias("doc_id"), "score")
+    return _rerank_quantized(mapped, K_FLAGSHIP)
+
+
 RM3_N_FB, RM3_N_EXP, RM3_ALPHA = 10, 5, 0.6
 
 
@@ -1141,6 +1162,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_topk": q_rm3_topk,
         "qld_topk": q_qld_topk,
         "keywords_tfidf": q_keywords_tfidf,
+        "qld_segment_topk": q_qld_segment_topk,
         "snippet_extract": q_snippet_extract,
         "merged_bm25_topk": q_merged_bm25_topk,
         "eval_metrics": q_eval_metrics,
@@ -1173,6 +1195,7 @@ def core_oracle_sql() -> dict[str, str]:
         "rm3_topk": sql_rm3_topk(),
         "qld_topk": sql_qld_topk(),
         "keywords_tfidf": sql_keywords_tfidf(),
+        "qld_segment_topk": sql_qld_topk(),
         "snippet_extract": sql_snippet_extract(),
         "merged_bm25_topk": sql_bm25_topk(),
         "eval_metrics": sql_eval_metrics(),

@@ -136,6 +136,25 @@ class SegmentIndex:
         )
         return {r["term"]: int(r["df"]) for r in rows}
 
+    def cf_of(self, terms: list[str]) -> dict[str, int]:
+        """Collection frequencies for a small term set (delta-row sum,
+        same contract as df_of); terms with no postings are absent."""
+        rows = (
+            self.dictionary.filter(F.col("term").isin(terms))
+            .groupBy("term").agg(F.sum("cf").alias("cf")).collect()
+        )
+        return {r["term"]: int(r["cf"]) for r in rows if r["cf"]}
+
+    def cf_total(self) -> int:
+        """Total collection token count over indexed terms (the LM
+        denominator) — one dictionary sweep, cached."""
+        if self._dfs is None:
+            object.__setattr__(self, "_dfs", {})
+        if "cf_total" not in self._dfs:
+            self._dfs["cf_total"] = int(
+                self.dictionary.agg(F.sum("cf")).collect()[0][0] or 0)
+        return self._dfs["cf_total"]
+
 
 # --- numpy weight kernels (must match oracle.py bit-for-bit) -----------------
 
@@ -204,6 +223,49 @@ def _make_run_kernel(weights: dict[str, float], dfs: dict[str, int], *,
         doc_ids = idx + base
         if top_k and idx.size > top_k:
             # exact top-k with (score desc, doc_id asc) tie-break
+            order = np.lexsort((doc_ids, -scores))[:top_k]
+            doc_ids, scores = doc_ids[order], scores[order]
+        return pd.DataFrame({"doc_id": doc_ids.astype(np.int64),
+                             "score": scores})
+
+    return kernel
+
+
+def _make_qld_run_kernel(qcf: dict[str, tuple[float, float]], *,
+                         c_total: float, mu: float, const: float,
+                         q_len: float, range_width: int, top_k: int):
+    """applyInPandas kernel for Dirichlet query-likelihood over one
+    doc-range run (query.py::search_qld's decomposition, numpy form):
+    accumulate qtf*ln(1 + tf*C/(mu*cf)) per matched posting, then add
+    the driver-side constant and the doc-length penalty for candidate
+    docs.  ``qcf`` maps term -> (qtf, cf) for surviving query terms."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        run = int(pdf["run"].iloc[0])
+        base = run * range_width
+        acc = np.zeros(range_width, dtype=np.float64)
+        dl_arr = np.zeros(range_width, dtype=np.int64)
+        touched = np.zeros(range_width, dtype=bool)
+        for row in pdf.itertuples(index=False):
+            tw = qcf.get(row.term)
+            if tw is None:
+                continue
+            qtf, cf = tw
+            ids = codec.delta_decode(row.doc_gaps_vb)
+            tfs = codec.varbyte_decode(row.tfs_vb).astype(np.float64)
+            dls = codec.varbyte_decode(row.doc_lens_vb).astype(np.int64)
+            off = ids - base
+            acc[off] += qtf * np.log1p(tfs * c_total / (mu * cf))
+            dl_arr[off] = dls
+            touched[off] = True
+        idx = np.flatnonzero(touched)
+        if idx.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"})
+        scores = (const + acc[idx]
+                  - q_len * np.log(dl_arr[idx].astype(np.float64) + mu))
+        doc_ids = idx + base
+        if top_k and idx.size > top_k:
             order = np.lexsort((doc_ids, -scores))[:top_k]
             doc_ids, scores = doc_ids[order], scores[order]
         return pd.DataFrame({"doc_id": doc_ids.astype(np.int64),
@@ -481,17 +543,43 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
                     k: int = 5, mode: str = "bm25", k1: float = 1.2,
                     b: float = 0.75, stem: bool = False,
                     strategy: str = "exhaustive",
+                    mu: float = 1000.0,
                     prune_counters: dict | None = None) -> DataFrame:
     """Top-k over the compressed index; result schema (doc_id, score),
     ordered, rank-identical to the DataFrame engine and the oracle.
+    ``mode='qld'`` scores Dirichlet query-likelihood (``mu``) — same
+    pruned scan + one run-keyed Python pass as bm25 exhaustive.
 
     ``prune_counters``: optional ``{"runs_seen": acc, "runs_pruned":
     acc}`` Spark accumulators, incremented by the wand kernel (tests /
     diagnostics only)."""
+    import math as _math
+
     bag = parse_query(query, stem=stem)
     if not bag:
         return spark.createDataFrame([], SCORE_SCHEMA)
     terms = sorted(bag)
+
+    if mode == "qld":
+        cfs = sidx.cf_of(terms)
+        qterms = sorted(t for t in bag if t in cfs)
+        if not qterms:
+            return spark.createDataFrame([], SCORE_SCHEMA)
+        c_total = float(sidx.cf_total())
+        const = sum(bag[t] * _math.log(mu * cfs[t] / c_total)
+                    for t in qterms)
+        q_len = float(sum(bag[t] for t in qterms))
+        buckets = sorted({storage.term_bucket_py(t, sidx.n_buckets)
+                          for t in qterms})
+        hits = sidx.segments.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(qterms))
+        kernel = _make_qld_run_kernel(
+            {t: (float(bag[t]), float(cfs[t])) for t in qterms},
+            c_total=c_total, mu=mu, const=const, q_len=q_len,
+            range_width=sidx.range_width, top_k=k)
+        scored = hits.groupBy("run").applyInPandas(kernel, SCORE_SCHEMA)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     dfs = sidx.df_of(terms)
     weights, q_norm = compute_query_weights(bag, dfs, sidx.n_docs, mode)
 

@@ -210,3 +210,33 @@ def test_bigram_nll_hand_computed(spark):
     assert abs(out[1]["nll_micro"] - round(nll1 * 1e6)) <= 1
     assert out[0]["keep"] == int(nll0 <= 1.0)
     assert out[1]["keep"] == int(nll1 <= 1.0)
+
+
+def test_qld_segment_engine_matches_dataframe(spark, pages_small,
+                                              tmp_path_factory):
+    """Compressed-index QLD (segment kernel) == DataFrame-engine QLD
+    value-for-value, including unseen-term and stopword-heavy queries."""
+    from ir_spark.operators.build import assign_doc_ids, build_dataframe_index
+    from ir_spark.operators.segment_query import SegmentIndex, search_segments
+    from ir_spark.operators.segments import build_segment_index
+
+    path, _ = pages_small
+    raw = spark.read.parquet(path)
+    d = str(tmp_path_factory.mktemp("qldseg") / "idx")
+    build_segment_index(spark, raw, d, source="qld", segment_groups=1)
+    sidx = SegmentIndex.load(spark, d)
+    doc_map = {r["doc_id"]: r["url"] for r in
+               spark.read.parquet(d + "/doc_map").collect()}
+
+    ids = assign_doc_ids(raw)
+    df = raw.join(ids, "url").select("doc_id", "text")
+    dfi = build_dataframe_index(df)
+    df_map = {r["doc_id"]: r["url"] for r in ids.collect()}
+
+    for q in QUERIES:
+        seg = [(doc_map[r["doc_id"]], round(r["score"] * 1e6)) for r in
+               search_segments(spark, sidx, q, k=K, mode="qld",
+                               mu=MU).collect()]
+        dfr = [(df_map[r["doc_id"]], round(r["score"] * 1e6)) for r in
+               search_qld(spark, dfi, q, k=K, mu=MU).collect()]
+        assert seg == dfr, q
