@@ -2,10 +2,15 @@
 
 ``entry(spark)`` runs the flagship BM25 top-k on sf0.001;
 ``queries()``/``oracle_sql()`` expose one gate per implemented operator
-family from SURVEY.md §2 (engine code on the Spark side, ANSI SQL for
-the DuckDB oracle).  Gate implementations live in ir_spark/gates.py
-(core IR) and ir_spark/gates_analytics.py (dedup / similarity / text
-analytics / ANN).
+family from SURVEY.md §2 plus the training-pipeline and retrieval-model
+extensions (engine code on the Spark side, ANSI SQL for the DuckDB
+oracle) — 61 gates, every one with a full value oracle.  Gate
+implementations live in ir_spark/gates.py (core IR: index build,
+scoring modes incl. Dirichlet QLD on both engines, segments, merge,
+positional/boolean/lexicon/RM3, batch + eval), ir_spark/
+gates_analytics.py (dedup incl. connected components, ANN, text
+analytics, corpus curation, packing, codec-adjacent profiling) and
+ir_spark/gates_streaming.py (windows, sessions, incremental index).
 """
 
 from __future__ import annotations
