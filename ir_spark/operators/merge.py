@@ -165,7 +165,10 @@ def merge_indexes(spark: SparkSession, src_dirs: list[str],
     shifted = None
     n_runs_in = 0
     for p, o in zip(paths, offsets):
-        seg = spark.read.parquet(p["segments"])
+        # drop the source tree's grp partition column (streamed indexes
+        # have one per appended batch) — the merged tree is a single
+        # fresh grp=0 and must not re-embed stale grp values in files
+        seg = spark.read.parquet(p["segments"]).drop("grp")
         s = _shifted_segments(seg, o, range_width)
         shifted = s if shifted is None else shifted.unionByName(s)
     seg_all = shifted.repartition(n_buckets, "bucket")
