@@ -104,3 +104,39 @@ def test_merge_rejects_mismatched_layout(spark, merged, tmp_path):
     dirs, _ = merged
     with pytest.raises(ValueError):
         merge_indexes(spark, [dirs["a"]], str(tmp_path / "x"))
+
+
+def test_merge_streamed_with_batch_index(spark, pages_small,
+                                         tmp_path_factory):
+    """A STREAMED source (two appended batches -> multi-grp segment
+    tree, dictionary delta rows) merges with a batch-built source;
+    result is query-identical to one full build over the union."""
+    from pyspark.sql import functions as F
+
+    from ir_spark.streaming.incremental import update_segment_index
+
+    path, _ = pages_small
+    raw = spark.read.parquet(path)
+    ids = assign_doc_ids(raw)
+    n = ids.count()
+    third = n // 3
+    base = tmp_path_factory.mktemp("merge_stream")
+    dirs = {k: str(base / k) for k in ("streamed", "batch", "full", "m")}
+
+    u1 = ids.filter(F.col("doc_id") <= third).select("url")
+    u2 = ids.filter((F.col("doc_id") > third)
+                    & (F.col("doc_id") <= 2 * third)).select("url")
+    u3 = ids.filter(F.col("doc_id") > 2 * third).select("url")
+    update_segment_index(spark, raw.join(u1, "url"), dirs["streamed"],
+                         batch_tag="b0")
+    update_segment_index(spark, raw.join(u1.unionByName(u2), "url"),
+                         dirs["streamed"], batch_tag="b1")
+    build_segment_index(spark, raw.join(u3, "url"), dirs["batch"],
+                        source="b", segment_groups=1)
+    build_segment_index(spark, raw, dirs["full"], source="f",
+                        segment_groups=1)
+    merge_indexes(spark, [dirs["streamed"], dirs["batch"]], dirs["m"])
+
+    for q in QUERIES:
+        assert (_results_by_url(spark, dirs["m"], q, "bm25")
+                == _results_by_url(spark, dirs["full"], q, "bm25"))
