@@ -783,6 +783,31 @@ HAVING MIN(ABS(a.pos - b.pos)) <= {PROX_WINDOW}
 """
 
 
+SLOP = 4
+
+
+def q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sloppy phrase ("a ... b" within SLOP tokens) over the
+    compressed positional store
+    (operators/positions.py::sloppy_phrase_search)."""
+    from .operators.positions import read_positional_store, sloppy_phrase_search
+
+    rel = read_positional_store(spark, _pos_store_dir(spark, sf_dir),
+                                [PROX_A, PROX_B])
+    return sloppy_phrase_search(rel, PROX_A, PROX_B, SLOP)
+
+
+def sql_sloppy_phrase() -> str:
+    return f"""
+WITH {SEQ_CTE}
+SELECT a.doc_id, CAST(MIN(b.pos - a.pos) AS INT) AS min_gap
+FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.pos > a.pos
+WHERE a.term = '{PROX_A}' AND b.term = '{PROX_B}'
+GROUP BY a.doc_id
+HAVING MIN(b.pos - a.pos) <= {SLOP + 1}
+"""
+
+
 # --- boolean retrieval + lexicon helpers (beyond-reference surface) ----------
 
 BOOL_MUST = ["hash", "join"]
@@ -959,6 +984,32 @@ hits AS (
 SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
 FROM hits GROUP BY doc_id
 ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang facet counts of the flagship query's candidate set
+    (operators/boolean.py::facet_counts)."""
+    from .operators.boolean import facet_counts
+
+    idx = _df_index(spark, sf_dir)
+    terms = sorted(
+        t for t in set(tokenize(FLAGSHIP_QUERY)) if t not in STOPWORDS)
+    facets = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id", "lang")
+    return facet_counts(idx.postings, terms, facets, "lang")
+
+
+def sql_facet_counts() -> str:
+    terms = sorted(
+        t for t in set(tokenize(FLAGSHIP_QUERY)) if t not in STOPWORDS)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {TOKS_CTE},
+cand AS (SELECT DISTINCT doc_id FROM postings WHERE term IN ({in_list}))
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM cand c JOIN documents d USING (doc_id)
+GROUP BY d.lang
 """
 
 
@@ -1159,10 +1210,12 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positional_postings": q_positional_postings,
         "phrase_match": q_phrase_match,
         "proximity_match": q_proximity_match,
+        "sloppy_phrase": q_sloppy_phrase,
         "rm3_topk": q_rm3_topk,
         "qld_topk": q_qld_topk,
         "keywords_tfidf": q_keywords_tfidf,
         "qld_segment_topk": q_qld_segment_topk,
+        "facet_counts": q_facet_counts,
         "snippet_extract": q_snippet_extract,
         "merged_bm25_topk": q_merged_bm25_topk,
         "eval_metrics": q_eval_metrics,
@@ -1192,10 +1245,12 @@ def core_oracle_sql() -> dict[str, str]:
         "positional_postings": sql_positional_postings(),
         "phrase_match": sql_phrase_match(),
         "proximity_match": sql_proximity_match(),
+        "sloppy_phrase": sql_sloppy_phrase(),
         "rm3_topk": sql_rm3_topk(),
         "qld_topk": sql_qld_topk(),
         "keywords_tfidf": sql_keywords_tfidf(),
         "qld_segment_topk": sql_qld_topk(),
+        "facet_counts": sql_facet_counts(),
         "snippet_extract": sql_snippet_extract(),
         "merged_bm25_topk": sql_bm25_topk(),
         "eval_metrics": sql_eval_metrics(),

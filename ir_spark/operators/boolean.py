@@ -68,3 +68,24 @@ def boolean_search(postings: DataFrame,
         cond = cond & (F.col("n_should") >= min_should)
     return grouped.filter(cond).select(
         "doc_id", F.col("n_should").cast("int").alias("n_should"))
+
+
+def facet_counts(postings, terms: list[str], facets,
+                 facet_col: str) -> "DataFrame":
+    """Search-results faceting: per-facet-value counts of the
+    OR-semantics candidate set (docs matching >= 1 query term) — the
+    sidebar counts a search front-end renders next to the top-k.
+
+    ``facets`` is a (doc_id, <facet_col>) dimension table.  Plan:
+    distinct candidate doc_ids from the term-pruned postings (one
+    semi-ish aggregation), then one join + count per facet value.  The
+    candidate relation is far smaller than the index; the join keys on
+    doc_id and the final agg is facet-cardinality-sized.
+    """
+    from pyspark.sql import functions as F
+
+    cands = (postings.filter(F.col("term").isin(list(terms)))
+             .select("doc_id").distinct())
+    return (cands.join(facets, "doc_id")
+            .groupBy(facet_col)
+            .agg(F.count("*").cast("long").alias("n_docs")))

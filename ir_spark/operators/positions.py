@@ -271,3 +271,28 @@ def phrase_search_store(spark: SparkSession, store_dir: str,
     """phrase_search over the compressed bucketed store."""
     rel = read_positional_store(spark, store_dir, terms, n_buckets)
     return phrase_search(rel, terms)
+
+
+def sloppy_phrase_search(positions: DataFrame, term_a: str, term_b: str,
+                         slop: int) -> DataFrame:
+    """ORDERED sloppy phrase ("a ... b" with at most ``slop`` tokens
+    between, Lucene slop semantics for a two-term phrase) ->
+    (doc_id, min_gap) where min over pairs of (pos_b - pos_a) in
+    [1, slop + 1].
+
+    Same candidate assembly and scan shape as ``proximity_search``
+    (which is UNordered |pos_a - pos_b|); the ordered constraint keeps
+    only positive gaps.  JVM-side pairwise transform over the per-doc
+    position arrays (bounded by doc_len), gaps > slop + 1 filtered
+    before the min."""
+    if term_a == term_b:
+        raise ValueError("sloppy-phrase terms must differ")
+    grouped = _phrase_candidates(positions, [term_a, term_b])
+    gaps = F.filter(
+        F.flatten(F.transform(
+            F.col("m")[term_a],
+            lambda a: F.transform(F.col("m")[term_b], lambda b: b - a))),
+        lambda g: g > 0)
+    out = grouped.select(
+        "doc_id", F.array_min(gaps).cast("int").alias("min_gap"))
+    return out.filter(F.col("min_gap") <= slop + 1)

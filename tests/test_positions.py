@@ -171,3 +171,31 @@ def test_store_scan_prunes_buckets(spark, docs, tmp_path):
 
     m = re.search(r"partition filters: \[[^\]]*bucket", plan, re.I)
     assert m or "PartitionFilters" in plan, plan[:2000]
+
+
+def test_sloppy_phrase_matches_brute_force(docs):
+    from collections import Counter
+
+    from ir_spark.operators.positions import sloppy_phrase_search
+
+    df, texts = docs
+    pos = _py_positions(texts)
+    term_df = Counter(t for (_, t) in pos)
+    a, b = [t for t, _ in term_df.most_common(6)][4:6]
+    slop = 3
+    want = {}
+    for doc_id in {d for (d, t) in pos if t == a}:
+        if (doc_id, b) not in pos:
+            continue
+        gaps = [pb - pa
+                for pa in pos[(doc_id, a)]
+                for pb in pos[(doc_id, b)] if pb > pa]
+        if gaps and min(gaps) <= slop + 1:
+            want[doc_id] = min(gaps)
+    rel = token_positions(df)
+    got = {r["doc_id"]: r["min_gap"]
+           for r in sloppy_phrase_search(rel, a, b, slop).collect()}
+    assert got == want
+    # ordered: b-before-a-only docs must NOT match (directional check)
+    rev = {r["doc_id"] for r in sloppy_phrase_search(rel, b, a, slop).collect()}
+    assert rev != set(got) or not got
