@@ -4,7 +4,7 @@
 ``queries()``/``oracle_sql()`` expose one gate per implemented operator
 family from SURVEY.md §2 plus the training-pipeline and retrieval-model
 extensions (engine code on the Spark side, ANSI SQL for the DuckDB
-oracle) — 61 gates, every one with a full value oracle.  Gate
+oracle) — every gate carries a full value oracle.  Gate
 implementations live in ir_spark/gates.py (core IR: index build,
 scoring modes incl. Dirichlet QLD on both engines, segments, merge,
 positional/boolean/lexicon/RM3, batch + eval), ir_spark/

@@ -66,10 +66,11 @@ def main() -> None:
     )
     index_dir = tempfile.mkdtemp(prefix="ir_spark_bench_idx_")
     t0 = time.time()
+    bench_range_width = 1 << 9  # ~10 runs at sf0.1: exercises multi-run DAAT
     build_segment_index(
         spark, pages, index_dir,
         source=f"{sf_dir}/documents.parquet",
-        range_width=1 << 9,  # ~10 runs at sf0.1: exercises multi-run DAAT
+        range_width=bench_range_width,
     )
     build_sec = time.time() - t0
     queries["segment_index_build"] = round(build_sec, 4)
@@ -94,8 +95,8 @@ def main() -> None:
     from pyspark.sql import Window as _W
 
     flat = spark.read.parquet(os.path.join(index_dir, "postings"))
-    rw = 1 << 9
-    gw = _W.partitionBy("term", F.floor(F.col("doc_id") / rw)).orderBy(
+    gw = _W.partitionBy(
+        "term", F.floor(F.col("doc_id") / bench_range_width)).orderBy(
         "doc_id")
     gaps = flat.select(
         F.coalesce(F.col("doc_id") - F.lag("doc_id").over(gw),

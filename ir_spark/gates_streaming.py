@@ -163,18 +163,17 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .gates import FLAGSHIP_QUERY, K_FLAGSHIP
     from .operators.segment_query import SegmentIndex, search_segments
 
+    from .gates import _to_original_ids
+
     index_dir = _stream_index_dir(spark, sf_dir)
     sidx = SegmentIndex.load(spark, index_dir)
     # over-fetch then re-rank on quantized score (same determinism
     # contract as the batch bm25 gate)
     raw = search_segments(spark, sidx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
                           mode="bm25", strategy="exhaustive")
-    doc_map = spark.read.parquet(os.path.join(index_dir, "doc_map"))
-    orig = doc_map.select(
-        F.substring("url", 7, 12).cast("long").alias("orig_doc_id"), "doc_id")
     return (
-        raw.join(orig, "doc_id")
-        .select(F.col("orig_doc_id").alias("doc_id"),
+        _to_original_ids(spark, index_dir, raw)
+        .select("doc_id",
                 F.round(F.col("score") * 1e6).cast("long").alias("score_micro"))
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(K_FLAGSHIP)

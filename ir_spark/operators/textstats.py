@@ -218,16 +218,19 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Returns (doc_id, n_emails, n_phones, n_ips, scrubbed).
     """
     t = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
-            PII_IP, "<IP>"),
-        PII_PHONE, "<PHONE>")
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IP, "<IP>")
+    scrubbed = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    # each count runs on the text the corresponding replace actually
+    # saw, so counts == redactions performed (a substring consumed by
+    # the email pass is not double-counted as an IP or phone)
     return docs.select(
         "doc_id",
         F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
-        F.regexp_count(t, F.lit(PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE)).cast("long")
+        .alias("n_phones"),
+        F.regexp_count(after_email, F.lit(PII_IP)).cast("long")
+        .alias("n_ips"),
         scrubbed.alias("scrubbed"),
     )
 

@@ -240,3 +240,15 @@ def test_qld_segment_engine_matches_dataframe(spark, pages_small,
         dfr = [(df_map[r["doc_id"]], round(r["score"] * 1e6)) for r in
                search_qld(spark, dfi, q, k=K, mu=MU).collect()]
         assert seg == dfr, q
+
+
+def test_pii_scrub_counts_match_redactions(spark):
+    """Counts reflect what was actually redacted: a PII-shaped
+    substring consumed by the email pass is not double-counted."""
+    from ir_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(0, "bob@10.2.3.4.example.com end")], "doc_id long, text string")
+    r = pii_scrub(docs).collect()[0]
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 0, 0)
+    assert r["scrubbed"] == "<EMAIL> end"
