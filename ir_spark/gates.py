@@ -1153,6 +1153,46 @@ def q_prefix_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_terms(idx.dictionary, PREFIX, k=PREFIX_K)
 
 
+def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-index fuzzy lookup (operators/lexicon.py::fuzzy_terms)
+    for the same misspelling as spell_suggest — the scale path (edit
+    distance only on trigram-blocked candidates); the oracle
+    brute-forces the same candidate rule + verify over the
+    vocabulary."""
+    from .operators.lexicon import fuzzy_terms
+
+    idx = _df_index(spark, sf_dir)
+    return fuzzy_terms(idx.dictionary, SPELL_TERM, k=SPELL_K,
+                       max_dist=SPELL_DIST)
+
+
+def sql_fuzzy_terms(min_shared: int = 2) -> str:
+    p = f"${SPELL_TERM}$"
+    qgrams = sorted({p[i:i + 3] for i in range(len(p) - 2)})
+    vals = ", ".join(f"('{g}')" for g in qgrams)
+    return f"""
+WITH {TOKS_CTE},
+tri AS (
+  SELECT term, df,
+         unnest(list_distinct(list_transform(
+           range(1, length(term) + 1),
+           i -> substr('$' || term || '$', i, 3)))) AS trigram
+  FROM dict
+),
+qg AS (SELECT * FROM (VALUES {vals}) AS q(g)),
+cand AS (
+  SELECT t.term, t.df, COUNT(*) AS shared
+  FROM tri t JOIN qg ON qg.g = t.trigram
+  GROUP BY t.term, t.df
+  HAVING COUNT(*) >= {min_shared}
+)
+SELECT term, CAST(levenshtein(term, '{SPELL_TERM}') AS INT) AS dist, df
+FROM cand
+WHERE levenshtein(term, '{SPELL_TERM}') <= {SPELL_DIST}
+ORDER BY dist ASC, df DESC, term ASC LIMIT {SPELL_K}
+"""
+
+
 def sql_prefix_terms() -> str:
     return f"""
 WITH {TOKS_CTE}
@@ -1221,6 +1261,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": q_spell_suggest,
         "prefix_terms": q_prefix_terms,
         "wildcard_terms": q_wildcard_terms,
+        "fuzzy_terms": q_fuzzy_terms,
     }
 
 
@@ -1256,4 +1297,5 @@ def core_oracle_sql() -> dict[str, str]:
         "spell_suggest": sql_spell_suggest(),
         "prefix_terms": sql_prefix_terms(),
         "wildcard_terms": sql_wildcard_terms(),
+        "fuzzy_terms": sql_fuzzy_terms(),
     }

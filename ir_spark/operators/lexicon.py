@@ -112,3 +112,50 @@ def wildcard_terms(dictionary: DataFrame, pattern: str,
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(k)
     )
+
+
+def trigram_index(dictionary: DataFrame) -> DataFrame:
+    """(term, df) -> (trigram, term, df): distinct boundary-padded
+    character trigrams ('$term$') per dictionary term — the inverted
+    character index that makes fuzzy lookup a candidate JOIN instead
+    of a full-vocabulary edit-distance scan (suggest_terms' shape).
+    O(total dictionary characters) rows; materialize sorted by trigram
+    at scale, same layout argument as permuterm_rotations."""
+    grams = F.array_distinct(F.expr(
+        "transform(sequence(1, length(term)), "
+        "i -> substr(concat('$', term, '$'), i, 3))"))
+    return (dictionary
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.explode(grams).alias("trigram"))
+            .select("trigram", "term", "df"))
+
+
+def fuzzy_terms(dictionary: DataFrame, query_term: str, k: int = 5,
+                max_dist: int = 2, min_shared: int = 2) -> DataFrame:
+    """Trigram-blocked "did you mean": candidates = dictionary terms
+    sharing >= ``min_shared`` padded trigrams with the query, verified
+    by levenshtein <= ``max_dist``; rank (dist asc, df desc, term asc)
+    -> (term, dist, df).
+
+    Same contract as ``suggest_terms`` but the candidate set comes
+    from a trigram-index join (vocabulary-local, pushdown-able) rather
+    than scanning every length-banded term — at a 10^8-term web
+    vocabulary the edit-distance kernel runs on hundreds of candidates
+    instead of millions.
+    """
+    q = query_term.strip().lower()
+    if not q:
+        raise ValueError("empty query term")
+    p = f"${q}$"
+    qgrams = sorted({p[i:i + 3] for i in range(len(p) - 2)})
+    tri = trigram_index(dictionary)
+    cand = (tri.filter(F.col("trigram").isin(qgrams))
+            .groupBy("term", "df")
+            .agg(F.count("*").alias("shared"))
+            .filter(F.col("shared") >= min_shared))
+    return (cand
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+            .filter(F.col("dist") <= max_dist)
+            .select("term", F.col("dist").cast("int").alias("dist"), "df")
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(k))

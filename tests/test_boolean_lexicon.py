@@ -158,3 +158,23 @@ def test_wildcard_terms_permuterm(spark):
         wildcard_terms(d, "a*b*c")
     with _pytest.raises(ValueError):
         wildcard_terms(d, "noglob")
+
+
+def test_fuzzy_terms_trigram_blocking(spark):
+    """Trigram-blocked fuzzy lookup: candidates sharing >= 2 padded
+    trigrams with the query, verified by edit distance; subset of the
+    scan-everything suggest_terms result."""
+    from ir_spark.operators.lexicon import fuzzy_terms, suggest_terms
+
+    vocab = [("start", 9, 9), ("sort", 8, 8), ("smart", 7, 7),
+             ("sart", 3, 3), ("art", 5, 5), ("zzz", 1, 1)]
+    d = spark.createDataFrame(vocab, "term string, df long, cf long")
+    got = [(r["term"], r["dist"]) for r in
+           fuzzy_terms(d, "sart", k=10, max_dist=2).collect()]
+    # exact match first; every hit shares >= 2 trigrams of '$sart$'
+    assert got[0] == ("sart", 0)
+    assert ("zzz", 3) not in got
+    full = {r["term"] for r in
+            suggest_terms(d, "sart", k=10, max_dist=2).collect()}
+    assert {t for t, _ in got} <= full
+    assert {"sart", "start", "art"} <= {t for t, _ in got}
