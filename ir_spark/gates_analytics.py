@@ -1120,6 +1120,91 @@ FROM stages2
 """
 
 
+DUP_SPAN_N = 8       # word n-gram width for exact-substring coverage
+HOST_CAP = 10        # max docs kept per source/host
+
+
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate-span coverage (exact-substring dedup signal,
+    operators/dedup.py::duplicate_span_coverage) over the near-dup
+    derived corpus (every 7th doc gets a drop-first-word variant, so
+    long shared spans exist on both engine and oracle sides)."""
+    return D.duplicate_span_coverage(
+        _with_near_dups(_docs(spark, sf_dir)), n=DUP_SPAN_N)
+
+
+def sql_dup_span_coverage(n: int = DUP_SPAN_N) -> str:
+    return f"""
+WITH {_SQL_NEAR_CORPUS.strip()},
+words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '),
+                             t -> length(t) > 0) AS w
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id, s.pos AS pos, s.g AS g
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - {n - 2}),
+                  i -> struct_pack(pos := i,
+                       g := md5(array_to_string(w[i:i+{n - 1}], ' '))))) AS s
+    FROM words WHERE len(w) >= {n})
+),
+dup AS (
+  SELECT g FROM (
+    SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+  WHERE nd >= 2
+),
+dp AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+cov AS (
+  SELECT doc_id,
+         LEAST({n}, pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos))
+           AS add0
+  FROM dp
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_positions,
+         CAST(SUM(COALESCE(add0, {n})) AS BIGINT) AS covered_tokens
+  FROM cov GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(GREATEST(len(w) - {n - 1}, 0) AS BIGINT) AS n_grams
+  FROM words
+)
+SELECT t.doc_id, t.n_tokens, t.n_grams,
+       CAST(COALESCE(a.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+       CAST(COALESCE(a.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CAST(CASE WHEN t.n_tokens > 0 THEN
+            FLOOR(COALESCE(a.covered_tokens, 0) * 1000000.0 / t.n_tokens)
+            ELSE 0 END AS BIGINT) AS dup_token_frac_micro
+FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
+def q_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quota sampling (operators/corpus.py::cap_per_source):
+    deterministic md5-ordered keep of at most HOST_CAP docs/source."""
+    from .operators.corpus import cap_per_source
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return cap_per_source(docs, cap=HOST_CAP)
+
+
+def sql_host_cap_sample(cap: int = HOST_CAP) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS host_rank
+  FROM documents
+)
+SELECT doc_id, source, host_rank FROM ranked WHERE host_rank <= {cap}
+"""
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pii_scrub": q_pii_scrub,
@@ -1128,6 +1213,8 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "token_quantiles": q_token_quantiles,
         "collocations_pmi": q_collocations_pmi,
+        "dup_span_coverage": q_dup_span_coverage,
+        "host_cap_sample": q_host_cap_sample,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -1161,6 +1248,8 @@ def analytics_oracle_sql() -> dict[str, str]:
         "lm_perplexity": sql_lm_perplexity(),
         "token_quantiles": sql_token_quantiles(),
         "collocations_pmi": sql_collocations_pmi(),
+        "dup_span_coverage": sql_dup_span_coverage(),
+        "host_cap_sample": sql_host_cap_sample(),
         "dedup_exact": sql_dedup_exact(),
         "minhash_bands": sql_minhash_bands(),
         "lsh_near_dup_pairs": sql_lsh_near_dup_pairs(),

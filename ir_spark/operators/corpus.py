@@ -174,6 +174,36 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     )
 
 
+def cap_per_source(docs: DataFrame, cap: int,
+                   source_col: str = "source") -> DataFrame:
+    """Per-host document capping (CCNet/RefinedWeb-style host quota):
+    keep at most ``cap`` docs per source/host, selected by a
+    DETERMINISTIC pseudo-random order (md5 sample key, doc_id
+    tie-break) so re-runs and audits reproduce the exact kept set and
+    no crawl-order bias leaks into the sample.
+
+    (doc_id, source, ...) -> kept (doc_id, source, host_rank).
+
+    Scale shape: one shuffle on source + a per-source window.  The
+    window only needs ranks up to ``cap``: at 100 TB, pre-filter the
+    giant hosts first (count per source, broadcast the over-cap host
+    list, window only those — the under-cap long tail, which is most
+    of the web, never enters the window) and let AQE split the
+    remaining skewed host partitions.
+    """
+    from pyspark.sql import Window
+
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+    return (
+        docs.select("doc_id", source_col)
+        .withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("host_rank") <= cap)
+    )
+
+
 def mix_report(docs: DataFrame) -> DataFrame:
     """Training-mix report: per-(lang) doc/token/char totals and the
     corpus share of each stratum.

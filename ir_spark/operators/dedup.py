@@ -239,6 +239,86 @@ def simhash32(tokens: DataFrame) -> DataFrame:
     return bitsums.select("doc_id", sim.alias("simhash"))
 
 
+def duplicate_span_coverage(docs: DataFrame, n: int = 8,
+                            min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicate-span coverage — the word-level form of
+    exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): for every doc, how
+    much of it is covered by word n-grams that also occur in at least
+    ``min_docs - 1`` OTHER documents.
+
+    (doc_id, text) -> (doc_id, n_tokens, n_grams, n_dup_positions,
+    covered_tokens, dup_token_frac_micro) where covered_tokens is the
+    size of the UNION of the length-n intervals [pos, pos+n) over all
+    duplicated gram positions (intervals merged exactly — equal-length
+    intervals union to sum(min(n, pos_i - pos_{i-1}))), and
+    dup_token_frac = covered_tokens / n_tokens.  Pipelines drop or
+    trim docs above a coverage threshold.
+
+    Scale shape (the suffix-array step of the paper re-expressed as
+    joins): positional grams are born from one narrow pass (split +
+    transform, no Python); grams travel the shuffle as 32-hex md5
+    keys, not text; duplicated grams come from distinct(gram, doc) ->
+    count>=min_docs (both stages partial-agg); the semi-join back is
+    keyed on the same md5 so AQE can broadcast the (usually small)
+    duplicated-gram set; interval union is a per-doc window over only
+    the duplicated positions.  No all-pairs anywhere; cost is
+    O(total grams) shuffle — inherent to exact-substring dedup.
+    """
+    words = F.expr("filter(split(text, ' '), t -> length(t) > 0)")
+    gram_structs = F.expr(
+        f"CASE WHEN size(_w) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(_w) - {n - 1}), "
+        f"i -> struct(i AS pos, md5(cast(array_join(slice(_w, i, {n}), ' ') "
+        f"AS binary)) AS g)) END"
+    )
+    based = docs.select("doc_id", words.alias("_w"))
+    grams = (
+        based.select("doc_id", F.explode(gram_structs).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    )
+    dup_grams = (
+        grams.select("g", "doc_id").distinct()
+        .groupBy("g").agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    dup_pos = grams.join(dup_grams, "g", "left_semi")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    covered_add = F.coalesce(
+        F.least(F.lit(n), F.col("pos") - F.lag("pos").over(w)), F.lit(n))
+    per_doc = (
+        dup_pos.withColumn("_add", covered_add)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_positions"),
+             F.sum("_add").alias("covered_tokens"))
+    )
+    totals = based.select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_tokens"),
+        F.greatest(F.size("_w") - (n - 1), F.lit(0)).cast("long").alias("n_grams"),
+    )
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.floor(F.coalesce("covered_tokens", F.lit(0)) * F.lit(1000000)
+                / F.col("n_tokens")),
+    ).otherwise(F.lit(0))
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "n_grams",
+            F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias(
+                "n_dup_positions"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+                "covered_tokens"),
+            frac.cast("long").alias("dup_token_frac_micro"),
+        )
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Near-dup CLUSTERS from verified pairs: connected components by
     iterative min-label propagation — the step after pair generation

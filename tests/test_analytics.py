@@ -262,3 +262,70 @@ def test_rrf_fuse_semantics(spark):
     b = spark.createDataFrame([(3, 1)], ["doc_id", "rank"])
     rows = rrf_fuse([a, b], k=2).collect()
     assert [r["doc_id"] for r in rows] == [3, 7]
+
+
+def test_duplicate_span_coverage_brute_force(spark):
+    """Coverage == union of length-n intervals over positions whose
+    gram occurs in >=2 docs, verified against a pure-Python oracle."""
+    from ir_spark.operators.dedup import duplicate_span_coverage
+
+    n = 3
+    docs = [
+        # 1 and 2 share "a b c d e" (positions overlap/merge); 3 unique
+        (1, "a b c d e x y z"),
+        (2, "q q a b c d e"),
+        (3, "totally different words here now"),
+        (4, ""),                      # empty doc -> all zeros
+        (5, "one two"),               # shorter than n -> no grams
+    ]
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict()
+           for r in duplicate_span_coverage(sdf, n=n).collect()}
+
+    # pure-Python oracle
+    from collections import defaultdict
+    gram_docs = defaultdict(set)
+    per_doc = {}
+    for did, text in docs:
+        w = [t for t in text.split(" ") if t]
+        grams = [tuple(w[i:i + n]) for i in range(len(w) - n + 1)]
+        per_doc[did] = (w, grams)
+        for g in grams:
+            gram_docs[g].add(did)
+    for did, text in docs:
+        w, grams = per_doc[did]
+        dup_pos = [i for i, g in enumerate(grams) if len(gram_docs[g]) >= 2]
+        covered = set()
+        for i in dup_pos:
+            covered.update(range(i, i + n))
+        r = got[did]
+        assert r["n_tokens"] == len(w)
+        assert r["n_grams"] == len(grams)
+        assert r["n_dup_positions"] == len(dup_pos)
+        assert r["covered_tokens"] == len(covered)
+        exp_frac = (len(covered) * 1000000) // len(w) if w else 0
+        assert r["dup_token_frac_micro"] == exp_frac
+
+
+def test_cap_per_source_deterministic(spark):
+    from ir_spark.operators.corpus import cap_per_source
+
+    rows = [(i, f"s{i % 3}") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out1 = sorted((r["source"], r["host_rank"], r["doc_id"])
+                  for r in cap_per_source(docs, cap=5).collect())
+    out2 = sorted((r["source"], r["host_rank"], r["doc_id"])
+                  for r in cap_per_source(docs, cap=5).collect())
+    assert out1 == out2                       # rerun-stable membership
+    per_src = {}
+    for src, rk, _ in out1:
+        per_src.setdefault(src, []).append(rk)
+    assert set(per_src) == {"s0", "s1", "s2"}
+    for ranks in per_src.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]   # exactly cap kept
+    # a source under the cap keeps everything
+    small = spark.createDataFrame([(1, "x"), (2, "x")], ["doc_id", "source"])
+    assert cap_per_source(small, cap=5).count() == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cap_per_source(small, cap=0)
