@@ -1205,6 +1205,177 @@ SELECT doc_id, source, host_rank FROM ranked WHERE host_rank <= {cap}
 """
 
 
+PR_ITERS = 5
+PR_DAMPING = 0.85
+PR_OFFSETS = (1, 2, 3)
+
+
+def _derived_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic host link graph derived from the documents table
+    (the driver corpus has no hyperlinks): doc at md5-permutation rank
+    r links to the docs at ranks (r+1, r+2, r+3) mod n, and each
+    url-level edge is collapsed to (source_host, source_host).  The
+    md5 permutation decorrelates doc_id residues from hosts, so host
+    pair weights vary (non-uniform stationary distribution — a uniform
+    fixpoint would not distinguish a broken PageRank).  Gate plumbing
+    only: the global-order window is fine at gate scale; the SCALE
+    path under test is operators/linkgraph.py::pagerank."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id", "source")
+    n = docs.count()
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    perm = docs.withColumn("r", F.row_number().over(w) - F.lit(1))
+    offs = spark.createDataFrame([(j,) for j in PR_OFFSETS], "j long")
+    a = perm.select(F.col("source").alias("src"), "r").crossJoin(offs)
+    b = perm.select(F.col("source").alias("dst"),
+                    F.col("r").alias("rb"))
+    return (
+        a.join(b, ((F.col("r") + F.col("j")) % F.lit(n)) == F.col("rb"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the derived host graph — the real
+    iterative operator (linkgraph.py::pagerank: stationary persisted
+    edge partitioning, per-iteration rank-only shuffle, damped
+    dangling redistribution, lineage checkpointing)."""
+    from .operators.linkgraph import pagerank
+
+    edges = _derived_host_edges(spark, sf_dir)
+    ranks = pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING,
+                     weighted=True)
+    return ranks.select(
+        "node",
+        F.round(F.col("rank") * 1e6).cast("long").alias("rank_micro"),
+    )
+
+
+def sql_pagerank_hosts() -> str:
+    d, base_num = PR_DAMPING, 1.0 - PR_DAMPING
+    offs = ", ".join(f"({j})" for j in PR_OFFSETS)
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT h.node,
+         {base_num} / (SELECT n FROM nn)
+         + {d} * COALESCE(c.contrib, 0) AS rank
+  FROM hosts h
+  LEFT JOIN (SELECT f.dst, SUM(f.frac * r.rank) AS contrib
+             FROM frac f JOIN {prev} r ON r.node = f.src
+             GROUP BY f.dst) c ON c.dst = h.node)""")
+        prev = f"r{i}"
+    return f"""
+WITH perm AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS r
+  FROM documents
+),
+edges AS (
+  SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM perm a
+  CROSS JOIN (VALUES {offs}) offs(j)
+  JOIN perm b
+    ON b.r = (a.r + offs.j) % (SELECT COUNT(*) FROM documents)
+  WHERE a.source <> b.source
+  GROUP BY a.source, b.source
+),
+hosts AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hosts),
+frac AS (
+  SELECT e.src, e.dst, CAST(e.weight AS DOUBLE) / o.out_w AS frac
+  FROM edges e
+  JOIN (SELECT src, SUM(CAST(weight AS DOUBLE)) AS out_w
+        FROM edges GROUP BY src) o USING (src)
+),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM hosts),{",".join(iters)}
+SELECT node, CAST(ROUND(rank * 1000000) AS BIGINT) AS rank_micro FROM {prev}
+"""
+
+
+def _messy_url_expr() -> F.Column:
+    """Deterministic messy-url synthesis from (doc_id, source): mixed
+    scheme/host case, default :443 port, trailing slash, unsorted query
+    params, fragments — the same expression the oracle SQL builds."""
+    doc_id = F.col("doc_id")
+    return F.concat(
+        F.when(doc_id % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(doc_id % 3 == 0,
+               F.concat(F.upper(F.col("source")), F.lit(".Example.COM")))
+        .otherwise(F.concat(F.col("source"), F.lit(".example.com"))),
+        F.when(doc_id % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"), (doc_id % 50).cast("string"),
+        F.when(doc_id % 3 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(doc_id % 4 == 0, F.lit("?b=2&a=1"))
+        .when(doc_id % 4 == 1, F.lit("?a=1&b=2"))
+        .when(doc_id % 4 == 3, F.lit("?a=1"))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 2 == 1, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (operators/urlnorm.py): messy url
+    variants of the same page collapse to one canonical key; n_dups is
+    the canonical group size."""
+    from .operators.urlnorm import url_dedup_groups
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id", "source")
+    messy = docs.select("doc_id", _messy_url_expr().alias("url"))
+    return url_dedup_groups(messy).select("doc_id", "canon_url", "n_dups")
+
+
+def sql_url_canonical_dedup() -> str:
+    return r"""
+WITH messy AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) || '.Example.COM'
+             ELSE source || '.example.com' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+    || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END)
+    || (CASE doc_id % 4 WHEN 0 THEN '?b=2&a=1' WHEN 1 THEN '?a=1&b=2'
+             WHEN 3 THEN '?a=1' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 1 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\d+)', 1) AS port,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM messy
+),
+canon AS (
+  SELECT doc_id,
+    scheme || '://' || host
+    || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                  AND NOT (scheme = 'https' AND port = '443')
+             THEN ':' || port ELSE '' END)
+    || regexp_replace(CASE WHEN path = '' THEN '/' ELSE path END,
+                      '^(.+?)/+$', '\1')
+    || (CASE WHEN query <> ''
+             THEN '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+             ELSE '' END) AS canon_url
+  FROM parts
+)
+SELECT doc_id, canon_url,
+       CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_dups
+FROM canon
+"""
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pii_scrub": q_pii_scrub,
@@ -1215,6 +1386,8 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": q_collocations_pmi,
         "dup_span_coverage": q_dup_span_coverage,
         "host_cap_sample": q_host_cap_sample,
+        "pagerank_hosts": q_pagerank_hosts,
+        "url_canonical_dedup": q_url_canonical_dedup,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -1250,6 +1423,8 @@ def analytics_oracle_sql() -> dict[str, str]:
         "collocations_pmi": sql_collocations_pmi(),
         "dup_span_coverage": sql_dup_span_coverage(),
         "host_cap_sample": sql_host_cap_sample(),
+        "pagerank_hosts": sql_pagerank_hosts(),
+        "url_canonical_dedup": sql_url_canonical_dedup(),
         "dedup_exact": sql_dedup_exact(),
         "minhash_bands": sql_minhash_bands(),
         "lsh_near_dup_pairs": sql_lsh_near_dup_pairs(),

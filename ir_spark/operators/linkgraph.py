@@ -1,0 +1,187 @@
+"""Web link-graph operators: outlink extraction, host graph, PageRank.
+
+A Common-Crawl-scale corpus is a hyperlinked graph, and link-based
+authority (PageRank) is the canonical web-scale ranking prior the
+reference's pure-content engine lacks (reference scope: content
+scoring only, `QueryParser.java`; this module is additive surface for
+the webtext payload).
+
+Scale notes (100 TB / 10^12 docs):
+- ``extract_outlinks`` is one JVM-side regexp pass over the html
+  column (``regexp_extract_all``) — whole-stage codegen, no Python,
+  no shuffle; output is (src, dst, anchor) edges ready for a
+  partitioned write.
+- ``pagerank`` hash-partitions the edge list on ``src`` ONCE and
+  persists it; every iteration then joins the (small) rank vector
+  into that stationary edge partitioning, so the per-iteration
+  shuffle moves only O(nodes) rank rows, never the O(edges) edge
+  list.  Lineage is truncated with ``localCheckpoint`` every few
+  iterations so the plan does not grow linearly with iteration count
+  (the classic iterative-algorithm OOM on a long lineage chain).
+- Dangling mass (nodes with no outlinks) is redistributed uniformly
+  each iteration — the textbook formulation — via one scalar agg on
+  the rank vector (O(nodes), driver receives one double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# href + anchor text of well-formed <a> tags.  Group 1 = href target,
+# group 2 = anchor text (minimal-match, single-line anchors).
+_A_TAG = r'<a\s+[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+# scheme://host[:port] prefix of an absolute url
+_ABS_URL = r"^(https?)://([^/:?#]+)(?::(\d+))?"
+
+
+def extract_outlinks(pages: DataFrame,
+                     url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """(url, html:binary) -> (src_url, dst_url, anchor) edge rows.
+
+    Relative hrefs are resolved against the source page's
+    scheme://host; fragment-only hrefs and empty targets are dropped.
+    Single regexp pass, all JVM expressions (the two
+    ``regexp_extract_all`` calls over the same pattern are collapsed
+    into one scan by column pruning + common subexpression reuse).
+    """
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    hrefs = F.regexp_extract_all(html_str, F.lit(_A_TAG), 1)
+    anchors = F.regexp_extract_all(html_str, F.lit(_A_TAG), 2)
+    src_base = F.concat(
+        F.regexp_extract(F.col(url_col), _ABS_URL, 1),
+        F.lit("://"),
+        F.regexp_extract(F.col(url_col), _ABS_URL, 2),
+    )
+    out = (
+        pages.select(
+            F.col(url_col).alias("src_url"),
+            src_base.alias("_base"),
+            F.explode(F.arrays_zip(hrefs.alias("href"),
+                                   anchors.alias("anchor"))).alias("_e"),
+        )
+        .select(
+            "src_url",
+            F.col("_e.href").alias("_href"),
+            F.trim(F.col("_e.anchor")).alias("anchor"),
+            "_base",
+        )
+        .where((F.col("_href") != "") & ~F.col("_href").startswith("#"))
+        .select(
+            "src_url",
+            F.when(F.col("_href").rlike("^https?://"), F.col("_href"))
+            .when(F.col("_href").startswith("/"),
+                  F.concat(F.col("_base"), F.col("_href")))
+            .otherwise(F.concat(F.col("_base"), F.lit("/"), F.col("_href")))
+            .alias("dst_url"),
+            "anchor",
+        )
+    )
+    return out
+
+
+def host_of(url_col) -> F.Column:
+    """Lower-cased host component of an absolute url (JVM regexp)."""
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.lower(F.regexp_extract(col, _ABS_URL, 2))
+
+
+def host_link_graph(outlinks: DataFrame, *,
+                    drop_self: bool = True) -> DataFrame:
+    """Collapse url-level edges to a weighted host graph
+    (src_host, dst_host, weight).  One groupBy with map-side combine;
+    host cardinality is ~10^7 at Common-Crawl scale, far below the
+    url-level 10^12, so the output is broadcast-sized downstream."""
+    g = outlinks.select(
+        host_of("src_url").alias("src"), host_of("dst_url").alias("dst"))
+    if drop_self:
+        g = g.where(F.col("src") != F.col("dst"))
+    return g.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("weight"))
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    n_iters: int = 5,
+    damping: float = 0.85,
+    weighted: bool = True,
+    checkpoint_every: int = 4,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Weighted PageRank over (src, dst[, weight]) -> (node, rank).
+
+    rank_0 = 1/N; each iteration
+      rank(v) = (1-d)/N + d * (sum_{u->v} rank(u) * w(u,v)/W(u)
+                               + dangling_mass / N)
+    where W(u) is u's total out-weight and dangling_mass is the rank
+    held by nodes with no outlinks.  Deterministic up to float sum
+    order (callers quantize; see gates).
+
+    Plan shape per iteration: ranks (O(nodes)) shuffles into the
+    stationary, persisted edge partitioning; one groupBy(dst) for the
+    contributions; one scalar agg for dangling mass.  The edge list —
+    the 100-TB side — is shuffled exactly once, up front.
+    """
+    spark = edges.sparkSession
+    w = (F.col("weight").cast("double") if weighted and "weight" in edges.columns
+         else F.lit(1.0))
+    e = edges.select(F.col("src").alias("src"), F.col("dst").alias("dst"),
+                     w.alias("w"))
+    nparts = shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .repartition(nparts, "node")
+             .persist())
+    n_nodes = nodes.count()  # driver-side scalar: one long
+
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # stationary edge side: contribution fraction per edge, partitioned
+    # by src once; every iteration reuses this exchange.
+    frac = (e.join(out_w, "src")
+            .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
+            .repartition(nparts, "src")
+            .persist())
+    frac.count()  # materialize before the loop so iterations reuse it
+
+    has_out = frac.select("src").distinct()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).persist()
+
+    base = (1.0 - damping) / n_nodes
+    for it in range(n_iters):
+        dangling = (
+            ranks.join(has_out, ranks["node"] == has_out["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )  # one double to the driver per iteration
+        contribs = (
+            frac.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("frac") * F.col("rank")).alias("contrib"))
+        )
+        # dangling mass enters damped: d * (contrib + dangling/N)
+        new_ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping)
+                 * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(dangling / n_nodes))).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks = new_ranks.persist()
+            new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+
+    nodes.unpersist()
+    frac.unpersist()
+    return ranks
