@@ -1300,6 +1300,80 @@ SELECT node, CAST(ROUND(rank * 1000000) AS BIGINT) AS rank_micro FROM {prev}
 """
 
 
+def _derived_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Url-level outlink rows derived from documents with the same
+    md5-permutation partner rule as ``_derived_host_edges``, keeping
+    urls and synthesizing anchor text as the first two words of the
+    SOURCE doc (anchors describe targets from the linker's side).
+    Gate plumbing; the operator under test is
+    linkgraph.py::anchor_text_agg."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "source", "text")
+    n = docs.count()
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    perm = docs.withColumn("r", F.row_number().over(w) - F.lit(1))
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example/d/"), F.col("doc_id").cast("string"))
+    anchor = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2))
+    offs = spark.createDataFrame([(j,) for j in PR_OFFSETS], "j long")
+    a = (perm.select(url.alias("src_url"), anchor.alias("anchor"), "r")
+         .crossJoin(offs))
+    b = perm.select(url.alias("dst_url"), F.col("r").alias("rb"))
+    return (a.join(b, ((F.col("r") + F.col("j")) % F.lit(n)) == F.col("rb"))
+            .select("src_url", "dst_url", "anchor"))
+
+
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming-anchor-text aggregation per target host (linkgraph.py::
+    anchor_text_agg, by_host=True); anchor_terms emitted as a joined
+    string so both engines hash plain scalars."""
+    from .operators.linkgraph import anchor_text_agg
+
+    agg = anchor_text_agg(_derived_outlinks(spark, sf_dir), by_host=True)
+    return agg.select(
+        "dst", "n_inlinks", "n_src_hosts",
+        F.concat_ws(" ", "anchor_terms").alias("anchor_terms"),
+    )
+
+
+def sql_anchor_text_agg() -> str:
+    offs = ", ".join(f"({j})" for j in PR_OFFSETS)
+    return f"""
+WITH perm AS (
+  SELECT doc_id, source, text,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS r
+  FROM documents
+),
+links AS (
+  SELECT a.source || '.example' AS src_host,
+         b.source || '.example' AS dst_host,
+         array_to_string(string_split(a.text, ' ')[1:2], ' ') AS anchor
+  FROM perm a
+  CROSS JOIN (VALUES {offs}) offs(j)
+  JOIN perm b ON b.r = (a.r + offs.j) % (SELECT COUNT(*) FROM documents)
+),
+agg_links AS (
+  SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+         CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+  FROM links GROUP BY dst_host
+),
+agg_toks AS (
+  SELECT dst_host,
+         array_to_string(list_sort(list(DISTINCT tok)), ' ') AS anchor_terms
+  FROM (SELECT dst_host,
+               UNNEST(string_split(lower(trim(anchor)), ' ')) AS tok
+        FROM links)
+  GROUP BY dst_host
+)
+SELECT l.dst_host AS dst, l.n_inlinks, l.n_src_hosts, t.anchor_terms
+FROM agg_links l JOIN agg_toks t USING (dst_host)
+"""
+
+
 def _messy_url_expr() -> F.Column:
     """Deterministic messy-url synthesis from (doc_id, source): mixed
     scheme/host case, default :443 port, trailing slash, unsorted query
@@ -1388,6 +1462,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap_sample": q_host_cap_sample,
         "pagerank_hosts": q_pagerank_hosts,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "anchor_text_agg": q_anchor_text_agg,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -1425,6 +1500,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "host_cap_sample": sql_host_cap_sample(),
         "pagerank_hosts": sql_pagerank_hosts(),
         "url_canonical_dedup": sql_url_canonical_dedup(),
+        "anchor_text_agg": sql_anchor_text_agg(),
         "dedup_exact": sql_dedup_exact(),
         "minhash_bands": sql_minhash_bands(),
         "lsh_near_dup_pairs": sql_lsh_near_dup_pairs(),

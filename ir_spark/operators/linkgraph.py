@@ -102,6 +102,42 @@ def host_link_graph(outlinks: DataFrame, *,
         F.count(F.lit(1)).cast("long").alias("weight"))
 
 
+def anchor_text_agg(outlinks: DataFrame, *,
+                    by_host: bool = False) -> DataFrame:
+    """Aggregate incoming anchor text per link target — the classic
+    web-IR document-expansion signal (anchor terms describe the TARGET
+    page; search engines index them as a separate high-weight field).
+
+    Input: (src_url, dst_url, anchor) edge rows from
+    ``extract_outlinks``.  Output one row per target:
+      (dst, n_inlinks, n_src_hosts, anchor_terms) where anchor_terms
+    is the deduped, sorted token union of all incoming anchors —
+    deterministic, ready to union into the index build as an extra
+    field for the target doc.
+
+    One groupBy with map-side combine; anchors are short (UI strings),
+    so the per-target state is bounded.  At 10^12 edges the shuffle
+    key is dst (or dst host), the same key the index build shuffles
+    on — co-partitionable with the postings build.
+    """
+    dst = host_of("dst_url") if by_host else F.col("dst_url")
+    toks = F.split(F.lower(F.trim(F.col("anchor"))), r"\s+")
+    return (
+        outlinks.select(
+            dst.alias("dst"),
+            host_of("src_url").alias("src_host"),
+            toks.alias("_toks"),
+        )
+        .groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_inlinks"),
+            F.countDistinct("src_host").cast("long").alias("n_src_hosts"),
+            F.array_sort(F.array_distinct(
+                F.flatten(F.collect_list("_toks")))).alias("anchor_terms"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     *,

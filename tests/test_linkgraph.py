@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ir_spark.operators.linkgraph import (
+    anchor_text_agg,
     extract_outlinks,
     host_link_graph,
     pagerank,
@@ -53,6 +54,34 @@ def test_host_link_graph_drops_self_edges(link_pages):
     g = {(r.src, r.dst): r.weight
          for r in host_link_graph(extract_outlinks(link_pages)).collect()}
     assert g == {("a.example", "b.example"): 1, ("b.example", "a.example"): 1}
+
+
+def test_anchor_text_agg(spark):
+    links = spark.createDataFrame([
+        ("https://a.example/1", "https://t.example/page", "Great Search"),
+        ("https://b.example/2", "https://t.example/page", "search engine"),
+        ("https://a.example/3", "https://t.example/page", "great  engine"),
+        ("https://a.example/1", "https://u.example/other", "Other"),
+    ], "src_url string, dst_url string, anchor string")
+    rows = {r.dst: r for r in anchor_text_agg(links).collect()}
+    t = rows["https://t.example/page"]
+    assert t.n_inlinks == 3
+    assert t.n_src_hosts == 2
+    assert list(t.anchor_terms) == ["engine", "great", "search"]
+    u = rows["https://u.example/other"]
+    assert (u.n_inlinks, u.n_src_hosts, list(u.anchor_terms)) == (1, 1, ["other"])
+
+
+def test_anchor_text_agg_by_host(spark):
+    links = spark.createDataFrame([
+        ("https://a.example/1", "https://t.example/p1", "one"),
+        ("https://b.example/2", "https://t.example/p2", "two"),
+    ], "src_url string, dst_url string, anchor string")
+    rows = anchor_text_agg(links, by_host=True).collect()
+    assert len(rows) == 1
+    assert rows[0].dst == "t.example"
+    assert rows[0].n_inlinks == 2
+    assert list(rows[0].anchor_terms) == ["one", "two"]
 
 
 def _numpy_pagerank(edges, n_iters, damping):
