@@ -1228,11 +1228,15 @@ def _derived_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
     perm = docs.withColumn("r", F.row_number().over(w) - F.lit(1))
     offs = spark.createDataFrame([(j,) for j in PR_OFFSETS], "j long")
-    a = perm.select(F.col("source").alias("src"), "r").crossJoin(offs)
+    # project the partner rank as a plain column BEFORE the join so
+    # Catalyst extracts an equi-key (hash join); an inline modulo
+    # expression in the join condition degrades to CartesianProduct
+    a = (perm.select(F.col("source").alias("src"), "r").crossJoin(offs)
+         .select("src", ((F.col("r") + F.col("j")) % F.lit(n)).alias("rb")))
     b = perm.select(F.col("source").alias("dst"),
-                    F.col("r").alias("rb"))
+                    F.col("r").cast("long").alias("rb"))
     return (
-        a.join(b, ((F.col("r") + F.col("j")) % F.lit(n)) == F.col("rb"))
+        a.join(b, "rb")
         .where(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
@@ -1320,9 +1324,11 @@ def _derived_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2))
     offs = spark.createDataFrame([(j,) for j in PR_OFFSETS], "j long")
     a = (perm.select(url.alias("src_url"), anchor.alias("anchor"), "r")
-         .crossJoin(offs))
-    b = perm.select(url.alias("dst_url"), F.col("r").alias("rb"))
-    return (a.join(b, ((F.col("r") + F.col("j")) % F.lit(n)) == F.col("rb"))
+         .crossJoin(offs)
+         .select("src_url", "anchor",
+                 ((F.col("r") + F.col("j")) % F.lit(n)).alias("rb")))
+    b = perm.select(url.alias("dst_url"), F.col("r").cast("long").alias("rb"))
+    return (a.join(b, "rb")
             .select("src_url", "dst_url", "anchor"))
 
 

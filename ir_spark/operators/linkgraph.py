@@ -161,13 +161,15 @@ def pagerank(
     contributions; one scalar agg for dangling mass.  The edge list —
     the 100-TB side — is shuffled exactly once, up front.
     """
-    spark = edges.sparkSession
     w = (F.col("weight").cast("double") if weighted and "weight" in edges.columns
          else F.lit(1.0))
     e = edges.select(F.col("src").alias("src"), F.col("dst").alias("dst"),
                      w.alias("w"))
-    nparts = shuffle_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_edges = e.count()  # driver-side scalar, sizes the partitioning
+    nparts = shuffle_partitions or max(
+        1, min(int(e.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32")),
+            (n_edges // 2_000_000) + 1))
 
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
@@ -178,30 +180,42 @@ def pagerank(
 
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # stationary edge side: contribution fraction per edge, partitioned
-    # by src once; every iteration reuses this exchange.
+    # by src once; every iteration reuses this exchange (materialized
+    # by the dangling-count action below).
     frac = (e.join(out_w, "src")
             .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
             .repartition(nparts, "src")
             .persist())
-    frac.count()  # materialize before the loop so iterations reuse it
 
     has_out = frac.select("src").distinct()
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).persist()
+    # If every node has outlinks (the usual case once a crawl graph is
+    # host-collapsed), the dangling term is identically zero and the
+    # per-iteration scalar agg is skipped entirely — the loop body then
+    # runs ZERO actions between lineage checkpoints.
+    n_dangling = nodes.join(
+        has_out, nodes["node"] == has_out["src"], "left_anti").count()
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
 
     base = (1.0 - damping) / n_nodes
+    cached: list[DataFrame] = []
     for it in range(n_iters):
-        dangling = (
-            ranks.join(has_out, ranks["node"] == has_out["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )  # one double to the driver per iteration
+        if n_dangling:
+            dangling = (
+                ranks.join(has_out, ranks["node"] == has_out["src"],
+                           "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )  # one double to the driver per iteration
+        else:
+            dangling = 0.0
         contribs = (
             frac.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("frac") * F.col("rank")).alias("contrib"))
         )
         # dangling mass enters damped: d * (contrib + dangling/N)
-        new_ranks = (
+        ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
             .select(
                 "node",
@@ -210,14 +224,21 @@ def pagerank(
                     + F.lit(dangling / n_nodes))).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        else:
-            new_ranks = new_ranks.persist()
-            new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
+        # truncate lineage periodically (eager) so the plan does not
+        # grow with iteration count; between checkpoints the chain
+        # stays lazy.
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_iters:
+            for c in cached:
+                c.unpersist()
+            cached = []
+            ranks = ranks.localCheckpoint(eager=True)
+        elif n_dangling:
+            ranks = ranks.persist()  # reused by next dangling agg + join
+            cached.append(ranks)
 
+    out = ranks.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
     nodes.unpersist()
     frac.unpersist()
-    return ranks
+    return out
