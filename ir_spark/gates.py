@@ -1229,6 +1229,63 @@ ORDER BY df DESC, term ASC LIMIT {WILDCARD_K}
 # registry
 # ---------------------------------------------------------------------------
 
+BM25F_TITLE_TOKENS = 6
+BM25F_W_TITLE = 2.0
+BM25F_W_BODY = 1.0
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified BM25F (operators/fields.py): title = first 6 tokens
+    weighted 2x, weighted tf combined BEFORE the saturation curve."""
+    from .operators.fields import search_bm25f
+
+    docs = _read_documents(spark, sf_dir).select("doc_id", "text")
+    raw = search_bm25f(
+        spark, docs, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+        k1=1.2, b=0.75,
+        field_weights={"title": BM25F_W_TITLE, "body": BM25F_W_BODY},
+        title_tokens=BM25F_TITLE_TOKENS)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_bm25f_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    tt, wt, wb = BM25F_TITLE_TOKENS, BM25F_W_TITLE, BM25F_W_BODY
+    return f"""
+WITH raw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ftoks AS (
+  SELECT doc_id, {wt} AS fw, UNNEST(w[1:{tt}]) AS term FROM raw
+  UNION ALL
+  SELECT doc_id, {wb} AS fw, UNNEST(w[{tt + 1}:]) AS term FROM raw
+),
+ft AS (SELECT * FROM ftoks WHERE LENGTH(term) > 1),
+merged AS (
+  SELECT doc_id, term, SUM(fw) AS wtf FROM ft GROUP BY doc_id, term
+),
+fdocinfo AS (SELECT doc_id, SUM(wtf) AS wdl FROM merged GROUP BY doc_id),
+fpost AS (SELECT * FROM merged WHERE term NOT IN ({STOP_SQL})),
+fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(wdl) AS avg_wdl
+           FROM fdocinfo),
+fdict AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+          FROM fpost GROUP BY term),
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.wtf * ({k1} + 1.0)
+           / (p.wtf + {k1} * (1.0 - {b} + {b} * d.wdl / s.avg_wdl))
+           * q.qtf AS partial
+  FROM fpost p
+  JOIN qterms q USING (term)
+  JOIN fdict t USING (term)
+  JOIN fdocinfo d USING (doc_id)
+  CROSS JOIN fstats s
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokens_tf": q_tokens_tf,
@@ -1262,6 +1319,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_terms": q_prefix_terms,
         "wildcard_terms": q_wildcard_terms,
         "fuzzy_terms": q_fuzzy_terms,
+        "bm25f_topk": q_bm25f_topk,
     }
 
 
@@ -1298,4 +1356,5 @@ def core_oracle_sql() -> dict[str, str]:
         "prefix_terms": sql_prefix_terms(),
         "wildcard_terms": sql_wildcard_terms(),
         "fuzzy_terms": sql_fuzzy_terms(),
+        "bm25f_topk": sql_bm25f_topk(),
     }

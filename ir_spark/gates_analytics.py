@@ -1259,7 +1259,10 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_pagerank_hosts() -> str:
+def _pagerank_ctes() -> tuple[str, str]:
+    """Shared unrolled-PageRank CTE body (derivation + {PR_ITERS}
+    damped iterations); returns (cte_sql, final_rank_cte_name).  Used
+    by the pagerank gate and the BM25xPageRank fusion gate."""
     d, base_num = PR_DAMPING, 1.0 - PR_DAMPING
     offs = ", ".join(f"({j})" for j in PR_OFFSETS)
     iters = []
@@ -1275,8 +1278,7 @@ r{i} AS (
              FROM frac f JOIN {prev} r ON r.node = f.src
              GROUP BY f.dst) c ON c.dst = h.node)""")
         prev = f"r{i}"
-    return f"""
-WITH perm AS (
+    ctes = f"""perm AS (
   SELECT doc_id, source,
          ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
            AS r
@@ -1299,8 +1301,15 @@ frac AS (
   JOIN (SELECT src, SUM(CAST(weight AS DOUBLE)) AS out_w
         FROM edges GROUP BY src) o USING (src)
 ),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM hosts),{",".join(iters)}
-SELECT node, CAST(ROUND(rank * 1000000) AS BIGINT) AS rank_micro FROM {prev}
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM hosts),{",".join(iters)}"""
+    return ctes, prev
+
+
+def sql_pagerank_hosts() -> str:
+    ctes, final = _pagerank_ctes()
+    return f"""
+WITH {ctes}
+SELECT node, CAST(ROUND(rank * 1000000) AS BIGINT) AS rank_micro FROM {final}
 """
 
 
@@ -1377,6 +1386,73 @@ agg_toks AS (
 )
 SELECT l.dst_host AS dst, l.n_inlinks, l.n_src_hosts, t.anchor_terms
 FROM agg_links l JOIN agg_toks t USING (dst_host)
+"""
+
+
+PR_BOOST = 10.0
+
+
+def q_bm25_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web ranking = content x authority: BM25 scores fused with the
+    doc's host PageRank as a multiplicative prior,
+    fused = bm25 * (1 + PR_BOOST * pagerank(host)).
+    Both factors come from the real operators (query.py::search,
+    linkgraph.py::pagerank).  Fusion is applied over ALL matching docs
+    (no pre-cutoff) so the top-k is exact; at index scale the prior
+    folds into the WAND upper bounds instead (max prior per run)."""
+    from .gates import FLAGSHIP_QUERY, K_FLAGSHIP, _df_index
+    from .operators import query as Q
+    from .operators.linkgraph import pagerank
+
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search(spark, idx, FLAGSHIP_QUERY, k=idx.n_docs, mode="bm25")
+    pr = pagerank(_derived_host_edges(spark, sf_dir),
+                  n_iters=PR_ITERS, damping=PR_DAMPING, weighted=True)
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id", "source")
+    fused = (
+        raw.join(docs, "doc_id")
+        .join(F.broadcast(pr), F.col("source") == F.col("node"))
+        .select(
+            "doc_id",
+            F.round((F.col("score")
+                     * (F.lit(1.0) + F.lit(PR_BOOST) * F.col("rank")))
+                    * 1e6).cast("long").alias("score_micro"),
+        )
+    )
+    return (fused.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+            .limit(K_FLAGSHIP))
+
+
+def sql_bm25_pagerank_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    from .gates import K_FLAGSHIP, _sql_query_terms
+
+    pr_ctes, final = _pagerank_ctes()
+    # hits formula == gates.sql_bm25_topk (same k1/b BM25)
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+bm25 AS (SELECT doc_id, SUM(partial) AS score FROM hits GROUP BY doc_id),
+{pr_ctes}
+SELECT m.doc_id,
+       CAST(ROUND(m.score * (1.0 + {PR_BOOST} * r.rank) * 1000000) AS BIGINT)
+         AS score_micro
+FROM bm25 m
+JOIN documents dd ON dd.doc_id = m.doc_id
+JOIN {final} r ON r.node = dd.source
+ORDER BY score_micro DESC, m.doc_id ASC LIMIT {K_FLAGSHIP}
 """
 
 
@@ -1469,6 +1545,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "url_canonical_dedup": q_url_canonical_dedup,
         "anchor_text_agg": q_anchor_text_agg,
+        "bm25_pagerank_topk": q_bm25_pagerank_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -1507,6 +1584,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "pagerank_hosts": sql_pagerank_hosts(),
         "url_canonical_dedup": sql_url_canonical_dedup(),
         "anchor_text_agg": sql_anchor_text_agg(),
+        "bm25_pagerank_topk": sql_bm25_pagerank_topk(),
         "dedup_exact": sql_dedup_exact(),
         "minhash_bands": sql_minhash_bands(),
         "lsh_near_dup_pairs": sql_lsh_near_dup_pairs(),
