@@ -6,11 +6,13 @@ family from SURVEY.md §2 plus the training-pipeline and retrieval-model
 extensions (engine code on the Spark side, ANSI SQL for the DuckDB
 oracle) — every gate carries a full value oracle.  Gate
 implementations live in ir_spark/gates.py (core IR: index build,
-scoring modes incl. Dirichlet QLD on both engines, segments, merge,
-positional/boolean/lexicon/RM3, batch + eval), ir_spark/
+scoring modes incl. Dirichlet QLD and BM25F on both engines, segments,
+merge, positional/boolean/lexicon/RM3, batch + eval), ir_spark/
 gates_analytics.py (dedup incl. connected components, ANN, text
-analytics, corpus curation, packing, codec-adjacent profiling) and
-ir_spark/gates_streaming.py (windows, sessions, incremental index).
+analytics, corpus curation, packing, codec-adjacent profiling, link
+graph: PageRank / anchor text / URL canonicalization / authority
+fusion) and ir_spark/gates_streaming.py (windows, sessions,
+incremental index).
 """
 
 from __future__ import annotations

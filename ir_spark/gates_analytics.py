@@ -1243,16 +1243,29 @@ def _derived_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized host PageRank (node, rank) — the result is an eager
+    localCheckpoint, safe to reuse across the pagerank and fusion
+    gates within a session."""
+    from .operators.linkgraph import pagerank
+
+    key = (id(spark), sf_dir)
+    if key not in _PR_MEMO:
+        _PR_MEMO[key] = pagerank(
+            _derived_host_edges(spark, sf_dir),
+            n_iters=PR_ITERS, damping=PR_DAMPING, weighted=True)
+    return _PR_MEMO[key]
+
+
 def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the derived host graph — the real
     iterative operator (linkgraph.py::pagerank: stationary persisted
     edge partitioning, per-iteration rank-only shuffle, damped
     dangling redistribution, lineage checkpointing)."""
-    from .operators.linkgraph import pagerank
-
-    edges = _derived_host_edges(spark, sf_dir)
-    ranks = pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING,
-                     weighted=True)
+    ranks = _host_pagerank(spark, sf_dir)
     return ranks.select(
         "node",
         F.round(F.col("rank") * 1e6).cast("long").alias("rank_micro"),
@@ -1402,12 +1415,10 @@ def q_bm25_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds into the WAND upper bounds instead (max prior per run)."""
     from .gates import FLAGSHIP_QUERY, K_FLAGSHIP, _df_index
     from .operators import query as Q
-    from .operators.linkgraph import pagerank
 
     idx = _df_index(spark, sf_dir)
     raw = Q.search(spark, idx, FLAGSHIP_QUERY, k=idx.n_docs, mode="bm25")
-    pr = pagerank(_derived_host_edges(spark, sf_dir),
-                  n_iters=PR_ITERS, damping=PR_DAMPING, weighted=True)
+    pr = _host_pagerank(spark, sf_dir)
     docs = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")).select("doc_id", "source")
     fused = (
