@@ -1210,33 +1210,46 @@ PR_DAMPING = 0.85
 PR_OFFSETS = (1, 2, 3)
 
 
-def _derived_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic host link graph derived from the documents table
-    (the driver corpus has no hyperlinks): doc at md5-permutation rank
-    r links to the docs at ranks (r+1, r+2, r+3) mod n, and each
-    url-level edge is collapsed to (source_host, source_host).  The
-    md5 permutation decorrelates doc_id residues from hosts, so host
-    pair weights vary (non-uniform stationary distribution — a uniform
-    fixpoint would not distinguish a broken PageRank).  Gate plumbing
-    only: the global-order window is fine at gate scale; the SCALE
-    path under test is operators/linkgraph.py::pagerank."""
+def _md5_partner_pairs(spark: SparkSession, sf_dir: str,
+                       cols: list[str]) -> DataFrame:
+    """Deterministic doc-pairing shared by the link-graph gates: the
+    doc at md5-permutation rank r pairs with the docs at ranks
+    (r + j) mod n for j in PR_OFFSETS.  Returns one row per pair with
+    the requested columns prefixed a_/b_ for the two sides.  The md5
+    permutation decorrelates doc_id residues from hosts, so derived
+    host-pair weights vary (a uniform fixpoint would not distinguish a
+    broken PageRank).  Gate plumbing only: the global-order window is
+    fine at gate scale; the SCALE paths under test live in
+    operators/linkgraph.py.  The partner rank is projected as a plain
+    column BEFORE the join so Catalyst extracts an equi-key (an inline
+    modulo in the join condition degrades to CartesianProduct).  This
+    derivation must stay in lockstep with the perm/edges/links CTEs in
+    the SQL oracles below."""
     from pyspark.sql import Window
 
     docs = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")).select("doc_id", "source")
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id", *[
+            c for c in cols if c != "doc_id"])
     n = docs.count()
     w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
     perm = docs.withColumn("r", F.row_number().over(w) - F.lit(1))
     offs = spark.createDataFrame([(j,) for j in PR_OFFSETS], "j long")
-    # project the partner rank as a plain column BEFORE the join so
-    # Catalyst extracts an equi-key (hash join); an inline modulo
-    # expression in the join condition degrades to CartesianProduct
-    a = (perm.select(F.col("source").alias("src"), "r").crossJoin(offs)
-         .select("src", ((F.col("r") + F.col("j")) % F.lit(n)).alias("rb")))
-    b = perm.select(F.col("source").alias("dst"),
+    a = (perm.crossJoin(offs)
+         .select(*[F.col(c).alias(f"a_{c}") for c in cols],
+                 ((F.col("r") + F.col("j")) % F.lit(n)).alias("rb")))
+    b = perm.select(*[F.col(c).alias(f"b_{c}") for c in cols],
                     F.col("r").cast("long").alias("rb"))
+    return a.join(b, "rb").drop("rb")
+
+
+def _derived_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted host graph from the documents table (the
+    driver corpus has no hyperlinks): md5-partner doc pairs collapsed
+    to (source_host, source_host) edges."""
+    pairs = _md5_partner_pairs(spark, sf_dir, ["source"])
     return (
-        a.join(b, "rb")
+        pairs.select(F.col("a_source").alias("src"),
+                     F.col("b_source").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
@@ -1275,7 +1288,15 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_ctes() -> tuple[str, str]:
     """Shared unrolled-PageRank CTE body (derivation + {PR_ITERS}
     damped iterations); returns (cte_sql, final_rank_cte_name).  Used
-    by the pagerank gate and the BM25xPageRank fusion gate."""
+    by the pagerank gate and the BM25xPageRank fusion gate.
+
+    NOTE: the SQL recurrence omits the dangling-mass term the Spark
+    operator handles (rank = (1-d)/n + d*contrib only).  That is valid
+    for THIS derived graph, where every host provably has an out-edge
+    (every doc emits PR_OFFSETS partners and every host has docs); if
+    the derivation ever changes so a dst-only host can exist, add the
+    damped dangling redistribution here too or the gate will fail
+    against a correct operator."""
     d, base_num = PR_DAMPING, 1.0 - PR_DAMPING
     offs = ", ".join(f"({j})" for j in PR_OFFSETS)
     iters = []
@@ -1327,31 +1348,21 @@ SELECT node, CAST(ROUND(rank * 1000000) AS BIGINT) AS rank_micro FROM {final}
 
 
 def _derived_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Url-level outlink rows derived from documents with the same
-    md5-permutation partner rule as ``_derived_host_edges``, keeping
-    urls and synthesizing anchor text as the first two words of the
-    SOURCE doc (anchors describe targets from the linker's side).
-    Gate plumbing; the operator under test is
+    """Url-level outlink rows from the shared md5-partner pairing,
+    keeping urls and synthesizing anchor text as the first two words
+    of the SOURCE doc (anchors describe targets from the linker's
+    side).  Gate plumbing; the operator under test is
     linkgraph.py::anchor_text_agg."""
-    from pyspark.sql import Window
+    def url(side: str) -> F.Column:
+        return F.concat(F.lit("https://"), F.col(f"{side}_source"),
+                        F.lit(".example/d/"),
+                        F.col(f"{side}_doc_id").cast("string"))
 
-    docs = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id", "source", "text")
-    n = docs.count()
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    perm = docs.withColumn("r", F.row_number().over(w) - F.lit(1))
-    url = F.concat(F.lit("https://"), F.col("source"),
-                   F.lit(".example/d/"), F.col("doc_id").cast("string"))
-    anchor = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2))
-    offs = spark.createDataFrame([(j,) for j in PR_OFFSETS], "j long")
-    a = (perm.select(url.alias("src_url"), anchor.alias("anchor"), "r")
-         .crossJoin(offs)
-         .select("src_url", "anchor",
-                 ((F.col("r") + F.col("j")) % F.lit(n)).alias("rb")))
-    b = perm.select(url.alias("dst_url"), F.col("r").cast("long").alias("rb"))
-    return (a.join(b, "rb")
-            .select("src_url", "dst_url", "anchor"))
+    pairs = _md5_partner_pairs(spark, sf_dir, ["doc_id", "source", "text"])
+    anchor = F.concat_ws(" ", F.slice(F.split(F.col("a_text"), " "), 1, 2))
+    return pairs.select(url("a").alias("src_url"),
+                        url("b").alias("dst_url"),
+                        anchor.alias("anchor"))
 
 
 def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1390,10 +1401,14 @@ agg_links AS (
   FROM links GROUP BY dst_host
 ),
 agg_toks AS (
+  -- regexp split on \s+ with empties dropped == the operator's
+  -- F.split(..., '\s+') semantics, robust to multi-space anchors
   SELECT dst_host,
          array_to_string(list_sort(list(DISTINCT tok)), ' ') AS anchor_terms
   FROM (SELECT dst_host,
-               UNNEST(string_split(lower(trim(anchor)), ' ')) AS tok
+               UNNEST(list_filter(
+                 regexp_split_to_array(lower(trim(anchor)), '\s+'),
+                 t -> t <> '')) AS tok
         FROM links)
   GROUP BY dst_host
 )
@@ -1417,7 +1432,7 @@ def q_bm25_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import query as Q
 
     idx = _df_index(spark, sf_dir)
-    raw = Q.search(spark, idx, FLAGSHIP_QUERY, k=idx.n_docs, mode="bm25")
+    raw = Q.search(spark, idx, FLAGSHIP_QUERY, k=None, mode="bm25")
     pr = _host_pagerank(spark, sf_dir)
     docs = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")).select("doc_id", "source")

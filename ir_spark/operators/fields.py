@@ -52,18 +52,12 @@ def split_title_body(docs: DataFrame,
     )
 
 
-def bm25f_postings(docs: DataFrame,
-                   field_weights: dict[str, float] | None = None,
-                   title_tokens: int = DEFAULT_TITLE_TOKENS,
-                   ) -> tuple[DataFrame, DataFrame]:
-    """Weighted postings + docinfo for BM25F.
-
-    Returns (postings, docinfo):
-      postings: (doc_id, term, wtf double) — stopwords removed;
-      docinfo:  (doc_id, wdl double) — weighted length over ALL tokens
-                (stopwords included, doc-length semantics D2).
-    One real tokenize-kernel pass per field.
-    """
+def _bm25f_merged(docs: DataFrame,
+                  field_weights: dict[str, float] | None = None,
+                  title_tokens: int = DEFAULT_TITLE_TOKENS) -> DataFrame:
+    """(doc_id, term, wtf double): field tfs merged with weights —
+    the shared parent of both BM25F relations (one real
+    tokenize-kernel pass per field feeds one (doc_id, term) agg)."""
     weights = field_weights or DEFAULT_FIELD_WEIGHTS
     fields = split_title_body(docs, title_tokens)
     per_field = []
@@ -76,8 +70,21 @@ def bm25f_postings(docs: DataFrame,
     allf = per_field[0]
     for p in per_field[1:]:
         allf = allf.unionByName(p)
-    merged = allf.groupBy("doc_id", "term").agg(
-        F.sum("w_tf").alias("wtf"))
+    return allf.groupBy("doc_id", "term").agg(F.sum("w_tf").alias("wtf"))
+
+
+def bm25f_postings(docs: DataFrame,
+                   field_weights: dict[str, float] | None = None,
+                   title_tokens: int = DEFAULT_TITLE_TOKENS,
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Weighted postings + docinfo for BM25F.
+
+    Returns (postings, docinfo):
+      postings: (doc_id, term, wtf double) — stopwords removed;
+      docinfo:  (doc_id, wdl double) — weighted length over ALL tokens
+                (stopwords included, doc-length semantics D2).
+    """
+    merged = _bm25f_merged(docs, field_weights, title_tokens)
     docinfo = merged.groupBy("doc_id").agg(F.sum("wtf").alias("wdl"))
     postings = merged.where(~F.col("term").isin(sorted(STOPWORDS)))
     return postings, docinfo
@@ -105,15 +112,18 @@ def search_bm25f(
     """
     from collections import Counter
 
-    postings, docinfo = bm25f_postings(docs, field_weights, title_tokens)
-    postings = postings.persist()
-    docinfo = docinfo.persist()
+    bag = Counter(t for t in tokenize(query) if t not in STOPWORDS)
+    if not bag:  # before any Spark work or persist
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    # persist the shared PARENT: both relations and the scoring job
+    # read it, so the expensive Python tokenize pass runs exactly once
+    merged = _bm25f_merged(docs, field_weights, title_tokens).persist()
+    docinfo = merged.groupBy("doc_id").agg(F.sum("wtf").alias("wdl"))
+    postings = merged.where(~F.col("term").isin(sorted(STOPWORDS)))
     n_docs, avg_wdl = docinfo.agg(
         F.count("*"), F.avg("wdl")).collect()[0]
 
-    bag = Counter(t for t in tokenize(query) if t not in STOPWORDS)
-    if not bag:
-        return spark.createDataFrame([], "doc_id long, score double")
     qterms = spark.createDataFrame(
         sorted(bag.items()), "term string, qtf long")
 
@@ -140,6 +150,5 @@ def search_bm25f(
         .limit(k)
     )
     out = scored.localCheckpoint(eager=True)
-    postings.unpersist()
-    docinfo.unpersist()
+    merged.unpersist()
     return out

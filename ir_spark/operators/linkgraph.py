@@ -68,10 +68,21 @@ def extract_outlinks(pages: DataFrame,
             F.trim(F.col("_e.anchor")).alias("anchor"),
             "_base",
         )
-        .where((F.col("_href") != "") & ~F.col("_href").startswith("#"))
+        .where(
+            (F.col("_href") != "")
+            & ~F.col("_href").startswith("#")
+            # drop non-http(s) schemes (mailto:, javascript:, tel:,
+            # data:, ftp: ...) — they are not crawlable page links
+            & (~F.col("_href").rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+               | F.col("_href").rlike("^https?://"))
+        )
         .select(
             "src_url",
             F.when(F.col("_href").rlike("^https?://"), F.col("_href"))
+            # scheme-relative //host/path inherits the source's scheme
+            .when(F.col("_href").startswith("//"),
+                  F.concat(F.regexp_extract(F.col("src_url"), _ABS_URL, 1),
+                           F.lit(":"), F.col("_href")))
             .when(F.col("_href").startswith("/"),
                   F.concat(F.col("_base"), F.col("_href")))
             .otherwise(F.concat(F.col("_base"), F.lit("/"), F.col("_href")))
@@ -177,6 +188,10 @@ def pagerank(
              .repartition(nparts, "node")
              .persist())
     n_nodes = nodes.count()  # driver-side scalar: one long
+    if n_nodes == 0:
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank double")
 
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # stationary edge side: contribution fraction per edge, partitioned
@@ -228,10 +243,13 @@ def pagerank(
         # grow with iteration count; between checkpoints the chain
         # stays lazy.
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iters:
+            # checkpoint BEFORE releasing the per-iteration caches the
+            # checkpoint job still reads (else it recomputes the whole
+            # inter-checkpoint chain cold)
+            ranks = ranks.localCheckpoint(eager=True)
             for c in cached:
                 c.unpersist()
             cached = []
-            ranks = ranks.localCheckpoint(eager=True)
         elif n_dangling:
             ranks = ranks.persist()  # reused by next dangling agg + join
             cached.append(ranks)

@@ -133,12 +133,14 @@ def query_weights(index: DataFrameIndex, query: str, mode: str,
 
 
 def search(spark: SparkSession, index: DataFrameIndex, query: str,
-           k: int = 5, mode: str = "bm25", k1: float = 1.2,
+           k: int | None = 5, mode: str = "bm25", k1: float = 1.2,
            b: float = 0.75, stem: bool = False,
            norms: DataFrame | None = None,
            doc_filter: DataFrame | None = None) -> DataFrame:
     """Top-k retrieval; OR-semantics over query terms
     (QueryParser.java:159-174); deterministic tie-break (D8).
+    ``k=None`` returns ALL matching docs unsorted (for fusion callers
+    that re-rank downstream).
 
     ``doc_filter``: optional (doc_id) DataFrame restricting the
     CANDIDATE set (metadata-filtered search, e.g. lang = 'en').
@@ -159,7 +161,7 @@ def search(spark: SparkSession, index: DataFrameIndex, query: str,
 
 def search_weighted(spark: SparkSession, index: DataFrameIndex,
                     weights: dict[str, float], q_norm: float = 0.0,
-                    k: int = 5, mode: str = "bm25", k1: float = 1.2,
+                    k: int | None = 5, mode: str = "bm25", k1: float = 1.2,
                     b: float = 0.75, norms: DataFrame | None = None,
                     doc_filter: DataFrame | None = None) -> DataFrame:
     """``search`` with an explicit weighted query bag (term -> w_tq)
@@ -199,6 +201,10 @@ def search_weighted(spark: SparkSession, index: DataFrameIndex,
                 F.col("score") / F.col("norm") / F.lit(q_norm),
             ).otherwise(F.lit(0.0)).alias("score"),
         )
+    if k is None:
+        # all matching docs, unsorted — for callers that re-rank on a
+        # fused score (a global sort here would be discarded work)
+        return scores
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

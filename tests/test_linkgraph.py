@@ -50,6 +50,30 @@ def test_extract_outlinks(link_pages):
     }
 
 
+def test_extract_outlinks_scheme_relative_and_non_http(spark):
+    pages = spark.createDataFrame([
+        ("https://a.example/p",
+         bytearray(b'<a href="//b.example/x">SchemeRel</a>'
+                   b'<a href="mailto:u@c.example">Mail</a>'
+                   b'<a href="javascript:void(0)">JS</a>'
+                   b'<a href="tel:+15551234">Tel</a>'
+                   b'<a href="ftp://f.example/file">Ftp</a>')),
+        ("http://d.example/q",
+         bytearray(b'<a href="//e.example/y">SchemeRelHttp</a>')),
+    ], "url string, html binary")
+    got = {(r.src_url, r.dst_url) for r in extract_outlinks(pages).collect()}
+    # scheme-relative inherits the source scheme; non-http(s) dropped
+    assert got == {
+        ("https://a.example/p", "https://b.example/x"),
+        ("http://d.example/q", "http://e.example/y"),
+    }
+
+
+def test_pagerank_empty_edges(spark):
+    empty = spark.createDataFrame([], "src string, dst string, weight double")
+    assert pagerank(empty, n_iters=3).collect() == []
+
+
 def test_host_link_graph_drops_self_edges(link_pages):
     g = {(r.src, r.dst): r.weight
          for r in host_link_graph(extract_outlinks(link_pages)).collect()}
