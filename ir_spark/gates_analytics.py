@@ -1401,13 +1401,13 @@ agg_links AS (
   FROM links GROUP BY dst_host
 ),
 agg_toks AS (
-  -- regexp split on \s+ with empties dropped == the operator's
-  -- F.split(..., '\s+') semantics, robust to multi-space anchors
+  -- regexp split on whitespace runs with empties dropped == the
+  -- operator's F.split semantics, robust to multi-space anchors
   SELECT dst_host,
          array_to_string(list_sort(list(DISTINCT tok)), ' ') AS anchor_terms
   FROM (SELECT dst_host,
                UNNEST(list_filter(
-                 regexp_split_to_array(lower(trim(anchor)), '\s+'),
+                 regexp_split_to_array(lower(trim(anchor)), '\\s+'),
                  t -> t <> '')) AS tok
         FROM links)
   GROUP BY dst_host
