@@ -850,11 +850,15 @@ def _merged_index_dir(spark: SparkSession, sf_dir: str) -> str:
         half_a = docs.filter(F.col("doc_id") < n // 2).select("url", "text")
         half_b = docs.filter(F.col("doc_id") >= n // 2).select("url", "text")
         # one segment group per half: gate-sized builds don't need the
-        # 4-group resume granularity, and it halves the gate's job count
+        # 4-group resume granularity, and it halves the gate's job
+        # count; norms=False because the merge must recompute norms
+        # against the merged global stats anyway (merge.py)
         build_segment_index(spark, half_a, os.path.join(base, "a"),
-                            source=sf_dir + ":a", segment_groups=1)
+                            source=sf_dir + ":a", segment_groups=1,
+                            norms=False)
         build_segment_index(spark, half_b, os.path.join(base, "b"),
-                            source=sf_dir + ":b", segment_groups=1)
+                            source=sf_dir + ":b", segment_groups=1,
+                            norms=False)
         merged = os.path.join(base, "merged")
         merge_indexes(spark, [os.path.join(base, "a"),
                               os.path.join(base, "b")], merged)

@@ -168,9 +168,15 @@ def build_segment_index(
     range_width: int = DEFAULT_RANGE_WIDTH,
     segment_groups: int = 4,
     fail_after_stage: str | None = None,
+    norms: bool = True,
 ) -> BuildReport:
     """Full resumable build.  ``fail_after_stage`` injects a crash right
     after that stage commits — used by the resume test (SURVEY §5.2.6).
+
+    ``norms=False`` skips the cosine-norms stage: partial builds that
+    will be merged defer norms to the merge (which must recompute them
+    against the merged global stats anyway — merge.py), and bm25-only
+    indexes never need them (``refresh_norms`` backfills on demand).
 
     Lineage = (source, options); a stage whose manifest carries the same
     lineage is skipped on re-run.
@@ -321,7 +327,7 @@ def build_segment_index(
         })
 
     # -- stage: norms (w1 + w2, idempotent — D4) ---------------------------
-    if _stage("norms"):
+    if norms and _stage("norms"):
         t0 = time.time()
         from .query import doc_weight_expr
 

@@ -26,8 +26,13 @@ def merged(spark, pages_small, tmp_path_factory):
     half_b = ids.filter(F.col("doc_id") > n // 2).select("url")
     base = tmp_path_factory.mktemp("merge")
     dirs = {k: str(base / k) for k in ("a", "b", "full", "merged")}
-    build_segment_index(spark, raw.join(half_a, "url"), dirs["a"], source="a")
-    build_segment_index(spark, raw.join(half_b, "url"), dirs["b"], source="b")
+    # norms=False on the partial builds: the merge must recompute norms
+    # against the merged global stats regardless (the w1/w2 cases below
+    # prove it works with no half-index norms present at all)
+    build_segment_index(spark, raw.join(half_a, "url"), dirs["a"], source="a",
+                        norms=False)
+    build_segment_index(spark, raw.join(half_b, "url"), dirs["b"], source="b",
+                        norms=False)
     build_segment_index(spark, raw, dirs["full"], source="full")
     metrics = merge_indexes(spark, [dirs["a"], dirs["b"]], dirs["merged"])
     return dirs, metrics
