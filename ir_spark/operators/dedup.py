@@ -352,17 +352,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         neigh = (sym.join(labels.withColumnRenamed("doc_id", "v"), "v")
                  .groupBy("u").agg(F.min("label").alias("nlabel"))
                  .withColumnRenamed("u", "doc_id"))
-        new_labels = (
+        # carry the changed flag through the step instead of re-joining
+        # old vs new labels afterwards: one shuffle less per round, and
+        # the convergence count is a cheap agg over the checkpointed rows
+        new = F.least(F.col("label"),
+                      F.coalesce(F.col("nlabel"), F.col("label")))
+        stepped = (
             labels.join(neigh, "doc_id", "left")
-            .select("doc_id",
-                    F.least(F.col("label"),
-                            F.coalesce(F.col("nlabel"), F.col("label")))
-                    .alias("label"))
+            .select("doc_id", new.alias("new_label"),
+                    (new != F.col("label")).cast("int").alias("chg"))
             .localCheckpoint(eager=True))
-        changed = (new_labels.withColumnRenamed("label", "new")
-                   .join(labels, "doc_id")
-                   .filter(F.col("new") != F.col("label")).count())
-        labels = new_labels
+        changed = stepped.agg(F.sum("chg")).collect()[0][0]
+        labels = stepped.select(
+            "doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     else:
