@@ -1417,6 +1417,76 @@ FROM agg_links l JOIN agg_toks t USING (dst_host)
 """
 
 
+DIVERSITY_PER_HOST = 2
+
+
+def q_bm25_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-diversified top-k (search-result diversification): at most
+    DIVERSITY_PER_HOST results per host survive into the final top-k —
+    the standard web-search constraint against single-site domination.
+    One window over the quantized candidate scores (partitioned by
+    host, so it scales as a per-host top-N, not a global sort of
+    everything; the final global top-k is TakeOrderedAndProject)."""
+    from pyspark.sql import Window
+
+    from .gates import FLAGSHIP_QUERY, K_FLAGSHIP, _df_index
+    from .operators import query as Q
+
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search(spark, idx, FLAGSHIP_QUERY, k=None, mode="bm25")
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id", "source")
+    scored = (raw.join(docs, "doc_id")
+              .select("doc_id", "source",
+                      F.round(F.col("score") * 1e6).cast("long")
+                      .alias("score_micro")))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score_micro"), F.asc("doc_id"))
+    return (scored.withColumn("host_rank", F.row_number().over(w))
+            .where(F.col("host_rank") <= DIVERSITY_PER_HOST)
+            .select("doc_id", "source", "score_micro",
+                    F.col("host_rank").cast("long").alias("host_rank"))
+            .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+            .limit(K_FLAGSHIP))
+
+
+def sql_bm25_diverse_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    from .gates import K_FLAGSHIP, _sql_query_terms
+
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT h.doc_id, dd.source,
+         CAST(ROUND(SUM(h.partial) * 1000000) AS BIGINT) AS score_micro
+  FROM hits h JOIN documents dd ON dd.doc_id = h.doc_id
+  GROUP BY h.doc_id, dd.source
+),
+ranked AS (
+  SELECT doc_id, source, score_micro,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY source
+              ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS host_rank
+  FROM scored
+)
+SELECT doc_id, source, score_micro, host_rank
+FROM ranked WHERE host_rank <= {DIVERSITY_PER_HOST}
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 PR_BOOST = 10.0
 
 
@@ -1572,6 +1642,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "anchor_text_agg": q_anchor_text_agg,
         "bm25_pagerank_topk": q_bm25_pagerank_topk,
+        "bm25_diverse_topk": q_bm25_diverse_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -1611,6 +1682,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "url_canonical_dedup": sql_url_canonical_dedup(),
         "anchor_text_agg": sql_anchor_text_agg(),
         "bm25_pagerank_topk": sql_bm25_pagerank_topk(),
+        "bm25_diverse_topk": sql_bm25_diverse_topk(),
         "dedup_exact": sql_dedup_exact(),
         "minhash_bands": sql_minhash_bands(),
         "lsh_near_dup_pairs": sql_lsh_near_dup_pairs(),
