@@ -186,6 +186,65 @@ def sql_stream_bm25_topk() -> str:
     return sql_bm25_topk()
 
 
+DEDUP_TS0 = 1_704_067_200  # 2024-01-01T00:00:00Z
+DEDUP_EVERY = 5
+_DEDUP_MEMO: dict[tuple, list] = {}
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen URL dedup (streaming/stateful.py::
+    dedup_stream): a duplicated crawl — every DEDUP_EVERY-th url
+    recrawled 10^6 s later in a second file — streamed with
+    availableNow; exactly the first capture of each url must come out,
+    whether the duplicate lands in the same micro-batch or a later
+    one."""
+    import tempfile as _tf
+
+    from .streaming.stateful import dedup_stream
+
+    key = (id(spark), sf_dir)
+    if key not in _DEDUP_MEMO:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+        url = F.format_string("doc://%012d", "doc_id")
+        ts = F.timestamp_seconds(F.col("doc_id") + F.lit(DEDUP_TS0))
+        ts_dup = F.timestamp_seconds(
+            F.col("doc_id") + F.lit(DEDUP_TS0 + 1_000_000))
+        src = _tf.mkdtemp(prefix="ir_spark_dedup_gate_")
+        docs.select(url.alias("url"), ts.alias("warc_ts")).coalesce(
+            1).write.mode("append").parquet(src)
+        (docs.where(F.col("doc_id") % DEDUP_EVERY == 0)
+         .select(url.alias("url"), ts_dup.alias("warc_ts"))
+         .coalesce(1).write.mode("append").parquet(src))
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp").parquet(src)
+        name = f"dedup_gate_{abs(hash(key)) % 10**8}"
+        q = (dedup_stream(stream).writeStream.format("memory")
+             .queryName(name)
+             .option("checkpointLocation", os.path.join(src, "_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        _DEDUP_MEMO[key] = spark.table(name).collect()
+    return spark.createDataFrame(_DEDUP_MEMO[key],
+                                 "url string, warc_ts_us long")
+
+
+def sql_stream_dedup() -> str:
+    return f"""
+WITH pages AS (
+  SELECT printf('doc://%012d', doc_id) AS url,
+         (doc_id + {DEDUP_TS0}) * 1000000 AS ts_us
+  FROM documents
+  UNION ALL
+  SELECT printf('doc://%012d', doc_id),
+         (doc_id + {DEDUP_TS0 + 1_000_000}) * 1000000
+  FROM documents WHERE doc_id % {DEDUP_EVERY} = 0
+)
+SELECT url, CAST(MIN(ts_us) AS BIGINT) AS warc_ts_us
+FROM pages GROUP BY url
+"""
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_tumbling": q_events_tumbling,
@@ -193,6 +252,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_json_props": q_events_json_props,
         "stream_bm25_topk": q_stream_bm25_topk,
+        "stream_dedup": q_stream_dedup,
     }
 
 
@@ -203,4 +263,5 @@ def streaming_oracle_sql() -> dict[str, str]:
         "events_sessions": sql_events_sessions(),
         "events_json_props": sql_events_json_props(),
         "stream_bm25_topk": sql_stream_bm25_topk(),
+        "stream_dedup": sql_stream_dedup(),
     }

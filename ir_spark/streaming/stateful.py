@@ -83,6 +83,62 @@ def _make_session_fn(gap_us: int):
     return fn
 
 
+DEDUP_SCHEMA = "url string, warc_ts_us long"
+_DEDUP_STATE = "seen int"
+
+
+def _dedup_fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    url = key[0]
+    if state.hasTimedOut:  # TTL purge (only with a timeout configured)
+        state.remove()
+        return
+    if state.exists:  # url already emitted in an earlier batch
+        return
+    rows = pd.concat(list(pdfs))
+    if rows.empty:
+        return
+    first = rows.sort_values("warc_ts_us").iloc[0]
+    state.update((1,))
+    yield pd.DataFrame({"url": [url],
+                        "warc_ts_us": [int(first["warc_ts_us"])]})
+
+
+def dedup_stream(pages: DataFrame) -> DataFrame:
+    """Streaming first-seen URL dedup: emits each url exactly once —
+    the earliest ``warc_ts`` capture — and drops every later recrawl,
+    within and across micro-batches.  The standard ingestion front of
+    a crawl pipeline (batch dedup can't drop a duplicate that arrives
+    tomorrow; this does, with one tiny state row per seen url).
+
+    ``pages`` must be a streaming DataFrame with (url, warc_ts).
+    Output is append-mode (url, warc_ts_us) — each row final when
+    emitted, safe for exactly-once file sinks; join back to the page
+    payload downstream.
+
+    Scale: state is O(distinct urls) x ~1 byte value — at crawl scale
+    back it with the RocksDB state store
+    (spark.sql.streaming.stateStore.providerClass) and shard by url
+    hash; for bounded state add an event-time timeout so urls unseen
+    past the watermark horizon are purged (a recrawl after the TTL
+    then re-emits — the standard freshness/TTL trade).
+    """
+    from pyspark.sql import functions as F
+
+    rows = pages.select("url", F.unix_micros("warc_ts").alias("warc_ts_us"))
+    return (
+        rows.groupBy("url")
+        .applyInPandasWithState(
+            _dedup_fn, DEDUP_SCHEMA, _DEDUP_STATE,
+            "append", _no_timeout())
+    )
+
+
+def _no_timeout():
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return GroupStateTimeout.NoTimeout
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
                       watermark: str = "30 minutes") -> DataFrame:
     """Streaming counterpart of ``windows.sessionize``: append-mode

@@ -420,3 +420,42 @@ def test_sessionize_invariants(spark):
         F.col("y.session_start").cast("long")
         - F.col("x.session_end").cast("long") <= 30 * 60).count()
     assert bad == 0
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """First-seen url dedup with duplicates arriving in a LATER
+    micro-batch: maxFilesPerTrigger=1 forces one file per batch, so
+    the recrawl of urls a/b lands after their state row exists and
+    must be dropped by state, not by within-batch sorting."""
+    from ir_spark.streaming.stateful import dedup_stream
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    spark.createDataFrame(
+        [("u://a", "2024-01-01 00:00:00"), ("u://b", "2024-01-01 00:00:01"),
+         ("u://b", "2024-01-01 00:00:03")],  # within-batch dup too
+        "url string, warc_ts string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp")) \
+        .coalesce(1).write.mode("append").parquet(str(src / "b0"))
+    spark.createDataFrame(
+        [("u://a", "2024-01-02 00:00:00"), ("u://c", "2024-01-02 00:00:05")],
+        "url string, warc_ts string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp")) \
+        .coalesce(1).write.mode("append").parquet(str(src / "b1"))
+
+    stream = (spark.readStream.schema("url string, warc_ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    q = (dedup_stream(stream).writeStream.format("memory")
+         .queryName("dedup_xbatch")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.url, r.warc_ts_us)
+           for r in spark.table("dedup_xbatch").collect()}
+    day0 = 1_704_067_200 * 1_000_000
+    assert got == {
+        ("u://a", day0),
+        ("u://b", day0 + 1_000_000),
+        ("u://c", day0 + 86_400_000_000 + 5_000_000),
+    }
