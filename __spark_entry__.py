@@ -25,6 +25,46 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The driver verifies the FIRST ~50 registry entries per round.  Gates that
+# have not yet earned a green CORRECTNESS row (never checked, or checked
+# only in an earlier round) are promoted to the head of the registry so
+# every round's 50-gate window lands on the least-proven components first.
+# Gates with standing green evidence from the previous round rotate to the
+# tail — their rows remain on record.  (VERDICT r2 "Next round" items 1+8.)
+_PRIORITY: tuple[str, ...] = (
+    # -- never driver-checked (r2) --------------------------------------
+    "events_json_props",   # FAILED r1, fix in gates_streaming.py:125 — needs a green row
+    "stream_dedup",
+    "hybrid_rrf_topk",
+    "ann_ivf_index_topk",
+    "decontaminate",
+    "repetition_filter",
+    "stratified_sample",
+    "mix_report",
+    # -- green r1 but dropped from r2's 50-gate window -------------------
+    "ngram_jaccard_pairs",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
+    "lang_id",
+    "quality_score",
+    "token_stats",
+    "doc_fingerprint",
+    "multimodal_meta",
+    "multimodal_features",
+    "frame_sample",
+    "events_tumbling",
+    "events_sliding",
+    "events_sessions",
+    "stream_bm25_topk",
+)
+
+
+def _reorder(registry: dict) -> dict:
+    head = {k: registry[k] for k in _PRIORITY if k in registry}
+    tail = {k: v for k, v in registry.items() if k not in head}
+    return {**head, **tail}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over documents at sf0.001."""
@@ -49,7 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(gates_streaming.streaming_queries())
     except ImportError:
         pass
-    return out
+    return _reorder(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -68,4 +108,4 @@ def oracle_sql() -> dict[str, str]:
         out.update(gates_streaming.streaming_oracle_sql())
     except ImportError:
         pass
-    return out
+    return _reorder(out)
