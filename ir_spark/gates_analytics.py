@@ -231,11 +231,19 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: exact dedup -> LSH near-dup drop ->
     quality floor; emits the kept (doc_id, n_words)."""
     corpus = _with_all_dups(_docs(spark, sf_dir))
+    caches: list = []
     kept = D.curate(corpus, jaccard_threshold=0.3,
-                    min_words=CURATE_MIN_WORDS)
+                    min_words=CURATE_MIN_WORDS, caches=caches)
     n_words = F.size(F.filter(F.split("text", " "),
                               lambda w: F.length(w) > 0)).cast("long")
-    return kept.select("doc_id", n_words.alias("n_words"))
+    # Materialize the (small) result eagerly so curate()'s stage-1
+    # corpus cache can be released before the gate returns — leaving it
+    # persisted for the session starved every later gate of storage
+    # memory in the serial bench (r2 regression: 5.7s -> 25.8s).
+    out = kept.select("doc_id", n_words.alias("n_words")).localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def sql_curation_pipeline() -> str:
@@ -1267,9 +1275,25 @@ def _host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (id(spark), sf_dir)
     if key not in _PR_MEMO:
+        edges = _derived_host_edges(spark, sf_dir)
+        # The SQL oracle's unrolled recurrence omits the dangling-mass
+        # term (see _pagerank_ctes NOTE); that is only valid while the
+        # derived graph has NO dangling node.  A host whose md5-partner
+        # edges are all same-host would be dropped by the src<>dst
+        # filter yet can still appear as a dst — fail loudly here
+        # rather than let the gate mismatch a correct operator.
+        n_dangling = (edges.select(F.col("dst").alias("node"))
+                      .distinct()
+                      .join(edges.select(F.col("src").alias("node"))
+                            .distinct(), "node", "left_anti")
+                      .count())
+        if n_dangling:
+            raise AssertionError(
+                f"pagerank gate derivation produced {n_dangling} dangling "
+                "host(s); add damped dangling redistribution to the SQL "
+                "oracle before trusting this gate")
         _PR_MEMO[key] = pagerank(
-            _derived_host_edges(spark, sf_dir),
-            n_iters=PR_ITERS, damping=PR_DAMPING, weighted=True)
+            edges, n_iters=PR_ITERS, damping=PR_DAMPING, weighted=True)
     return _PR_MEMO[key]
 
 

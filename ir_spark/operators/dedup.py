@@ -362,7 +362,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .select("doc_id", new.alias("new_label"),
                     (new != F.col("label")).cast("int").alias("chg"))
             .localCheckpoint(eager=True))
-        changed = stepped.agg(F.sum("chg")).collect()[0][0]
+        # coalesce: with an empty edge set sum('chg') is NULL, and a
+        # None 'changed' would never equal 0 -> spurious non-convergence
+        changed = stepped.agg(
+            F.coalesce(F.sum("chg"), F.lit(0))).collect()[0][0]
         labels = stepped.select(
             "doc_id", F.col("new_label").alias("label"))
         if changed == 0:

@@ -123,6 +123,12 @@ def search_bm25f(
     postings = merged.where(~F.col("term").isin(sorted(STOPWORDS)))
     n_docs, avg_wdl = docinfo.agg(
         F.count("*"), F.avg("wdl")).collect()[0]
+    if n_docs == 0 or avg_wdl is None:
+        # corpus produced no tokens at all: avg('wdl') is NULL and the
+        # scoring plan below would crash on float(None); release the
+        # persisted parent on this path too
+        merged.unpersist()
+        return spark.createDataFrame([], "doc_id long, score double")
 
     qterms = spark.createDataFrame(
         sorted(bag.items()), "term string, qtf long")

@@ -41,9 +41,14 @@ def extract_outlinks(pages: DataFrame,
                      html_col: str = "html") -> DataFrame:
     """(url, html:binary) -> (src_url, dst_url, anchor) edge rows.
 
-    Relative hrefs are resolved against the source page's
-    scheme://host; fragment-only hrefs and empty targets are dropped.
-    Single regexp pass, all JVM expressions (the two
+    Root-relative hrefs (``/x``) are resolved against the source
+    page's scheme://host; path-relative hrefs (``x.html``) against the
+    source page's DIRECTORY (RFC 3986 merge-paths: ``rel.html`` on
+    ``https://h/dir/page`` -> ``https://h/dir/rel.html``).  Dot
+    segments (``./``, ``../``) are NOT normalized here — url
+    canonicalization (``urlnorm.canonicalize_urls``) is the
+    downstream place for that.  Fragment-only hrefs and empty targets
+    are dropped.  Single regexp pass, all JVM expressions (the two
     ``regexp_extract_all`` calls over the same pattern are collapsed
     into one scan by column pruning + common subexpression reuse).
     """
@@ -55,10 +60,20 @@ def extract_outlinks(pages: DataFrame,
         F.lit("://"),
         F.regexp_extract(F.col(url_col), _ABS_URL, 2),
     )
+    # directory of the source url: strip query/fragment, then the last
+    # path segment (trailing slash kept); a path-less url's directory
+    # is its host root
+    src_dir = F.when(
+        F.col(url_col).rlike(_ABS_URL + r"/"),
+        F.regexp_replace(
+            F.regexp_replace(F.col(url_col), r"[?#].*$", ""),
+            r"[^/]*$", ""),
+    ).otherwise(F.concat(src_base, F.lit("/")))
     out = (
         pages.select(
             F.col(url_col).alias("src_url"),
             src_base.alias("_base"),
+            src_dir.alias("_dir"),
             F.explode(F.arrays_zip(hrefs.alias("href"),
                                    anchors.alias("anchor"))).alias("_e"),
         )
@@ -67,6 +82,7 @@ def extract_outlinks(pages: DataFrame,
             F.col("_e.href").alias("_href"),
             F.trim(F.col("_e.anchor")).alias("anchor"),
             "_base",
+            "_dir",
         )
         .where(
             (F.col("_href") != "")
@@ -85,7 +101,7 @@ def extract_outlinks(pages: DataFrame,
                            F.lit(":"), F.col("_href")))
             .when(F.col("_href").startswith("/"),
                   F.concat(F.col("_base"), F.col("_href")))
-            .otherwise(F.concat(F.col("_base"), F.lit("/"), F.col("_href")))
+            .otherwise(F.concat(F.col("_dir"), F.col("_href")))
             .alias("dst_url"),
             "anchor",
         )
@@ -132,7 +148,11 @@ def anchor_text_agg(outlinks: DataFrame, *,
     on — co-partitionable with the postings build.
     """
     dst = host_of("dst_url") if by_host else F.col("dst_url")
-    toks = F.split(F.lower(F.trim(F.col("anchor"))), r"\s+")
+    # drop the lone '' token a blank/whitespace-only anchor produces
+    # (F.split never returns an empty array) — keeps parity with SQL
+    # oracles that filter t <> ''
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col("anchor"))), r"\s+"), "")
     return (
         outlinks.select(
             dst.alias("dst"),

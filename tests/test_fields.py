@@ -75,3 +75,15 @@ def test_stopwords_removed_but_count_in_length(spark):
     assert "the" not in terms and "aa" in terms
     # 'the' still counts toward weighted doc length (D2 semantics)
     assert docinfo.collect()[0].wdl == pytest.approx(2.0 * 6 + 1.0 * 1)
+
+
+def test_bm25f_empty_and_tokenless_corpus(spark):
+    """No docs / no tokens: avg('wdl') is NULL -> must return an empty
+    frame instead of crashing on float(None), and must not leak the
+    persisted merged relation on that path."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert search_bm25f(spark, empty, "aa", k=3).collect() == []
+    # docs whose text tokenizes to nothing at all
+    blank = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string")
+    assert search_bm25f(spark, blank, "aa", k=3).collect() == []

@@ -179,3 +179,37 @@ def test_url_dedup_groups(spark):
     assert sizes["https://b.example/q"] == 1
     assert sizes["HTTPS://A.example/p?b=1&a=1#x"] == 2
     assert sizes["https://a.example/p/?a=1&b=1"] == 2
+
+
+def test_extract_outlinks_path_relative_directory(spark):
+    """Path-relative hrefs resolve against the source DIRECTORY
+    (RFC 3986 merge), not the host root; query strings are stripped
+    from the base; a path-less source falls back to the host root."""
+    pages = spark.createDataFrame([
+        ("https://a.example/dir/page",
+         bytearray(b'<a href="rel.html">R</a><a href="/abs.html">A</a>')),
+        ("https://b.example/d1/d2/p?q=1",
+         bytearray(b'<a href="x.html">X</a>')),
+        ("https://c.example",
+         bytearray(b'<a href="root.html">RootRel</a>')),
+    ], "url string, html binary")
+    got = {(r.src_url, r.dst_url) for r in extract_outlinks(pages).collect()}
+    assert got == {
+        ("https://a.example/dir/page", "https://a.example/dir/rel.html"),
+        ("https://a.example/dir/page", "https://a.example/abs.html"),
+        ("https://b.example/d1/d2/p?q=1", "https://b.example/d1/d2/x.html"),
+        ("https://c.example", "https://c.example/root.html"),
+    }
+
+
+def test_anchor_text_agg_blank_anchor_yields_no_tokens(spark):
+    """A whitespace-only anchor must not contribute a '' token to
+    anchor_terms (parity with the SQL oracle's t <> '' filter)."""
+    links = spark.createDataFrame([
+        ("https://a.example/1", "https://t.example/p", "   "),
+        ("https://b.example/2", "https://t.example/p", "real term"),
+    ], "src_url string, dst_url string, anchor string")
+    rows = anchor_text_agg(links).collect()
+    assert len(rows) == 1
+    assert rows[0].n_inlinks == 2
+    assert list(rows[0].anchor_terms) == ["real", "term"]

@@ -252,3 +252,13 @@ def test_pii_scrub_counts_match_redactions(spark):
     r = pii_scrub(docs).collect()[0]
     assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 0, 0)
     assert r["scrubbed"] == "<EMAIL> end"
+
+
+def test_connected_components_empty_pairs(spark):
+    """Empty edge relation converges immediately to an empty result
+    (regression: NULL sum('chg') never compared equal to 0, so the
+    loop exhausted max_iter and raised 'did not converge')."""
+    from ir_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "a long, b long")
+    assert connected_components(pairs, max_iter=3).collect() == []
