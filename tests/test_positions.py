@@ -199,3 +199,25 @@ def test_sloppy_phrase_matches_brute_force(docs):
     # ordered: b-before-a-only docs must NOT match (directional check)
     rev = {r["doc_id"] for r in sloppy_phrase_search(rel, b, a, slop).collect()}
     assert rev != set(got) or not got
+
+
+def test_proximity_repeated_term_stress(spark):
+    """A pathological doc repeating both terms thousands of times: the
+    merged-adjacent-pair formulation stays linear per doc (the old
+    pairwise flatten materialized |a|*|b| = 4M distances here) and
+    still finds the exact min distance."""
+    from ir_spark.operators.positions import proximity_search, token_positions
+
+    # interleave: 'aa' at even word slots, 'bb' at odd -> min dist 1
+    words = []
+    for _ in range(2000):
+        words.extend(["aa", "bb"])
+    # one far-apart doc: min dist = 11
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)),
+         (2, "bb " + " ".join(["xx"] * 10) + " aa")],
+        "doc_id long, text string")
+    pos = token_positions(docs)
+    got = {r.doc_id: r.min_dist
+           for r in proximity_search(pos, "aa", "bb", window=100).collect()}
+    assert got == {1: 1, 2: 11}
