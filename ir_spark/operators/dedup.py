@@ -319,27 +319,39 @@ def duplicate_span_coverage(docs: DataFrame, n: int = 8,
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Near-dup CLUSTERS from verified pairs: connected components by
-    iterative min-label propagation — the step after pair generation
-    that a real dedup pipeline needs (pick one canonical doc per
-    duplicate cluster, drop the rest).
+def connected_components(pairs: DataFrame, max_iter: int = 25,
+                         algorithm: str = "star",
+                         stats: dict | None = None) -> DataFrame:
+    """Near-dup CLUSTERS from verified pairs: connected components —
+    the step after pair generation that a real dedup pipeline needs
+    (pick one canonical doc per duplicate cluster, drop the rest).
 
     ``pairs`` is an (a, b) edge relation (undirected, any orientation).
     Returns (doc_id, cluster_id, is_canonical) for every doc appearing
     in an edge; cluster_id = min doc_id in the component,
     is_canonical = 1 on exactly that doc (INT house-style flag).
 
-    Scale shape: each round is one keyed join + one min-agg (both
-    shuffle on doc_id-sized keys); rounds = component diameter, which
-    for near-dup graphs is tiny (duplicate clusters are dense blobs,
-    not paths).  Plans are truncated per round with an eager
-    localCheckpoint, otherwise the iterated lineage grows without
-    bound; convergence is detected with a count of changed labels and
-    asserted within ``max_iter``.  (The large-star/small-star CC
-    variant halves round count at web scale; min-propagation keeps
-    the same join shape and is exact for any graph.)
+    Two exact algorithms behind the same contract:
+
+    - ``"star"`` (default): alternating large-star / small-star
+      (Kiveris et al., "Connected Components in MapReduce and
+      Beyond"): O(log^2 n) rounds worst case and ~log n in practice
+      even on long paths, vs O(diameter) for min-propagation — the
+      right default at web scale, where near-dup graphs occasionally
+      contain long chains (A~B~C~... transitive near-dups).
+    - ``"minlabel"``: iterative min-label propagation; one keyed join
+      + one min-agg per round, rounds = component diameter.  Kept as
+      the independent cross-check implementation.
+
+    Both truncate per-round lineage with an eager localCheckpoint
+    (otherwise the iterated plan grows without bound) and assert
+    convergence within ``max_iter``.  ``stats``, if given, receives
+    {'rounds': n} for round-count assertions in tests/benchmarks.
     """
+    if algorithm == "star":
+        return _cc_star(pairs, max_iter, stats)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown CC algorithm: {algorithm!r}")
     sym = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
            .unionByName(
                pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -348,7 +360,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = (sym.select(F.col("u").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id"))
               .localCheckpoint(eager=True))
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh = (sym.join(labels.withColumnRenamed("doc_id", "v"), "v")
                  .groupBy("u").agg(F.min("label").alias("nlabel"))
                  .withColumnRenamed("u", "doc_id"))
@@ -372,6 +386,84 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             break
     else:
         raise RuntimeError(f"did not converge in {max_iter} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).cast("int").alias("is_canonical"))
+
+
+def _cc_star(pairs: DataFrame, max_iter: int,
+             stats: dict | None = None) -> DataFrame:
+    """Alternating large-star / small-star connected components.
+
+    Edge representation: (u, v) with u > v after each full round.
+    One round = large-star then small-star:
+
+    - large-star, per node u over the SYMMETRIZED neighborhood:
+      m = min(neighbors + u); emit (v, m) for every neighbor v > u.
+      Connects every larger neighbor to the local minimum — halves
+      long chains.
+    - small-star, per node u over its SMALLER neighbors (edges are
+      already oriented u > v): m = min(smaller neighbors); emit
+      (v, m) for v != m plus (u, m).  Collapses local trees to stars.
+
+    Stop condition is the definitive star test (each larger endpoint
+    appears exactly once AND no node is both child and root), so a
+    fixed point is certified, never inferred from a fingerprint.
+    Per-round cost: two groupBy-min + two joins on node keys; rounds
+    are O(log^2 n) worst case (paper), ~log n observed even on path
+    graphs.  Lineage truncated per round with eager localCheckpoint.
+    """
+    edges = (pairs.select(F.greatest("a", "b").alias("u"),
+                          F.least("a", "b").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    # every endpoint, incl. nodes whose only edges were self-pairs:
+    # they must still appear in the output as singleton roots
+    nodes = (pairs.select(F.col("a").alias("doc_id"))
+             .unionByName(pairs.select(F.col("b").alias("doc_id")))
+             .distinct()
+             .localCheckpoint(eager=True))
+
+    def is_star(e: DataFrame) -> bool:
+        n, nu = e.agg(F.count(F.lit(1)), F.countDistinct("u")).collect()[0]
+        if n != nu:
+            return False
+        return (e.select("u")
+                .intersect(e.select(F.col("v").alias("u"))).count()) == 0
+
+    rounds = 0
+    while not is_star(edges):
+        if rounds >= max_iter:
+            raise RuntimeError(f"did not converge in {max_iter} rounds")
+        rounds += 1
+        # large-star over the symmetric view
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m_large = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                   .select("u", F.least("u", "mv").alias("m")))
+        large = (sym.join(m_large, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .distinct())
+        # small-star over the (u > v)-oriented edges
+        m_small = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(m_small, "u")
+        edges = (joined.where(F.col("v") != F.col("m"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .unionByName(m_small.select("u", F.col("m").alias("v")))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+    if stats is not None:
+        stats["rounds"] = rounds
+    # converged edges are (child, root) stars; everything else is its
+    # own root (incl. singleton components from degenerate self-pairs)
+    return (nodes.join(edges.withColumnRenamed("u", "doc_id"),
+                       "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("v", F.col("doc_id")).alias("cluster_id"))
+            .select("doc_id", "cluster_id",
+                    (F.col("doc_id") == F.col("cluster_id"))
+                    .cast("int").alias("is_canonical")))

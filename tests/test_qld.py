@@ -262,3 +262,54 @@ def test_connected_components_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "a long, b long")
     assert connected_components(pairs, max_iter=3).collect() == []
+
+
+def test_cc_star_equals_minlabel_random_graphs(spark):
+    """Large-star/small-star and min-label propagation are independent
+    exact CC algorithms: identical output on random edge sets."""
+    import random
+
+    from ir_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(40 + 10 * trial)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        star = sorted(map(tuple, connected_components(
+            pairs, algorithm="star").collect()))
+        mini = sorted(map(tuple, connected_components(
+            pairs, algorithm="minlabel", max_iter=80).collect()))
+        assert star == mini
+
+
+def test_cc_star_path_graph_log_rounds(spark):
+    """A 1000-node path converges in O(log n) star rounds (min-label
+    would need ~999 diameter rounds) and labels every node with the
+    component minimum."""
+    from ir_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(999)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    stats: dict = {}
+    out = connected_components(pairs, algorithm="star", stats=stats)
+    rows = out.collect()
+    assert len(rows) == 1000
+    assert all(r.cluster_id == 0 for r in rows)
+    assert sum(r.is_canonical for r in rows) == 1
+    assert stats["rounds"] <= 12, stats
+
+
+def test_cc_star_empty_and_self_pairs(spark):
+    """Empty input -> empty output; a self-pair yields a singleton
+    root rather than vanishing."""
+    from ir_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert connected_components(empty, algorithm="star").collect() == []
+    selfp = spark.createDataFrame([(7, 7), (1, 2)], "a long, b long")
+    got = sorted(map(tuple, connected_components(
+        selfp, algorithm="star").collect()))
+    assert got == [(1, 1, 1), (2, 1, 0), (7, 7, 1)]
