@@ -87,23 +87,40 @@ DEDUP_SCHEMA = "url string, warc_ts_us long"
 _DEDUP_STATE = "seen int"
 
 
-def _dedup_fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-    url = key[0]
-    if state.hasTimedOut:  # TTL purge (only with a timeout configured)
-        state.remove()
-        return
-    if state.exists:  # url already emitted in an earlier batch
-        return
-    rows = pd.concat(list(pdfs))
-    if rows.empty:
-        return
-    first = rows.sort_values("warc_ts_us").iloc[0]
-    state.update((1,))
-    yield pd.DataFrame({"url": [url],
-                        "warc_ts_us": [int(first["warc_ts_us"])]})
+def _make_dedup_fn(ttl_ms: int | None):
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        url = key[0]
+        if state.hasTimedOut:  # TTL purge: url unseen past the horizon
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs))
+        if rows.empty:
+            return
+        seen = state.exists
+        if ttl_ms is not None:
+            # refresh the TTL from the LAST sighting: every recrawl
+            # (suppressed or not) extends the state's life; once the
+            # watermark passes last_sighting + ttl the row is purged
+            # and the next recrawl re-emits (freshness/TTL trade).
+            # Clamped above the current watermark — Spark rejects
+            # timeouts at-or-before it.
+            state.update((1,))
+            last_ms = int(rows["warc_ts_us"].max()) // 1000
+            state.setTimeoutTimestamp(
+                max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1))
+        elif not seen:
+            state.update((1,))
+        if seen:  # url already emitted in an earlier batch
+            return
+        first = rows.sort_values("warc_ts_us").iloc[0]
+        yield pd.DataFrame({"url": [url],
+                            "warc_ts_us": [int(first["warc_ts_us"])]})
+
+    return fn
 
 
-def dedup_stream(pages: DataFrame) -> DataFrame:
+def dedup_stream(pages: DataFrame, *, ttl_minutes: int | None = None,
+                 watermark: str = "0 seconds") -> DataFrame:
     """Streaming first-seen URL dedup: emits each url exactly once —
     the earliest ``warc_ts`` capture — and drops every later recrawl,
     within and across micro-batches.  The standard ingestion front of
@@ -115,28 +132,40 @@ def dedup_stream(pages: DataFrame) -> DataFrame:
     emitted, safe for exactly-once file sinks; join back to the page
     payload downstream.
 
-    Scale: state is O(distinct urls) x ~1 byte value — at crawl scale
-    back it with the RocksDB state store
-    (spark.sql.streaming.stateStore.providerClass) and shard by url
-    hash; for bounded state add an event-time timeout so urls unseen
-    past the watermark horizon are purged (a recrawl after the TTL
-    then re-emits — the standard freshness/TTL trade).
+    Bounding state (the 100-TB path): with ``ttl_minutes`` set, a
+    ``warc_ts`` watermark drives an event-time timeout that PURGES the
+    state row of any url unseen for the TTL — state is then O(urls
+    seen inside the horizon), not O(all urls ever).  A recrawl after
+    the TTL re-emits; each sighting inside it refreshes the clock.
+    Without a TTL, state is O(all distinct urls) — back it with the
+    RocksDB state store provider either way
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) so state lives on executor
+    disk instead of the JVM heap; tests/test_streaming.py runs this
+    operator under RocksDB + TTL.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    rows = pages.select("url", F.unix_micros("warc_ts").alias("warc_ts_us"))
+    if ttl_minutes is None:
+        rows = pages.select("url",
+                            F.unix_micros("warc_ts").alias("warc_ts_us"))
+        timeout = GroupStateTimeout.NoTimeout
+        ttl_ms = None
+    else:
+        # the watermark-tagged column must survive projection all the
+        # way to the stateful operator, or the analyzer rejects the
+        # event-time timeout; the pandas fn ignores it
+        rows = pages.withWatermark("warc_ts", watermark).select(
+            "url", "warc_ts", F.unix_micros("warc_ts").alias("warc_ts_us"))
+        timeout = GroupStateTimeout.EventTimeTimeout
+        ttl_ms = ttl_minutes * 60_000
     return (
         rows.groupBy("url")
         .applyInPandasWithState(
-            _dedup_fn, DEDUP_SCHEMA, _DEDUP_STATE,
-            "append", _no_timeout())
+            _make_dedup_fn(ttl_ms), DEDUP_SCHEMA, _DEDUP_STATE,
+            "append", timeout)
     )
-
-
-def _no_timeout():
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    return GroupStateTimeout.NoTimeout
 
 
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30,

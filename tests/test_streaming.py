@@ -459,3 +459,61 @@ def test_stream_dedup_across_batches(spark, tmp_path):
         ("u://b", day0 + 1_000_000),
         ("u://c", day0 + 86_400_000_000 + 5_000_000),
     }
+
+
+def test_stream_dedup_ttl_purges_state_rocksdb(spark, tmp_path):
+    """Bounded-state path: RocksDB state store provider + event-time
+    TTL.  A url unseen past watermark + TTL has its state row PURGED,
+    so a later recrawl re-emits — proving expiry actually dropped the
+    row (an intact state row would have suppressed it).  Batches are
+    one file each (maxFilesPerTrigger=1):
+
+      b0: a@00:00, b@00:10          -> emit both; TTL clock 01:00ish
+      b1: c@03:00                   -> emit; watermark advances to 3h
+      b2: d@05:00                   -> emit; a/b state times out here
+      b3: a@06:00 (post-TTL recrawl)-> RE-emitted (state was purged)
+    """
+    from ir_spark.streaming.stateful import dedup_stream
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        src = tmp_path / "pages"
+        src.mkdir()
+        batches = [
+            [("u://a", "2024-01-01 00:00:00"), ("u://b", "2024-01-01 00:10:00")],
+            [("u://c", "2024-01-01 03:00:00")],
+            [("u://d", "2024-01-01 05:00:00")],
+            [("u://a", "2024-01-01 06:00:00")],
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, "url string, warc_ts string") \
+                .withColumn("warc_ts", F.col("warc_ts").cast("timestamp")) \
+                .coalesce(1).write.mode("append").parquet(str(src / f"b{i}"))
+        stream = (spark.readStream.schema("url string, warc_ts timestamp")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src) + "/*"))
+        q = (dedup_stream(stream, ttl_minutes=60).writeStream
+             .format("memory").queryName("dedup_ttl")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        base = 1_704_067_200 * 1_000_000  # 2024-01-01 00:00:00 UTC
+        got = sorted((r.url, r.warc_ts_us)
+                     for r in spark.table("dedup_ttl").collect())
+        assert got == sorted([
+            ("u://a", base),
+            ("u://b", base + 600 * 1_000_000),
+            ("u://c", base + 3 * 3600 * 1_000_000),
+            ("u://d", base + 5 * 3600 * 1_000_000),
+            ("u://a", base + 6 * 3600 * 1_000_000),  # post-TTL re-emit
+        ])
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
