@@ -51,6 +51,8 @@ _PRIORITY: tuple[str, ...] = (
     "token_stats",
     "doc_fingerprint",
     "multimodal_meta",
+    "multimodal_image_meta",   # new r3: REAL BMP decode on synthetic fixtures
+    "multimodal_wav_stats",    # new r3: REAL WAV decode + numpy sample stats
     "multimodal_features",
     "frame_sample",
     "events_tumbling",

@@ -662,6 +662,89 @@ FROM documents CROSS JOIN (SELECT unnest(range(0, {M.FEATURE_DIM})) AS j)
 """
 
 
+def _synth_image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spec-conformant 24-bpp BMP per doc (geometry a
+    pure function of doc_id) — REAL binary fixtures for the real
+    decoder."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [M.synth_bmp(int(d) % 64 + 1, int(d) % 48 + 1,
+                                        seed=int(d))
+                            for d in pdf["doc_id"]],
+            })
+
+    return docs.mapInPandas(synth, "doc_id long, payload binary")
+
+
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: synthesize a spec-conformant BMP per doc,
+    then parse geometry back out of the actual bytes
+    (operators/multimodal.py::decode_image — struct parsing, no codec
+    lib).  The oracle recomputes the expected geometry and exact file
+    size analytically from doc_id."""
+    return M.decode_image_meta(_synth_image_payloads(spark, sf_dir))
+
+
+def sql_multimodal_image_meta() -> str:
+    # BMP file size: 54-byte headers + 4-byte-aligned 24bpp rows
+    return """
+SELECT doc_id,
+       CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       'bmp' AS format
+FROM (SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h
+      FROM documents)
+"""
+
+
+def q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: synthesize a PCM16 RIFF/WAVE file per doc
+    (alternating +/-amplitude samples), then walk the chunk list and
+    compute numpy sample statistics from the actual PCM bytes
+    (operators/multimodal.py::decode_wav).  Alternating samples make
+    every statistic analytic: RMS = amplitude exactly, zero crossings
+    = n_samples - 1."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [M.synth_wav(int(d) % 100 + 2,
+                                        int(d) % 30000 + 1)
+                            for d in pdf["doc_id"]],
+            })
+
+    payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return M.decode_wav_meta(payloads).select(
+        "doc_id", "n_bytes", "sample_rate", "n_samples", "duration_us",
+        "rms_micro", "peak", "zero_crossings")
+
+
+def sql_multimodal_wav_stats() -> str:
+    return """
+SELECT doc_id,
+       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000000 // 16000 AS BIGINT) AS duration_us,
+       CAST(a * 1000000 AS BIGINT) AS rms_micro,
+       CAST(a AS INT) AS peak,
+       CAST(n - 1 AS BIGINT) AS zero_crossings
+FROM (SELECT doc_id, doc_id % 100 + 2 AS n, doc_id % 30000 + 1 AS a
+      FROM documents)
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan over the binary payload (every 256 bytes)."""
     docs = _docs(spark, sf_dir).select(
@@ -1687,6 +1770,8 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mix_report": q_mix_report,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_wav_stats": q_multimodal_wav_stats,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
     }
@@ -1727,6 +1812,8 @@ def analytics_oracle_sql() -> dict[str, str]:
         "stratified_sample": sql_stratified_sample(),
         "mix_report": sql_mix_report(),
         "multimodal_meta": sql_multimodal_meta(),
+        "multimodal_image_meta": sql_multimodal_image_meta(),
+        "multimodal_wav_stats": sql_multimodal_wav_stats(),
         "multimodal_features": sql_multimodal_features(),
         "frame_sample": sql_frame_sample(),
     }

@@ -13,12 +13,22 @@ derives metadata from the bytes, and the real-decoder seam raises
 Pattern: ``mapInPandas`` over (id, payload) batches — Arrow moves the
 binary column zero-copy; the UDF yields a metadata frame (never the
 payload back, keeping shuffle width small).
+
+Real decoders (no codec libs needed): container/header formats that
+are pure struct parsing are decoded for REAL — BMP / PNG / GIF / PPM
+/ PGM image geometry and RIFF/WAVE audio (fmt + data chunks, plus
+numpy sample statistics over the PCM payload).  Only payloads in none
+of those formats fall back to the clearly-marked ``_fake_decode``
+stand-in (the seam where PIL/ffmpeg plugs in on clusters that ship
+them).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -26,26 +36,80 @@ DECODE_SCHEMA = (
     "doc_id long, n_bytes long, width int, height int, format string"
 )
 
-_HAVE_REAL_DECODER = False  # PIL/imageio absent in this environment
-try:  # pragma: no cover - real decoder only exists on full clusters
-    import PIL.Image  # noqa: F401
-
-    _HAVE_REAL_DECODER = True
-except ImportError:
-    pass
-
-
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
-    """Deterministic stand-in for image decode: derives a fake
-    geometry from the byte length.  STUB — replace with a real codec
-    (PIL / turbojpeg) on clusters that ship one."""
+    """Deterministic stand-in for payloads ``decode_image`` does not
+    recognize: derives a fake geometry from the byte length.  STUB —
+    the seam where an external codec (PIL / turbojpeg) plugs in for
+    JPEG-class formats on clusters that ship one."""
     n = len(payload)
     return (n % 640 + 1, (n * 7) % 480 + 1, "fake")
 
 
+def _parse_netpbm(p: bytes) -> tuple[int, int, str] | None:
+    """P2/P3/P5/P6 header: magic, then whitespace/comment-separated
+    ASCII width height [maxval]."""
+    fmt = "pgm" if p[:2] in (b"P2", b"P5") else "ppm"
+    toks: list[int] = []
+    i = 2
+    while i < len(p) and len(toks) < 2:
+        c = p[i:i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(p) and p[i:i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(p) and p[j:j + 1].isdigit():
+                j += 1
+            toks.append(int(p[i:j]))
+            i = j
+        else:
+            return None
+    if len(toks) < 2:
+        return None
+    return (toks[0], toks[1], fmt)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, str] | None:
+    """REAL geometry decode for struct-parseable image containers:
+    BMP (BITMAPINFOHEADER, signed height = top-down), PNG (IHDR),
+    GIF (logical screen descriptor), PPM/PGM (ASCII header).  Returns
+    None for unrecognized payloads (the external-codec seam)."""
+    p = payload
+    if p[:2] == b"BM" and len(p) >= 26:
+        w = struct.unpack_from("<i", p, 18)[0]
+        h = struct.unpack_from("<i", p, 22)[0]
+        return (w, abs(h), "bmp")
+    if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+        w, h = struct.unpack_from(">II", p, 16)
+        return (int(w), int(h), "png")
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        w, h = struct.unpack_from("<HH", p, 6)
+        return (int(w), int(h), "gif")
+    if p[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        return _parse_netpbm(p)
+    return None
+
+
+def synth_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic 24-bpp BMP (BITMAPINFOHEADER, 4-byte-aligned
+    rows) — a REAL, spec-conformant file for fixtures and gates."""
+    row = ((3 * width + 3) // 4) * 4
+    data_size = row * height
+    header = (b"BM" + struct.pack("<IHHI", 54 + data_size, 0, 0, 54)
+              + struct.pack("<iiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            data_size, 2835, 2835, 0, 0))
+    idx = np.arange(data_size, dtype=np.int64)
+    pixels = ((idx * 31 + seed) % 256).astype(np.uint8)
+    return header + pixels.tobytes()
+
+
 def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """(doc_id, payload:binary) -> (doc_id, n_bytes, width, height,
-    format) via an Arrow-batched kernel.
+    format) via an Arrow-batched kernel.  BMP/PNG/GIF/PPM/PGM payloads
+    are decoded for real (``decode_image``); unrecognized payloads fall
+    back to the ``_fake_decode`` stand-in with format='fake'.
 
     Only ``doc_id`` and the payload column cross into Python (select
     before calling keeps Parquet column pruning effective).
@@ -54,10 +118,8 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_REAL_DECODER:  # pragma: no cover
-                raise NotImplementedError(
-                    "real image decode seam: wire PIL.Image.open here")
-            metas = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            metas = [decode_image(bytes(p)) or _fake_decode(bytes(p))
+                     for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -69,6 +131,92 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return cols.mapInPandas(kernel, DECODE_SCHEMA)
+
+
+# --- audio (RIFF/WAVE): real header decode + numpy sample stats ------------
+
+WAV_SCHEMA = ("doc_id long, n_bytes long, n_channels int, sample_rate int, "
+              "bit_depth int, n_samples long, duration_us long, "
+              "rms_micro long, peak int, zero_crossings long")
+
+
+def synth_wav(n_samples: int, amplitude: int,
+              sample_rate: int = 16000) -> bytes:
+    """Deterministic PCM16 mono WAV: samples alternate +amplitude /
+    -amplitude (exact analytic RMS = amplitude, zero crossings =
+    n_samples - 1) — a REAL RIFF/WAVE file for fixtures and gates."""
+    samples = np.empty(n_samples, dtype="<i2")
+    samples[0::2] = amplitude
+    samples[1::2] = -amplitude
+    data = samples.tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                    sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """REAL RIFF/WAVE decode: walk the chunk list for fmt + data, then
+    numpy statistics over the PCM16 samples (RMS, peak, zero
+    crossings).  Returns None for non-WAV payloads."""
+    p = payload
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        size = struct.unpack_from("<I", p, i + 4)[0]
+        body = p[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    _audio_fmt, n_channels, sample_rate, _byte_rate, block_align, bits = fmt
+    n_samples = len(data) // block_align if block_align else 0
+    out = {"n_channels": int(n_channels), "sample_rate": int(sample_rate),
+           "bit_depth": int(bits), "n_samples": int(n_samples),
+           "duration_us": int(n_samples) * 1_000_000 // int(sample_rate)
+           if sample_rate else 0}
+    if bits == 16:
+        x = np.frombuffer(data[: n_samples * block_align],
+                          dtype="<i2").astype(np.float64)
+        out["rms_micro"] = int(round(float(np.sqrt(np.mean(x * x))) * 1e6)) \
+            if len(x) else 0
+        out["peak"] = int(np.max(np.abs(x))) if len(x) else 0
+        out["zero_crossings"] = int(np.sum(np.signbit(x[1:]) !=
+                                           np.signbit(x[:-1]))) if len(x) > 1 else 0
+    else:  # stats only defined for PCM16 here
+        out["rms_micro"] = 0
+        out["peak"] = 0
+        out["zero_crossings"] = 0
+    return out
+
+
+def decode_wav_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, payload:binary) -> WAV header metadata + real numpy
+    sample statistics, Arrow-batched.  Non-WAV payloads yield a row of
+    zeros with n_channels = 0 (schema-stable; filter on it)."""
+    cols = df.select("doc_id", payload_col)
+    zero = {"n_channels": 0, "sample_rate": 0, "bit_depth": 0,
+            "n_samples": 0, "duration_us": 0, "rms_micro": 0, "peak": 0,
+            "zero_crossings": 0}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_wav(bytes(p)) or zero for p in pdf[payload_col]]
+            out = {"doc_id": pdf["doc_id"],
+                   "n_bytes": [len(bytes(p)) for p in pdf[payload_col]]}
+            for k in ("n_channels", "sample_rate", "bit_depth", "n_samples",
+                      "duration_us", "rms_micro", "peak", "zero_crossings"):
+                out[k] = [m[k] for m in metas]
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(kernel, WAV_SCHEMA)
 
 
 FEATURE_DIM = 8

@@ -329,3 +329,31 @@ def test_cap_per_source_deterministic(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cap_per_source(small, cap=0)
+
+
+def test_ivf_recall_monotone_in_probes(spark, tmp_path):
+    """Retrieval QUALITY evidence for the IVF index (the pruning test
+    above proves plan shape only): recall@10 vs exact brute force is
+    monotone non-decreasing in n_probe (probe sets are nested) and
+    exactly 1.0 at n_probe = n_cells."""
+    from ir_spark.operators.similarity import (
+        build_ivf_index, cosine_topk, ivf_index_topk)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    d = str(tmp_path / "ivf8")
+    build_ivf_index(emb, d, n_cells=8, max_iter=5, seed=42)
+    probes = (1, 2, 4, 8)
+    per_probe = {p: 0.0 for p in probes}
+    qids = [0, 17, 123]
+    for qid in qids:
+        qv = [float(x)
+              for x in emb.filter(f"vec_id = {qid}").head()["embedding"]]
+        truth = {r.vec_id for r in cosine_topk(emb, qv, k=10).collect()}
+        for p in probes:
+            got = {r.vec_id
+                   for r in ivf_index_topk(spark, d, qv, k=10,
+                                           n_probe=p).collect()}
+            per_probe[p] += len(truth & got) / 10.0
+    recalls = [per_probe[p] / len(qids) for p in probes]
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls
