@@ -50,6 +50,7 @@ _PRIORITY: tuple[str, ...] = (
     "quality_score",
     "token_stats",
     "doc_fingerprint",
+    "champion_bm25_topk",      # new r3: static index pruning
     "multimodal_meta",
     "multimodal_image_meta",   # new r3: REAL BMP decode on synthetic fixtures
     "multimodal_wav_stats",    # new r3: REAL WAV decode + numpy sample stats

@@ -258,6 +258,52 @@ def sql_tokens_tf_stem() -> str:
     return f"WITH {_toks_cte_stem()} SELECT doc_id, term, tf FROM toks"
 
 
+CHAMP_M = 20
+
+
+def q_champion_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static index pruning: BM25 top-k over champion lists (top-m
+    postings per term by tf; operators/champions.py).  Scoring math
+    and collection stats stay global — only the candidate set is
+    pruned, which the oracle reproduces with a ROW_NUMBER window."""
+    from .operators.champions import build_champion_lists, search_champions
+
+    idx = _df_index(spark, sf_dir)
+    champs = build_champion_lists(idx, m=CHAMP_M)
+    raw = search_champions(spark, idx, champs, FLAGSHIP_QUERY,
+                           k=K_FLAGSHIP * 5, mode="bm25")
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_champion_bm25_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+champ AS (
+  SELECT term, doc_id, tf FROM (
+    SELECT p.*, ROW_NUMBER() OVER (
+        PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+    FROM postings p)
+  WHERE rn <= {CHAMP_M}
+),
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM champ p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 def q_bm25_topk_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stemmed index + stemmed query, BM25 top-k — the reference's stem
     variant (stats.md:10,22-24) as a full-value gate."""
@@ -1299,6 +1345,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "tokens_tf_stem": q_tokens_tf_stem,
         "bm25_topk_stem": q_bm25_topk_stem,
+        "champion_bm25_topk": q_champion_bm25_topk,
         "w1_topk": q_w1_topk,
         "w2_topk": q_w2_topk,
         "search_results": q_search_results,
@@ -1336,6 +1383,7 @@ def core_oracle_sql() -> dict[str, str]:
         "bm25_topk": sql_bm25_topk(),
         "tokens_tf_stem": sql_tokens_tf_stem(),
         "bm25_topk_stem": sql_bm25_topk(stem=True),
+        "champion_bm25_topk": sql_champion_bm25_topk(),
         "w1_topk": _sql_cosine_topk("w1"),
         "w2_topk": _sql_cosine_topk("w2"),
         "search_results": sql_search_results(),

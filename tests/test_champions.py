@@ -1,0 +1,79 @@
+"""Champion lists (static index pruning): build invariants, exactness
+once m >= max df, and monotone recall in m."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ir_spark.fixtures import REFERENCE_QUERIES, generate_pages
+from ir_spark.operators.build import build_dataframe_index
+from ir_spark.operators.champions import build_champion_lists, search_champions
+from ir_spark.operators.query import search
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    pages = generate_pages(300, seed=42)
+    df = spark.createDataFrame(
+        [(i, p.text) for i, p in enumerate(pages)], "doc_id long, text string")
+    index = build_dataframe_index(df)
+    index.postings.persist().count()
+    index.docinfo.persist().count()
+    yield index
+    index.postings.unpersist()
+    index.docinfo.unpersist()
+
+
+def test_champion_list_invariants(spark, idx):
+    m = 5
+    champs = build_champion_lists(idx, m=m)
+    per_term = champs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n"), F.min("tf").alias("min_tf"))
+    assert per_term.filter(F.col("n") > m).count() == 0
+    # every term's max-tf posting survives pruning
+    top = idx.postings.groupBy("term").agg(F.max("tf").alias("max_tf"))
+    kept_max = champs.groupBy("term").agg(F.max("tf").alias("kept_max"))
+    assert top.join(kept_max, "term").filter(
+        F.col("max_tf") != F.col("kept_max")).count() == 0
+
+
+def test_champion_search_exact_when_m_covers_df(spark, idx):
+    max_df = idx.dictionary.agg(F.max("df")).collect()[0][0]
+    champs = build_champion_lists(idx, m=int(max_df))
+    for q in REFERENCE_QUERIES[:5]:
+        exact = [(r.doc_id, round(r.score, 9))
+                 for r in search(spark, idx, q, k=10, mode="bm25").collect()]
+        approx = [(r.doc_id, round(r.score, 9))
+                  for r in search_champions(spark, idx, champs, q,
+                                            k=10, mode="bm25").collect()]
+        assert approx == exact
+
+
+def test_champion_recall_quality(spark, idx):
+    """Recall@10 vs exhaustive at a shallow and a covering m.
+
+    NOT asserted monotone per step: champion scores are PARTIAL (a
+    candidate only accumulates the query terms whose champion list it
+    survived), so deepening one term's list can promote competitors
+    past a still-partially-scored true hit — unlike IVF, where probed
+    scores are exact.  Sound guarantees: recall is 1.0 once m >= max
+    df, and a covering m can never do worse than a shallow one."""
+    qs = REFERENCE_QUERIES[:5]
+    truth = {q: {r.doc_id for r in search(spark, idx, q, k=10,
+                                          mode="bm25").collect()}
+             for q in qs}
+
+    def recall(m: int) -> float:
+        champs = build_champion_lists(idx, m=m)
+        tot = 0.0
+        for q in qs:
+            got = {r.doc_id
+                   for r in search_champions(spark, idx, champs, q,
+                                             k=10, mode="bm25").collect()}
+            tot += len(got & truth[q]) / max(len(truth[q]), 1)
+        return tot / len(qs)
+
+    shallow, covering = recall(2), recall(300)
+    assert 0.0 < shallow <= 1.0
+    assert covering == 1.0  # m >= max df on a 300-doc fixture
