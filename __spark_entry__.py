@@ -41,6 +41,7 @@ _PRIORITY: tuple[str, ...] = (
     "repetition_filter",
     "stratified_sample",
     "mix_report",
+    "dsir_weights",            # new r3: DSIR importance resampling weights
     # -- green r1 but dropped from r2's 50-gate window -------------------
     "ngram_jaccard_pairs",
     "ann_cosine_topk",

@@ -982,6 +982,61 @@ FROM per
 """
 
 
+DSIR_BUCKETS = 4096
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/corpus.py::dsir_importance):
+    hashed unigram+bigram multinomials, target = every 5th doc (a
+    stand-in curated seed set), raw = the whole table.  Weights
+    micro-quantized for the value hash."""
+    from .operators import corpus as C
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    w = C.dsir_importance(docs, target, n_buckets=DSIR_BUCKETS)
+    return w.select(
+        "doc_id",
+        F.round(F.col("dsir_logw") * 1e6).cast("long").alias(
+            "dsir_logw_micro"))
+
+
+def sql_dsir_weights() -> str:
+    b = DSIR_BUCKETS
+    return f"""
+WITH ts AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, UNNEST(t) AS gram FROM ts
+  UNION ALL
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM ts
+),
+bg AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % {b} AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM grams GROUP BY doc_id, b
+),
+tgt AS (SELECT b, SUM(cnt) AS tc FROM bg WHERE doc_id % 5 = 0 GROUP BY b),
+rawd AS (SELECT b, SUM(cnt) AS rc FROM bg GROUP BY b),
+tots AS (SELECT (SELECT SUM(tc) FROM tgt) AS tt,
+                (SELECT SUM(rc) FROM rawd) AS rt),
+ratio AS (
+  SELECT r.b,
+         LN((COALESCE(t.tc, 0) + 1.0) / (tots.tt + {b}.0))
+       - LN((r.rc + 1.0) / (tots.rt + {b}.0)) AS lr
+  FROM rawd r LEFT JOIN tgt t USING (b) CROSS JOIN tots
+)
+SELECT g.doc_id,
+       CAST(ROUND(SUM(g.cnt * r.lr) * 1000000) AS BIGINT) AS dsir_logw_micro
+FROM bg g JOIN ratio r USING (b)
+GROUP BY g.doc_id
+"""
+
+
 # --- bigram collocations (PMI) -----------------------------------------------
 
 COLLOC_MIN_N, COLLOC_K = 5, 20
@@ -1769,6 +1824,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "stratified_sample": q_stratified_sample,
         "mix_report": q_mix_report,
+        "dsir_weights": q_dsir_weights,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_wav_stats": q_multimodal_wav_stats,
@@ -1811,6 +1867,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "repetition_filter": sql_repetition_filter(),
         "stratified_sample": sql_stratified_sample(),
         "mix_report": sql_mix_report(),
+        "dsir_weights": sql_dsir_weights(),
         "multimodal_meta": sql_multimodal_meta(),
         "multimodal_image_meta": sql_multimodal_image_meta(),
         "multimodal_wav_stats": sql_multimodal_wav_stats(),

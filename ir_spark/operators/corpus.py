@@ -289,3 +289,67 @@ def pack_sequences(doc_tokens: DataFrame, budget: int,
         F.floor(start / F.lit(budget)).cast("long").alias("bin_id"),
         F.pmod(start, F.lit(budget)).cast("long").alias("bin_offset"),
     )
+
+
+# --- DSIR: data selection via importance resampling -------------------------
+
+def hashed_gram_buckets(docs: DataFrame, n_buckets: int = 8192) -> DataFrame:
+    """(doc_id, b, cnt) — whitespace unigram + bigram counts hashed
+    into ``n_buckets`` via the first 8 hex chars of md5 (portable:
+    the DuckDB oracle reproduces the bucketing bit-for-bit).
+
+    All JVM expressions (split / transform / explode) — one shuffle
+    for the (doc, bucket) count; output is at most min(doc grams,
+    n_buckets) rows per doc."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    uni = toks.select("doc_id", F.explode("t").alias("gram"))
+    bi_expr = F.expr(
+        "CASE WHEN size(t) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(t) - 1), "
+        "i -> concat(t[i - 1], ' ', t[i])) END")
+    bi = toks.select("doc_id", F.explode(bi_expr).alias("gram"))
+    b = (F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 8),
+                16, 10).cast("long") % F.lit(n_buckets))
+    return (uni.unionByName(bi)
+            .select("doc_id", b.alias("b"))
+            .groupBy("doc_id", "b")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def dsir_importance(raw: DataFrame, target: DataFrame, *,
+                    n_buckets: int = 8192, alpha: float = 1.0) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc
+    by log p_target(features) - log p_raw(features) under hashed
+    unigram+bigram multinomial models with add-``alpha`` smoothing.
+    Docs that look like the (small, curated) ``target`` distribution
+    get high weights; selection keeps the top weights (or Gumbel-top-k
+    resamples — deterministic top-k here).
+
+    (raw: (doc_id, text), target: (doc_id, text)) ->
+    (doc_id, dsir_logw:double) for every raw doc.
+
+    Scale shape: both distributions are ``n_buckets``-row tables
+    (bounded, independent of corpus size) built with one partial-agg
+    shuffle each; the per-bucket log-ratio table broadcasts; per-doc
+    weights are one broadcast join + one groupBy(doc_id) over the
+    already-bucketed counts.  Nothing driver-side but two scalar
+    totals.
+    """
+    rawb = hashed_gram_buckets(raw, n_buckets)
+    tgtb = hashed_gram_buckets(target, n_buckets)
+    raw_dist = rawb.groupBy("b").agg(F.sum("cnt").alias("rc"))
+    tgt_dist = tgtb.groupBy("b").agg(F.sum("cnt").alias("tc"))
+    raw_tot = raw_dist.agg(F.coalesce(F.sum("rc"), F.lit(0))).collect()[0][0]
+    tgt_tot = tgt_dist.agg(F.coalesce(F.sum("tc"), F.lit(0))).collect()[0][0]
+    lr = (F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha))
+                / F.lit(float(tgt_tot) + alpha * n_buckets))
+          - F.log((F.col("rc") + F.lit(alpha))
+                  / F.lit(float(raw_tot) + alpha * n_buckets)))
+    # every bucket with any raw gram is in raw_dist, so a left join
+    # from the raw side is total; the ratio table is <= n_buckets rows
+    ratio = (raw_dist.join(tgt_dist, "b", "left")
+             .select("b", lr.alias("lr")))
+    return (rawb.join(F.broadcast(ratio), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.col("lr")).alias("dsir_logw")))

@@ -357,3 +357,57 @@ def test_ivf_recall_monotone_in_probes(spark, tmp_path):
     recalls = [per_probe[p] / len(qids) for p in probes]
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] == 1.0, recalls
+
+
+def test_dsir_importance_matches_pure_python(spark):
+    """dsir_importance vs an independent single-process reimplementation
+    (hashlib md5 bucketing, Counter distributions, add-1 smoothing)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from ir_spark.operators.corpus import dsir_importance
+
+    B = 64
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "the quick quick fox"),
+        (2, "pack my box with jugs"),
+        (3, "sphinx of black quartz"),
+        (4, "the lazy dog sleeps"),
+    ]
+    target_ids = {0, 1}
+
+    def buckets(text):
+        toks = text.split(" ")
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return Counter(
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+            for g in grams)
+
+    per_doc = {d: buckets(t) for d, t in rows}
+    tgt = Counter()
+    raw = Counter()
+    for d, c in per_doc.items():
+        raw.update(c)
+        if d in target_ids:
+            tgt.update(c)
+    tt, rt = sum(tgt.values()), sum(raw.values())
+    want = {}
+    for d, c in per_doc.items():
+        want[d] = sum(
+            n * (math.log((tgt.get(b, 0) + 1.0) / (tt + B))
+                 - math.log((raw[b] + 1.0) / (rt + B)))
+            for b, n in c.items())
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id").isin(sorted(target_ids)))
+    got = {r.doc_id: r.dsir_logw
+           for r in dsir_importance(docs, target, n_buckets=B).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
+    # target-like docs score higher than off-distribution ones
+    assert min(got[0], got[1]) > max(got[2], got[3])
