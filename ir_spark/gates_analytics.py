@@ -1413,7 +1413,10 @@ def _host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (id(spark), sf_dir)
     if key not in _PR_MEMO:
-        edges = _derived_host_edges(spark, sf_dir)
+        # materialize the derivation once: the dangling check AND the
+        # pagerank iterations both read it (recomputing the md5-partner
+        # pipeline twice doubled this gate's cost in BENCH r3)
+        edges = _derived_host_edges(spark, sf_dir).localCheckpoint(eager=True)
         # The SQL oracle's unrolled recurrence omits the dangling-mass
         # term (see _pagerank_ctes NOTE); that is only valid while the
         # derived graph has NO dangling node.  A host whose md5-partner

@@ -408,12 +408,17 @@ def _cc_star(pairs: DataFrame, max_iter: int,
       already oriented u > v): m = min(smaller neighbors); emit
       (v, m) for v != m plus (u, m).  Collapses local trees to stars.
 
-    Stop condition is the definitive star test (each larger endpoint
-    appears exactly once AND no node is both child and root), so a
-    fixed point is certified, never inferred from a fingerprint.
-    Per-round cost: two groupBy-min + two joins on node keys; rounds
-    are O(log^2 n) worst case (paper), ~log n observed even on path
-    graphs.  Lineage truncated per round with eager localCheckpoint.
+    Loop control: each round computes ONE cheap fingerprint agg
+    (count + endpoint sums + a hash-sum) over the checkpointed edges;
+    the deterministic round function has converged when the
+    fingerprint repeats.  The DEFINITIVE star test (each larger
+    endpoint appears exactly once AND no node is both child and root)
+    then runs once, as an assertion, after the loop — so the fixed
+    point is still certified, without paying the two-job test every
+    round.  Per-round cost: two groupBy-min + two joins on node keys;
+    rounds are O(log^2 n) worst case (paper), ~log n observed even on
+    path graphs.  Lineage truncated per round with eager
+    localCheckpoint.
     """
     edges = (pairs.select(F.greatest("a", "b").alias("u"),
                           F.least("a", "b").alias("v"))
@@ -427,6 +432,15 @@ def _cc_star(pairs: DataFrame, max_iter: int,
              .distinct()
              .localCheckpoint(eager=True))
 
+    _P = 1_000_000_007  # keep the sums overflow-safe under ANSI mode
+
+    def fingerprint(e: DataFrame) -> tuple:
+        pm = lambda c: F.coalesce(  # noqa: E731
+            F.sum(F.pmod(c, F.lit(_P))), F.lit(0))
+        return tuple(e.agg(
+            F.count(F.lit(1)), pm(F.col("u")), pm(F.col("v")),
+            pm(F.xxhash64("u", "v"))).collect()[0])
+
     def is_star(e: DataFrame) -> bool:
         n, nu = e.agg(F.count(F.lit(1)), F.countDistinct("u")).collect()[0]
         if n != nu:
@@ -434,8 +448,9 @@ def _cc_star(pairs: DataFrame, max_iter: int,
         return (e.select("u")
                 .intersect(e.select(F.col("v").alias("u"))).count()) == 0
 
+    prev = fingerprint(edges)
     rounds = 0
-    while not is_star(edges):
+    while True:
         if rounds >= max_iter:
             raise RuntimeError(f"did not converge in {max_iter} rounds")
         rounds += 1
@@ -456,6 +471,14 @@ def _cc_star(pairs: DataFrame, max_iter: int,
                  .unionByName(m_small.select("u", F.col("m").alias("v")))
                  .distinct()
                  .localCheckpoint(eager=True))
+        cur = fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # certify: a repeated fingerprint of the deterministic round
+    # function must be a star set — fail loudly if it is not
+    if not is_star(edges):
+        raise RuntimeError("star fingerprint converged on a non-star set")
     if stats is not None:
         stats["rounds"] = rounds
     # converged edges are (child, root) stars; everything else is its
