@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_sliding",
     "events_sessions",
     "stream_bm25_topk",
+    "trending_terms",          # new r3: top-k terms per tumbling window
 )
 
 

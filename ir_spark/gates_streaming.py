@@ -131,6 +131,54 @@ FROM events GROUP BY event_type
 """
 
 
+TREND_K = 5
+TREND_EPOCH0 = 1_704_067_200  # 2024-01-01 UTC
+
+
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k trending terms per tumbling hour over a timestamped doc
+    stream (streaming/windows.py::trending_terms) — timestamps derived
+    deterministically from doc_id (one doc per minute over 8 synthetic
+    hours)."""
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text",
+        F.timestamp_seconds(
+            F.lit(TREND_EPOCH0) + (F.col("doc_id") % 480) * 60).alias("ts"))
+    out = W.trending_terms(docs, width="1 hour", k=TREND_K)
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "term", "n", "rank")
+
+
+def sql_trending_terms() -> str:
+    from .gates import STOP_SQL
+
+    return f"""
+WITH base AS (
+  SELECT {TREND_EPOCH0} + (doc_id % 480) * 60 AS es, text FROM documents
+),
+toks AS (
+  SELECT (es // 3600) * 3600 * 1000000 AS window_start_us,
+         UNNEST(list_filter(string_split(text, ' '),
+                            t -> LENGTH(t) > 1)) AS term
+  FROM base
+),
+counts AS (
+  SELECT window_start_us, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks WHERE term NOT IN ({STOP_SQL})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY window_start_us ORDER BY n DESC, term ASC) AS rk
+  FROM counts
+)
+SELECT window_start_us, term, n, CAST(rk AS INT) AS rank
+FROM ranked WHERE rk <= {TREND_K}
+"""
+
+
 _STREAM_IDX_MEMO: dict[tuple, str] = {}
 
 
@@ -253,6 +301,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "stream_bm25_topk": q_stream_bm25_topk,
         "stream_dedup": q_stream_dedup,
+        "trending_terms": q_trending_terms,
     }
 
 
@@ -264,4 +313,5 @@ def streaming_oracle_sql() -> dict[str, str]:
         "events_json_props": sql_events_json_props(),
         "stream_bm25_topk": sql_stream_bm25_topk(),
         "stream_dedup": sql_stream_dedup(),
+        "trending_terms": sql_trending_terms(),
     }

@@ -97,3 +97,36 @@ def json_prop_stats(events: DataFrame) -> DataFrame:
              F.min("k").alias("min_k"),
              F.max("k").alias("max_k"))
     )
+
+
+def trending_terms(docs: DataFrame, ts_col: str = "ts",
+                   width: str = "1 hour", k: int = 5,
+                   stopwords: frozenset | None = None) -> DataFrame:
+    """Top-k terms per tumbling event-time window by count — the
+    trending-topics query over a timestamped document stream.
+
+    (ts, text) -> (window_start, term, n, rank), rank 1..k per window,
+    ties broken lexicographically (deterministic).
+
+    Shape: one explode + one (window, term) partial-agg shuffle (low
+    fan-in keys, map-side combined), then a rank window PARTITIONED BY
+    window_start — parallel across windows, never a global sort.  In
+    Structured Streaming run the count stage with a watermark and rank
+    each CLOSED window from foreachBatch (top-k needs the complete
+    window); the batch formulation here is that per-window job.
+    """
+    from ..text import STOPWORDS
+
+    stop = sorted(STOPWORDS if stopwords is None else stopwords)
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 1)
+    counts = (
+        docs.select(F.window(ts_col, width).alias("w"),
+                    F.explode(toks).alias("term"))
+        .filter(~F.col("term").isin(stop))
+        .groupBy(F.col("w.start").alias("window_start"), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rk = Window.partitionBy("window_start").orderBy(F.desc("n"),
+                                                    F.asc("term"))
+    return (counts.withColumn("rank", F.row_number().over(rk))
+            .filter(F.col("rank") <= k))

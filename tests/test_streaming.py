@@ -517,3 +517,27 @@ def test_stream_dedup_ttl_purges_state_rocksdb(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def test_trending_terms_hand_case(spark):
+    """Top-k per tumbling hour with deterministic lexicographic
+    tie-break; stopwords excluded."""
+    from ir_spark.streaming.windows import trending_terms
+
+    rows = [
+        # hour 0: zz x3, aa x2, bb x2 (tie -> aa before bb)
+        (0, "2024-01-01 00:05:00", "zz zz zz aa aa bb bb the the"),
+        # hour 1: only cc
+        (1, "2024-01-01 01:10:00", "cc cc the of"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, ts_s string, text string").select(
+        "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text")
+    got = [(r.window_start.hour, r.term, r.n, r.rank)
+           for r in trending_terms(docs, width="1 hour", k=2)
+           .orderBy("window_start", "rank").collect()]
+    # 'the'/'of' are stopwords -> hour 1 has a single trending term
+    assert got == [
+        (0, "zz", 3, 1), (0, "aa", 2, 2),
+        (1, "cc", 2, 1),
+    ]
