@@ -79,3 +79,19 @@ def test_entry_smoke(spark, entrymod):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"doc_id", "score_micro"}
+
+
+def test_registry_priority_and_consistency(entrymod):
+    """The driver checks the first ~50 queries() entries; guard that
+    (a) queries and oracle_sql expose identical key ORDER, (b) every
+    _PRIORITY name refers to a real gate, and (c) priority gates lead
+    the registry."""
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    assert list(qs) == list(osql)
+    import __spark_entry__ as mod
+
+    missing = [n for n in mod._PRIORITY if n not in qs]
+    assert not missing, f"_PRIORITY names without a gate: {missing}"
+    head = list(qs)[: len([n for n in mod._PRIORITY if n in qs])]
+    assert head == [n for n in mod._PRIORITY if n in qs]
+    assert len(qs) >= 50
