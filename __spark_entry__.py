@@ -52,6 +52,7 @@ _PRIORITY: tuple[str, ...] = (
     "token_stats",
     "doc_fingerprint",
     "champion_bm25_topk",      # new r3: static index pruning
+    "dictionary_frontcoded",   # new r3: real C4/C5 dictionary codecs
     "multimodal_meta",
     "multimodal_image_meta",   # new r3: REAL BMP decode on synthetic fixtures
     "multimodal_wav_stats",    # new r3: REAL WAV decode + numpy sample stats

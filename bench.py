@@ -116,6 +116,17 @@ def main() -> None:
     extras["gap_stream_gamma_bytes"] = (int(sizes["gamma_bits"]) + 7) // 8
     extras["gap_stream_delta_bytes"] = (int(sizes["delta_bits"]) + 7) // 8
 
+    # dictionary compression evidence (C4/C5/C6): fixed-width vs
+    # length-prefixed vs blocked front-coding on the real vocabulary —
+    # the comparison the reference's stats.md makes for its dictionary
+    from ir_spark.codec import dict_size_bytes
+
+    vocab = [r["term"] for r in
+             spark.read.parquet(os.path.join(index_dir, "dictionary"))
+             .select("term").orderBy("term").collect()]
+    for kk, vv in dict_size_bytes(vocab).items():
+        extras[f"dict_{kk}"] = vv
+
     # --- phase 2: DataFrame index (correctness path) ----------------------
     from ir_spark import gates
 

@@ -275,3 +275,84 @@ def elias_size_bits(values: np.ndarray | list[int]) -> tuple[int, int]:
     bl = _bit_lengths(v)
     bll = _bit_lengths(bl.astype(np.uint64))
     return int((2 * bl - 1).sum()), int((2 * bll - 1 + bl - 1).sum())
+
+
+# --- dictionary blocking + front coding (SURVEY C4/C5/C6) -------------------
+
+DICT_BLOCK = 8  # terms per dictionary block (reference blocking k=8)
+
+
+def frontcode_encode(terms: list[str], k: int = DICT_BLOCK) -> bytes:
+    """Blocked front-coding of a SORTED term list (reference intent,
+    Compression.java:151-174 + Utils.java:152-176, with quirk Q7's
+    dropped-kth-term and unflushed-final-block bugs fixed).
+
+    Per block of up to ``k`` terms: varbyte(n_terms),
+    varbyte(len(common prefix of the block)), prefix bytes, then per
+    term varbyte(len(suffix)) + suffix bytes.  Sorted input keeps
+    block LCPs long; utf-8 throughout.
+    """
+    out = bytearray()
+    for i in range(0, len(terms), k):
+        block = [t.encode("utf-8") for t in terms[i:i + k]]
+        lcp = block[0]
+        for t in block[1:]:
+            j = 0
+            m = min(len(lcp), len(t))
+            while j < m and lcp[j] == t[j]:
+                j += 1
+            lcp = lcp[:j]
+            if not lcp:
+                break
+        out += varbyte_encode([len(block), len(lcp)])
+        out += lcp
+        for t in block:
+            suf = t[len(lcp):]
+            out += varbyte_encode([len(suf)])
+            out += suf
+    return bytes(out)
+
+
+def frontcode_decode(blob: bytes) -> list[str]:
+    """Inverse of ``frontcode_encode`` (streaming scan, no term count
+    needed — blocks are self-delimiting)."""
+    terms: list[str] = []
+    pos, n = 0, len(blob)
+
+    def take_varint() -> int:
+        nonlocal pos
+        v, shift = 0, 0
+        while True:
+            b = blob[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+
+    while pos < n:
+        n_terms = take_varint()
+        lcp_len = take_varint()
+        lcp = blob[pos:pos + lcp_len]
+        pos += lcp_len
+        for _ in range(n_terms):
+            slen = take_varint()
+            terms.append((lcp + blob[pos:pos + slen]).decode("utf-8"))
+            pos += slen
+    return terms
+
+
+def dict_size_bytes(terms: list[str], k: int = DICT_BLOCK) -> dict:
+    """C6-vs-C4/C5 size evidence on a real vocabulary: fixed-width
+    (every term padded to the longest — the reference's uncompressed
+    dictionary, Compression.java:71-77), length-prefixed (varbyte len
+    + bytes), and blocked front-coded."""
+    enc = [t.encode("utf-8") for t in terms]
+    width = max((len(t) for t in enc), default=0)
+    lp = sum(len(varbyte_encode([len(t)])) + len(t) for t in enc)
+    return {
+        "n_terms": len(terms),
+        "fixed_width_bytes": width * len(enc),
+        "length_prefixed_bytes": lp,
+        "frontcoded_bytes": len(frontcode_encode(terms, k)),
+    }

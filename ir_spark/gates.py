@@ -168,6 +168,18 @@ def sql_dictionary() -> str:
     return f"WITH {TOKS_CTE} SELECT term, df, cf FROM dict"
 
 
+def q_dictionary_frontcoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/C5 end-to-end: the dictionary round-tripped through the
+    blocked front-coded bucket store (operators/dictionary.py) must
+    reproduce the exact (term, df, cf) relation the oracle computes —
+    proving the REAL compression codecs, not just plumbing."""
+    from .operators.dictionary import decode_dictionary, encode_dictionary
+
+    idx = _df_index(spark, sf_dir)
+    d = idx.dictionary.select("term", "df", F.col("cf").cast("long").alias("cf"))
+    return decode_dictionary(encode_dictionary(d, n_buckets=16))
+
+
 def q_docinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _df_index(spark, sf_dir)
     return idx.docinfo.select(
@@ -1346,6 +1358,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_tf_stem": q_tokens_tf_stem,
         "bm25_topk_stem": q_bm25_topk_stem,
         "champion_bm25_topk": q_champion_bm25_topk,
+        "dictionary_frontcoded": q_dictionary_frontcoded,
         "w1_topk": q_w1_topk,
         "w2_topk": q_w2_topk,
         "search_results": q_search_results,
@@ -1384,6 +1397,7 @@ def core_oracle_sql() -> dict[str, str]:
         "tokens_tf_stem": sql_tokens_tf_stem(),
         "bm25_topk_stem": sql_bm25_topk(stem=True),
         "champion_bm25_topk": sql_champion_bm25_topk(),
+        "dictionary_frontcoded": sql_dictionary(),
         "w1_topk": _sql_cosine_topk("w1"),
         "w2_topk": _sql_cosine_topk("w2"),
         "search_results": sql_search_results(),

@@ -1,0 +1,78 @@
+"""Compressed term-dictionary store: blocked front-coding per bucket.
+
+Closes SURVEY §2.6 C4 (dictionary blocking k=8) and C5 (front coding)
+with REAL codecs instead of the earlier delegate-to-Parquet decision
+D7 — the reference's intent (`Compression.java:151-174`,
+`Utils.java:152-176`, `README.md:27`) with its quirk-Q7 bugs
+(dropped k-th term, unflushed final block) fixed, plus C6 fixed-width
+as the size baseline (`Compression.java:71-77`).
+
+Layout: the dictionary is hashed into ``n_buckets`` buckets (the same
+xxhash64-on-term bucketing as the posting segments, so a query term
+prunes to one dictionary bucket too), terms SORTED within each bucket
+(blocks need sorted input for long LCPs), then one row per bucket:
+(bucket, n_terms, terms_fc:binary, dfs_vb:binary, cfs_vb:binary).
+
+Scale shape: one shuffle on the bucket key; each bucket's blob is
+assembled by an Arrow-batched kernel; lookups decode ONE bucket's
+terms (a few MB at 10^8-term vocabularies with thousands of buckets).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..codec import (
+    DICT_BLOCK,
+    frontcode_decode,
+    frontcode_encode,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+_STORE_SCHEMA = ("bucket int, n_terms long, terms_fc binary, "
+                 "dfs_vb binary, cfs_vb binary")
+
+
+def encode_dictionary(dictionary: DataFrame, n_buckets: int = 32,
+                      k: int = DICT_BLOCK) -> DataFrame:
+    """(term, df, cf) -> one front-coded row per bucket."""
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("term")
+        terms = pdf["term"].tolist()
+        return pd.DataFrame({
+            "bucket": [int(key[0])],
+            "n_terms": [len(terms)],
+            "terms_fc": [frontcode_encode(terms, k)],
+            "dfs_vb": [varbyte_encode(pdf["df"].to_numpy(np.uint64))],
+            "cfs_vb": [varbyte_encode(pdf["cf"].to_numpy(np.uint64))],
+        })
+
+    bucketed = dictionary.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    return bucketed.groupBy("bucket").applyInPandas(kernel, _STORE_SCHEMA)
+
+
+def decode_dictionary(blocks: DataFrame) -> DataFrame:
+    """Inverse: front-coded bucket rows -> (term, df, cf) relation."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms: list[str] = []
+            dfs: list[int] = []
+            cfs: list[int] = []
+            for _, r in pdf.iterrows():
+                ts = frontcode_decode(bytes(r["terms_fc"]))
+                assert len(ts) == int(r["n_terms"])
+                terms.extend(ts)
+                dfs.extend(varbyte_decode(bytes(r["dfs_vb"])).tolist())
+                cfs.extend(varbyte_decode(bytes(r["cfs_vb"])).tolist())
+            yield pd.DataFrame({"term": terms, "df": dfs, "cf": cfs})
+
+    return blocks.mapInPandas(kernel, "term string, df long, cf long")

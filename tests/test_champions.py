@@ -77,3 +77,20 @@ def test_champion_recall_quality(spark, idx):
     shallow, covering = recall(2), recall(300)
     assert 0.0 < shallow <= 1.0
     assert covering == 1.0  # m >= max df on a 300-doc fixture
+
+
+def test_dictionary_store_roundtrip(spark, idx):
+    """Distributed front-coded dictionary store: encode per bucket,
+    decode, compare the full (term, df, cf) relation."""
+    from pyspark.sql import functions as F2
+
+    from ir_spark.operators.dictionary import (
+        decode_dictionary, encode_dictionary)
+
+    d = idx.dictionary.select("term", "df", F2.col("cf").cast("long").alias("cf"))
+    blocks = encode_dictionary(d, n_buckets=8)
+    assert blocks.count() <= 8
+    back = decode_dictionary(blocks)
+    want = sorted(map(tuple, d.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want

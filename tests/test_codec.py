@@ -170,3 +170,36 @@ class TestEliasCodes:
                          + v.bit_length() - 1 for v in values)
         assert len(elias_gamma_encode(values)) == 4 + (gb + 7) // 8
         assert len(elias_delta_encode(values)) == 4 + (db + 7) // 8
+
+
+def test_frontcode_roundtrip_property():
+    """Blocked front-coding round-trips arbitrary sorted vocabularies
+    at several block sizes, including unicode terms, empty strings,
+    shared-prefix runs, and a final partial block (quirk Q7's bugs)."""
+    import random
+
+    from ir_spark.codec import dict_size_bytes, frontcode_decode, frontcode_encode
+
+    rng = random.Random(7)
+    vocab = set()
+    for _ in range(500):
+        base = "".join(rng.choice("abcdefgh") for _ in range(rng.randint(1, 6)))
+        vocab.add(base)
+        vocab.add(base + "ing")
+        vocab.add(base + "ed")
+    vocab.add("")
+    vocab.add("naïve-zürich")  # multi-byte utf-8
+    terms = sorted(vocab)
+    for k in (1, 2, 8, 64):
+        blob = frontcode_encode(terms, k)
+        assert frontcode_decode(blob) == terms, k
+    sizes = dict_size_bytes(terms)
+    # shared-prefix vocabularies must actually compress
+    assert sizes["frontcoded_bytes"] < sizes["length_prefixed_bytes"]
+    assert sizes["length_prefixed_bytes"] < sizes["fixed_width_bytes"]
+
+
+def test_frontcode_empty():
+    from ir_spark.codec import frontcode_decode, frontcode_encode
+
+    assert frontcode_decode(frontcode_encode([])) == []
