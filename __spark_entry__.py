@@ -53,6 +53,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",
     "champion_bm25_topk",      # new r3: static index pruning
     "dictionary_frontcoded",   # new r3: real C4/C5 dictionary codecs
+    "ltr_features",            # new r3: LTR candidate featurization
     "multimodal_meta",
     "multimodal_image_meta",   # new r3: REAL BMP decode on synthetic fixtures
     "multimodal_wav_stats",    # new r3: REAL WAV decode + numpy sample stats

@@ -180,6 +180,53 @@ def q_dictionary_frontcoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_dictionary(encode_dictionary(d, n_buckets=16))
 
 
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR feature extraction (operators/ltr.py): one feature row per
+    OR-candidate of the flagship query — the candidate-featurization
+    table a learned re-ranker trains on."""
+    from .operators.ltr import ltr_features
+
+    idx = _df_index(spark, sf_dir)
+    feats = ltr_features(spark, idx, FLAGSHIP_QUERY)
+    return feats.select(
+        "doc_id",
+        _micro(F.col("bm25")).alias("bm25_micro"),
+        "tf_sum", "n_matched",
+        _micro(F.col("idf_sum")).alias("idf_sum_micro"),
+        "doc_len", "max_tf")
+
+
+def sql_ltr_features(k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+feat AS (
+  SELECT p.doc_id,
+         SUM(LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+             * p.tf * ({k1} + 1.0)
+             / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+             * q.qtf) AS bm25,
+         CAST(SUM(p.tf) AS BIGINT) AS tf_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_matched,
+         SUM(LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum,
+         MIN(d.doc_len) AS doc_len,
+         MIN(d.max_tf) AS max_tf
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id,
+       CAST(ROUND(bm25 * 1000000) AS BIGINT) AS bm25_micro,
+       tf_sum, n_matched,
+       CAST(ROUND(idf_sum * 1000000) AS BIGINT) AS idf_sum_micro,
+       doc_len, max_tf
+FROM feat
+"""
+
+
 def q_docinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _df_index(spark, sf_dir)
     return idx.docinfo.select(
@@ -1359,6 +1406,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_stem": q_bm25_topk_stem,
         "champion_bm25_topk": q_champion_bm25_topk,
         "dictionary_frontcoded": q_dictionary_frontcoded,
+        "ltr_features": q_ltr_features,
         "w1_topk": q_w1_topk,
         "w2_topk": q_w2_topk,
         "search_results": q_search_results,
@@ -1398,6 +1446,7 @@ def core_oracle_sql() -> dict[str, str]:
         "bm25_topk_stem": sql_bm25_topk(stem=True),
         "champion_bm25_topk": sql_champion_bm25_topk(),
         "dictionary_frontcoded": sql_dictionary(),
+        "ltr_features": sql_ltr_features(),
         "w1_topk": _sql_cosine_topk("w1"),
         "w2_topk": _sql_cosine_topk("w2"),
         "search_results": sql_search_results(),

@@ -94,3 +94,30 @@ def test_dictionary_store_roundtrip(spark, idx):
     want = sorted(map(tuple, d.collect()))
     got = sorted(map(tuple, back.collect()))
     assert got == want
+
+
+def test_ltr_features_consistent_with_search(spark, idx):
+    """The bm25 feature must equal the exact scorer's score for every
+    candidate, and n_matched/tf_sum must match brute-force counting."""
+    from collections import Counter
+
+    from ir_spark.operators.ltr import ltr_features
+    from ir_spark.operators.query import search
+    from ir_spark.fixtures import REFERENCE_QUERIES
+
+    q = REFERENCE_QUERIES[0]
+    feats = {r.doc_id: r for r in ltr_features(spark, idx, q).collect()}
+    scores = {r.doc_id: r.score
+              for r in search(spark, idx, q, k=None, mode="bm25").collect()}
+    assert set(feats) == set(scores)
+    for d, s in scores.items():
+        assert abs(feats[d].bm25 - s) < 1e-9
+    # brute-force spot check of counts on one candidate
+    from ir_spark.oracle import parse_query
+    bag = parse_query(q)
+    some = sorted(feats)[0]
+    rows = idx.postings.filter(
+        (idx.postings.doc_id == some)
+        & idx.postings.term.isin(sorted(bag))).collect()
+    assert feats[some].n_matched == len(rows)
+    assert feats[some].tf_sum == sum(r.tf for r in rows)
