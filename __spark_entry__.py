@@ -42,6 +42,7 @@ _PRIORITY: tuple[str, ...] = (
     "stratified_sample",
     "mix_report",
     "dsir_weights",            # new r3: DSIR importance resampling weights
+    "web_anchor_bm25f_topk",   # new r3: BM25F with incoming-anchor field
     # -- green r1 but dropped from r2's 50-gate window -------------------
     "ngram_jaccard_pairs",
     "ann_cosine_topk",

@@ -1582,6 +1582,88 @@ FROM agg_links l JOIN agg_toks t USING (dst_host)
 """
 
 
+ANCHOR_FIELD_W = 2.0
+
+
+def q_web_anchor_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-IR composition: BM25F with the page BODY plus an INCOMING
+    ANCHOR TEXT field (fields.py::search_bm25f_relations over the
+    anchor relation the link derivation produces) — anchors describe
+    the target, so a page ranks for query terms its own body never
+    mentions, with joint tf saturation across both fields."""
+    from .gates import FLAGSHIP_QUERY, K_FLAGSHIP, _rerank_quantized
+    from .operators.fields import search_bm25f_relations
+
+    docs = _docs(spark, sf_dir)
+    pairs = _md5_partner_pairs(spark, sf_dir, ["doc_id", "text"])
+    anchor = F.concat_ws(" ", F.slice(F.split(F.col("a_text"), " "), 1, 2))
+    anchors = (pairs
+               .select(F.col("b_doc_id").alias("doc_id"),
+                       anchor.alias("anchor"))
+               .groupBy("doc_id")
+               .agg(F.concat_ws(
+                   " ", F.array_sort(F.collect_list("anchor"))).alias("text")))
+    raw = search_bm25f_relations(
+        spark, {"body": (docs, 1.0), "anchor": (anchors, ANCHOR_FIELD_W)},
+        FLAGSHIP_QUERY, k=K_FLAGSHIP * 5)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_web_anchor_bm25f_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    from .gates import K_FLAGSHIP, STOP_SQL, _sql_query_terms
+
+    offs = ", ".join(f"({j})" for j in PR_OFFSETS)
+    w = ANCHOR_FIELD_W
+    return f"""
+WITH perm AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS r
+  FROM documents
+),
+links AS (
+  SELECT b.doc_id AS doc_id,
+         array_to_string(string_split(a.text, ' ')[1:2], ' ') AS anchor
+  FROM perm a
+  CROSS JOIN (VALUES {offs}) offs(j)
+  JOIN perm b ON b.r = (a.r + offs.j) % (SELECT COUNT(*) FROM documents)
+),
+ftoks AS (
+  SELECT doc_id, 1.0 AS fw, UNNEST(string_split(text, ' ')) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, {w} AS fw, UNNEST(string_split(anchor, ' ')) AS term
+  FROM links
+),
+ft AS (SELECT * FROM ftoks WHERE LENGTH(term) > 1),
+merged AS (
+  SELECT doc_id, term, SUM(fw) AS wtf FROM ft GROUP BY doc_id, term
+),
+fdocinfo AS (SELECT doc_id, SUM(wtf) AS wdl FROM merged GROUP BY doc_id),
+fpost AS (SELECT * FROM merged WHERE term NOT IN ({STOP_SQL})),
+fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(wdl) AS avg_wdl
+           FROM fdocinfo),
+fdict AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+          FROM fpost GROUP BY term),
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.wtf * ({k1} + 1.0)
+           / (p.wtf + {k1} * (1.0 - {b} + {b} * d.wdl / s.avg_wdl))
+           * q.qtf AS partial
+  FROM fpost p
+  JOIN qterms q USING (term)
+  JOIN fdict t USING (term)
+  JOIN fdocinfo d USING (doc_id)
+  CROSS JOIN fstats s
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 DIVERSITY_PER_HOST = 2
 
 
@@ -1828,6 +1910,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mix_report": q_mix_report,
         "dsir_weights": q_dsir_weights,
+        "web_anchor_bm25f_topk": q_web_anchor_bm25f_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_wav_stats": q_multimodal_wav_stats,
@@ -1871,6 +1954,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "stratified_sample": sql_stratified_sample(),
         "mix_report": sql_mix_report(),
         "dsir_weights": sql_dsir_weights(),
+        "web_anchor_bm25f_topk": sql_web_anchor_bm25f_topk(),
         "multimodal_meta": sql_multimodal_meta(),
         "multimodal_image_meta": sql_multimodal_image_meta(),
         "multimodal_wav_stats": sql_multimodal_wav_stats(),

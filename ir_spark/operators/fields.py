@@ -52,18 +52,16 @@ def split_title_body(docs: DataFrame,
     )
 
 
-def _bm25f_merged(docs: DataFrame,
-                  field_weights: dict[str, float] | None = None,
-                  title_tokens: int = DEFAULT_TITLE_TOKENS) -> DataFrame:
-    """(doc_id, term, wtf double): field tfs merged with weights —
-    the shared parent of both BM25F relations (one real
-    tokenize-kernel pass per field feeds one (doc_id, term) agg)."""
-    weights = field_weights or DEFAULT_FIELD_WEIGHTS
-    fields = split_title_body(docs, title_tokens)
+def _merged_from_relations(
+        field_docs: dict[str, tuple[DataFrame, float]]) -> DataFrame:
+    """(doc_id, term, wtf double) from arbitrary named field
+    RELATIONS — each field its own (doc_id, text) DataFrame + weight
+    (fields need not cover every doc: a doc missing from a field
+    simply contributes no tokens there).  One real tokenize-kernel
+    pass per field feeds one (doc_id, term) agg."""
     per_field = []
-    for fname, w in weights.items():
-        fdocs = fields.select("doc_id", F.col(fname).alias("text"))
-        tc = B.token_counts(fdocs)  # real kernel: (doc_id, term, tf)
+    for _fname, (fdf, w) in sorted(field_docs.items()):
+        tc = B.token_counts(fdf.select("doc_id", "text"))
         per_field.append(tc.select(
             "doc_id", "term",
             (F.col("tf").cast("double") * F.lit(float(w))).alias("w_tf")))
@@ -71,6 +69,19 @@ def _bm25f_merged(docs: DataFrame,
     for p in per_field[1:]:
         allf = allf.unionByName(p)
     return allf.groupBy("doc_id", "term").agg(F.sum("w_tf").alias("wtf"))
+
+
+def _bm25f_merged(docs: DataFrame,
+                  field_weights: dict[str, float] | None = None,
+                  title_tokens: int = DEFAULT_TITLE_TOKENS) -> DataFrame:
+    """(doc_id, term, wtf double): title/body carve of a flat text
+    column merged with weights — the shared parent of both BM25F
+    relations."""
+    weights = field_weights or DEFAULT_FIELD_WEIGHTS
+    fields = split_title_body(docs, title_tokens)
+    return _merged_from_relations({
+        fname: (fields.select("doc_id", F.col(fname).alias("text")), w)
+        for fname, w in weights.items()})
 
 
 def bm25f_postings(docs: DataFrame,
@@ -110,6 +121,30 @@ def search_bm25f(
     relation; this function recomputes it inline for operator-level
     use (gates / tests / small corpora).
     """
+    merged = _bm25f_merged(docs, field_weights, title_tokens)
+    return _search_merged(spark, merged, query, k=k, k1=k1, b=b)
+
+
+def search_bm25f_relations(
+    spark: SparkSession,
+    field_docs: dict[str, tuple[DataFrame, float]],
+    query: str,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25F over arbitrary named field RELATIONS — e.g. body text
+    from the pages table + incoming anchor text aggregated per target
+    doc (the classic web-IR document-expansion setup: anchors describe
+    the target and rank it for queries its own body never mentions).
+    Same joint-saturation scoring as ``search_bm25f``."""
+    merged = _merged_from_relations(field_docs)
+    return _search_merged(spark, merged, query, k=k, k1=k1, b=b)
+
+
+def _search_merged(spark: SparkSession, merged: DataFrame, query: str,
+                   *, k: int, k1: float, b: float) -> DataFrame:
     from collections import Counter
 
     bag = Counter(t for t in tokenize(query) if t not in STOPWORDS)
@@ -118,7 +153,7 @@ def search_bm25f(
 
     # persist the shared PARENT: both relations and the scoring job
     # read it, so the expensive Python tokenize pass runs exactly once
-    merged = _bm25f_merged(docs, field_weights, title_tokens).persist()
+    merged = merged.persist()
     docinfo = merged.groupBy("doc_id").agg(F.sum("wtf").alias("wdl"))
     postings = merged.where(~F.col("term").isin(sorted(STOPWORDS)))
     n_docs, avg_wdl = docinfo.agg(

@@ -87,3 +87,26 @@ def test_bm25f_empty_and_tokenless_corpus(spark):
     blank = spark.createDataFrame(
         [(1, ""), (2, "   ")], "doc_id long, text string")
     assert search_bm25f(spark, blank, "aa", k=3).collect() == []
+
+
+def test_anchor_field_ranks_doc_without_body_match(spark):
+    """The web-IR point of anchor indexing: a doc whose BODY never
+    mentions the query term still ranks when incoming anchors do."""
+    from ir_spark.operators.fields import search_bm25f_relations
+
+    body = spark.createDataFrame(
+        [(1, "b1 c1 d1 e1"), (2, "b2 c2 d2 e2"), (3, "zz yy xx ww")],
+        "doc_id long, text string")
+    anchors = spark.createDataFrame(
+        [(3, "qq qq"), (1, "d2 d2")], "doc_id long, text string")
+    res = {r.doc_id: r.score
+           for r in search_bm25f_relations(
+               spark, {"body": (body, 1.0), "anchor": (anchors, 2.0)},
+               "qq", k=3).collect()}
+    assert set(res) == {3}  # only anchor-matched doc; body never has qq
+    assert res[3] > 0
+    # joint saturation: body match + anchor match beats body-only
+    res2 = [r.doc_id for r in search_bm25f_relations(
+        spark, {"body": (body, 1.0), "anchor": (anchors, 2.0)},
+        "d2", k=3).collect()]
+    assert res2[0] == 1  # doc 1: anchor 'd2 d2' (w=2) beats doc 2's body d2
