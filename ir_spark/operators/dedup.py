@@ -426,11 +426,11 @@ def _cc_star(pairs: DataFrame, max_iter: int,
              .distinct()
              .localCheckpoint(eager=True))
     # every endpoint, incl. nodes whose only edges were self-pairs:
-    # they must still appear in the output as singleton roots
+    # they must still appear in the output as singleton roots.  (Plan
+    # only — materialized once in the final join, no checkpoint.)
     nodes = (pairs.select(F.col("a").alias("doc_id"))
              .unionByName(pairs.select(F.col("b").alias("doc_id")))
-             .distinct()
-             .localCheckpoint(eager=True))
+             .distinct())
 
     _P = 1_000_000_007  # keep the sums overflow-safe under ANSI mode
 
