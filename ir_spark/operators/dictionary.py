@@ -76,3 +76,26 @@ def decode_dictionary(blocks: DataFrame) -> DataFrame:
             yield pd.DataFrame({"term": terms, "df": dfs, "cf": cfs})
 
     return blocks.mapInPandas(kernel, "term string, df long, cf long")
+
+
+def lookup_terms(blocks: DataFrame, terms: list[str],
+                 n_buckets: int = 32) -> DataFrame:
+    """Query-side probe: (term, df, cf) for a small term set, reading
+    ONLY the buckets those terms hash to.
+
+    The bucket ids are computed driver-side with the same
+    xxhash64-mod rule the writer used, pushed down as
+    ``bucket IN (...)`` (partition/row-group pruning when the block
+    table is stored partitioned by bucket), and only the matching
+    buckets' blobs are decoded.  A |query|-term probe therefore
+    touches <= |query| buckets regardless of vocabulary size.
+    """
+    spark = blocks.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "term string, df long, cf long")
+    uniq = sorted(set(terms))
+    bdf = spark.createDataFrame([(t,) for t in uniq], "term string").select(
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+    wanted = sorted({r["b"] for r in bdf.collect()})
+    pruned = blocks.filter(F.col("bucket").isin(wanted))
+    return decode_dictionary(pruned).filter(F.col("term").isin(uniq))

@@ -121,3 +121,26 @@ def test_ltr_features_consistent_with_search(spark, idx):
         & idx.postings.term.isin(sorted(bag))).collect()
     assert feats[some].n_matched == len(rows)
     assert feats[some].tf_sum == sum(r.tf for r in rows)
+
+
+def test_dictionary_lookup_prunes_buckets(spark, idx):
+    """lookup_terms reads only the probed buckets (filter pushdown on
+    the bucket column) and returns exact (term, df, cf) rows."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F2
+
+    from ir_spark.operators.dictionary import encode_dictionary, lookup_terms
+
+    d = idx.dictionary.select("term", "df", F2.col("cf").cast("long").alias("cf"))
+    blocks = encode_dictionary(d, n_buckets=8)
+    probe = [r.term for r in d.orderBy("term").limit(3).collect()]
+    got = lookup_terms(blocks, probe, n_buckets=8)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    assert "bucket" in buf.getvalue()  # bucket IN (...) reaches the scan
+    want = sorted(map(tuple, d.filter(d.term.isin(probe)).collect()))
+    assert sorted(map(tuple, got.collect())) == want
+    assert lookup_terms(blocks, [], n_buckets=8).collect() == []
