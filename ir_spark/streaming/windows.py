@@ -115,17 +115,40 @@ def trending_terms(docs: DataFrame, ts_col: str = "ts",
     each CLOSED window from foreachBatch (top-k needs the complete
     window); the batch formulation here is that per-window job.
     """
+    counts = trending_counts(docs, ts_col=ts_col, width=width,
+                             stopwords=stopwords)
+    return rank_trending(counts, k=k)
+
+
+def trending_counts(docs: DataFrame, ts_col: str = "ts",
+                    width: str = "1 hour",
+                    stopwords: frozenset | None = None,
+                    watermark: str | None = None) -> DataFrame:
+    """The streamable COUNT stage of ``trending_terms``:
+    (window_start, term, n).  With ``watermark`` set it runs under
+    Structured Streaming in append mode — each window's counts emit
+    once, when the watermark closes the window (proven in
+    tests/test_streaming.py)."""
     from ..text import STOPWORDS
 
     stop = sorted(STOPWORDS if stopwords is None else stopwords)
+    src = docs.withWatermark(ts_col, watermark) if watermark else docs
     toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 1)
-    counts = (
-        docs.select(F.window(ts_col, width).alias("w"),
-                    F.explode(toks).alias("term"))
+    # group directly on window(ts): projecting w.start first would
+    # sever the watermark-to-aggregation linkage the streaming planner
+    # needs for append mode
+    return (
+        src.select(ts_col, F.explode(toks).alias("term"))
         .filter(~F.col("term").isin(stop))
-        .groupBy(F.col("w.start").alias("window_start"), "term")
+        .groupBy(F.window(ts_col, width).alias("w"), "term")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "term", "n")
     )
+
+
+def rank_trending(counts: DataFrame, k: int = 5) -> DataFrame:
+    """The per-closed-window RANK stage: run it in batch, or from
+    foreachBatch over the append-mode output of ``trending_counts``."""
     rk = Window.partitionBy("window_start").orderBy(F.desc("n"),
                                                     F.asc("term"))
     return (counts.withColumn("rank", F.row_number().over(rk))

@@ -541,3 +541,51 @@ def test_trending_terms_hand_case(spark):
         (0, "zz", 3, 1), (0, "aa", 2, 2),
         (1, "cc", 2, 1),
     ]
+
+
+def test_trending_counts_streaming_matches_batch(spark, tmp_path):
+    """The trending COUNT stage runs under Structured Streaming
+    (watermark + append mode: a window's counts emit exactly once, on
+    close) and ranking its closed windows reproduces the batch
+    trending_terms output row-for-row."""
+    from ir_spark.streaming.windows import (
+        rank_trending, trending_counts, trending_terms)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    batches = [
+        [(0, "2024-01-01 00:05:00", "zz zz aa bb"),
+         (1, "2024-01-01 00:40:00", "zz cc cc")],
+        [(2, "2024-01-01 01:10:00", "dd dd ee")],
+        # sentinel batch: advances the watermark past hours 0-1 so
+        # their windows close and emit; its own hour-5 window stays
+        # open and is excluded from the comparison
+        [(3, "2024-01-01 05:00:00", "sentinel sentinel")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, ts_s string, text string") \
+            .select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                    "text") \
+            .coalesce(1).write.mode("append").parquet(str(src / f"b{i}"))
+
+    stream = (spark.readStream
+              .schema("doc_id long, ts timestamp, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    q = (trending_counts(stream, width="1 hour", watermark="0 seconds")
+         .writeStream.format("memory").queryName("trend_counts")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    closed = spark.table("trend_counts").filter(
+        F.col("window_start") < "2024-01-01 05:00:00")
+    got = sorted((r.window_start.hour, r.term, r.n, r.rank)
+                 for r in rank_trending(closed, k=2).collect())
+
+    batch_docs = (spark.read.parquet(str(src) + "/*")
+                  .filter(F.col("ts") < "2024-01-01 05:00:00"))
+    want = sorted((r.window_start.hour, r.term, r.n, r.rank)
+                  for r in trending_terms(batch_docs, width="1 hour",
+                                          k=2).collect())
+    assert got == want and len(got) > 0
