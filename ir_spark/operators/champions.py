@@ -69,5 +69,12 @@ def search_champions(spark: SparkSession, index: DataFrameIndex,
     (bm25 / w2) need none."""
     from .query import search
 
+    if mode == "w1":
+        # cosine normalization needs FULL-index norms; computing them
+        # from the pruned view would silently change scores.  Wire
+        # norms=doc_norms(full_index, ...) through search() directly
+        # if a cosine first phase is ever needed.
+        raise ValueError("champion search supports bm25/w2 modes; "
+                         "w1 cosine needs full-index norms")
     return search(spark, champion_index(index, champions), query, k=k,
                   mode=mode, k1=k1, b=b, stem=stem)

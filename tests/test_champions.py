@@ -144,3 +144,28 @@ def test_dictionary_lookup_prunes_buckets(spark, idx):
     want = sorted(map(tuple, d.filter(d.term.isin(probe)).collect()))
     assert sorted(map(tuple, got.collect())) == want
     assert lookup_terms(blocks, [], n_buckets=8).collect() == []
+
+
+def test_champion_w1_mode_rejected(spark, idx):
+    import pytest as _pt
+
+    champs = build_champion_lists(idx, m=5)
+    with _pt.raises(ValueError, match="full-index norms"):
+        search_champions(spark, idx, champs, "flow", mode="w1")
+
+
+def test_champion_search_plan_broadcasts_query_side(spark, idx):
+    """The champion query plan must keep the exact scorer's shape:
+    broadcast joins for the query-term tables (no shuffle of the
+    pruned postings onto a tiny side)."""
+    import io
+    from contextlib import redirect_stdout
+
+    champs = build_champion_lists(idx, m=8)
+    plan_df = search_champions(spark, idx, champs, "flow pressure", k=5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
