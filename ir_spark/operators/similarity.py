@@ -179,6 +179,16 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_cells: int = 16,
 
     from ..sources.storage import atomic_write_parquet
 
+    # resume point: the manifest is written LAST, so its presence
+    # certifies a complete build — a re-run (driver restart, retried
+    # job) is a no-op unless the requested shape changed
+    manifest_path = os.path.join(index_dir, "ivf_manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+        if manifest.get("n_cells") == n_cells and manifest.get("seed") == seed:
+            return manifest
+
     spark = emb.sparkSession
     vec = emb.withColumn("_features",
                          array_to_vector(F.col("embedding").cast("array<double>")))

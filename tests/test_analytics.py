@@ -411,3 +411,22 @@ def test_dsir_importance_matches_pure_python(spark):
         assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
     # target-like docs score higher than off-distribution ones
     assert min(got[0], got[1]) > max(got[2], got[3])
+
+
+def test_ivf_build_idempotent_resume(spark, tmp_path):
+    """Re-running build_ivf_index over a completed index is a no-op
+    (the manifest is written last, so its presence certifies the
+    build); a changed shape rebuilds."""
+    import os as _os
+
+    from ir_spark.operators.similarity import build_ivf_index
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    d = str(tmp_path / "ivf")
+    m1 = build_ivf_index(emb, d, n_cells=4, max_iter=3, seed=42)
+    mtime = _os.path.getmtime(_os.path.join(d, "ivf_manifest.json"))
+    m2 = build_ivf_index(emb, d, n_cells=4, max_iter=3, seed=42)
+    assert m2 == m1
+    assert _os.path.getmtime(_os.path.join(d, "ivf_manifest.json")) == mtime
+    m3 = build_ivf_index(emb, d, n_cells=8, max_iter=3, seed=42)
+    assert m3["n_cells"] == 8
