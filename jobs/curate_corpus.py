@@ -19,9 +19,13 @@ Stages (each one of the operators in ir_spark/operators/{dedup,corpus}
   2. repetition_profile(): drop Gopher-style repetitive docs
   3. decontaminate():      drop docs sharing any word n-gram with the
                            benchmark set (skipped without --bench)
-  4. stratified_sample():  deterministic md5-threshold downsampling
+  4. dsir_importance():    keep the --dsir-keep fraction of docs most
+                           like the --dsir-target seed set (DSIR
+                           importance resampling; skipped without
+                           --dsir-target)
+  5. stratified_sample():  deterministic md5-threshold downsampling
                            per language (skipped without --sample-rate)
-  5. mix_report():         per-language doc/token/char totals + shares
+  6. mix_report():         per-language doc/token/char totals + shares
                            of the final corpus (printed in the report)
 
 Input: documents-shaped table (doc_id:bigint, text:string, lang:string,
@@ -65,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sample-rate", action="append", default=[],
                     metavar="LANG=RATE",
                     help="per-language keep fraction, repeatable")
+    ap.add_argument("--dsir-target", default=None,
+                    help="seed table (doc_id, text) for DSIR selection")
+    ap.add_argument("--dsir-keep", type=float, default=0.5,
+                    help="fraction of docs kept by DSIR weight")
     ap.add_argument("--jaccard", type=float, default=0.3)
     ap.add_argument("--min-words", type=int, default=5)
     ap.add_argument("--decon-n", type=int, default=4)
@@ -98,6 +106,20 @@ def main(argv: list[str] | None = None) -> int:
         kept = kept.join(
             flags.filter(F.col("contaminated") == 1).select("doc_id"),
             "doc_id", "left_anti")
+
+    # 3.5 DSIR selection toward the seed distribution.  Selection by
+    # a weight-quantile CUTOFF (one approxQuantile scalar + a narrow
+    # filter), not a global top-n sort — the kept fraction is
+    # approximate at tie boundaries, which is the right trade at
+    # corpus scale.
+    if args.dsir_target:
+        target = spark.read.format(args.input_format).load(args.dsir_target)
+        w = C.dsir_importance(kept, target.select("doc_id", "text"))
+        cutoff = w.approxQuantile(
+            "dsir_logw", [1.0 - args.dsir_keep], 0.001)[0]
+        selected = w.filter(F.col("dsir_logw") >= cutoff).select("doc_id")
+        kept = kept.join(selected, "doc_id")
+        report["dsir_cutoff_logw"] = cutoff
 
     # re-attach metadata columns for sampling / reporting
     extra = [c for c in ("lang", "source") if c in docs.columns]

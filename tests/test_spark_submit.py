@@ -117,3 +117,36 @@ def test_spark_submit_curate_corpus(tmp_path):
     rep2 = json.loads(_run(cmd, cwd=str(tmp_path)).strip().splitlines()[-1])
     ids2 = con.sql(f"SELECT doc_id FROM '{out_dir}/*.parquet' ORDER BY doc_id").fetchall()
     assert rep2["n_kept"] == rep1["n_kept"] and ids1 == ids2
+
+
+def test_spark_submit_curate_with_dsir(tmp_path):
+    """--dsir-target selects toward a seed distribution: the kept set
+    shrinks to roughly --dsir-keep of the post-filter corpus and the
+    quantile cutoff is reported."""
+    zip_path = tmp_path / "ir_spark.zip"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "package_pyfiles.py"),
+         "--out", str(zip_path)],
+        check=True, capture_output=True,
+    )
+    common = [SPARK_SUBMIT, "--master", "local[4]",
+              "--conf", "spark.ui.enabled=false",
+              "--py-files", str(zip_path)]
+    # seed set: a slice of the corpus itself (docs ending in 0)
+    import duckdb
+
+    seed_dir = tmp_path / "seed.parquet"
+    duckdb.sql(
+        f"COPY (SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' "
+        f"WHERE doc_id % 10 = 0) TO '{seed_dir}' (FORMAT parquet)")
+    out_dir = tmp_path / "curated_dsir"
+    cmd = common + [os.path.join(REPO, "jobs", "curate_corpus.py"),
+                    "--input", os.path.join(SF_DIR, "documents.parquet"),
+                    "--output", str(out_dir),
+                    "--dsir-target", str(seed_dir),
+                    "--dsir-keep", "0.4"]
+    rep = json.loads(_run(cmd, cwd=str(tmp_path)).strip().splitlines()[-1])
+    assert "dsir_cutoff_logw" in rep
+    assert 0 < rep["n_kept"] < rep["n_input"]
+    # kept fraction near the requested 0.4 of the post-filter corpus
+    assert rep["n_kept"] <= 0.55 * rep["n_input"]
