@@ -169,6 +169,24 @@ def main() -> None:
     extras["query_p50_sec"] = round(lat_sorted[len(lat) // 2], 4)
     extras["query_p95_sec"] = round(lat_sorted[int(len(lat) * 0.95)], 4)
 
+    # concurrent serving throughput: 8 client threads over the shared
+    # SparkSession (fair task scheduling across jobs) — the serving-
+    # side number batch scoring can't show (independent queries, not
+    # one fused job)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(q: str) -> None:
+        search_segments(spark, sidx, q, k=10, mode="bm25",
+                        strategy="wand").collect()
+
+    t0 = time.time()
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(_one, REFERENCE_QUERIES))
+    conc_sec = time.time() - t0
+    queries["bm25_query_set_20_concurrent8"] = round(conc_sec, 4)
+    extras["concurrent8_queries_per_sec"] = round(
+        len(REFERENCE_QUERIES) / conc_sec, 2)
+
     # --- phase 4: driver-contract gates -----------------------------------
     import __spark_entry__ as entrymod
 
