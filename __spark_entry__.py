@@ -43,6 +43,8 @@ _PRIORITY: tuple[str, ...] = (
     "mix_report",
     "dsir_weights",            # new r3: DSIR importance resampling weights
     "web_anchor_bm25f_topk",   # new r3: BM25F with incoming-anchor field
+    "bm25_topk_deleted",       # new r3: live tombstones (Lucene liveDocs)
+    "bm25_topk_compacted",     # new r3: compaction applies the deletes
     # -- green r1 but dropped from r2's 50-gate window -------------------
     "ngram_jaccard_pairs",
     "ann_cosine_topk",

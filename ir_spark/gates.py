@@ -39,10 +39,19 @@ from .text import STOPWORDS, tokenize
 STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 
 # tokens incl. stopwords (doc_len semantics D2); len>1 == full tokenizer here
-TOKS_CTE = f"""
+
+
+def _toks_cte(corpus_where: str = "") -> str:
+    """The shared token/postings/docinfo/stats/dict CTE, optionally
+    over a RESTRICTED corpus (``corpus_where`` filters documents before
+    anything is derived) — used by the post-compaction delete gate,
+    whose collection stats must come from the live docs only."""
+    where = f"WHERE {corpus_where}" if corpus_where else ""
+    return f"""
 toks AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents) u
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents {where}) u
   WHERE LENGTH(term) > 1
   GROUP BY doc_id, term
 ),
@@ -56,6 +65,9 @@ stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(doc_len) AS avg_dl FROM doci
 dict AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
          FROM postings GROUP BY term)
 """
+
+
+TOKS_CTE = _toks_cte()
 
 # the flagship query: mixed-df corpus vocabulary
 FLAGSHIP_QUERY = "fast hash join with big vector table scan"
@@ -987,6 +999,115 @@ def q_merged_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_quantized(mapped, K_FLAGSHIP)
 
 
+# --- document deletion lifecycle (operators/deletes.py) ----------------------
+
+DELETE_MOD = 7  # tombstone every doc with orig_id % DELETE_MOD == 0
+
+_DEL_SEG_MEMO: dict[tuple, str] = {}
+_COMPACT_SEG_MEMO: dict[tuple, str] = {}
+
+
+def _copy_index(src: str, prefix: str) -> str:
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    shutil.rmtree(d)
+    shutil.copytree(src, d)
+    return d
+
+
+def _deleted_seg_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Copy of the memoized segment index with every DELETE_MOD-th doc
+    tombstoned (NOT compacted — tombstones live)."""
+    from .operators.deletes import delete_docs
+
+    key = (id(spark), sf_dir)
+    if key not in _DEL_SEG_MEMO:
+        d = _copy_index(_seg_index_dir(spark, sf_dir), "ir_spark_gate_delseg_")
+        doc_map = spark.read.parquet(os.path.join(d, "doc_map"))
+        victims = doc_map.filter(
+            F.substring("url", 7, 12).cast("long") % DELETE_MOD == 0
+        ).select("url")
+        delete_docs(spark, d, victims)
+        _DEL_SEG_MEMO[key] = d
+    return _DEL_SEG_MEMO[key]
+
+
+def _compacted_seg_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Copy of the TOMBSTONED index after compact_segments(purge) —
+    deletes physically applied, stats over live docs only."""
+    from .operators.segments import compact_segments
+
+    key = (id(spark), sf_dir)
+    if key not in _COMPACT_SEG_MEMO:
+        d = _copy_index(_deleted_seg_dir(spark, sf_dir),
+                        "ir_spark_gate_compactseg_")
+        compact_segments(spark, d, purge_deletes=True)
+        _COMPACT_SEG_MEMO[key] = d
+    return _COMPACT_SEG_MEMO[key]
+
+
+def q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k on an index with LIVE tombstones: deleted docs are
+    excluded from results immediately, but collection stats (N, avgdl,
+    df) keep their pre-delete values until compaction — Lucene's
+    maxDoc/numDocs semantics exactly (operators/deletes.py; the scoring
+    kernels mask a broadcast liveDocs array before their run-local
+    top-k).  Runs the block-max WAND path so pruning correctness under
+    deletion is what's being value-checked."""
+    from .operators.segment_query import SegmentIndex, search_segments
+
+    d = _deleted_seg_dir(spark, sf_dir)
+    sidx = SegmentIndex.load(spark, d)
+    raw = search_segments(spark, sidx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                          mode="bm25", strategy="wand")
+    return _rerank_quantized(_to_original_ids(spark, d, raw), K_FLAGSHIP)
+
+
+def sql_bm25_topk_deleted() -> str:
+    # global stats, results restricted to live docs — the hits CTE
+    # filter leaves `stats`/`dict` over the FULL corpus
+    return sql_bm25_topk(doc_where=f"p.doc_id % {DELETE_MOD} <> 0")
+
+
+def q_bm25_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k AFTER compact_segments(purge_deletes=True): the
+    tombstoned docs are physically gone, so the oracle's collection
+    stats and df come from the live corpus only — proving the purge
+    rewrites postings/dictionary/docinfo/stats value-identically to a
+    fresh build over the survivors."""
+    from .operators.segment_query import SegmentIndex, search_segments
+
+    d = _compacted_seg_dir(spark, sf_dir)
+    sidx = SegmentIndex.load(spark, d)
+    raw = search_segments(spark, sidx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                          mode="bm25", strategy="wand")
+    return _rerank_quantized(_to_original_ids(spark, d, raw), K_FLAGSHIP)
+
+
+def sql_bm25_topk_compacted(k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH {_toks_cte(f"doc_id % {DELETE_MOD} <> 0")},
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 SNIPPET_WINDOW = 3
 
 
@@ -1425,6 +1546,8 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "snippet_extract": q_snippet_extract,
         "merged_bm25_topk": q_merged_bm25_topk,
+        "bm25_topk_deleted": q_bm25_topk_deleted,
+        "bm25_topk_compacted": q_bm25_topk_compacted,
         "eval_metrics": q_eval_metrics,
         "boolean_match": q_boolean_match,
         "spell_suggest": q_spell_suggest,
@@ -1465,6 +1588,8 @@ def core_oracle_sql() -> dict[str, str]:
         "facet_counts": sql_facet_counts(),
         "snippet_extract": sql_snippet_extract(),
         "merged_bm25_topk": sql_bm25_topk(),
+        "bm25_topk_deleted": sql_bm25_topk_deleted(),
+        "bm25_topk_compacted": sql_bm25_topk_compacted(),
         "eval_metrics": sql_eval_metrics(),
         "boolean_match": sql_boolean_match(),
         "spell_suggest": sql_spell_suggest(),

@@ -155,8 +155,41 @@ class SegmentIndex:
                 self.dictionary.agg(F.sum("cf")).collect()[0][0] or 0)
         return self._dfs["cf_total"]
 
+    def deleted_bc(self):
+        """Broadcast of the tombstoned doc-id array (sorted int64), or
+        None when the index has no tombstones (operators/deletes.py).
+        Loaded + broadcast once per SegmentIndex — Lucene's liveDocs
+        bitset analogue; the kernels mask these ids before their
+        run-local top-k."""
+        if self._dfs is None:
+            object.__setattr__(self, "_dfs", {})
+        if "deleted_bc" not in self._dfs:
+            from .deletes import load_tombstone_ids
+
+            arr = load_tombstone_ids(self.spark, self.index_dir)
+            self._dfs["deleted_bc"] = (
+                self.spark.sparkContext.broadcast(arr)
+                if arr is not None else None)
+        return self._dfs["deleted_bc"]
+
 
 # --- numpy weight kernels (must match oracle.py bit-for-bit) -----------------
+
+
+def _mask_deleted_offsets(touched: np.ndarray, deleted, base: int,
+                          range_width: int) -> None:
+    """Clear the run-local offsets of tombstoned doc ids in a dense
+    candidate mask, in place.  ``deleted`` is the Broadcast handle from
+    SegmentIndex.deleted_bc (or None).  Sorted-array slice: O(log D)
+    per run, touching only the ids that fall inside [base, base+width).
+    Masking happens BEFORE the run-local top-k so live docs ranked just
+    below a deleted one still surface."""
+    if deleted is None:
+        return
+    dels = deleted.value
+    lo, hi = np.searchsorted(dels, [base, base + range_width])
+    if hi > lo:
+        touched[dels[lo:hi] - base] = False
 
 def _np_doc_weight(mode: str, tf: np.ndarray, dl: np.ndarray, mtf: np.ndarray,
                    df: int, n_docs: int, avg_dl: float, k1: float, b: float
@@ -186,7 +219,7 @@ def _np_doc_weight(mode: str, tf: np.ndarray, dl: np.ndarray, mtf: np.ndarray,
 
 def _make_run_kernel(weights: dict[str, float], dfs: dict[str, int], *,
                      mode: str, n_docs: int, avg_dl: float, k1: float,
-                     b: float, range_width: int, top_k: int):
+                     b: float, range_width: int, top_k: int, deleted=None):
     """applyInPandas kernel over one doc-range run: dense-accumulator
     TAAT scoring, emit run-local top-k (or all candidates when top_k=0
     for cosine modes)."""
@@ -215,6 +248,7 @@ def _make_run_kernel(weights: dict[str, float], dfs: dict[str, int], *,
                                   avg_dl, k1, b)
             acc[ids - base] += w_td * w_tq
             touched[ids - base] = True
+        _mask_deleted_offsets(touched, deleted, base, range_width)
         idx = np.flatnonzero(touched)
         if idx.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
@@ -233,7 +267,8 @@ def _make_run_kernel(weights: dict[str, float], dfs: dict[str, int], *,
 
 def _make_qld_run_kernel(qcf: dict[str, tuple[float, float]], *,
                          c_total: float, mu: float, const: float,
-                         q_len: float, range_width: int, top_k: int):
+                         q_len: float, range_width: int, top_k: int,
+                         deleted=None):
     """applyInPandas kernel for Dirichlet query-likelihood over one
     doc-range run (query.py::search_qld's decomposition, numpy form):
     accumulate qtf*ln(1 + tf*C/(mu*cf)) per matched posting, then add
@@ -258,6 +293,7 @@ def _make_qld_run_kernel(qcf: dict[str, tuple[float, float]], *,
             acc[off] += qtf * np.log1p(tfs * c_total / (mu * cf))
             dl_arr[off] = dls
             touched[off] = True
+        _mask_deleted_offsets(touched, deleted, base, range_width)
         idx = np.flatnonzero(touched)
         if idx.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
@@ -279,7 +315,7 @@ def _make_wand_partition_kernel(weights: dict[str, float],
                                 mode: str, n_docs: int, avg_dl: float,
                                 k1: float, b: float, range_width: int,
                                 top_k: int, acc_runs_seen=None,
-                                acc_runs_pruned=None):
+                                acc_runs_pruned=None, deleted=None):
     """mapInPandas kernel over a run-sorted partition: block-max WAND
     with the top-k heap + threshold theta carried ACROSS runs.
 
@@ -360,6 +396,10 @@ def _make_wand_partition_kernel(weights: dict[str, float],
                                       avg_dl, k1, b)
                 acc[ids - base] += w_td * w_tq
                 touched[ids - base] = True
+            # deleted docs never enter the heap, so theta is the kth
+            # LIVE score; the skyline bounds above stay valid upper
+            # bounds (they range over a superset of the live postings)
+            _mask_deleted_offsets(touched, deleted, base, range_width)
             idx = np.flatnonzero(touched)
             if idx.size == 0:
                 return
@@ -406,7 +446,7 @@ BATCH_SCORE_SCHEMA = "query_id long, doc_id long, score double"
 def _make_batch_run_kernel(term_q: dict[str, list[tuple[int, float]]],
                            dfs: dict[str, int], *, mode: str, n_docs: int,
                            avg_dl: float, k1: float, b: float,
-                           range_width: int, top_k: int):
+                           range_width: int, top_k: int, deleted=None):
     """applyInPandas kernel over one doc-range run scoring MANY queries
     in a single decode pass.
 
@@ -422,6 +462,13 @@ def _make_batch_run_kernel(term_q: dict[str, list[tuple[int, float]]],
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         run = int(pdf["run"].iloc[0])
         base = run * range_width
+        # run-local offsets of tombstoned docs (sorted slice, O(log D))
+        del_off = None
+        if deleted is not None:
+            dels = deleted.value
+            lo, hi = np.searchsorted(dels, [base, base + range_width])
+            if hi > lo:
+                del_off = dels[lo:hi] - base
         # qid -> (list[pos arrays], list[partial-score arrays])
         parts: dict[int, tuple[list, list]] = {}
         for row in pdf.itertuples(index=False):
@@ -450,6 +497,11 @@ def _make_batch_run_kernel(term_q: dict[str, list[tuple[int, float]]],
             pos, val = pos[order], val[order]
             uniq, start = np.unique(pos, return_index=True)
             scores = np.add.reduceat(val, start)
+            if del_off is not None:
+                live = ~np.isin(uniq, del_off, assume_unique=True)
+                uniq, scores = uniq[live], scores[live]
+                if uniq.size == 0:
+                    continue
             doc_ids = uniq + base
             if top_k and doc_ids.size > top_k:
                 sel = np.lexsort((doc_ids, -scores))[:top_k]
@@ -510,7 +562,7 @@ def search_segments_batch(spark: SparkSession, sidx: SegmentIndex,
     kernel = _make_batch_run_kernel(
         term_q, dfs, mode=mode, n_docs=sidx.n_docs, avg_dl=sidx.avg_doc_len,
         k1=k1, b=b, range_width=sidx.range_width,
-        top_k=k if mode == "bm25" else 0)
+        top_k=k if mode == "bm25" else 0, deleted=sidx.deleted_bc())
     scored = hits.groupBy("run").applyInPandas(kernel, BATCH_SCORE_SCHEMA)
 
     if mode != "bm25":
@@ -576,7 +628,8 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
         kernel = _make_qld_run_kernel(
             {t: (float(bag[t]), float(cfs[t])) for t in qterms},
             c_total=c_total, mu=mu, const=const, q_len=q_len,
-            range_width=sidx.range_width, top_k=k)
+            range_width=sidx.range_width, top_k=k,
+            deleted=sidx.deleted_bc())
         scored = hits.groupBy("run").applyInPandas(kernel, SCORE_SCHEMA)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -589,7 +642,8 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
     )
 
     kernel_args = dict(mode=mode, n_docs=sidx.n_docs, avg_dl=sidx.avg_doc_len,
-                       k1=k1, b=b, range_width=sidx.range_width)
+                       k1=k1, b=b, range_width=sidx.range_width,
+                       deleted=sidx.deleted_bc())
 
     if strategy == "auto":
         # wand runs the same single-job plan as exhaustive (one shuffle

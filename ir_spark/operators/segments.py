@@ -416,7 +416,8 @@ def decode_segments(segments: DataFrame) -> DataFrame:
         "term string, doc_id long, tf long, doc_len long, max_tf long")
 
 
-def compact_segments(spark: SparkSession, index_dir: str) -> dict:
+def compact_segments(spark: SparkSession, index_dir: str,
+                     purge_deletes: bool = True) -> dict:
     """Rewrite all segment groups into one consolidated group (grp=0)
     and consolidate dictionary delta rows — the Lucene-merge / Iceberg-
     compaction analogue for the append-only streamed index.
@@ -431,6 +432,17 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
     dictionary to one (term, df, cf) row per term.  Queries are
     result-identical before and after; the next streamed batch simply
     appends ``grp=1``.
+
+    ``purge_deletes``: when the index carries tombstones
+    (operators/deletes.py), compaction physically drops the tombstoned
+    docs — postings, segments, docinfo, doc_map, norms — recomputes the
+    dictionary and global stats from the survivors, and clears the
+    tombstones.  This is the Lucene merge-applies-deletes step: after
+    it, the index is value-identical to a fresh build over the live
+    corpus (doc ids keep their original values; id gaps are fine — runs
+    simply hold fewer docs).  Queries are then result-identical WITHOUT
+    any tombstone mask, and collection stats stop counting the deleted
+    docs.
 
     Returns metrics (rows/files/bytes before and after)."""
     paths = index_paths(index_dir)
@@ -447,10 +459,23 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
         1 for root, _d, files in os.walk(paths["segments"])
         for f in files if not f.startswith(("_", ".")))
 
+    from .deletes import tombstones_path
+
+    tomb_dir = tombstones_path(index_dir)
+    tomb = None
+    if purge_deletes and os.path.isdir(tomb_dir):
+        tomb = spark.read.parquet(tomb_dir).select("doc_id")
+
     if os.path.isdir(paths["postings"]):
         flat = spark.read.parquet(paths["postings"])
     else:
         flat = decode_segments(seg_before)
+    n_purged = 0
+    if tomb is not None:
+        # tombstones are the small side (deletes.py cap) — broadcast
+        # anti-join, the corpus-sized flat relation never shuffles
+        flat = flat.join(F.broadcast(tomb), "doc_id", "left_anti")
+        n_purged = tomb.count()
     seg = encode_segments(flat, n_buckets, range_width)
     seg = seg.repartition(n_buckets, "bucket")
     tmp = paths["segments"] + ".compact.tmp"
@@ -468,18 +493,69 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
     os.replace(tmp, paths["segments"])
     shutil.rmtree(old)
 
-    # consolidate dictionary deltas (sum is the read-side contract, so
-    # this is a pure rewrite)
-    dictionary = (spark.read.parquet(paths["dictionary"])
-                  .groupBy("term")
-                  .agg(F.sum("df").cast("long").alias("df"),
-                       F.sum("cf").cast("long").alias("cf")))
-    storage.atomic_write_parquet(dictionary, paths["dictionary"])
+    if tomb is None:
+        # consolidate dictionary deltas (sum is the read-side contract,
+        # so this is a pure rewrite)
+        dictionary = (spark.read.parquet(paths["dictionary"])
+                      .groupBy("term")
+                      .agg(F.sum("df").cast("long").alias("df"),
+                           F.sum("cf").cast("long").alias("cf")))
+        storage.atomic_write_parquet(dictionary, paths["dictionary"])
+    else:
+        # apply the deletes to every side table.  Fresh read handles
+        # after the segment swap (a pre-swap DataFrame's file listing
+        # points at the replaced tree).
+        if os.path.isdir(paths["postings"]):
+            purged_flat = spark.read.parquet(paths["postings"]).join(
+                F.broadcast(tomb), "doc_id", "left_anti")
+            storage.atomic_write_parquet(purged_flat, paths["postings"])
+            new_flat = spark.read.parquet(paths["postings"])
+        else:
+            # segment tree is already purged (encoded from the
+            # anti-joined flat) — decode it for the dictionary rebuild
+            new_flat = decode_segments(spark.read.parquet(paths["segments"]))
+        # df/cf must shrink with the deleted docs — rebuild, don't sum
+        from .build import build_dictionary
 
-    seg_after = spark.read.parquet(paths["segments"])
+        storage.atomic_write_parquet(
+            build_dictionary(new_flat).select(
+                "term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf")),
+            paths["dictionary"])
+        for side in ("docinfo", "doc_map"):
+            purged = spark.read.parquet(paths[side]).join(
+                F.broadcast(tomb), "doc_id", "left_anti")
+            storage.atomic_write_parquet(purged, paths[side])
+        # global stats over the survivors (numDocs == maxDoc again)
+        docinfo = spark.read.parquet(paths["docinfo"])
+        srow = docinfo.agg(F.count("*").alias("n"),
+                           F.avg("doc_len").alias("avg")).collect()[0]
+        stats_metrics = dict(manifests["stats"]["metrics"])
+        stats_metrics["n_docs"] = int(srow["n"])
+        stats_metrics["avg_doc_len"] = float(srow["avg"] or 0.0)
+        stats_metrics["segments_bytes"] = storage.tree_bytes(
+            paths["segments"])
+        storage.commit_stage(index_dir, "stats", lineage, stats_metrics)
+        # tombstones are applied — clear them (all readers of ``tomb``
+        # above have materialized)
+        shutil.rmtree(tomb_dir)
+        storage.commit_stage(index_dir, "tombstones", lineage,
+                             {"n_total": 0, "purged_at_compaction": n_purged})
+        if os.path.isdir(paths["norms"]):
+            # idf/N moved with the purge — recompute cosine norms
+            from ..streaming.incremental import refresh_norms
+
+            refresh_norms(spark, index_dir)
+
+    # a purge that deleted every doc leaves a fileless (unreadable)
+    # segment tree — 0 rows by definition
+    try:
+        rows_after = spark.read.parquet(paths["segments"]).count()
+    except Exception:
+        rows_after = 0
     metrics = {
         "rows_before": int(rows_before),
-        "rows_after": int(seg_after.count()),
+        "rows_after": int(rows_after),
         "files_before": files_before,
         "files_after": sum(
             1 for root, _d, files in os.walk(paths["segments"])

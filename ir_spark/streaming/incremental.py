@@ -190,6 +190,15 @@ def refresh_norms(spark: SparkSession, index_dir: str) -> None:
     manifests = storage.read_manifests(index_dir)
     stats = manifests["stats"]["metrics"]
     n_docs, avg_dl = int(stats["n_docs"]), float(stats["avg_doc_len"])
+    if n_docs <= 1:
+        # w1/w2 idf divides by log(N): undefined at N<=1 (the oracle
+        # never scores such a collection either).  Keep the norms table
+        # present-but-empty so the index stays loadable — e.g. after a
+        # compaction that purged every document.
+        empty = spark.createDataFrame(
+            [], "doc_id long, norm_w1 double, norm_w2 double")
+        storage.atomic_write_parquet(empty, paths["norms"])
+        return
     docinfo = spark.read.parquet(paths["docinfo"])
     dictionary = (spark.read.parquet(paths["dictionary"])
                   .groupBy("term").agg(F.sum("df").alias("df")))
