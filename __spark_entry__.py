@@ -25,48 +25,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# The driver verifies the FIRST ~50 registry entries per round.  Gates that
-# have not yet earned a green CORRECTNESS row (never checked, or checked
-# only in an earlier round) are promoted to the head of the registry so
-# every round's 50-gate window lands on the least-proven components first.
-# Gates with standing green evidence from the previous round rotate to the
-# tail — their rows remain on record.  (VERDICT r2 "Next round" items 1+8.)
+# The driver verifies the FIRST ~50 registry entries per round (r2: 73
+# registered -> exactly the first 50 checked).  Two measures keep every
+# operator inside that window:
+#   1. stable operator families are packed into tagged-union combo gates
+#      (ir_spark/gates_combo.py) so the registry stays under ~50 entries —
+#      a combo's value-hash match proves every component's exact values;
+#   2. gates without a green row from the PREVIOUS round are promoted to
+#      the head, so even if the window shrinks, the least-proven gates
+#      are checked first.  (VERDICT r2 "What's wrong" #1.)
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (r2) --------------------------------------
-    "events_json_props",   # FAILED r1, fix in gates_streaming.py:125 — needs a green row
+    # -- components never driver-checked in r2, now riding combos --------
+    "events_suite",        # incl. events_json_props: FAILED r1, fixed, needs a green row
+    "ann_suite",           # incl. never-checked ann_ivf_index_topk + hybrid_rrf_topk
+    "corpus_suite",        # incl. never-checked decontaminate/repetition/stratified/mix + dsir
+    "multimodal_suite",    # incl. new r3 REAL BMP/WAV decodes
+    "dedup_suite",
+    "textstats_suite",
+    "lexicon_suite",
+    "linkgraph_suite",
+    # -- standalone gates with no r2 row ---------------------------------
     "stream_dedup",
-    "hybrid_rrf_topk",
-    "ann_ivf_index_topk",
-    "decontaminate",
-    "repetition_filter",
-    "stratified_sample",
-    "mix_report",
-    "dsir_weights",            # new r3: DSIR importance resampling weights
+    "stream_bm25_topk",
     "web_anchor_bm25f_topk",   # new r3: BM25F with incoming-anchor field
     "bm25_topk_deleted",       # new r3: live tombstones (Lucene liveDocs)
     "bm25_topk_compacted",     # new r3: compaction applies the deletes
-    # -- green r1 but dropped from r2's 50-gate window -------------------
-    "ngram_jaccard_pairs",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "embedding_near_dup",
-    "lang_id",
-    "quality_score",
-    "token_stats",
-    "doc_fingerprint",
     "champion_bm25_topk",      # new r3: static index pruning
     "dictionary_frontcoded",   # new r3: real C4/C5 dictionary codecs
     "ltr_features",            # new r3: LTR candidate featurization
-    "multimodal_meta",
-    "multimodal_image_meta",   # new r3: REAL BMP decode on synthetic fixtures
-    "multimodal_wav_stats",    # new r3: REAL WAV decode + numpy sample stats
-    "multimodal_features",
-    "frame_sample",
-    "events_tumbling",
-    "events_sliding",
-    "events_sessions",
-    "stream_bm25_topk",
-    "trending_terms",          # new r3: top-k terms per tumbling window
 )
 
 
@@ -83,39 +69,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return gates.q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def component_registries() -> tuple[dict, dict]:
+    """The FLAT per-operator registries, before combo packing — one
+    (queries, oracle_sql) entry per operator.  Tests and bench use these
+    for per-operator granularity; the driver sees the packed view."""
     from ir_spark import gates
 
-    out = dict(gates.core_queries())
+    q = dict(gates.core_queries())
+    s = dict(gates.core_oracle_sql())
     try:
         from ir_spark import gates_analytics
 
-        out.update(gates_analytics.analytics_queries())
+        q.update(gates_analytics.analytics_queries())
+        s.update(gates_analytics.analytics_oracle_sql())
     except ImportError:
         pass
     try:
         from ir_spark import gates_streaming
 
-        out.update(gates_streaming.streaming_queries())
+        q.update(gates_streaming.streaming_queries())
+        s.update(gates_streaming.streaming_oracle_sql())
     except ImportError:
         pass
-    return _reorder(out)
+    return q, s
+
+
+def _packed() -> tuple[dict, dict]:
+    from ir_spark import gates_combo
+
+    q, s = component_registries()
+    return gates_combo.combine(q, s)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _reorder(_packed()[0])
 
 
 def oracle_sql() -> dict[str, str]:
-    from ir_spark import gates
-
-    out = dict(gates.core_oracle_sql())
-    try:
-        from ir_spark import gates_analytics
-
-        out.update(gates_analytics.analytics_oracle_sql())
-    except ImportError:
-        pass
-    try:
-        from ir_spark import gates_streaming
-
-        out.update(gates_streaming.streaming_oracle_sql())
-    except ImportError:
-        pass
-    return _reorder(out)
+    return _reorder(_packed()[1])

@@ -142,6 +142,15 @@ def main() -> None:
 
     # --- phase 3: 20-query reference set over the segment index ----------
     sidx = SegmentIndex.load(spark, index_dir)
+    # one untimed warm-up query: the first call pays one-time serving
+    # setup (dictionary memo build, Python-worker pool spin-up, plan
+    # compilation) that long-lived executors never re-pay — report it
+    # separately as cold_start_sec instead of letting it masquerade as
+    # the steady-state p95.
+    t0 = time.time()
+    search_segments(spark, sidx, REFERENCE_QUERIES[0], k=10, mode="bm25",
+                    strategy="exhaustive").collect()
+    extras["query_cold_start_sec"] = round(time.time() - t0, 4)
     lat: list[float] = []
     wand_lat: list[float] = []
     for i, q in enumerate(REFERENCE_QUERIES):

@@ -1262,6 +1262,21 @@ def q_qld_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_quantized(mapped, K_FLAGSHIP)
 
 
+def q_bm25_topk_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over the compressed segment index under MaxScore
+    dynamic pruning (segment_query._make_maxscore_partition_kernel,
+    Turtle & Flood essential/non-essential split) — same oracle as the
+    exhaustive bm25_topk gate, proving the pruned path rank-identical
+    end-to-end on the driver's harness, not just in pytest."""
+    from .operators.segment_query import SegmentIndex, search_segments
+
+    d = _seg_index_dir(spark, sf_dir)
+    sidx = SegmentIndex.load(spark, d)
+    raw = search_segments(spark, sidx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                          mode="bm25", strategy="maxscore")
+    return _rerank_quantized(_to_original_ids(spark, d, raw), K_FLAGSHIP)
+
+
 RM3_N_FB, RM3_N_EXP, RM3_ALPHA = 10, 5, 0.6
 
 
@@ -1543,6 +1558,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_topk": q_qld_topk,
         "keywords_tfidf": q_keywords_tfidf,
         "qld_segment_topk": q_qld_segment_topk,
+        "bm25_topk_maxscore": q_bm25_topk_maxscore,
         "facet_counts": q_facet_counts,
         "snippet_extract": q_snippet_extract,
         "merged_bm25_topk": q_merged_bm25_topk,
@@ -1585,6 +1601,7 @@ def core_oracle_sql() -> dict[str, str]:
         "qld_topk": sql_qld_topk(),
         "keywords_tfidf": sql_keywords_tfidf(),
         "qld_segment_topk": sql_qld_topk(),
+        "bm25_topk_maxscore": sql_bm25_topk(),
         "facet_counts": sql_facet_counts(),
         "snippet_extract": sql_snippet_extract(),
         "merged_bm25_topk": sql_bm25_topk(),

@@ -1,0 +1,180 @@
+"""Tagged-union combo gates — pack stable operator families into one
+registry entry each so EVERY operator earns a driver-green oracle row
+EVERY round.
+
+Why: the per-round driver verifies at most ~50 registry entries
+(round 2: 73 registered -> exactly the first 50 checked), so a registry
+larger than the window structurally leaves gates unverified each round
+(VERDICT r2 "What's wrong" #1).  Consolidating the long-stable families
+below brings the registry back under the window WITHOUT weakening the
+check: a combo emits the UNION of its components' rows, each row tagged
+with its component gate name and its full column tuple serialized into
+one string, and the DuckDB oracle is the UNION ALL of the components'
+oracles under the identical serialization.  A value-hash match on the
+combo therefore proves every component's exact values, just as the
+standalone gates did — the only thing lost is per-component schema
+typing, which `_norm_spark` re-asserts against the frozen COMBO_SPECS
+column lists (a component schema drift fails loudly, not silently).
+
+Serialization contract (must be bit-identical across engines):
+  - columns in sorted(name) order;
+  - every value CAST to string — both engines print integral types as
+    plain digits and these gates emit only string / int / bigint
+    columns (floats are already micro-quantized longs by gate
+    convention, r1 lesson);
+  - NULL -> the sentinel U+2205 (never a real value in these gates);
+  - joined with '|'.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NULL_TOKEN = "∅"
+
+# combo -> {component gate: frozen sorted column list}.  Regenerate a
+# row with sorted(df.columns) if a component's schema legitimately
+# changes; the runtime assert in _norm_spark catches accidental drift.
+COMBO_SPECS: dict[str, dict[str, list[str]]] = {
+    "lexicon_suite": {
+        "spell_suggest": ["df", "dist", "term"],
+        "prefix_terms": ["df", "term"],
+        "wildcard_terms": ["df", "term"],
+        "fuzzy_terms": ["df", "dist", "term"],
+    },
+    "textstats_suite": {
+        "lang_id": ["doc_id", "lang_pred", "stop_ratio_micro"],
+        "quality_score": ["doc_id", "keep", "mean_token_len_micro",
+                          "n_tokens", "stop_ratio_micro", "ttr_micro"],
+        "token_stats": ["doc_id", "n_chars", "n_chunks", "n_ws_tokens"],
+        "doc_fingerprint": ["doc_id", "min_gram_md5", "n_distinct_grams"],
+        "token_quantiles": ["lang", "n_docs", "p25_micro", "p50_micro",
+                            "p75_micro", "p95_micro"],
+        "lm_perplexity": ["doc_id", "keep", "n_bigrams", "nll_micro"],
+        "pii_scrub": ["doc_id", "n_emails", "n_ips", "n_phones",
+                      "scrubbed_md5"],
+        "collocations_pmi": ["n", "pmi_micro", "w1", "w2"],
+    },
+    "dedup_suite": {
+        "dedup_exact": ["max_doc_id", "min_doc_id", "n_copies", "text_md5"],
+        "minhash_bands": ["band", "band_hash", "doc_id"],
+        "lsh_near_dup_pairs": ["a", "b", "jaccard_micro"],
+        "simhash": ["doc_id", "simhash"],
+        "ngram_jaccard_pairs": ["a", "b", "jaccard_micro"],
+        "dup_span_coverage": ["covered_tokens", "doc_id",
+                              "dup_token_frac_micro", "n_dup_positions",
+                              "n_grams", "n_tokens"],
+        "dedup_clusters": ["cluster_id", "doc_id", "is_canonical"],
+    },
+    "corpus_suite": {
+        "decontaminate": ["contaminated", "doc_id", "n_contaminated_grams",
+                          "n_grams"],
+        "repetition_filter": ["doc_id", "dup_trigram_frac_micro", "keep",
+                              "top_bigram_frac_micro"],
+        "stratified_sample": ["doc_id", "lang", "sample_key_micro"],
+        "mix_report": ["lang", "n_chars", "n_docs", "n_tokens",
+                       "token_share_micro"],
+        "host_cap_sample": ["doc_id", "host_rank", "source"],
+        "sequence_pack": ["bin_id", "bin_offset", "doc_id", "n_tokens",
+                          "start"],
+        "dsir_weights": ["doc_id", "dsir_logw_micro"],
+    },
+    "ann_suite": {
+        "ann_cosine_topk": ["score_micro", "vec_id"],
+        "ann_ivf_topk": ["score_micro", "vec_id"],
+        "ann_ivf_index_topk": ["score_micro", "vec_id"],
+        "embedding_near_dup": ["a", "b", "cosine_micro"],
+        "hybrid_rrf_topk": ["doc_id", "rank", "rrf_micro"],
+    },
+    "linkgraph_suite": {
+        "pagerank_hosts": ["node", "rank_micro"],
+        "anchor_text_agg": ["anchor_terms", "dst", "n_inlinks",
+                            "n_src_hosts"],
+        "url_canonical_dedup": ["canon_url", "doc_id", "n_dups"],
+        "bm25_pagerank_topk": ["doc_id", "score_micro"],
+        "bm25_diverse_topk": ["doc_id", "host_rank", "score_micro",
+                              "source"],
+    },
+    "multimodal_suite": {
+        "multimodal_meta": ["doc_id", "format", "height", "n_bytes",
+                            "width"],
+        "multimodal_image_meta": ["doc_id", "format", "height", "n_bytes",
+                                  "width"],
+        "multimodal_wav_stats": ["doc_id", "duration_us", "n_bytes",
+                                 "n_samples", "peak", "rms_micro",
+                                 "sample_rate", "zero_crossings"],
+        "multimodal_features": ["doc_id", "feature_micro", "pos"],
+        "frame_sample": ["byte_offset", "doc_id", "frame_no"],
+    },
+    "events_suite": {
+        "events_tumbling": ["event_type", "n_events", "sum_value_micro",
+                            "window_start_us"],
+        "events_sliding": ["event_type", "n_events", "window_start_us"],
+        "events_sessions": ["n_events", "session_end_us", "session_id",
+                            "session_start_us", "user_id"],
+        "events_json_props": ["event_type", "max_k", "min_k", "n",
+                              "sum_k"],
+        "trending_terms": ["n", "rank", "term", "window_start_us"],
+    },
+}
+
+COMBO_SCHEMA_NOTE = "gate:string,row:string"
+
+
+def _norm_spark(df: DataFrame, name: str, cols: list[str]) -> DataFrame:
+    actual = sorted(df.columns)
+    if actual != cols:
+        raise AssertionError(
+            f"combo component {name!r} schema drifted: expected {cols}, "
+            f"got {actual} — update COMBO_SPECS in lockstep")
+    return df.select(
+        F.lit(name).alias("gate"),
+        F.concat_ws("|", *[
+            F.coalesce(F.col(c).cast("string"), F.lit(NULL_TOKEN))
+            for c in cols
+        ]).alias("row"))
+
+
+def _make_combo_fn(spec: dict[str, list[str]],
+                   qreg: dict[str, Callable]) -> Callable:
+    comps = {c: qreg[c] for c in spec}
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for c, f in comps.items():
+            part = _norm_spark(f(spark, sf_dir), c, spec[c])
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    return fn
+
+
+def _norm_sql(name: str, cols: list[str], sql: str) -> str:
+    exprs = ", ".join(
+        f"coalesce(CAST({c} AS VARCHAR), '{NULL_TOKEN}')" for c in cols)
+    return (f"SELECT '{name}' AS gate, concat_ws('|', {exprs}) AS row "
+            f"FROM (\n{sql}\n) _sub_{name}")
+
+
+def combine(qreg: dict[str, Callable],
+            sqlreg: dict[str, str]) -> tuple[dict, dict]:
+    """Replace every COMBO_SPECS component in (queries, oracle_sql) with
+    its combo entry.  Components missing from the registries are a hard
+    error — the specs and the gate modules must move in lockstep."""
+    q2, s2 = dict(qreg), dict(sqlreg)
+    for combo, spec in COMBO_SPECS.items():
+        for c in spec:
+            del q2[c]
+            del s2[c]
+        q2[combo] = _make_combo_fn(spec, qreg)
+        s2[combo] = "\nUNION ALL\n".join(
+            _norm_sql(c, spec[c], sqlreg[c]) for c in spec)
+    return q2, s2
+
+
+def combo_components() -> dict[str, str]:
+    """component gate -> combo name (for coverage docs / tests)."""
+    return {c: combo for combo, spec in COMBO_SPECS.items() for c in spec}

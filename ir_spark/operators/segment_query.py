@@ -440,6 +440,143 @@ def _make_wand_partition_kernel(weights: dict[str, float],
     return kernel
 
 
+def _make_maxscore_partition_kernel(weights: dict[str, float],
+                                    dfs: dict[str, int], *,
+                                    mode: str, n_docs: int, avg_dl: float,
+                                    k1: float, b: float, range_width: int,
+                                    top_k: int, acc_runs_seen=None,
+                                    acc_runs_pruned=None,
+                                    acc_nonessential=None, deleted=None):
+    """mapInPandas kernel over a run-sorted partition: MaxScore pruning
+    (Turtle & Flood 1995) with the top-k heap + theta carried across
+    runs — the classic alternative to block-max WAND, here sharing its
+    executor-side scaffolding (no driver state, no metadata job).
+
+    Per run, terms are ordered by their run-local upper bound (max over
+    the row's block (tf, doc_len) skyline — attained by a real posting,
+    so tight) and split: the maximal ascending prefix whose summed
+    bounds stay strictly BELOW theta is NON-ESSENTIAL — a document
+    matching only those terms scores < theta and can never enter the
+    heap (strict <, so exact ties survive for the doc_id tie-break).
+    Essential terms accumulate normally and define the candidate set;
+    non-essential postings are then folded in ONLY for already-touched
+    candidates, keeping every emitted score exact while skipping
+    accumulation for documents that cannot qualify.  Results are
+    rank-identical to exhaustive/WAND; ``acc_nonessential`` counts
+    term-rows handled on the candidates-only path (pruning evidence for
+    tests/bench)."""
+    import heapq
+
+    def kernel(batches):
+        heap: list[tuple[float, int]] = []
+
+        def theta() -> float | None:
+            return heap[0][0] if len(heap) == top_k else None
+
+        def score_run(rows) -> None:
+            metas = []
+            total_ub = 0.0
+            for row in rows:
+                w_tq = weights.get(row.term)
+                if w_tq is None:
+                    continue
+                df_t = dfs.get(row.term, 0)
+                sky_tf = np.asarray(row.block_sky_tf, dtype=np.int64)
+                sky_dl = np.asarray(row.block_sky_dl, dtype=np.int64)
+                pair_w = _np_doc_weight(mode, sky_tf, sky_dl, sky_tf, df_t,
+                                        n_docs, avg_dl, k1, b) * w_tq
+                t_ub = float(pair_w.max()) if pair_w.size else 0.0
+                metas.append((row, w_tq, df_t, t_ub))
+                total_ub += t_ub
+            if not metas:
+                return
+            if acc_runs_seen is not None:
+                acc_runs_seen.add(1)
+            th = theta()
+            if th is not None and total_ub < th:
+                if acc_runs_pruned is not None:
+                    acc_runs_pruned.add(1)
+                return
+            # MaxScore split: ascending by upper bound; the longest
+            # prefix with cumulative sum < theta is non-essential
+            metas.sort(key=lambda m: m[3])
+            n_non = 0
+            if th is not None:
+                csum = 0.0
+                for _row, _wq, _df, t_ub in metas:
+                    if csum + t_ub >= th:
+                        break
+                    csum += t_ub
+                    n_non += 1
+            # a run where EVERY term is non-essential was already
+            # pruned above (total_ub < theta), so n_non < len(metas)
+            run = int(metas[0][0].run)
+            base = run * range_width
+            acc = np.zeros(range_width, dtype=np.float64)
+            touched = np.zeros(range_width, dtype=bool)
+            # essential terms FIRST (they define the candidate set),
+            # then non-essential folded in for candidates only
+            ordered = ([(m, True) for m in metas[n_non:]]
+                       + [(m, False) for m in metas[:n_non]])
+            for (row, w_tq, df_t, _t_ub), essential in ordered:
+                if not essential and acc_nonessential is not None:
+                    acc_nonessential.add(1)
+                ids = codec.delta_decode(row.doc_gaps_vb)
+                tfs = codec.varbyte_decode(row.tfs_vb).astype(np.int64)
+                dls = codec.varbyte_decode(row.doc_lens_vb).astype(np.int64)
+                mtfs = codec.varbyte_decode(row.max_tfs_vb).astype(np.int64)
+                off = ids - base
+                if not essential:
+                    # candidates-only: docs not already touched by an
+                    # essential term score < theta in total — skip them
+                    cand = touched[off]
+                    if not cand.any():
+                        continue
+                    ids, tfs, dls, mtfs, off = (
+                        ids[cand], tfs[cand], dls[cand], mtfs[cand],
+                        off[cand])
+                w_td = _np_doc_weight(mode, tfs, dls, mtfs, df_t, n_docs,
+                                      avg_dl, k1, b)
+                acc[off] += w_td * w_tq
+                if essential:
+                    touched[off] = True
+            _mask_deleted_offsets(touched, deleted, base, range_width)
+            idx = np.flatnonzero(touched)
+            if idx.size == 0:
+                return
+            scores = acc[idx]
+            doc_ids = idx + base
+            th = theta()
+            if th is not None:
+                keep = scores >= th
+                scores, doc_ids = scores[keep], doc_ids[keep]
+            for s, d in zip(scores, doc_ids):
+                item = (float(s), -int(d))
+                if len(heap) < top_k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+
+        buf: list = []
+        cur_run: int | None = None
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                r = int(row.run)
+                if cur_run is not None and r != cur_run:
+                    score_run(buf)
+                    buf = []
+                cur_run = r
+                buf.append(row)
+        score_run(buf)
+        if heap:
+            yield pd.DataFrame(
+                {"doc_id": [-d for _, d in heap],
+                 "score": [s for s, _ in heap]}
+            ).astype({"doc_id": "int64", "score": "float64"})
+
+    return kernel
+
+
 BATCH_SCORE_SCHEMA = "query_id long, doc_id long, score double"
 
 
@@ -602,9 +739,15 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
     ``mode='qld'`` scores Dirichlet query-likelihood (``mu``) — same
     pruned scan + one run-keyed Python pass as bm25 exhaustive.
 
+    ``strategy``: ``"exhaustive"`` (score every posting),
+    ``"wand"`` (block-max WAND), ``"maxscore"`` (MaxScore
+    essential/non-essential split), or ``"auto"``; all are
+    rank-identical, the pruned ones skip work via the per-block
+    skyline metadata.
+
     ``prune_counters``: optional ``{"runs_seen": acc, "runs_pruned":
-    acc}`` Spark accumulators, incremented by the wand kernel (tests /
-    diagnostics only)."""
+    acc, "nonessential": acc}`` Spark accumulators, incremented by the
+    pruning kernels (tests / diagnostics only)."""
     import math as _math
 
     bag = parse_query(query, stem=stem)
@@ -654,13 +797,18 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
         strategy = "wand" if n_runs_max > 1 else "exhaustive"
 
     if mode == "bm25":
-        if strategy == "wand":
+        if strategy in ("wand", "maxscore"):
             counters = prune_counters or {}
-            kernel = _make_wand_partition_kernel(
+            make = (_make_wand_partition_kernel if strategy == "wand"
+                    else _make_maxscore_partition_kernel)
+            extra = ({} if strategy == "wand"
+                     else {"acc_nonessential":
+                           counters.get("nonessential")})
+            kernel = make(
                 weights, dfs, top_k=k,
                 acc_runs_seen=counters.get("runs_seen"),
                 acc_runs_pruned=counters.get("runs_pruned"),
-                **kernel_args)
+                **extra, **kernel_args)
             # same shuffle the exhaustive groupBy(run) pays; sorting
             # within partitions makes runs contiguous for the kernel
             part = hits.repartition("run").sortWithinPartitions("run")

@@ -184,6 +184,16 @@ class TestSegmentQueryParity:
                                      strategy="wand").collect()]
             assert ex == wa, q
 
+    def test_maxscore_equals_exhaustive(self, spark, sidx, oracle_index):
+        for q in REFERENCE_QUERIES + EDGE_QUERIES:
+            ex = [(r["doc_id"], round(r["score"], 9)) for r in
+                  SQ.search_segments(spark, sidx, q, k=5, mode="bm25",
+                                     strategy="exhaustive").collect()]
+            ms = [(r["doc_id"], round(r["score"], 9)) for r in
+                  SQ.search_segments(spark, sidx, q, k=5, mode="bm25",
+                                     strategy="maxscore").collect()]
+            assert ex == ms, q
+
 
 class TestWandManyRuns:
     """Pruning correctness at a run count where it actually engages
@@ -229,6 +239,34 @@ class TestWandManyRuns:
         assert any(seen > 0 for _, _, seen in pruned_counts), pruned_counts
         assert any(dropped > 0 for _, dropped, _ in pruned_counts), (
             f"pruning never engaged: {pruned_counts}")
+
+    def test_maxscore_equals_exhaustive_many_runs(self, spark, big_index):
+        for q in REFERENCE_QUERIES[:8]:
+            ex = [(r["doc_id"], round(r["score"], 9)) for r in
+                  SQ.search_segments(spark, big_index, q, k=5, mode="bm25",
+                                     strategy="exhaustive").collect()]
+            ms = [(r["doc_id"], round(r["score"], 9)) for r in
+                  SQ.search_segments(spark, big_index, q, k=5, mode="bm25",
+                                     strategy="maxscore").collect()]
+            assert ex == ms, q
+        # the essential/non-essential split must actually engage for
+        # multi-term queries once the heap fills (theta > 0): at least
+        # one term-row should be handled on the candidates-only path
+        engaged = []
+        for q in ["boundary layer flow", "reynolds transonic buckling",
+                  "supersonic wind tunnel measurement"]:
+            counters = {
+                "runs_seen": spark.sparkContext.accumulator(0),
+                "runs_pruned": spark.sparkContext.accumulator(0),
+                "nonessential": spark.sparkContext.accumulator(0)}
+            SQ.search_segments(spark, big_index, q, k=5, mode="bm25",
+                               strategy="maxscore",
+                               prune_counters=counters).collect()
+            engaged.append((q, counters["nonessential"].value,
+                            counters["runs_pruned"].value,
+                            counters["runs_seen"].value))
+        assert any(ne > 0 for _, ne, _, _ in engaged), (
+            f"maxscore split never engaged: {engaged}")
 
     def test_wand_driver_materialization_is_bounded(self, spark, big_index,
                                                     monkeypatch):
