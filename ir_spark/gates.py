@@ -1185,6 +1185,110 @@ FROM r WHERE rnk <= {k}
 """
 
 
+MLT_DOC_ID = 42
+MLT_N_TERMS = 5
+
+
+def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-Like-This: the top tf-idf terms of one document run as a
+    unit-weight BM25 query, source doc excluded
+    (operators/feedback.py::search_more_like_this — Lucene's MLT; the
+    reference engine has no document-as-query facility)."""
+    from .operators.feedback import search_more_like_this
+
+    idx = _df_index(spark, sf_dir)
+    raw = search_more_like_this(spark, idx, MLT_DOC_ID,
+                                k=K_FLAGSHIP * 5, n_terms=MLT_N_TERMS)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_mlt_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH {TOKS_CTE},
+srcw AS (
+  SELECT p.term,
+         CAST(ROUND(p.tf * LN(CAST(s.n AS DOUBLE) / t.df) * 1000000)
+              AS BIGINT) AS w_micro
+  FROM postings p JOIN dict t USING (term) CROSS JOIN stats s
+  WHERE p.doc_id = {MLT_DOC_ID}
+),
+qterms AS (
+  SELECT term, 1 AS qtf FROM srcw WHERE w_micro > 0
+  ORDER BY w_micro DESC, term ASC LIMIT {MLT_N_TERMS}
+),
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.doc_id <> {MLT_DOC_ID}
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
+RECENCY_EPOCH = "2026-01-01"   # synthetic warc_ts = epoch + (doc_id % 365) d
+RECENCY_NOW = "2026-12-31"     # fixed reference date (never a wall clock)
+RECENCY_HALF_LIFE = 30.0
+
+
+def q_bm25_recency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-boosted BM25 for time-stamped web pages: relevance
+    decayed by capture age, boosted = score / (1 + age_days/half_life)
+    (operators/query.py::boost_by_recency — the input-hint page schema
+    carries warc_ts; freshness ranking is standard for web search).
+    warc_ts is synthesized deterministically from doc_id so the DuckDB
+    oracle sees the identical corpus."""
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search(spark, idx, FLAGSHIP_QUERY, k=None, mode="bm25")
+    doc_ts = _read_documents(spark, sf_dir).select(
+        "doc_id",
+        F.date_add(F.lit(RECENCY_EPOCH).cast("date"),
+                   (F.col("doc_id") % 365).cast("int")).alias("ts"))
+    boosted = Q.boost_by_recency(raw, doc_ts, now=RECENCY_NOW,
+                                 half_life_days=RECENCY_HALF_LIFE)
+    return _rerank_quantized(boosted, K_FLAGSHIP)
+
+
+def sql_bm25_recency_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+raw AS (SELECT doc_id, SUM(partial) AS score FROM hits GROUP BY doc_id),
+aged AS (
+  SELECT doc_id,
+         score / (1.0 + CAST(GREATEST(0, datediff('day',
+                    DATE '{RECENCY_EPOCH}'
+                      + CAST(doc_id % 365 AS INT) * INTERVAL 1 DAY,
+                    DATE '{RECENCY_NOW}')) AS DOUBLE)
+                  / {RECENCY_HALF_LIFE}) AS boosted
+  FROM raw
+)
+SELECT doc_id, CAST(ROUND(boosted * 1000000) AS BIGINT) AS score_micro
+FROM aged ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 QLD_MU = 1000.0
 
 
@@ -1559,6 +1663,8 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_tfidf": q_keywords_tfidf,
         "qld_segment_topk": q_qld_segment_topk,
         "bm25_topk_maxscore": q_bm25_topk_maxscore,
+        "mlt_topk": q_mlt_topk,
+        "bm25_recency_topk": q_bm25_recency_topk,
         "facet_counts": q_facet_counts,
         "snippet_extract": q_snippet_extract,
         "merged_bm25_topk": q_merged_bm25_topk,
@@ -1602,6 +1708,8 @@ def core_oracle_sql() -> dict[str, str]:
         "keywords_tfidf": sql_keywords_tfidf(),
         "qld_segment_topk": sql_qld_topk(),
         "bm25_topk_maxscore": sql_bm25_topk(),
+        "mlt_topk": sql_mlt_topk(),
+        "bm25_recency_topk": sql_bm25_recency_topk(),
         "facet_counts": sql_facet_counts(),
         "snippet_extract": sql_snippet_extract(),
         "merged_bm25_topk": sql_bm25_topk(),

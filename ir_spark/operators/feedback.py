@@ -91,3 +91,45 @@ def search_rm3(spark: SparkSession, index: DataFrameIndex, query: str,
             {t: (1.0 - alpha) * w / max_w for t, w in exp})
     return search_weighted(spark, index, weights, k=k, mode="bm25",
                            k1=k1, b=b)
+
+
+def mlt_query_terms(spark: SparkSession, index: DataFrameIndex,
+                    doc_id: int, n_terms: int = 5) -> list[str]:
+    """Top-``n_terms`` tf-idf terms of one document — the
+    More-Like-This query bag (Lucene MLT; the reference engine has no
+    document-as-query facility).  Selection is on micro-quantized
+    weights w = round(1e6 * tf * ln(N/df)) with (w DESC, term ASC)
+    tie-break, so an ANSI-SQL oracle reproduces the exact term set.
+
+    Scale shape: one bucket-pruned postings lookup for the source
+    doc's rows (a doc has bounded vocabulary) joined to the dictionary
+    — no corpus sweep; the driver receives only n_terms strings."""
+    rows = (
+        index.postings.filter(F.col("doc_id") == doc_id)
+        .join(index.dictionary.select("term", "df"), "term")
+        .select(
+            "term",
+            F.round(F.lit(1000000.0) * F.col("tf")
+                    * F.log(F.lit(float(index.n_docs)) / F.col("df")))
+            .cast("long").alias("w_micro"))
+        .filter(F.col("w_micro") > 0)
+        .orderBy(F.desc("w_micro"), F.asc("term"))
+        .limit(n_terms)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def search_more_like_this(spark: SparkSession, index: DataFrameIndex,
+                          doc_id: int, k: int = 5, n_terms: int = 5,
+                          k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """More-Like-This: retrieve the docs most similar to ``doc_id`` by
+    running its top tf-idf terms as a unit-weight BM25 query, the
+    source doc itself excluded -> (doc_id, score), k rows ordered."""
+    terms = mlt_query_terms(spark, index, doc_id, n_terms=n_terms)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    scores = search_weighted(spark, index, {t: 1.0 for t in terms},
+                             k=None, mode="bm25", k1=k1, b=b)
+    return (scores.filter(F.col("doc_id") != doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

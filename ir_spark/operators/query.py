@@ -208,6 +208,37 @@ def search_weighted(spark: SparkSession, index: DataFrameIndex,
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def boost_by_recency(scores: DataFrame, doc_ts: DataFrame,
+                     now: str, half_life_days: float = 30.0) -> DataFrame:
+    """Recency-boosted ranking for time-stamped web corpora: fold a
+    capture-time decay into relevance scores —
+
+        boosted = score * 1 / (1 + age_days / half_life_days)
+
+    with ``age_days = max(0, datediff(now, ts))``.  The rational decay
+    (not exp()) is deliberate: division/addition are exactly-rounded
+    IEEE ops that agree bit-for-bit across engines, so an ANSI-SQL
+    oracle reproduces the boosted ranking exactly — transcendental
+    libm calls do not have that guarantee.
+
+    ``scores``: (doc_id, score) from any search; ``doc_ts``: (doc_id,
+    ts) capture times (``warc_ts`` in the input-hint page schema);
+    ``now``: 'YYYY-MM-DD' reference date (a parameter, never a wall
+    clock — keeps results reproducible).  Scale shape: the k-row (or
+    candidate-set) scores side joins a broadcast-or-colocated doc_ts
+    projection; no corpus shuffle."""
+    decayed = (
+        scores.join(doc_ts.select("doc_id", "ts"), "doc_id")
+        .select(
+            "doc_id",
+            (F.col("score") / (F.lit(1.0)
+             + F.greatest(F.lit(0), F.datediff(F.lit(now), F.col("ts")))
+               .cast("double") / F.lit(float(half_life_days))))
+            .alias("score"))
+    )
+    return decayed.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def collection_cf_total(index: DataFrameIndex) -> int:
     """Total collection token count over indexed (non-stopword) terms
     (sum of cf) — the language-model denominator.  One dictionary

@@ -81,3 +81,74 @@ def test_rm3_topk_matches_pure_python(spark, both):
 def test_rm3_empty_query(spark, both):
     index, _ = both
     assert search_rm3(spark, index, "of the", k=5).count() == 0
+
+
+# --- More-Like-This (operators/feedback.py::search_more_like_this) ----------
+
+
+def _py_mlt_terms(oracle, doc_id, n_terms):
+    import math
+
+    n = oracle.n_docs
+    w = []
+    for term, plist in oracle.postings.items():
+        tf = dict(plist).get(doc_id)
+        if tf:
+            wm = round(1e6 * tf * math.log(n / len(plist)))
+            if wm > 0:
+                w.append((-wm, term))
+    return [t for _, t in sorted(w)[:n_terms]]
+
+
+def test_mlt_terms_match_pure_python(spark, both):
+    from ir_spark.operators.feedback import mlt_query_terms
+
+    index, oracle = both
+    doc = sorted(oracle.docinfo)[3]
+    assert (mlt_query_terms(spark, index, doc, n_terms=5)
+            == _py_mlt_terms(oracle, doc, 5))
+
+
+def test_mlt_excludes_source_and_ranks_by_bm25(spark, both):
+    from ir_spark.operators.feedback import (mlt_query_terms,
+                                             search_more_like_this)
+
+    index, oracle = both
+    doc = sorted(oracle.docinfo)[3]
+    rows = search_more_like_this(spark, index, doc, k=K).collect()
+    assert rows and all(r["doc_id"] != doc for r in rows)
+    # pure-python BM25 over the same unit-weight bag
+    terms = _py_mlt_terms(oracle, doc, 5)
+    want = search(oracle, " ".join(terms), k=K + 1, mode="bm25")
+    want = [(d, round(s * 1e6)) for d, s in want if d != doc][:K]
+    got = [(r["doc_id"], round(r["score"] * 1e6)) for r in rows]
+    assert got == want
+
+
+def test_mlt_unknown_doc_is_empty(spark, both):
+    from ir_spark.operators.feedback import search_more_like_this
+
+    index, _ = both
+    assert search_more_like_this(spark, index, 10**9, k=5).count() == 0
+
+
+def test_recency_boost_clamps_future_and_orders(spark, both):
+    from pyspark.sql import functions as F
+
+    from ir_spark.operators.query import boost_by_recency
+
+    index, _ = both
+    scores = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 10.0)], "doc_id long, score double")
+    ts = spark.createDataFrame(
+        [(1, "2026-01-01"), (2, "2026-06-30"), (3, "2099-01-01")],
+        "doc_id long, ts string").select(
+            "doc_id", F.col("ts").cast("date").alias("ts"))
+    rows = boost_by_recency(scores, ts, now="2026-06-30",
+                            half_life_days=30.0).collect()
+    by_id = {r["doc_id"]: r["score"] for r in rows}
+    # half-life math: 180 days -> 10/(1+6); same-day -> no decay;
+    # future capture clamps to age 0, not a boost above the raw score
+    assert abs(by_id[1] - 10.0 / (1 + 180 / 30.0)) < 1e-12
+    assert by_id[2] == 10.0 and by_id[3] == 10.0
+    assert [r["doc_id"] for r in rows] == [2, 3, 1]
