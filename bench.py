@@ -153,6 +153,7 @@ def main() -> None:
     extras["query_cold_start_sec"] = round(time.time() - t0, 4)
     lat: list[float] = []
     wand_lat: list[float] = []
+    ms_lat: list[float] = []
     for i, q in enumerate(REFERENCE_QUERIES):
         t0 = time.time()
         search_segments(spark, sidx, q, k=10, mode="bm25",
@@ -162,9 +163,14 @@ def main() -> None:
         search_segments(spark, sidx, q, k=10, mode="bm25",
                         strategy="wand").collect()
         wand_lat.append(time.time() - t0)
+        t0 = time.time()
+        search_segments(spark, sidx, q, k=10, mode="bm25",
+                        strategy="maxscore").collect()
+        ms_lat.append(time.time() - t0)
     lat_sorted = sorted(lat)
     queries["bm25_query_set_20"] = round(sum(lat), 4)
     queries["bm25_query_set_20_wand"] = round(sum(wand_lat), 4)
+    queries["bm25_query_set_20_maxscore"] = round(sum(ms_lat), 4)
 
     # batched workload: all 20 queries in ONE pass over the index
     from ir_spark.operators.segment_query import search_segments_batch
