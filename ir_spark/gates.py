@@ -1289,6 +1289,54 @@ FROM aged ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
 """
 
 
+def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (operators/query.py::page_after,
+    Elasticsearch search_after): page 2 of the flagship BM25 ranking —
+    cursor = page 1's last (score_micro, doc_id), predicate prunes
+    before top-k so deep pages cost the same as page 1.  Oracle ranks
+    globally and takes rows k+1..2k — proving the keyset predicate
+    equivalent to the rank window on the deterministic total order."""
+    from .operators.query import page_after
+
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search(spark, idx, FLAGSHIP_QUERY, k=None, mode="bm25")
+    quant = raw.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+    page1 = (quant.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+             .limit(K_FLAGSHIP).collect())
+    cursor = page1[-1]
+    return page_after(quant, cursor["score_micro"], cursor["doc_id"],
+                      K_FLAGSHIP)
+
+
+def sql_bm25_page2(k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) DESC,
+                    doc_id ASC) AS rnk
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, score_micro FROM ranked
+WHERE rnk > {K_FLAGSHIP} AND rnk <= {2 * K_FLAGSHIP}
+"""
+
+
 QLD_MU = 1000.0
 
 
@@ -1665,6 +1713,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_maxscore": q_bm25_topk_maxscore,
         "mlt_topk": q_mlt_topk,
         "bm25_recency_topk": q_bm25_recency_topk,
+        "bm25_page2": q_bm25_page2,
         "facet_counts": q_facet_counts,
         "snippet_extract": q_snippet_extract,
         "merged_bm25_topk": q_merged_bm25_topk,
@@ -1710,6 +1759,7 @@ def core_oracle_sql() -> dict[str, str]:
         "bm25_topk_maxscore": sql_bm25_topk(),
         "mlt_topk": sql_mlt_topk(),
         "bm25_recency_topk": sql_bm25_recency_topk(),
+        "bm25_page2": sql_bm25_page2(),
         "facet_counts": sql_facet_counts(),
         "snippet_extract": sql_snippet_extract(),
         "merged_bm25_topk": sql_bm25_topk(),

@@ -239,6 +239,29 @@ def boost_by_recency(scores: DataFrame, doc_ts: DataFrame,
     return decayed.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def page_after(scores: DataFrame, cursor_score_micro: int,
+               cursor_doc_id: int, k: int) -> DataFrame:
+    """Keyset pagination over a ranked result set (Elasticsearch
+    ``search_after``): the next ``k`` rows strictly after the cursor in
+    the total order (score_micro DESC, doc_id ASC).
+
+    ``scores`` must carry (doc_id, score_micro) with micro-quantized
+    scores — quantization makes the cursor exact and engine-portable
+    (a raw-double cursor would be bit-fragile at page boundaries).
+    Unlike OFFSET, the predicate prunes BEFORE the top-k, so page N
+    costs the same one TakeOrderedAndProject as page 1 — no
+    deep-pagination blowup, and the cursor stays valid under
+    concurrent appends (new docs rank in, already-seen rows never
+    repeat)."""
+    after = (
+        (F.col("score_micro") < F.lit(int(cursor_score_micro)))
+        | ((F.col("score_micro") == F.lit(int(cursor_score_micro)))
+           & (F.col("doc_id") > F.lit(int(cursor_doc_id))))
+    )
+    return (scores.filter(after)
+            .orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(k))
+
+
 def collection_cf_total(index: DataFrameIndex) -> int:
     """Total collection token count over indexed (non-stopword) terms
     (sum of cf) — the language-model denominator.  One dictionary

@@ -152,3 +152,31 @@ def test_recency_boost_clamps_future_and_orders(spark, both):
     assert abs(by_id[1] - 10.0 / (1 + 180 / 30.0)) < 1e-12
     assert by_id[2] == 10.0 and by_id[3] == 10.0
     assert [r["doc_id"] for r in rows] == [2, 3, 1]
+
+
+def test_page_after_never_repeats_and_chains_to_exhaustion(spark, both):
+    from pyspark.sql import functions as F
+
+    from ir_spark.operators.query import page_after
+    from ir_spark.operators.query import search as df_search
+
+    index, oracle = both
+    raw = df_search(spark, index, QUERY, k=None, mode="bm25")
+    quant = raw.select(
+        "doc_id",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_micro"))
+    total = quant.count()
+    want = [(d, round(s * 1e6)) for d, s in
+            search(oracle, QUERY, k=total, mode="bm25")]
+    seen, pages, cursor = [], 0, None
+    while True:
+        page = (quant.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+                .limit(4).collect() if cursor is None else
+                page_after(quant, cursor[0], cursor[1], 4).collect())
+        if not page:
+            break
+        seen.extend((r["doc_id"], r["score_micro"]) for r in page)
+        cursor = (page[-1]["score_micro"], page[-1]["doc_id"])
+        pages += 1
+        assert pages <= total  # termination guard
+    assert seen == want  # full ranking, in order, no repeats, no gaps
