@@ -47,6 +47,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- standalone gates with no r2 row ---------------------------------
     "stream_dedup",
     "stream_bm25_topk",
+    "bm25_topk_asof",          # new r3: snapshot time travel
     "web_anchor_bm25f_topk",   # new r3: BM25F with incoming-anchor field
     "bm25_topk_deleted",       # new r3: live tombstones (Lucene liveDocs)
     "bm25_topk_compacted",     # new r3: compaction applies the deletes

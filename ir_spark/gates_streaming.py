@@ -234,6 +234,56 @@ def sql_stream_bm25_topk() -> str:
     return sql_bm25_topk()
 
 
+def q_bm25_topk_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: BM25 over the two-batch streamed index AS
+    OF its first snapshot (SegmentIndex.load(as_of_grp=0) — grp-pruned
+    segments, frozen snapshot stats, term stats from run_df sums).  The
+    oracle indexes ONLY the first batch's documents, so a value match
+    proves the as-of view identical to a fresh index built at that
+    moment — results, df, N, and avgDocLen all historical."""
+    from .gates import FLAGSHIP_QUERY, K_FLAGSHIP, _to_original_ids
+    from .operators.segment_query import SegmentIndex, search_segments
+
+    index_dir = _stream_index_dir(spark, sf_dir)
+    sidx = SegmentIndex.load(spark, index_dir, as_of_grp=0)
+    raw = search_segments(spark, sidx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                          mode="bm25", strategy="wand")
+    return (
+        _to_original_ids(spark, index_dir, raw)
+        .select("doc_id",
+                F.round(F.col("score") * 1e6).cast("long").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(K_FLAGSHIP)
+    )
+
+
+def sql_bm25_topk_asof() -> str:
+    # batch b0 of _stream_index_dir = docs with doc_id <= max//2; the
+    # restricted CTE derives postings/stats/dict from that subset only
+    from .gates import K_FLAGSHIP, _sql_query_terms, _toks_cte
+
+    k1, b = 1.2, 0.75
+    return f"""
+WITH {_toks_cte("doc_id <= (SELECT MAX(doc_id) // 2 FROM documents)")},
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 DEDUP_TS0 = 1_704_067_200  # 2024-01-01T00:00:00Z
 DEDUP_EVERY = 5
 _DEDUP_MEMO: dict[tuple, list] = {}
@@ -300,6 +350,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_json_props": q_events_json_props,
         "stream_bm25_topk": q_stream_bm25_topk,
+        "bm25_topk_asof": q_bm25_topk_asof,
         "stream_dedup": q_stream_dedup,
         "trending_terms": q_trending_terms,
     }
@@ -312,6 +363,7 @@ def streaming_oracle_sql() -> dict[str, str]:
         "events_sessions": sql_events_sessions(),
         "events_json_props": sql_events_json_props(),
         "stream_bm25_topk": sql_stream_bm25_topk(),
+        "bm25_topk_asof": sql_bm25_topk_asof(),
         "stream_dedup": sql_stream_dedup(),
         "trending_terms": sql_trending_terms(),
     }

@@ -68,12 +68,40 @@ class SegmentIndex:
     avg_doc_len: float
     n_buckets: int
     range_width: int
+    as_of_grp: int | None = None
+    as_of_max_doc_id: int | None = None
 
     @classmethod
-    def load(cls, spark: SparkSession, index_dir: str) -> "SegmentIndex":
+    def load(cls, spark: SparkSession, index_dir: str,
+             as_of_grp: int | None = None) -> "SegmentIndex":
+        """Load the current index, or — with ``as_of_grp`` — a TIME-
+        TRAVEL view as of a committed snapshot (Iceberg-snapshot
+        analogue; streaming/incremental.py writes one ``snapshot_grp*``
+        manifest per appended batch).  The as-of view needs NO data
+        rewrite: appended batches own disjoint doc-id ranges and their
+        own ``grp=N`` segment partition, so filtering segments to
+        ``grp <= G`` (partition-pruned) plus the snapshot's frozen
+        N/avgDocLen/max_doc_id reproduces that moment's index exactly.
+        Term stats come from the segment rows' own run_df/run_cf sums
+        (the dictionary delta rows are not snapshot-keyed).  As-of
+        views are read-only history: later tombstones do not apply, and
+        cosine modes (whose norms are a CURRENT-stats artifact) are
+        rejected."""
         manifests = storage.read_manifests(index_dir)
-        stats = manifests["stats"]["metrics"]
-        lineage = manifests["stats"]["lineage"]
+        if as_of_grp is None:
+            stats = manifests["stats"]["metrics"]
+            lineage = manifests["stats"]["lineage"]
+            max_doc_id = None
+        else:
+            key = f"snapshot_grp{as_of_grp:06d}"
+            if key not in manifests:
+                snaps = sorted(k for k in manifests
+                               if k.startswith("snapshot_grp"))
+                raise ValueError(
+                    f"no snapshot for grp={as_of_grp}; committed: {snaps}")
+            stats = manifests[key]["metrics"]
+            lineage = manifests[key]["lineage"]
+            max_doc_id = int(stats["max_doc_id"])
         return cls(
             spark=spark,
             index_dir=index_dir,
@@ -81,6 +109,8 @@ class SegmentIndex:
             avg_doc_len=float(stats["avg_doc_len"]),
             n_buckets=int(lineage["n_buckets"]),
             range_width=int(lineage["range_width"]),
+            as_of_grp=as_of_grp,
+            as_of_max_doc_id=max_doc_id,
         )
 
     # DataFrame handles are cached: spark.read.parquet lists the file
@@ -99,7 +129,12 @@ class SegmentIndex:
 
     @property
     def segments(self) -> DataFrame:
-        return self._cached("segments")
+        seg = self._cached("segments")
+        if self.as_of_grp is not None:
+            # grp is a partition column: the as-of filter prunes whole
+            # grp=N directories at planning time, no file is read
+            seg = seg.filter(F.col("grp") <= self.as_of_grp)
+        return seg
 
     @property
     def dictionary(self) -> DataFrame:
@@ -114,7 +149,22 @@ class SegmentIndex:
     # the pushdown-pruned scan per query (the cluster-scale path)
     LOCAL_DICT_MAX = 2_000_000
 
+    def _asof_term_stats(self, terms: list[str], col: str) -> dict[str, int]:
+        """As-of df/cf for a small term set from the SEGMENT rows'
+        run_df/run_cf (dictionary delta rows are not snapshot-keyed):
+        bucket-pruned, term-pushdown, reads only the stat column."""
+        buckets = sorted({storage.term_bucket_py(t, self.n_buckets)
+                          for t in terms})
+        rows = (
+            self.segments
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(terms))
+            .groupBy("term").agg(F.sum(col).alias("v")).collect())
+        return {r["term"]: int(r["v"]) for r in rows if r["v"]}
+
     def df_of(self, terms: list[str]) -> dict[str, int]:
+        if self.as_of_grp is not None:
+            return self._asof_term_stats(terms, "run_df")
         if self._dfs is None:
             object.__setattr__(self, "_dfs", {})
         if "local_dict" not in self._dfs:
@@ -139,6 +189,8 @@ class SegmentIndex:
     def cf_of(self, terms: list[str]) -> dict[str, int]:
         """Collection frequencies for a small term set (delta-row sum,
         same contract as df_of); terms with no postings are absent."""
+        if self.as_of_grp is not None:
+            return self._asof_term_stats(terms, "run_cf")
         rows = (
             self.dictionary.filter(F.col("term").isin(terms))
             .groupBy("term").agg(F.sum("cf").alias("cf")).collect()
@@ -147,12 +199,15 @@ class SegmentIndex:
 
     def cf_total(self) -> int:
         """Total collection token count over indexed terms (the LM
-        denominator) — one dictionary sweep, cached."""
+        denominator) — one dictionary sweep (as-of: one segment-stat
+        sweep over the snapshot's groups), cached."""
         if self._dfs is None:
             object.__setattr__(self, "_dfs", {})
         if "cf_total" not in self._dfs:
-            self._dfs["cf_total"] = int(
-                self.dictionary.agg(F.sum("cf")).collect()[0][0] or 0)
+            src = (self.segments.agg(F.sum("run_cf"))
+                   if self.as_of_grp is not None
+                   else self.dictionary.agg(F.sum("cf")))
+            self._dfs["cf_total"] = int(src.collect()[0][0] or 0)
         return self._dfs["cf_total"]
 
     def deleted_bc(self):
@@ -161,6 +216,10 @@ class SegmentIndex:
         Loaded + broadcast once per SegmentIndex — Lucene's liveDocs
         bitset analogue; the kernels mask these ids before their
         run-local top-k."""
+        if self.as_of_grp is not None:
+            # an as-of view is read-only history: tombstones describe
+            # the CURRENT index state and do not apply retroactively
+            return None
         if self._dfs is None:
             object.__setattr__(self, "_dfs", {})
         if "deleted_bc" not in self._dfs:
@@ -750,6 +809,10 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
     pruning kernels (tests / diagnostics only)."""
     import math as _math
 
+    if sidx.as_of_grp is not None and mode in ("w1", "w2"):
+        raise ValueError(
+            "cosine modes need the CURRENT norms table; an as-of "
+            "snapshot view supports bm25/qld only")
     bag = parse_query(query, stem=stem)
     if not bag:
         return spark.createDataFrame([], SCORE_SCHEMA)

@@ -493,6 +493,17 @@ def compact_segments(spark: SparkSession, index_dir: str,
     os.replace(tmp, paths["segments"])
     shutil.rmtree(old)
 
+    # compaction rewrites history into one group: per-batch snapshot
+    # manifests (streaming/incremental.py) no longer address readable
+    # grp=N data, so time-travel entries are retired — Iceberg's
+    # expire-snapshots-on-rewrite semantics.  Readers get a loud
+    # "no snapshot" error instead of a silently wrong as-of view.
+    mdir = os.path.join(index_dir, "_manifests")
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            if f.startswith("snapshot_grp") and f.endswith(".json"):
+                os.remove(os.path.join(mdir, f))
+
     if tomb is None:
         # consolidate dictionary deltas (sum is the read-side contract,
         # so this is a pure rewrite)

@@ -180,6 +180,16 @@ def update_segment_index(
         "wall_sec": time.time() - t0,
     }
     storage.commit_stage(index_dir, "stats", lineage, metrics)
+    # snapshot log (Iceberg-snapshot analogue): one immutable manifest
+    # per committed batch, keyed by its segment group — enough to read
+    # the index AS OF any batch later (SegmentIndex.load(as_of_grp=...)):
+    # grp bounds the segment rows, max_doc_id bounds doc_map/docinfo,
+    # and the frozen stats reproduce this moment's N / avgDocLen.
+    storage.commit_stage(
+        index_dir, f"snapshot_grp{grp:06d}", lineage,
+        {"grp": int(grp), "max_doc_id": int(offset + n_new),
+         "n_docs": int(stats["n"]), "avg_doc_len": float(stats["avg"]),
+         "batch_tag": batch_tag or ""})
     return metrics
 
 

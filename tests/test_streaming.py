@@ -589,3 +589,56 @@ def test_trending_counts_streaming_matches_batch(spark, tmp_path):
                   for r in trending_terms(batch_docs, width="1 hour",
                                           k=2).collect())
     assert got == want and len(got) > 0
+
+
+def test_asof_snapshot_equals_fresh_index_at_that_moment(spark, corpus,
+                                                         tmp_path):
+    """Time travel: load(as_of_grp=0) over the two-batch index must be
+    value-identical (scores included — i.e. historical df/N/avgDocLen)
+    to a FRESH index built over only batch 0's pages; the current view
+    stays the full corpus; bad snapshots and cosine modes fail loudly."""
+    import pytest as _pytest
+
+    stream_dir = str(tmp_path / "incr_idx")
+    b0_dir = str(tmp_path / "b0_idx")
+    p0 = spark.read.parquet(os.path.join(corpus["parts"], "part0.parquet"))
+    p1 = spark.read.parquet(os.path.join(corpus["parts"], "part1.parquet"))
+    update_segment_index(spark, p0, stream_dir, batch_tag="b0")
+    update_segment_index(spark, p1, stream_dir, batch_tag="b1")
+    update_segment_index(spark, p0, b0_dir, batch_tag="only")
+
+    asof = SegmentIndex.load(spark, stream_dir, as_of_grp=0)
+    fresh = SegmentIndex.load(spark, b0_dir)
+    assert (asof.n_docs, round(asof.avg_doc_len, 9)) == \
+        (fresh.n_docs, round(fresh.avg_doc_len, 9))
+    map_a = spark.read.parquet(os.path.join(stream_dir, "doc_map"))
+    map_f = spark.read.parquet(os.path.join(b0_dir, "doc_map"))
+    for q in QUERIES:
+        for strat in ("exhaustive", "wand", "maxscore"):
+            got = sorted(
+                (r["url"], round(r["score"], 8))
+                for r in search_segments(spark, asof, q, k=10, mode="bm25",
+                                         strategy=strat)
+                .join(map_a, "doc_id").select("url", "score").collect())
+            want = sorted(
+                (r["url"], round(r["score"], 8))
+                for r in search_segments(spark, fresh, q, k=10, mode="bm25",
+                                         strategy="exhaustive")
+                .join(map_f, "doc_id").select("url", "score").collect())
+            assert got == want, (q, strat)
+    # qld as-of uses snapshot-scoped cf/cf_total
+    got = sorted(
+        (r["url"], round(r["score"], 8))
+        for r in search_segments(spark, asof, QUERIES[0], k=10, mode="qld")
+        .join(map_a, "doc_id").select("url", "score").collect())
+    want = sorted(
+        (r["url"], round(r["score"], 8))
+        for r in search_segments(spark, fresh, QUERIES[0], k=10, mode="qld")
+        .join(map_f, "doc_id").select("url", "score").collect())
+    assert got == want
+    # the CURRENT view still sees both batches
+    assert SegmentIndex.load(spark, stream_dir).n_docs == N_DOCS
+    with _pytest.raises(ValueError, match="no snapshot"):
+        SegmentIndex.load(spark, stream_dir, as_of_grp=99)
+    with _pytest.raises(ValueError, match="cosine"):
+        search_segments(spark, asof, QUERIES[0], k=5, mode="w1")
