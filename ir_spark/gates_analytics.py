@@ -536,6 +536,49 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.lang_id(_docs(spark, sf_dir))
 
 
+# deterministic non-NFC suffixes injected per doc_id residue: combining
+# acute (café), combining ring (Å), and an already-NFC
+# control group — byte-identical literals on both engines
+_NFC_RAW = "café Å"
+_NFC_PRE = "café Å"
+
+
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/textstats.py::
+    nfc_normalize): docs get deterministic combining-sequence suffixes
+    (doc_id % 3 == 0) or precomposed ones (% 3 == 1); normalization
+    must agree with DuckDB's nfc_normalize byte-for-byte (md5)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" " + _NFC_RAW)))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"), F.lit(" " + _NFC_PRE)))
+        .otherwise(F.col("text")).alias("text"))
+    out = X.nfc_normalize(docs)
+    return out.select(
+        "doc_id", "was_nfc", "bytes_before", "bytes_after",
+        F.md5(F.col("norm_text").cast("binary")).alias("norm_md5"))
+
+
+def sql_unicode_nfc() -> str:
+    return f"""
+WITH salted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' {_NFC_RAW}'
+              WHEN doc_id % 3 = 1 THEN text || ' {_NFC_PRE}'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(text = nfc_normalize(text) AS INT) AS was_nfc,
+       CAST(strlen(text) AS BIGINT) AS bytes_before,
+       CAST(strlen(nfc_normalize(text)) AS BIGINT) AS bytes_after,
+       md5(nfc_normalize(text)) AS norm_md5
+FROM salted
+"""
+
+
 def sql_lang_id() -> str:
     return f"""
 WITH feats AS (
@@ -1902,6 +1945,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
+        "unicode_nfc": q_unicode_nfc,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1946,6 +1990,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "embedding_near_dup": sql_embedding_near_dup(),
         "lang_id": sql_lang_id(),
+        "unicode_nfc": sql_unicode_nfc(),
         "quality_score": sql_quality_score(),
         "token_stats": sql_token_stats(),
         "doc_fingerprint": sql_doc_fingerprint(),

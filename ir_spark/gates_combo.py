@@ -57,6 +57,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "pii_scrub": ["doc_id", "n_emails", "n_ips", "n_phones",
                       "scrubbed_md5"],
         "collocations_pmi": ["n", "pmi_micro", "w1", "w2"],
+        "unicode_nfc": ["bytes_after", "bytes_before", "doc_id",
+                        "norm_md5", "was_nfc"],
     },
     "dedup_suite": {
         "dedup_exact": ["max_doc_id", "min_doc_id", "n_copies", "text_md5"],

@@ -235,6 +235,45 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization for crawled text (UAX #15): web pages
+    mix precomposed and combining-sequence encodings of the same
+    glyphs, which breaks exact dedup, tokenization and term matching.
+    Emits per doc:
+      (doc_id, was_nfc, bytes_before, bytes_after, norm_text)
+
+    Arrow-batched ``mapInPandas`` over Python's ``unicodedata`` (the
+    sanctioned slow path: Spark SQL has no normalization builtin);
+    byte lengths (not code points) on both sides because length
+    semantics differ across engines while UTF-8 bytes do not.  Narrow
+    map, no shuffle; parity with DuckDB's ``nfc_normalize`` is gate-
+    checked byte-for-byte via md5 in gates_analytics."""
+    import pandas as pd  # noqa: F401  (kernel-side)
+
+    def kernel(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            texts = pdf[text_col].astype(str)
+            norm = texts.map(lambda s: unicodedata.normalize("NFC", s))
+            b_before = texts.map(lambda s: len(s.encode("utf-8")))
+            b_after = norm.map(lambda s: len(s.encode("utf-8")))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "was_nfc": (texts == norm).astype("int32"),
+                "bytes_before": b_before.astype("int64"),
+                "bytes_after": b_after.astype("int64"),
+                "norm_text": norm,
+            })
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        kernel,
+        "doc_id long, was_nfc int, bytes_before long, bytes_after long, "
+        "norm_text string")
+
+
 def bigram_nll(docs: DataFrame, tau: float = 6.0,
                text_col: str = "text") -> DataFrame:
     """Perplexity filtering under a self-trained add-one-smoothed

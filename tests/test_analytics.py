@@ -430,3 +430,26 @@ def test_ivf_build_idempotent_resume(spark, tmp_path):
     assert _os.path.getmtime(_os.path.join(d, "ivf_manifest.json")) == mtime
     m3 = build_ivf_index(emb, d, n_cells=8, max_iter=3, seed=42)
     assert m3["n_cells"] == 8
+
+
+def test_nfc_normalize_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from ir_spark.operators.textstats import nfc_normalize
+
+    rows = spark.createDataFrame(
+        [(1, "café"),        # combining acute -> shrinks to café
+         (2, "café"),          # already NFC
+         (3, "Å"),            # combining ring -> Å
+         (4, "plain ascii")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in nfc_normalize(rows).collect()}
+    assert [got[i]["was_nfc"] for i in (1, 2, 3, 4)] == [0, 1, 0, 1]
+    assert got[1]["norm_text"] == "café"
+    assert got[1]["bytes_before"] == 6 and got[1]["bytes_after"] == 5
+    assert got[3]["norm_text"] == "Å"
+    # idempotent: normalizing the output is the identity
+    again = nfc_normalize(
+        nfc_normalize(rows).select(
+            "doc_id", F.col("norm_text").alias("text"))).collect()
+    assert all(r["was_nfc"] == 1 for r in again)
