@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""spark-submit entry point: segment-index administration.
+
+Subcommands (north-rule deployment path, one JSON line per action)::
+
+    spark-submit --py-files dist/ir_spark.zip jobs/admin_index.py \
+        delete   --index-dir DIR --urls urls.txt        # tombstone urls
+    ... admin_index.py compact  --index-dir DIR [--keep-deletes]
+    ... admin_index.py snapshots --index-dir DIR        # time-travel log
+    ... admin_index.py stats    --index-dir DIR         # committed stats
+
+``delete`` appends tombstones (results exclude the docs immediately;
+collection stats keep pre-delete values until compaction — Lucene
+maxDoc/numDocs semantics).  ``compact`` rewrites all segment groups
+into one and, unless ``--keep-deletes``, physically purges tombstoned
+docs and rebuilds dictionary/stats/norms from the survivors.
+``snapshots`` lists the per-batch snapshot manifests usable with
+``query_index.py --as-of-grp``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_del = sub.add_parser("delete", help="tombstone urls")
+    p_del.add_argument("--index-dir", required=True)
+    p_del.add_argument("--urls", required=True,
+                       help="text file, one url per line")
+    p_del.add_argument("--local-cpus", type=int, default=None)
+
+    p_cmp = sub.add_parser("compact", help="merge groups / apply deletes")
+    p_cmp.add_argument("--index-dir", required=True)
+    p_cmp.add_argument("--keep-deletes", action="store_true",
+                       help="consolidate groups but leave tombstones live")
+    p_cmp.add_argument("--local-cpus", type=int, default=None)
+
+    p_snap = sub.add_parser("snapshots", help="list time-travel snapshots")
+    p_snap.add_argument("--index-dir", required=True)
+
+    p_stat = sub.add_parser("stats", help="committed stats manifest")
+    p_stat.add_argument("--index-dir", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd in ("snapshots", "stats"):
+        # manifest reads need no SparkSession
+        from ir_spark.sources import storage
+
+        manifests = storage.read_manifests(args.index_dir)
+        if args.cmd == "snapshots":
+            snaps = [m["metrics"] for k, m in sorted(manifests.items())
+                     if k.startswith("snapshot_grp")]
+            print(json.dumps({"n_snapshots": len(snaps),
+                              "snapshots": snaps}))
+        else:
+            stats = manifests.get("stats", {})
+            tomb = manifests.get("tombstones", {}).get("metrics", {})
+            print(json.dumps({"stats": stats.get("metrics", {}),
+                              "lineage": stats.get("lineage", {}),
+                              "tombstones": tomb}))
+        return 0
+
+    from ir_spark.session import get_spark
+
+    spark = get_spark("ir_spark_admin_index",
+                      cpus=getattr(args, "local_cpus", None) or 8)
+
+    if args.cmd == "delete":
+        from ir_spark.operators.deletes import delete_docs
+
+        with open(args.urls) as fh:
+            urls = [ln.strip() for ln in fh if ln.strip()]
+        print(json.dumps(delete_docs(spark, args.index_dir, urls)))
+        return 0
+
+    from ir_spark.operators.segments import compact_segments
+
+    metrics = compact_segments(spark, args.index_dir,
+                               purge_deletes=not args.keep_deletes)
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

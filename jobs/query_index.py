@@ -35,11 +35,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--queries", required=True,
                     help="text file, one query per line")
     ap.add_argument("--k", type=int, default=5)
-    ap.add_argument("--mode", default="bm25", choices=["bm25", "w1", "w2"])
+    ap.add_argument("--mode", default="bm25",
+                    choices=["bm25", "w1", "w2", "qld"])
+    ap.add_argument("--mu", type=float, default=1000.0,
+                    help="Dirichlet smoothing for --mode qld")
     ap.add_argument("--k1", type=float, default=1.2)
     ap.add_argument("--b", type=float, default=0.75)
     ap.add_argument("--strategy", default="auto",
-                    choices=["auto", "wand", "exhaustive"])
+                    choices=["auto", "wand", "maxscore", "exhaustive"])
+    ap.add_argument("--as-of-grp", type=int, default=None, metavar="G",
+                    help="time-travel read: query the index as of "
+                         "snapshot group G (streamed indexes only)")
+    ap.add_argument("--batch", action="store_true",
+                    help="score ALL queries in one fused pass "
+                         "(search_segments_batch) instead of per-query "
+                         "jobs — the offline/bulk path")
     ap.add_argument("--stem", action="store_true")
     ap.add_argument("--output", default=None, help="parquet output path")
     ap.add_argument("--render-vectors", default=None, metavar="DIR",
@@ -67,18 +77,38 @@ def main(argv: list[str] | None = None) -> int:
             .getOrCreate()
         )
 
+    if args.batch and args.mode == "qld":
+        ap.error("--batch supports bm25/w1/w2 (qld scores per query)")
+
     with open(args.queries) as fh:
         queries = [ln.strip() for ln in fh if ln.strip()]
 
-    sidx = SegmentIndex.load(spark, args.index_dir)
+    sidx = SegmentIndex.load(spark, args.index_dir,
+                             as_of_grp=args.as_of_grp)
     all_rows = []
-    for qid, q in enumerate(queries, start=1):
-        hits = search_segments(
-            spark, sidx, q, k=args.k, mode=args.mode, k1=args.k1, b=args.b,
-            stem=args.stem, strategy=args.strategy,
-        ).collect()
-        for rank, row in enumerate(hits, start=1):
-            all_rows.append((qid, q, rank, int(row["doc_id"]), float(row["score"])))
+    if args.batch:
+        from ir_spark.operators.segment_query import search_segments_batch
+
+        got = search_segments_batch(
+            spark, sidx, queries, k=args.k, mode=args.mode,
+            k1=args.k1, b=args.b, stem=args.stem).collect()
+        by_q = {}
+        for row in got:
+            by_q.setdefault(int(row["query_id"]), []).append(row)
+        for qid0, q in enumerate(queries):
+            for row in sorted(by_q.get(qid0, []), key=lambda r: r["rank"]):
+                all_rows.append((qid0 + 1, q, int(row["rank"]),
+                                 int(row["doc_id"]), float(row["score"])))
+    else:
+        for qid, q in enumerate(queries, start=1):
+            hits = search_segments(
+                spark, sidx, q, k=args.k, mode=args.mode, k1=args.k1,
+                b=args.b, stem=args.stem, strategy=args.strategy,
+                mu=args.mu,
+            ).collect()
+            for rank, row in enumerate(hits, start=1):
+                all_rows.append((qid, q, rank, int(row["doc_id"]),
+                                 float(row["score"])))
 
     if args.render_vectors:
         import os

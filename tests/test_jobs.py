@@ -115,3 +115,118 @@ def test_merge_index_job(tmp_path, capsys):
     capsys.readouterr()
     assert results["ifull"] == results["im"]
     assert len(results["im"]) == 5
+
+
+def test_query_job_batch_maxscore_qld_agree(tmp_path, capsys):
+    """The CLI's --batch fused pass, --strategy maxscore, and per-query
+    default must produce identical result files; --mode qld runs."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import build_index
+    import query_index
+
+    pages = generate_pages(200, seed=13)
+    src = str(tmp_path / "pages.parquet")
+    pages_to_parquet(pages, src)
+    idx = str(tmp_path / "idx")
+    assert build_index.main([
+        "--input", src, "--index-dir", idx, "--segment-groups", "1",
+        "--local-cpus", "8"]) == 0
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("flow pressure boundary layer\nsupersonic wind\n")
+
+    outs = {}
+    for tag, extra in (("plain", []), ("batch", ["--batch"]),
+                       ("maxscore", ["--strategy", "maxscore"])):
+        out = str(tmp_path / f"res_{tag}")
+        assert query_index.main([
+            "--index-dir", idx, "--queries", str(qfile), "--k", "5",
+            "--output", out, "--local-cpus", "8"] + extra) == 0
+        outs[tag] = out
+    capsys.readouterr()
+
+    from ir_spark.session import get_spark
+
+    spark = get_spark("test_jobs")
+    got = {
+        tag: sorted((r["query_id"], r["rank"], r["doc_id"],
+                     round(r["score"], 9))
+                    for r in spark.read.parquet(out).collect())
+        for tag, out in outs.items()
+    }
+    assert got["plain"] == got["batch"] == got["maxscore"]
+    assert len(got["plain"]) == 10
+
+    out_qld = str(tmp_path / "res_qld")
+    assert query_index.main([
+        "--index-dir", idx, "--queries", str(qfile), "--k", "5",
+        "--mode", "qld", "--output", out_qld, "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+    rows = spark.read.parquet(out_qld).collect()
+    assert len(rows) == 10
+
+
+def test_admin_job_delete_compact_snapshots(tmp_path, capsys):
+    """admin_index.py lifecycle: delete tombstones -> queries drop the
+    docs; compact applies them; snapshots/stats report JSON."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import admin_index
+    import build_index
+    import query_index
+
+    pages = generate_pages(120, seed=17)
+    src = str(tmp_path / "pages.parquet")
+    pages_to_parquet(pages, src)
+    idx = str(tmp_path / "idx")
+    assert build_index.main([
+        "--input", src, "--index-dir", idx, "--segment-groups", "1",
+        "--local-cpus", "8"]) == 0
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("flow pressure boundary layer\n")
+    out1 = str(tmp_path / "res1")
+    assert query_index.main([
+        "--index-dir", idx, "--queries", str(qfile), "--k", "3",
+        "--output", out1, "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+
+    from ir_spark.session import get_spark
+
+    spark = get_spark("test_jobs")
+    top = spark.read.parquet(out1).orderBy("rank").collect()
+    doc_map = spark.read.parquet(os.path.join(idx, "doc_map"))
+    kill_url = doc_map.filter(
+        doc_map.doc_id == top[0]["doc_id"]).collect()[0]["url"]
+    ufile = tmp_path / "urls.txt"
+    ufile.write_text(kill_url + "\n")
+    assert admin_index.main([
+        "delete", "--index-dir", idx, "--urls", str(ufile),
+        "--local-cpus", "8"]) == 0
+    deleted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert deleted["n_new"] == 1
+
+    out2 = str(tmp_path / "res2")
+    assert query_index.main([
+        "--index-dir", idx, "--queries", str(qfile), "--k", "3",
+        "--output", out2, "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+    got2 = [r["doc_id"] for r in
+            spark.read.parquet(out2).orderBy("rank").collect()]
+    assert top[0]["doc_id"] not in got2
+
+    assert admin_index.main(["compact", "--index-dir", idx,
+                             "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+    out3 = str(tmp_path / "res3")
+    assert query_index.main([
+        "--index-dir", idx, "--queries", str(qfile), "--k", "3",
+        "--output", out3, "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+    got3 = [r["doc_id"] for r in
+            spark.read.parquet(out3).orderBy("rank").collect()]
+    assert got3 == got2  # compaction result-identical, tombstones applied
+
+    assert admin_index.main(["stats", "--index-dir", idx]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["tombstones"].get("n_total") == 0  # cleared by compact
+    assert admin_index.main(["snapshots", "--index-dir", idx]) == 0
+    snaps = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert snaps["n_snapshots"] == 0  # batch build; none committed
