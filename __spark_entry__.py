@@ -52,6 +52,7 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_topk_deleted",       # new r3: live tombstones (Lucene liveDocs)
     "bm25_topk_compacted",     # new r3: compaction applies the deletes
     "champion_bm25_topk",      # new r3: static index pruning
+    "bm25_two_phase_topk",     # new r3: champion recall + exact rerank
     "dictionary_frontcoded",   # new r3: real C4/C5 dictionary codecs
     "ltr_features",            # new r3: LTR candidate featurization
 )

@@ -375,6 +375,67 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
 """
 
 
+TWO_PHASE_N1 = K_FLAGSHIP * 2
+
+
+def q_bm25_two_phase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase retrieval (operators/champions.py::search_two_phase):
+    champion-list first phase proposes TWO_PHASE_N1 candidates on
+    micro-quantized scores, the exact engine rescores only those over
+    the full postings — returned scores exact, recall governed by
+    (m, n_candidates).  The oracle reproduces both phases."""
+    from .operators.champions import build_champion_lists, search_two_phase
+
+    idx = _df_index(spark, sf_dir)
+    champs = build_champion_lists(idx, m=CHAMP_M)
+    raw = search_two_phase(spark, idx, champs, FLAGSHIP_QUERY,
+                           k=K_FLAGSHIP * 5, n_candidates=TWO_PHASE_N1,
+                           mode="bm25")
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_bm25_two_phase_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    bm25 = f"""LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf"""
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+champ AS (
+  SELECT term, doc_id, tf FROM (
+    SELECT p.*, ROW_NUMBER() OVER (
+        PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+    FROM postings p)
+  WHERE rn <= {CHAMP_M}
+),
+p1 AS (
+  SELECT p.doc_id,
+         CAST(ROUND(SUM({bm25}) * 1000000) AS BIGINT) AS s
+  FROM champ p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+cand AS (SELECT doc_id FROM p1 ORDER BY s DESC, doc_id ASC
+         LIMIT {TWO_PHASE_N1}),
+hits2 AS (
+  SELECT p.doc_id, {bm25} AS partial
+  FROM postings p
+  JOIN cand USING (doc_id)
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits2 GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 def q_bm25_topk_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stemmed index + stemmed query, BM25 top-k — the reference's stem
     variant (stats.md:10,22-24) as a full-value gate."""
@@ -1693,6 +1754,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_tf_stem": q_tokens_tf_stem,
         "bm25_topk_stem": q_bm25_topk_stem,
         "champion_bm25_topk": q_champion_bm25_topk,
+        "bm25_two_phase_topk": q_bm25_two_phase_topk,
         "dictionary_frontcoded": q_dictionary_frontcoded,
         "ltr_features": q_ltr_features,
         "w1_topk": q_w1_topk,
@@ -1739,6 +1801,7 @@ def core_oracle_sql() -> dict[str, str]:
         "tokens_tf_stem": sql_tokens_tf_stem(),
         "bm25_topk_stem": sql_bm25_topk(stem=True),
         "champion_bm25_topk": sql_champion_bm25_topk(),
+        "bm25_two_phase_topk": sql_bm25_two_phase_topk(),
         "dictionary_frontcoded": sql_dictionary(),
         "ltr_features": sql_ltr_features(),
         "w1_topk": _sql_cosine_topk("w1"),

@@ -39,6 +39,10 @@ NULL_TOKEN = "∅"
 # row with sorted(df.columns) if a component's schema legitimately
 # changes; the runtime assert in _norm_spark catches accidental drift.
 COMBO_SPECS: dict[str, dict[str, list[str]]] = {
+    "cosine_suite": {
+        "w1_topk": ["doc_id", "score_micro"],
+        "w2_topk": ["doc_id", "score_micro"],
+    },
     "lexicon_suite": {
         "spell_suggest": ["df", "dist", "term"],
         "prefix_terms": ["df", "term"],

@@ -78,3 +78,41 @@ def search_champions(spark: SparkSession, index: DataFrameIndex,
                          "w1 cosine needs full-index norms")
     return search(spark, champion_index(index, champions), query, k=k,
                   mode=mode, k1=k1, b=b, stem=stem)
+
+
+def search_two_phase(spark: SparkSession, index: DataFrameIndex,
+                     champions: DataFrame, query: str, k: int = 5,
+                     n_candidates: int | None = None, mode: str = "bm25",
+                     k1: float = 1.2, b: float = 0.75,
+                     stem: bool = False) -> DataFrame:
+    """Two-phase retrieval — the standard web-serving shape: a cheap
+    champion-list first phase proposes ``n_candidates`` docs (default
+    4k), then the EXACT engine rescores only those candidates over the
+    full postings (a champion-phase score can undercount: a doc inside
+    term A's champions may sit below term B's cutoff, so its phase-1
+    score misses B's contribution — phase 2 restores it).  Returned
+    scores are therefore exact; only recall is approximate, governed by
+    m and n_candidates (recall-curve pytest; equals exact top-k outright
+    once m >= max df).
+
+    Candidate selection quantizes phase-1 scores to micro-units before
+    the cut (same determinism contract as the driver gates), so the
+    candidate set — and with it the final ranking — is reproducible
+    bit-for-bit across engines.
+
+    Scale shape: phase 1 scans only champion postings (<= m rows/term);
+    phase 2 is one ordinary pruned query with ``doc_filter`` =
+    broadcast-sized candidate ids.  No corpus sweep in either phase."""
+    from .query import search
+
+    n1 = n_candidates or 4 * k
+    raw1 = search_champions(spark, index, champions, query, k=None,
+                            mode=mode, k1=k1, b=b, stem=stem)
+    cand = (
+        raw1.select(
+            "doc_id",
+            F.round(F.col("score") * 1000000.0).cast("long").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id")).limit(n1)
+        .select("doc_id"))
+    return search(spark, index, query, k=k, mode=mode, k1=k1, b=b,
+                  stem=stem, doc_filter=cand)

@@ -169,3 +169,50 @@ def test_champion_search_plan_broadcasts_query_side(spark, idx):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def _quantized_topk(df, k):
+    rows = df.select(
+        "doc_id",
+        F.round(F.col("score") * 1e6).cast("long").alias("s")).collect()
+    return sorted(((r["doc_id"], r["s"]) for r in rows),
+                  key=lambda t: (-t[1], t[0]))[:k]
+
+
+def test_two_phase_exact_when_champions_cover(spark, idx):
+    """m >= max df makes champion lists the full postings — two-phase
+    must then equal the exact top-k for every reference query."""
+    from ir_spark.operators.champions import search_two_phase
+
+    max_df = idx.postings.groupBy("term").count().agg(
+        F.max("count")).collect()[0][0]
+    champs = build_champion_lists(idx, m=int(max_df))
+    for q in REFERENCE_QUERIES[:6]:
+        want = _quantized_topk(search(spark, idx, q, k=None, mode="bm25"), 5)
+        got = _quantized_topk(
+            search_two_phase(spark, idx, champs, q, k=5), 5)
+        assert got == want, q
+
+
+def test_two_phase_scores_exact_and_recall_monotone(spark, idx):
+    """At small m the candidate set is approximate but every RETURNED
+    score must be the exact engine's score for that doc; recall@5 must
+    not decrease as the candidate budget grows."""
+    from ir_spark.operators.champions import search_two_phase
+
+    q = "boundary layer flow pressure"
+    exact = dict(
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(spark, idx, q, k=None, mode="bm25").collect())
+    want_top = set(d for d, _ in _quantized_topk(
+        search(spark, idx, q, k=None, mode="bm25"), 5))
+    champs = build_champion_lists(idx, m=4)
+    recalls = []
+    for n1 in (5, 20, 80):
+        got = search_two_phase(spark, idx, champs, q, k=5,
+                               n_candidates=n1).collect()
+        for r in got:
+            assert round(r["score"], 9) == exact[r["doc_id"]], (n1, r)
+        recalls.append(
+            len(want_top & {r["doc_id"] for r in got}) / len(want_top))
+    assert recalls == sorted(recalls), recalls
