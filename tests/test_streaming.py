@@ -642,3 +642,28 @@ def test_asof_snapshot_equals_fresh_index_at_that_moment(spark, corpus,
         SegmentIndex.load(spark, stream_dir, as_of_grp=99)
     with _pytest.raises(ValueError, match="cosine"):
         search_segments(spark, asof, QUERIES[0], k=5, mode="w1")
+
+
+def test_asof_filter_is_partition_pruned(spark, corpus, tmp_path):
+    """The as-of predicate must reach the scan as a PARTITION filter
+    (grp <= G) composed with bucket pruning + term pushdown — no file
+    of a later batch is opened (PLANS.md §24)."""
+    import io
+    from contextlib import redirect_stdout
+
+    stream_dir = str(tmp_path / "incr_idx")
+    p0 = spark.read.parquet(os.path.join(corpus["parts"], "part0.parquet"))
+    p1 = spark.read.parquet(os.path.join(corpus["parts"], "part1.parquet"))
+    update_segment_index(spark, p0, stream_dir, batch_tag="b0")
+    update_segment_index(spark, p1, stream_dir, batch_tag="b1")
+    sidx = SegmentIndex.load(spark, stream_dir, as_of_grp=0)
+    df = search_segments(spark, sidx, QUERIES[0], k=5, mode="bm25",
+                         strategy="exhaustive")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("grp" in ln and "<= 0" in ln and "bucket" in ln
+               for ln in part_lines), part_lines
+    assert "In(term" in plan
