@@ -245,6 +245,50 @@ def main() -> None:
     except Exception as exc:
         _err(f"ann recall phase failed: {exc}")
 
+    # --- phase 6: LSH dedup retrieval-quality evidence ---------------------
+    # recall of MinHash-LSH banding over KNOWN injected near-dup pairs
+    # (exact copies + first-word-dropped variants, the gate corpus):
+    # truth = injected pairs whose EXACT shingle Jaccard >= threshold,
+    # measured = the banding's candidate pairs after Jaccard verify.
+    try:
+        from ir_spark import gates_analytics as GA
+        from ir_spark.operators import dedup as D
+
+        thr = 0.3
+        thr_micro = int(round(thr * 1e6))
+        corpus = GA._with_all_dups(GA._docs(spark, sf_dir))
+        sh = D.word_shingles(corpus, n=3)
+        bands_df = D.lsh_bands(D.minhash_signatures(sh, 16), 4, 4)
+        cand = D.lsh_candidate_pairs(bands_df)
+        found = {
+            (r["a"], r["b"])
+            for r in D.jaccard_for_pairs(cand, sh)
+            .filter(F.col("jaccard_micro") >= thr_micro).collect()}
+        base = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+        injected = (
+            base.filter(F.col("doc_id") % 10 == 0)
+            .select(F.col("doc_id").alias("a"),
+                    (F.col("doc_id") + GA.DUP_OFFSET).alias("b"))
+            .unionByName(
+                base.filter(F.col("doc_id") % 7 == 0)
+                .select(F.col("doc_id").alias("a"),
+                        (F.col("doc_id") + 2 * GA.DUP_OFFSET).alias("b"))))
+        truth = {
+            (r["a"], r["b"])
+            for r in D.jaccard_for_pairs(injected, sh)
+            .filter(F.col("jaccard_micro") >= thr_micro).collect()}
+        extras["lsh_dedup_quality"] = {
+            "threshold": thr,
+            "n_true_pairs": len(truth),
+            "n_candidate_pairs": int(cand.count()),
+            "n_verified_pairs": len(found),
+            "recall_of_injected": round(
+                len(truth & found) / len(truth), 4) if truth else None,
+        }
+    except Exception as exc:
+        _err(f"lsh quality phase failed: {exc}")
+
     shutil.rmtree(index_dir, ignore_errors=True)
 
     # headline value = what the metric name says: index build + the
