@@ -1490,6 +1490,57 @@ def q_bm25_topk_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_quantized(_to_original_ids(spark, d, raw), K_FLAGSHIP)
 
 
+def q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term score breakdown for the flagship query's top-k page
+    (operators/query.py::explain_score, the Lucene explain analogue):
+    one row per (doc_id, matched term) with posting evidence and the
+    exact contribution; the oracle recomputes every row, and per-doc
+    contribution sums are the bm25_topk gate's scores by construction
+    (same expressions — asserted in pytest)."""
+    idx = _df_index(spark, sf_dir)
+    top = q_bm25_topk(spark, sf_dir).select("doc_id")
+    rows = Q.explain_score(spark, idx, FLAGSHIP_QUERY, mode="bm25",
+                           doc_filter=top)
+    return rows.select(
+        "doc_id", "term", "tf", "df", "doc_len",
+        _micro(F.col("contribution")).alias("contribution_micro"))
+
+
+def sql_score_explain(k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+topk AS (
+  SELECT doc_id FROM hits GROUP BY doc_id
+  ORDER BY CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) DESC, doc_id ASC
+  LIMIT {K_FLAGSHIP}
+)
+SELECT p.doc_id, p.term, p.tf, t.df, d.doc_len,
+       CAST(ROUND(LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf * 1000000) AS BIGINT) AS contribution_micro
+FROM postings p
+JOIN topk USING (doc_id)
+JOIN qterms q USING (term)
+JOIN dict t USING (term)
+JOIN docinfo d USING (doc_id)
+CROSS JOIN stats s
+"""
+
+
 RM3_N_FB, RM3_N_EXP, RM3_ALPHA = 10, 5, 0.6
 
 
@@ -1755,6 +1806,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_stem": q_bm25_topk_stem,
         "champion_bm25_topk": q_champion_bm25_topk,
         "bm25_two_phase_topk": q_bm25_two_phase_topk,
+        "score_explain": q_score_explain,
         "dictionary_frontcoded": q_dictionary_frontcoded,
         "ltr_features": q_ltr_features,
         "w1_topk": q_w1_topk,
@@ -1802,6 +1854,7 @@ def core_oracle_sql() -> dict[str, str]:
         "bm25_topk_stem": sql_bm25_topk(stem=True),
         "champion_bm25_topk": sql_champion_bm25_topk(),
         "bm25_two_phase_topk": sql_bm25_two_phase_topk(),
+        "score_explain": sql_score_explain(),
         "dictionary_frontcoded": sql_dictionary(),
         "ltr_features": sql_ltr_features(),
         "w1_topk": _sql_cosine_topk("w1"),

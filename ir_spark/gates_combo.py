@@ -39,6 +39,10 @@ NULL_TOKEN = "∅"
 # row with sorted(df.columns) if a component's schema legitimately
 # changes; the runtime assert in _norm_spark catches accidental drift.
 COMBO_SPECS: dict[str, dict[str, list[str]]] = {
+    "resultpage_suite": {
+        "facet_counts": ["lang", "n_docs"],
+        "snippet_extract": ["doc_id", "pos", "snippet", "term"],
+    },
     "cosine_suite": {
         "w1_topk": ["doc_id", "score_micro"],
         "w2_topk": ["doc_id", "score_micro"],

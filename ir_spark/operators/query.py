@@ -239,6 +239,49 @@ def boost_by_recency(scores: DataFrame, doc_ts: DataFrame,
     return decayed.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def explain_score(spark: SparkSession, index: DataFrameIndex, query: str,
+                  mode: str = "bm25", k1: float = 1.2, b: float = 0.75,
+                  stem: bool = False,
+                  doc_filter: DataFrame | None = None) -> DataFrame:
+    """Per-term score breakdown — the Lucene ``IndexSearcher.explain``
+    analogue (the reference engine prints only final scores,
+    Driver.java:83-105): one row per (doc_id, matched term) with the
+    posting evidence (tf, df, doc_len) and the term's exact
+    contribution ``w_td * w_tq``; summing contributions per doc_id
+    reproduces ``search``'s score bit-for-bit (same Catalyst
+    expressions, same joins, no second scoring path to drift).
+
+    Cosine modes explain the UNNORMALIZED dot product (the
+    normalization is a per-doc scalar, not per-term evidence).
+    ``doc_filter`` restricts to the docs being debugged — the usual
+    call explains only a result page, so the plan is the pruned-
+    postings join with a broadcast doc set, no corpus sweep."""
+    weights, _ = query_weights(index, query, mode, stem=stem)
+    if not weights:
+        return spark.createDataFrame(
+            [], "doc_id long, term string, tf long, df long, "
+                "doc_len long, contribution double")
+    qdf = spark.createDataFrame(
+        [(t, w) for t, w in weights.items()], "term string, w_tq double")
+    hits = (
+        index.postings
+        .join(F.broadcast(qdf), "term")
+        .join(F.broadcast(index.dictionary.filter(
+            F.col("term").isin(list(weights)))).select("term", "df"), "term")
+        .join(index.docinfo, "doc_id")
+    )
+    if doc_filter is not None:
+        hits = hits.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+    w_td = doc_weight_expr(mode, index.n_docs, index.avg_doc_len, k1, b)
+    return hits.select(
+        "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+        (w_td * F.col("w_tq")).alias("contribution"),
+    )
+
+
 def page_after(scores: DataFrame, cursor_score_micro: int,
                cursor_doc_id: int, k: int) -> DataFrame:
     """Keyset pagination over a ranked result set (Elasticsearch

@@ -180,3 +180,21 @@ def test_page_after_never_repeats_and_chains_to_exhaustion(spark, both):
         pages += 1
         assert pages <= total  # termination guard
     assert seen == want  # full ranking, in order, no repeats, no gaps
+
+
+def test_explain_contributions_sum_to_search_scores(spark, both):
+    from pyspark.sql import functions as F
+
+    from ir_spark.operators.query import explain_score
+    from ir_spark.operators.query import search as df_search
+
+    index, _ = both
+    want = {r["doc_id"]: round(r["score"], 9) for r in
+            df_search(spark, index, QUERY, k=None, mode="bm25").collect()}
+    got = {
+        r["doc_id"]: round(r["s"], 9)
+        for r in explain_score(spark, index, QUERY, mode="bm25")
+        .groupBy("doc_id").agg(F.sum("contribution").alias("s")).collect()}
+    assert got == want
+    # stopword-only query explains to nothing
+    assert explain_score(spark, index, "of the", mode="bm25").count() == 0
