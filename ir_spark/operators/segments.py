@@ -579,6 +579,94 @@ def compact_segments(spark: SparkSession, index_dir: str,
     return metrics
 
 
+def verify_index(spark: SparkSession, index_dir: str) -> dict:
+    """Index integrity check (fsck): recompute cross-table invariants
+    and report violations — the operational guard for an index that
+    survived crashes, resumes, appends, deletes and compactions.
+
+    Invariants checked (each one distributed aggregation; the decode
+    pass is the expensive one, O(index), like a Lucene checkIndex):
+      1. decoded segments == flat postings checkpoint (row count + per-
+         column checksums) when the checkpoint exists;
+      2. dictionary delta-sums == df/cf recomputed from the decode;
+      3. committed stats (n_docs, avg_doc_len) == docinfo aggregate;
+      4. doc_map covers exactly docinfo's doc ids;
+      5. every tombstone id (if any) resolves to a doc_map row.
+
+    Returns {"ok": bool, "errors": [...], "checked": {...}} — never
+    raises on a violation (callers decide), only on unreadable input."""
+    paths = index_paths(index_dir)
+    manifests = storage.read_manifests(index_dir)
+    errors: list[str] = []
+    checked: dict = {}
+
+    seg = spark.read.parquet(paths["segments"])
+    dec = decode_segments(seg)
+    dec_agg = dec.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.crc32(F.concat_ws("|", "term", "doc_id", "tf"))).alias("crc"),
+        F.sum("tf").alias("tf_sum")).collect()[0]
+    checked["decoded_rows"] = int(dec_agg["rows"])
+
+    if os.path.isdir(paths["postings"]):
+        flat_agg = spark.read.parquet(paths["postings"]).agg(
+            F.count("*").alias("rows"),
+            F.sum(F.crc32(F.concat_ws("|", "term", "doc_id", "tf")))
+            .alias("crc"),
+            F.sum("tf").alias("tf_sum")).collect()[0]
+        for col in ("rows", "crc", "tf_sum"):
+            if int(flat_agg[col] or 0) != int(dec_agg[col] or 0):
+                errors.append(
+                    f"segments/postings mismatch on {col}: decoded "
+                    f"{dec_agg[col]} vs checkpoint {flat_agg[col]}")
+
+    dict_sum = (spark.read.parquet(paths["dictionary"])
+                .groupBy("term").agg(F.sum("df").alias("df"),
+                                     F.sum("cf").alias("cf")))
+    dict_re = dec.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    diff = (dict_sum.join(dict_re, "term", "full")
+            .filter((F.coalesce(dict_sum["df"], F.lit(-1))
+                     != F.coalesce(dict_re["df"], F.lit(-2)))
+                    | (F.coalesce(dict_sum["cf"], F.lit(-1))
+                       != F.coalesce(dict_re["cf"], F.lit(-2)))).count())
+    checked["dictionary_terms"] = int(dict_sum.count())
+    if diff:
+        errors.append(f"dictionary drift on {diff} term(s) vs decode")
+
+    docinfo = spark.read.parquet(paths["docinfo"])
+    srow = docinfo.agg(F.count("*").alias("n"),
+                       F.avg("doc_len").alias("avg")).collect()[0]
+    stats = manifests.get("stats", {}).get("metrics", {})
+    checked["n_docs"] = int(srow["n"])
+    if int(stats.get("n_docs", -1)) != int(srow["n"]):
+        errors.append(f"stats n_docs {stats.get('n_docs')} != docinfo "
+                      f"{srow['n']}")
+    if abs(float(stats.get("avg_doc_len", -1.0))
+           - float(srow["avg"] or 0.0)) > 1e-9:
+        errors.append(f"stats avg_doc_len {stats.get('avg_doc_len')} != "
+                      f"docinfo {srow['avg']}")
+
+    doc_map = spark.read.parquet(paths["doc_map"]).select("doc_id")
+    orphans = docinfo.select("doc_id").join(
+        doc_map, "doc_id", "left_anti").count()
+    if orphans:
+        errors.append(f"{orphans} docinfo doc_id(s) missing from doc_map")
+
+    from .deletes import tombstones_path
+
+    tdir = tombstones_path(index_dir)
+    if os.path.isdir(tdir):
+        dangling = (spark.read.parquet(tdir).select("doc_id")
+                    .join(doc_map, "doc_id", "left_anti").count())
+        checked["tombstones"] = int(
+            spark.read.parquet(tdir).count())
+        if dangling:
+            errors.append(f"{dangling} tombstone(s) not in doc_map")
+
+    return {"ok": not errors, "errors": errors, "checked": checked}
+
+
 def index_paths(index_dir: str) -> dict[str, str]:
     return {
         name: os.path.join(index_dir, name)

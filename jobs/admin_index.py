@@ -6,6 +6,7 @@ Subcommands (north-rule deployment path, one JSON line per action)::
     spark-submit --py-files dist/ir_spark.zip jobs/admin_index.py \
         delete   --index-dir DIR --urls urls.txt        # tombstone urls
     ... admin_index.py compact  --index-dir DIR [--keep-deletes]
+    ... admin_index.py verify   --index-dir DIR        # integrity fsck
     ... admin_index.py snapshots --index-dir DIR        # time-travel log
     ... admin_index.py stats    --index-dir DIR         # committed stats
 
@@ -47,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
     p_stat = sub.add_parser("stats", help="committed stats manifest")
     p_stat.add_argument("--index-dir", required=True)
 
+    p_ver = sub.add_parser("verify", help="integrity check (fsck)")
+    p_ver.add_argument("--index-dir", required=True)
+    p_ver.add_argument("--local-cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     if args.cmd in ("snapshots", "stats"):
@@ -79,6 +84,13 @@ def main(argv: list[str] | None = None) -> int:
             urls = [ln.strip() for ln in fh if ln.strip()]
         print(json.dumps(delete_docs(spark, args.index_dir, urls)))
         return 0
+
+    if args.cmd == "verify":
+        from ir_spark.operators.segments import verify_index
+
+        report = verify_index(spark, args.index_dir)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
 
     from ir_spark.operators.segments import compact_segments
 

@@ -167,3 +167,43 @@ class TestCompactionPurge:
         sidx = SQ.SegmentIndex.load(spark, c)
         rows = SQ.search_segments(spark, sidx, "zzznewterm", k=5).collect()
         assert len(rows) == 2
+
+
+def test_verify_index_clean_and_corrupted(spark, tmp_path):
+    """fsck: a fresh build verifies ok; corrupting the dictionary or
+    the stats manifest is detected with a specific error."""
+    import json
+    import os
+
+    from ir_spark.fixtures import generate_pages, pages_to_parquet
+    from ir_spark.operators.segments import build_segment_index, verify_index
+    from ir_spark.sources import storage
+
+    src = str(tmp_path / "pages.parquet")
+    pages_to_parquet(generate_pages(150, seed=23), src)
+    idx = str(tmp_path / "idx")
+    build_segment_index(spark, spark.read.parquet(src), idx,
+                        source=src, segment_groups=1)
+    rep = verify_index(spark, idx)
+    assert rep["ok"], rep["errors"]
+    assert rep["checked"]["n_docs"] == 150
+
+    # corrupt the dictionary: double one term's df
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(os.path.join(idx, "dictionary"))
+    broken = d.withColumn(
+        "df", F.when(F.col("term") == d.orderBy("term").first()["term"],
+                     F.col("df") * 2).otherwise(F.col("df")))
+    storage.atomic_write_parquet(broken, os.path.join(idx, "dictionary"))
+    rep2 = verify_index(spark, idx)
+    assert not rep2["ok"]
+    assert any("dictionary drift" in e for e in rep2["errors"])
+
+    # corrupt the stats manifest
+    mpath = os.path.join(idx, "_manifests", "stats.json")
+    m = json.load(open(mpath))
+    m["metrics"]["n_docs"] = 9999
+    json.dump(m, open(mpath, "w"))
+    rep3 = verify_index(spark, idx)
+    assert any("stats n_docs" in e for e in rep3["errors"])
