@@ -1541,6 +1541,69 @@ CROSS JOIN stats s
 """
 
 
+# corpus-aware synonym table for the expansion gate: some targets exist
+# in the synthetic vocabulary (stream/sort/merge/small), some don't
+# (quick/large) — both paths exercised (absent synonyms contribute 0)
+SYNONYMS = {
+    "fast": ["quick", "stream"],
+    "scan": ["sort"],
+    "join": ["merge"],
+    "big": ["large", "small"],
+}
+SYN_WEIGHT = 0.5
+
+
+def _expanded_bag() -> dict[str, float]:
+    """The flagship query bag after synonym expansion — computed ONCE
+    here and shared verbatim by the Spark gate and the SQL oracle so
+    the two can never drift."""
+    from collections import Counter
+
+    bag = Counter(t for t in tokenize(FLAGSHIP_QUERY) if t not in STOPWORDS)
+    weights = {t: float(tf) for t, tf in bag.items()}
+    for t, tf in bag.items():
+        for s in SYNONYMS.get(t, ()):
+            if s in bag:
+                continue
+            weights[s] = max(weights.get(s, 0.0), SYN_WEIGHT * tf)
+    return weights
+
+
+def q_synonym_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion (operators/query.py::
+    search_with_synonyms): original terms keep full weight, synonyms
+    join at SYN_WEIGHT, absent synonyms contribute nothing."""
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search_with_synonyms(spark, idx, FLAGSHIP_QUERY, SYNONYMS,
+                                 syn_weight=SYN_WEIGHT, k=K_FLAGSHIP * 5,
+                                 mode="bm25")
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_synonym_bm25_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    vals = ", ".join(f"('{t}', {w!r})"
+                     for t, w in sorted(_expanded_bag().items()))
+    return f"""
+WITH {TOKS_CTE},
+qterms AS (SELECT * FROM (VALUES {vals}) AS q(term, qtf)),
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 RM3_N_FB, RM3_N_EXP, RM3_ALPHA = 10, 5, 0.6
 
 
@@ -1807,6 +1870,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "champion_bm25_topk": q_champion_bm25_topk,
         "bm25_two_phase_topk": q_bm25_two_phase_topk,
         "score_explain": q_score_explain,
+        "synonym_bm25_topk": q_synonym_bm25_topk,
         "dictionary_frontcoded": q_dictionary_frontcoded,
         "ltr_features": q_ltr_features,
         "w1_topk": q_w1_topk,
@@ -1855,6 +1919,7 @@ def core_oracle_sql() -> dict[str, str]:
         "champion_bm25_topk": sql_champion_bm25_topk(),
         "bm25_two_phase_topk": sql_bm25_two_phase_topk(),
         "score_explain": sql_score_explain(),
+        "synonym_bm25_topk": sql_synonym_bm25_topk(),
         "dictionary_frontcoded": sql_dictionary(),
         "ltr_features": sql_ltr_features(),
         "w1_topk": _sql_cosine_topk("w1"),

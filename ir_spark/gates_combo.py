@@ -48,6 +48,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "w2_topk": ["doc_id", "score_micro"],
     },
     "lexicon_suite": {
+        "synonym_bm25_topk": ["doc_id", "score_micro"],
         "spell_suggest": ["df", "dist", "term"],
         "prefix_terms": ["df", "term"],
         "wildcard_terms": ["df", "term"],

@@ -239,6 +239,37 @@ def boost_by_recency(scores: DataFrame, doc_ts: DataFrame,
     return decayed.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def search_with_synonyms(spark: SparkSession, index: DataFrameIndex,
+                         query: str, synonyms: dict[str, list[str]],
+                         syn_weight: float = 0.5, k: int | None = 5,
+                         mode: str = "bm25", k1: float = 1.2,
+                         b: float = 0.75, stem: bool = False) -> DataFrame:
+    """Query-time synonym expansion (Lucene SynonymGraphFilter's
+    query-side analogue; the reference scores only the literal bag):
+    every original term keeps weight qtf, each mapped synonym joins the
+    bag at ``syn_weight * qtf`` — unless it is itself an original term,
+    where the original weight wins (expansion must never down-weight
+    what the user typed).  Synonyms absent from the corpus contribute
+    nothing (OR semantics), so a generic thesaurus is safe to apply.
+
+    The synonym table is query-bag-sized driver state — the expansion
+    never touches the corpus; the scoring plan is the ordinary
+    weighted search."""
+    from ..oracle import parse_query
+
+    bag = parse_query(query, stem=stem)
+    weights: dict[str, float] = {t: float(tf) for t, tf in bag.items()}
+    for t, tf in bag.items():
+        for s in synonyms.get(t, ()):
+            s = s.lower()
+            if s in bag:
+                continue
+            w = syn_weight * tf
+            weights[s] = max(weights.get(s, 0.0), w)
+    return search_weighted(spark, index, weights, k=k, mode=mode,
+                           k1=k1, b=b)
+
+
 def explain_score(spark: SparkSession, index: DataFrameIndex, query: str,
                   mode: str = "bm25", k1: float = 1.2, b: float = 0.75,
                   stem: bool = False,

@@ -198,3 +198,28 @@ def test_explain_contributions_sum_to_search_scores(spark, both):
     assert got == want
     # stopword-only query explains to nothing
     assert explain_score(spark, index, "of the", mode="bm25").count() == 0
+
+
+def test_synonym_expansion_semantics(spark, both):
+    from ir_spark.operators.query import search_weighted, search_with_synonyms
+
+    index, oracle = both
+    q = "fast scan"
+    # expansion == explicit weighted bag (originals 1.0, synonyms 0.5,
+    # original term wins over a synonym mapping onto it)
+    syn = {"fast": ["merge", "scan"], "scan": ["nosuchterm"]}
+    want = search_weighted(
+        spark, index, {"fast": 1.0, "scan": 1.0, "merge": 0.5},
+        k=10, mode="bm25").collect()
+    got = search_with_synonyms(spark, index, q, syn, syn_weight=0.5,
+                               k=10, mode="bm25").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in want]
+    # an empty map degrades to plain search
+    from ir_spark.operators.query import search as df_search
+
+    plain = df_search(spark, index, q, k=10, mode="bm25").collect()
+    none = search_with_synonyms(spark, index, q, {}, k=10,
+                                mode="bm25").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in none] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in plain]
