@@ -45,6 +45,69 @@ def varbyte_encode(values: np.ndarray | list[int]) -> bytes:
     return out.tobytes()
 
 
+def varbyte_encode_batch(values: np.ndarray,
+                         row_splits: np.ndarray) -> list[bytes]:
+    """Encode MANY concatenated value runs in one vectorized pass and
+    slice the result back into per-run streams — byte-identical to
+    calling :func:`varbyte_encode` per run.
+
+    Motivation: the segment encoder sees tens of thousands of SMALL
+    (term, run) groups per Arrow batch; per-group numpy calls pay
+    ~10 array allocations for a handful of values each (profiled at
+    >80% of encode wall).  One batch pass amortizes that across the
+    whole Arrow batch.
+
+    ``row_splits`` = cumulative row lengths (``np.cumsum(sizes)``);
+    run i = ``values[row_splits[i-1]:row_splits[i]]``."""
+    v = np.asarray(values, dtype=np.uint64)
+    splits = np.asarray(row_splits, dtype=np.int64)
+    if v.size == 0:
+        return [b""] * splits.size
+    nb = np.ones(v.size, dtype=np.int64)
+    rest = v >> np.uint64(7)
+    while rest.any():
+        nb += (rest > 0)
+        rest >>= np.uint64(7)
+    offsets = np.empty(v.size + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(nb, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    for k in range(_MAX_BYTES):
+        mask = nb > k
+        if not mask.any():
+            break
+        idx = offsets[:-1][mask] + k
+        byte = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[mask] - 1 > k).astype(np.uint8) << 7
+        out[idx] = byte | cont
+    raw = out.tobytes()
+    byte_ends = offsets[splits]
+    byte_starts = np.concatenate(([np.int64(0)], byte_ends[:-1]))
+    return [raw[s:e] for s, e in zip(byte_starts, byte_ends)]
+
+
+def delta_encode_batch(doc_ids: np.ndarray,
+                       row_splits: np.ndarray) -> list[bytes]:
+    """Batched :func:`delta_encode`: gap-encode many concatenated
+    ascending doc-id runs (first id of each run absolute) in one pass.
+    Byte-identical to per-run delta_encode."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    splits = np.asarray(row_splits, dtype=np.int64)
+    if ids.size == 0:
+        return [b""] * splits.size
+    starts = np.concatenate(([np.int64(0)], splits[:-1]))
+    gaps = np.empty(ids.size, dtype=np.uint64)
+    if ids.size > 1:
+        d = np.diff(ids)
+        intra = np.ones(ids.size, dtype=bool)
+        intra[starts] = False  # run-start positions have no predecessor
+        if (d[intra[1:]] <= 0).any():
+            raise ValueError("doc_ids must be strictly increasing per run")
+        gaps[1:] = d.astype(np.uint64)
+    gaps[starts] = ids[starts].astype(np.uint64)
+    return varbyte_encode_batch(gaps, splits)
+
+
 def varbyte_decode(buf: bytes) -> np.ndarray:
     """Decode a varbyte stream to uint64 values."""
     b = np.frombuffer(buf, dtype=np.uint8)

@@ -203,3 +203,43 @@ def test_frontcode_empty():
     from ir_spark.codec import frontcode_decode, frontcode_encode
 
     assert frontcode_decode(frontcode_encode([])) == []
+
+
+def test_batch_codecs_equal_per_row():
+    """varbyte_encode_batch / delta_encode_batch must be byte-identical
+    to the per-run codecs for adversarial shapes (tiny runs, huge
+    values, single-value runs)."""
+    import numpy as np
+
+    from ir_spark import codec
+
+    rng = np.random.default_rng(7)
+    sizes = np.array([1, 1, 3, 128, 129, 2, 1000, 1])
+    rows = []
+    base = 0
+    for n in sizes:
+        ids = base + np.sort(rng.choice(10**6, n, replace=False))
+        base = 0  # runs restart their id space (absolute first id)
+        rows.append((ids.astype(np.int64),
+                     rng.integers(0, 2**40, n).astype(np.int64)))
+    splits = np.cumsum(sizes)
+    ids_all = np.concatenate([r[0] for r in rows])
+    v_all = np.concatenate([r[1] for r in rows])
+    b_gaps = codec.delta_encode_batch(ids_all, splits)
+    b_vals = codec.varbyte_encode_batch(v_all, splits)
+    for i, (ids, v) in enumerate(rows):
+        assert b_gaps[i] == codec.delta_encode(ids)
+        assert b_vals[i] == codec.varbyte_encode(v)
+        assert (codec.delta_decode(b_gaps[i]) == ids).all()
+        assert (codec.varbyte_decode(b_vals[i])
+                == v.astype(np.uint64)).all()
+    # non-ascending WITHIN a run raises; ascending-across-boundary not required
+    bad = np.array([5, 4], dtype=np.int64)
+    try:
+        codec.delta_encode_batch(bad, np.array([2]))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    # empty batch
+    assert codec.varbyte_encode_batch(
+        np.array([], dtype=np.uint64), np.array([0, 0])) == [b"", b""]
