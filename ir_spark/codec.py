@@ -205,6 +205,98 @@ def block_skyline(tfs: np.ndarray, doc_lens: np.ndarray, block: int = BLOCK):
             np.asarray(sky_dl, dtype=np.int64))
 
 
+def _batch_blocks(sizes: np.ndarray, block: int):
+    """Global block layout for many concatenated runs: returns
+    (blocks_per_row, block_starts, block_ends_incl, row_of_block,
+    blk_in_row) over the concatenated index space."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    splits = np.cumsum(sizes)
+    starts = splits - sizes
+    nb = (sizes + block - 1) // block
+    row_of_block = np.repeat(np.arange(sizes.size), nb)
+    first_blk = np.cumsum(nb) - nb
+    blk_in_row = np.arange(int(nb.sum())) - first_blk[row_of_block]
+    block_starts = starts[row_of_block] + blk_in_row * block
+    block_ends = np.minimum(block_starts + block, splits[row_of_block]) - 1
+    return nb, block_starts, block_ends, row_of_block, blk_in_row
+
+
+def block_stats_batch(doc_ids: np.ndarray, tfs: np.ndarray,
+                      doc_lens: np.ndarray, sizes: np.ndarray,
+                      block: int = BLOCK):
+    """Batched :func:`block_stats` over many concatenated runs — one
+    reduceat per statistic for the whole Arrow batch.  Returns
+    (blocks_per_row, last, max_tf, min_dl) with the stat arrays
+    concatenated in row order; split with ``np.cumsum(blocks_per_row)``."""
+    nb, bstarts, bends, _row, _blk = _batch_blocks(sizes, block)
+    if bstarts.size == 0:
+        return nb, (np.empty(0, np.int64), np.empty(0, np.int32),
+                    np.empty(0, np.int64))
+    last = doc_ids[bends].astype(np.int64)
+    max_tf = np.maximum.reduceat(tfs, bstarts).astype(np.int32)
+    min_dl = np.minimum.reduceat(doc_lens, bstarts).astype(np.int64)
+    return nb, (last, max_tf, min_dl)
+
+
+def block_skyline_batch(tfs: np.ndarray, doc_lens: np.ndarray,
+                        sizes: np.ndarray, block: int = BLOCK):
+    """Batched :func:`block_skyline`: Pareto skylines for every block
+    of every run in ~log2(block) vectorized passes (Hillis-Steele
+    grouped running-min instead of the per-point Python loop).
+
+    Order within each block matches block_skyline exactly (tf desc,
+    dl asc).  Returns (points_per_row, sky_blk, sky_tf, sky_dl) with
+    the point arrays concatenated in row order."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    n = int(sizes.sum())
+    n_rows = sizes.size
+    if n == 0:
+        return (np.zeros(n_rows, np.int64),
+                np.empty(0, np.int32), np.empty(0, np.int32),
+                np.empty(0, np.int64))
+    _nb, bstarts, _bends, row_of_block, blk_in_row = _batch_blocks(
+        sizes, block)
+    n_blocks = bstarts.size
+    blk_len = np.empty(n_blocks, dtype=np.int64)
+    blk_len[:-1] = np.diff(bstarts)
+    blk_len[-1] = n - bstarts[-1]
+    # fix cross-row boundaries (diff spans rows correctly because
+    # block starts are strictly increasing across the concatenation)
+    block_of_pos = np.repeat(np.arange(n_blocks), blk_len)
+    # order: block, then tf desc, then dl asc — same per-block order
+    # the scalar implementation visits
+    order = np.lexsort((doc_lens, -tfs, block_of_pos))
+    dl_s = doc_lens[order]
+    tf_s = tfs[order]
+    pos_in_block = np.arange(n) - bstarts[block_of_pos]
+    # grouped running min over strict predecessors (log passes)
+    huge = np.int64(np.iinfo(np.int64).max)
+    # run_min[i] = min dl over i's strict predecessors within its
+    # block; init covers 1 predecessor, each doubling step c combines
+    # with run_min[i-c] (itself covering c predecessors) -> 2c covered
+    run_min = np.full(n, huge, dtype=np.int64)
+    run_min[1:] = dl_s[:-1]
+    run_min[pos_in_block == 0] = huge
+    shift = 1
+    while shift < block:
+        cand = np.full(n, huge, dtype=np.int64)
+        cand[shift:] = run_min[:-shift]
+        # a candidate shifted across a block boundary must not leak in
+        valid = pos_in_block >= shift
+        np.minimum(run_min, np.where(valid, cand, huge), out=run_min)
+        shift <<= 1
+    mask = dl_s < run_min
+    sel = np.flatnonzero(mask)
+    blk_sel = block_of_pos[sel]
+    pts_per_block = np.bincount(blk_sel, minlength=n_blocks)
+    pts_per_row = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(pts_per_row, row_of_block, pts_per_block)
+    return (pts_per_row,
+            blk_in_row[blk_sel].astype(np.int32),
+            tf_s[sel].astype(np.int32),
+            dl_s[sel].astype(np.int64))
+
+
 # --- Elias gamma / delta (C2/C3 parity codecs) ------------------------------
 #
 # The production store stays delta+varbyte (D6: byte-aligned, fully

@@ -109,16 +109,18 @@ def _encode_postings(doc_ids: pd.Series, tfs: pd.Series, doc_lens: pd.Series,
     out["tfs_vb"] = codec.varbyte_encode_batch(tf_all, splits)
     out["doc_lens_vb"] = codec.varbyte_encode_batch(dl_all, splits)
     out["max_tfs_vb"] = codec.varbyte_encode_batch(mtf_all, splits)
-    for s, e in zip(starts, splits):
-        ids, tf, dl = ids_all[s:e], tf_all[s:e], dl_all[s:e]
-        last, bmax_tf, bmin_dl = codec.block_stats(ids, tf, dl)
-        sky_idx, sky_tf, sky_dl = codec.block_skyline(tf, dl)
-        out["block_last_doc_id"].append(last.tolist())
-        out["block_max_tf"].append(bmax_tf.tolist())
-        out["block_min_doc_len"].append(bmin_dl.tolist())
-        out["block_sky_idx"].append(sky_idx.tolist())
-        out["block_sky_tf"].append(sky_tf.tolist())
-        out["block_sky_dl"].append(sky_dl.tolist())
+    nb, (last, bmax_tf, bmin_dl) = codec.block_stats_batch(
+        ids_all, tf_all, dl_all, sizes)
+    b_cuts = np.cumsum(nb)[:-1]
+    out["block_last_doc_id"] = [a.tolist() for a in np.split(last, b_cuts)]
+    out["block_max_tf"] = [a.tolist() for a in np.split(bmax_tf, b_cuts)]
+    out["block_min_doc_len"] = [a.tolist() for a in np.split(bmin_dl, b_cuts)]
+    pts, sky_blk, sky_tf, sky_dl = codec.block_skyline_batch(
+        tf_all, dl_all, sizes)
+    p_cuts = np.cumsum(pts)[:-1]
+    out["block_sky_idx"] = [a.tolist() for a in np.split(sky_blk, p_cuts)]
+    out["block_sky_tf"] = [a.tolist() for a in np.split(sky_tf, p_cuts)]
+    out["block_sky_dl"] = [a.tolist() for a in np.split(sky_dl, p_cuts)]
     return pd.DataFrame(out)
 
 

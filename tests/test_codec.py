@@ -243,3 +243,36 @@ def test_batch_codecs_equal_per_row():
     # empty batch
     assert codec.varbyte_encode_batch(
         np.array([], dtype=np.uint64), np.array([0, 0])) == [b"", b""]
+
+
+def test_batch_block_stats_and_skyline_equal_scalar():
+    import numpy as np
+
+    from ir_spark import codec
+
+    rng = np.random.default_rng(19)
+    sizes = np.concatenate([
+        [1, 1, 2, 127, 128, 129, 255, 256, 300, 2048],
+        np.clip((rng.pareto(1.2, 500) * 8).astype(int) + 1, 1, 2048)])
+    rows = []
+    for n in sizes:
+        ids = np.sort(rng.choice(10**6, int(n), replace=False)).astype(np.int64)
+        rows.append((ids, rng.integers(1, 50, int(n)).astype(np.int64),
+                     rng.integers(20, 400, int(n)).astype(np.int64)))
+    ids_all = np.concatenate([r[0] for r in rows])
+    tf_all = np.concatenate([r[1] for r in rows])
+    dl_all = np.concatenate([r[2] for r in rows])
+    nb, (last, mtf, mdl) = codec.block_stats_batch(
+        ids_all, tf_all, dl_all, sizes)
+    pts, sblk, stf, sdl = codec.block_skyline_batch(tf_all, dl_all, sizes)
+    b_off = np.cumsum(nb)
+    p_off = np.cumsum(pts)
+    for i, (ids, tf, dl) in enumerate(rows):
+        l0, m0, d0 = codec.block_stats(ids, tf, dl)
+        s0, t0, dl0 = codec.block_skyline(tf, dl)
+        bs, be = (b_off[i - 1] if i else 0), b_off[i]
+        ps, pe = (p_off[i - 1] if i else 0), p_off[i]
+        assert (last[bs:be] == l0).all() and (mtf[bs:be] == m0).all() \
+            and (mdl[bs:be] == d0).all(), i
+        assert (sblk[ps:pe] == s0).all() and (stf[ps:pe] == t0).all() \
+            and (sdl[ps:pe] == dl0).all(), i
