@@ -43,7 +43,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codec import delta_decode, delta_encode, varbyte_decode
+from ..codec import (delta_decode, delta_encode, delta_encode_batch,
+                     varbyte_decode)
 from ..sources.storage import (
     DEFAULT_BUCKETS,
     atomic_write_parquet,
@@ -198,9 +199,11 @@ def _encode_positional(pdf_iter: Iterator[pd.DataFrame]
                 # positions restart the delta at each doc boundary is
                 # NOT needed: decode re-splits by lens, and per-doc
                 # positions are already ascending, so one global delta
-                # stream would corrupt boundaries — encode per doc,
+                # stream would corrupt boundaries — encode per doc
+                # (one batched pass, delta restarting at every doc),
                 # concatenated as deltas within the doc only.
-                "positions": b"".join(delta_encode(pl) for pl in pos_lists),
+                "positions": b"".join(delta_encode_batch(
+                    flat, np.cumsum(lens))) if len(lens) else b"",
                 "n_docs": int(len(doc_ids)),
             })
         yield pd.DataFrame(
