@@ -62,13 +62,21 @@ STOPWORDS = frozenset({
 })
 
 
+@lru_cache(maxsize=1 << 17)
+def _strip_edge(word: str) -> str:
+    """Memoized per-word edge-punctuation strip (T10 applied to T2):
+    word streams are Zipf-distributed, so almost every occurrence is a
+    cache hit — the regex runs once per DISTINCT word."""
+    return PUNCT_START_END.sub("", word)
+
+
 def pre_process(line: str) -> str:
     """T1+T2: strip HTML tags, then strip edge punctuation per word.
 
     Byte-identical to reference pyindex/tokenizer.py:16-20 (``pre_process``).
     """
     words = HTML_TAGS.sub("", line).split(" ")
-    return " ".join(PUNCT_START_END.sub("", w) for w in words)
+    return " ".join(_strip_edge(w) for w in words)
 
 
 def extract_text(payload: bytes | str) -> str:
@@ -148,12 +156,23 @@ def tokenize(text: str, stem: bool = False) -> list[str]:
     for line in text.split("\n"):
         line = pre_process(line)
         for word in line.split(" "):
-            lemma = word.lower()
-            for piece in token_filter(lemma):
-                piece = PUNCT_START_END.sub("", piece)
-                if len(piece) > 1 and piece != "PRON":
-                    out.append(porter_stem(piece) if stem else piece)
+            out.extend(_word_pieces(word.lower(), stem))
     return out
+
+
+@lru_cache(maxsize=1 << 17)
+def _word_pieces(lemma: str, stem: bool) -> tuple[str, ...]:
+    """Memoized per-word tail of the tokenize pipeline (TokenFilter ->
+    edge strip -> length/PRON -> optional stem) — a pure function of
+    the lowercased word, so caching cannot change output, and Zipf
+    word frequencies make nearly every occurrence a cache hit (the
+    same T10 rationale as the reference's per-term memo)."""
+    out = []
+    for piece in token_filter(lemma):
+        piece = PUNCT_START_END.sub("", piece)
+        if len(piece) > 1 and piece != "PRON":
+            out.append(porter_stem(piece) if stem else piece)
+    return tuple(out)
 
 
 def tokenize_simple(text: str) -> list[str]:
