@@ -1448,6 +1448,41 @@ def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_counts(idx.postings, terms, facets, "lang")
 
 
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Results-over-time facet (operators/boolean.py::date_histogram):
+    weekly candidate counts for the flagship query over the synthetic
+    warc_ts = epoch + (doc_id % 365) days (the recency gate's scheme),
+    integer day-bucket arithmetic on both engines."""
+    from .operators.boolean import date_histogram
+
+    idx = _df_index(spark, sf_dir)
+    terms = sorted(
+        t for t in set(tokenize(FLAGSHIP_QUERY)) if t not in STOPWORDS)
+    doc_ts = _read_documents(spark, sf_dir).select(
+        "doc_id",
+        F.date_add(F.lit(RECENCY_EPOCH).cast("date"),
+                   (F.col("doc_id") % 365).cast("int")).alias("ts"))
+    return date_histogram(idx.postings, terms, doc_ts,
+                          epoch=RECENCY_EPOCH, interval_days=7)
+
+
+def sql_date_histogram() -> str:
+    terms = sorted(
+        t for t in set(tokenize(FLAGSHIP_QUERY)) if t not in STOPWORDS)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {TOKS_CTE},
+cand AS (SELECT DISTINCT doc_id FROM postings WHERE term IN ({in_list})),
+b AS (
+  SELECT CAST(FLOOR((doc_id % 365) / 7.0) AS BIGINT) AS bucket
+  FROM cand
+)
+SELECT bucket, bucket * 7 AS bucket_start_day,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM b GROUP BY bucket
+"""
+
+
 def sql_facet_counts() -> str:
     terms = sorted(
         t for t in set(tokenize(FLAGSHIP_QUERY)) if t not in STOPWORDS)
@@ -1871,6 +1906,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_two_phase_topk": q_bm25_two_phase_topk,
         "score_explain": q_score_explain,
         "synonym_bm25_topk": q_synonym_bm25_topk,
+        "date_histogram": q_date_histogram,
         "dictionary_frontcoded": q_dictionary_frontcoded,
         "ltr_features": q_ltr_features,
         "w1_topk": q_w1_topk,
@@ -1920,6 +1956,7 @@ def core_oracle_sql() -> dict[str, str]:
         "bm25_two_phase_topk": sql_bm25_two_phase_topk(),
         "score_explain": sql_score_explain(),
         "synonym_bm25_topk": sql_synonym_bm25_topk(),
+        "date_histogram": sql_date_histogram(),
         "dictionary_frontcoded": sql_dictionary(),
         "ltr_features": sql_ltr_features(),
         "w1_topk": _sql_cosine_topk("w1"),

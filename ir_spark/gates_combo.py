@@ -42,6 +42,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
     "resultpage_suite": {
         "facet_counts": ["lang", "n_docs"],
         "snippet_extract": ["doc_id", "pos", "snippet", "term"],
+        "date_histogram": ["bucket", "bucket_start_day", "n_docs"],
     },
     "cosine_suite": {
         "w1_topk": ["doc_id", "score_micro"],

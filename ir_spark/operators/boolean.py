@@ -89,3 +89,31 @@ def facet_counts(postings, terms: list[str], facets,
     return (cands.join(facets, "doc_id")
             .groupBy(facet_col)
             .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+def date_histogram(postings, terms: list[str], doc_ts,
+                   epoch: str, interval_days: int = 7) -> "DataFrame":
+    """Search-results date histogram: per-time-bucket counts of the
+    OR-semantics candidate set over a (doc_id, ts) capture-time table
+    (``warc_ts`` in the page schema) — the results-over-time facet a
+    web-search front-end renders.
+
+    Buckets are ``floor(datediff(ts, epoch) / interval_days)`` —
+    integer day arithmetic only, so the bucketing is bit-reproducible
+    across engines (calendar-aware truncation like date_trunc('week')
+    differs in week-start conventions).  Same plan shape as
+    facet_counts: candidate distinct + one join + a bucket-cardinality
+    agg; returns (bucket, bucket_start_day, n_docs)."""
+    from pyspark.sql import functions as F
+
+    cands = (postings.filter(F.col("term").isin(list(terms)))
+             .select("doc_id").distinct())
+    bucket = F.floor(F.datediff(F.col("ts"), F.lit(epoch))
+                     / F.lit(interval_days)).cast("long")
+    return (cands.join(doc_ts.select("doc_id", "ts"), "doc_id")
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .select("bucket",
+                    (F.col("bucket") * interval_days).alias("bucket_start_day"),
+                    "n_docs"))
