@@ -517,13 +517,13 @@ def _make_maxscore_partition_kernel(weights: dict[str, float],
     bounds stay strictly BELOW theta is NON-ESSENTIAL — a document
     matching only those terms scores < theta and can never enter the
     heap (strict <, so exact ties survive for the doc_id tie-break).
-    Essential terms accumulate normally and define the candidate set;
-    non-essential postings are then folded in ONLY for already-touched
-    candidates, keeping every emitted score exact while skipping
-    accumulation for documents that cannot qualify.  Results are
-    rank-identical to exhaustive/WAND; ``acc_nonessential`` counts
-    term-rows handled on the candidates-only path (pruning evidence for
-    tests/bench)."""
+    Essential terms define the candidate set; accumulation then runs
+    over candidates only, in the ORIGINAL row order, so every emitted
+    score is BIT-IDENTICAL to the exhaustive kernel's (same per-doc
+    float addition sequence), not merely rank-identical — pruning is a
+    plan choice, never a score change (tested exactly).
+    ``acc_nonessential`` counts term-rows handled on the
+    candidates-only path (pruning evidence for tests/bench)."""
     import heapq
 
     def kernel(batches):
@@ -558,48 +558,50 @@ def _make_maxscore_partition_kernel(weights: dict[str, float],
                 return
             # MaxScore split: ascending by upper bound; the longest
             # prefix with cumulative sum < theta is non-essential
-            metas.sort(key=lambda m: m[3])
-            n_non = 0
+            by_ub = sorted(metas, key=lambda m: m[3])
+            non_essential_rows = set()
             if th is not None:
                 csum = 0.0
-                for _row, _wq, _df, t_ub in metas:
+                for _row, _wq, _df, t_ub in by_ub:
                     if csum + t_ub >= th:
                         break
                     csum += t_ub
-                    n_non += 1
+                    non_essential_rows.add(id(_row))
             # a run where EVERY term is non-essential was already
-            # pruned above (total_ub < theta), so n_non < len(metas)
+            # pruned above (total_ub < theta), so >=1 essential remains
             run = int(metas[0][0].run)
             base = run * range_width
             acc = np.zeros(range_width, dtype=np.float64)
             touched = np.zeros(range_width, dtype=bool)
-            # essential terms FIRST (they define the candidate set),
-            # then non-essential folded in for candidates only
-            ordered = ([(m, True) for m in metas[n_non:]]
-                       + [(m, False) for m in metas[:n_non]])
-            for (row, w_tq, df_t, _t_ub), essential in ordered:
-                if not essential and acc_nonessential is not None:
-                    acc_nonessential.add(1)
+            # pass A — decode once, mark candidates from the ESSENTIAL
+            # terms only (docs matched solely by non-essential terms
+            # score < theta and can never enter the heap)
+            decoded = []
+            for row, w_tq, df_t, _t_ub in metas:
                 ids = codec.delta_decode(row.doc_gaps_vb)
                 tfs = codec.varbyte_decode(row.tfs_vb).astype(np.int64)
                 dls = codec.varbyte_decode(row.doc_lens_vb).astype(np.int64)
                 mtfs = codec.varbyte_decode(row.max_tfs_vb).astype(np.int64)
-                off = ids - base
-                if not essential:
-                    # candidates-only: docs not already touched by an
-                    # essential term score < theta in total — skip them
-                    cand = touched[off]
-                    if not cand.any():
-                        continue
-                    ids, tfs, dls, mtfs, off = (
-                        ids[cand], tfs[cand], dls[cand], mtfs[cand],
-                        off[cand])
-                w_td = _np_doc_weight(mode, tfs, dls, mtfs, df_t, n_docs,
-                                      avg_dl, k1, b)
-                acc[off] += w_td * w_tq
+                essential = id(row) not in non_essential_rows
                 if essential:
-                    touched[off] = True
+                    touched[ids - base] = True
+                elif acc_nonessential is not None:
+                    acc_nonessential.add(1)
+                decoded.append((ids, tfs, dls, mtfs, w_tq, df_t, essential))
             _mask_deleted_offsets(touched, deleted, base, range_width)
+            # pass B — accumulate every term in the ORIGINAL row order,
+            # restricted to candidates: per-doc float addition order is
+            # then IDENTICAL to the exhaustive kernel's, so the pruned
+            # strategy is bit-exact, not just rank-identical
+            for ids, tfs, dls, mtfs, w_tq, df_t, _ess in decoded:
+                off = ids - base
+                cand = touched[off]
+                if not cand.any():
+                    continue
+                w_td = _np_doc_weight(mode, tfs[cand], dls[cand],
+                                      mtfs[cand], df_t, n_docs,
+                                      avg_dl, k1, b)
+                acc[off[cand]] += w_td * w_tq
             idx = np.flatnonzero(touched)
             if idx.size == 0:
                 return

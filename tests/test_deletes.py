@@ -52,7 +52,7 @@ def del_setup(spark, pages_small, tmp_path_factory):
 
 
 class TestTombstonedQueries:
-    @pytest.mark.parametrize("strategy", ["exhaustive", "wand"])
+    @pytest.mark.parametrize("strategy", ["exhaustive", "wand", "maxscore"])
     def test_bm25_excludes_and_backfills(self, spark, del_setup, strategy):
         d, _victims, deleted_ids, pre = del_setup
         sidx = SQ.SegmentIndex.load(spark, d)
