@@ -1918,6 +1918,223 @@ FROM canon
 """
 
 
+# --- paragraph dedup / chunking / C4 line filter (round 3) -------------------
+#
+# The synthetic documents are single-line; these gates derive a
+# line-structured corpus with IDENTICAL pure-column expressions on both
+# engines: words re-wrapped into fixed-width lines, plus injected
+# boilerplate (shared header/footer lines, javascript/lorem-ipsum
+# markers, varied terminal punctuation) so every filter rule fires.
+
+PARA_LINE_W = 12
+PARA_HEADER = "subscribe to our newsletter for updates"
+PARA_FOOTER = "copyright example site all rights reserved"
+C4_LINE_W = 8
+C4_LOREM = "lorem ipsum dolor sit amet."
+CHUNK_W, CHUNK_STRIDE = 32, 16
+
+_WORDS_EXPR = "filter(split(text, ' '), t -> length(t) > 0)"
+
+
+def _with_paragraph_lines(docs: DataFrame) -> DataFrame:
+    """Re-wrap each doc into PARA_LINE_W-word lines; every 7th doc gets
+    the shared header line, every 5th the shared footer."""
+    lines = F.expr(
+        f"transform(sequence(1, greatest(cast(ceil(size(_w) / {PARA_LINE_W}.0)"
+        f" as int), 1)), i -> array_join(slice(_w, (i-1)*{PARA_LINE_W}+1, "
+        f"{PARA_LINE_W}), ' '))")
+    empty = F.array().cast("array<string>")
+    hdr = F.when(F.col("doc_id") % 7 == 0,
+                 F.array(F.lit(PARA_HEADER))).otherwise(empty)
+    ftr = F.when(F.col("doc_id") % 5 == 0,
+                 F.array(F.lit(PARA_FOOTER))).otherwise(empty)
+    return (docs.select("doc_id", F.expr(_WORDS_EXPR).alias("_w"))
+            .withColumn("_lines", lines)
+            .select("doc_id", F.array_join(
+                F.concat(hdr, F.col("_lines"), ftr), "\n").alias("text")))
+
+
+_SQL_PARA_CORPUS = f"""
+corpus AS (
+  SELECT doc_id,
+    array_to_string(list_concat(list_concat(
+      CASE WHEN doc_id % 7 = 0 THEN ['{PARA_HEADER}']
+           ELSE CAST([] AS VARCHAR[]) END,
+      list_transform(range(1, greatest(CAST(ceil(len(w) / {PARA_LINE_W}.0)
+                                            AS INT), 1) + 1),
+        i -> array_to_string(
+               w[(i-1)*{PARA_LINE_W}+1:(i-1)*{PARA_LINE_W}+{PARA_LINE_W}],
+               ' '))),
+      CASE WHEN doc_id % 5 = 0 THEN ['{PARA_FOOTER}']
+           ELSE CAST([] AS VARCHAR[]) END),
+    chr(10)) AS text
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                   t -> length(t) > 0) AS w
+        FROM documents)
+)"""
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup (operators/dedup.py::dedup_paragraphs)
+    over the derived line corpus: shared header/footer lines survive
+    only in their first-seen doc."""
+    return D.dedup_paragraphs(_with_paragraph_lines(_docs(spark, sf_dir)))
+
+
+def sql_paragraph_dedup() -> str:
+    return f"""
+WITH {_SQL_PARA_CORPUS.strip()},
+paras AS (
+  SELECT doc_id, s.idx AS idx, s.para AS para FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        i -> struct_pack(idx := i, para := ls[i]))) AS s
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus))
+  WHERE trim(s.para) <> ''
+),
+ranked AS (
+  SELECT doc_id, idx, para,
+         ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+  FROM paras
+),
+kept AS (
+  SELECT doc_id, COUNT(*) AS nk,
+         string_agg(para, chr(10) ORDER BY idx) AS kt
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS np FROM ranked GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.np AS BIGINT) AS n_paras,
+       CAST(COALESCE(k.nk, 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(k.kt, '')) AS kept_md5
+FROM tot t LEFT JOIN kept k USING (doc_id)
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/corpus.py::chunk_documents)
+    straight over the documents table."""
+    from .operators.corpus import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir),
+                           chunk=CHUNK_W, stride=CHUNK_STRIDE)
+
+
+def sql_doc_chunks(chunk: int = CHUNK_W, stride: int = CHUNK_STRIDE) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '),
+                             t -> length(t) > 0) AS w
+  FROM documents
+),
+counted AS (SELECT doc_id, w, len(w) AS n FROM words),
+chunks AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_id,
+         CAST(t.i * {stride} AS BIGINT) AS start,
+         w[t.i*{stride}+1 : t.i*{stride}+{chunk}] AS win
+  FROM counted, UNNEST(range(0,
+       CASE WHEN n <= 0 THEN 0 WHEN n <= {chunk} THEN 1
+            ELSE 1 + CAST(ceil((n - {chunk}) / {stride}.0) AS INT) END)) AS t(i)
+)
+SELECT doc_id, chunk_id, start,
+       CAST(len(win) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(win, ' ')) AS chunk_md5
+FROM chunks
+"""
+
+
+def _with_c4_lines(docs: DataFrame) -> DataFrame:
+    """Re-wrap into C4_LINE_W-word lines with varied terminal
+    punctuation ((doc_id+i)%4: . / ! / none / ?), a javascript marker
+    on every (doc_id+2i)%11==0 line, a lorem-ipsum line on every 13th
+    doc and a curly-brace line on every 17th."""
+    lines = F.expr(
+        f"transform(sequence(1, greatest(cast(ceil(size(_w) / {C4_LINE_W}.0)"
+        f" as int), 1)), i -> concat("
+        f"CASE WHEN (doc_id + 2*i) % 11 = 0 THEN 'javascript ' ELSE '' END, "
+        f"array_join(slice(_w, (i-1)*{C4_LINE_W}+1, {C4_LINE_W}), ' '), "
+        f"CASE CAST((doc_id + i) % 4 AS INT) WHEN 0 THEN '.' WHEN 1 THEN '!' "
+        f"WHEN 2 THEN '' ELSE '?' END))")
+    empty = F.array().cast("array<string>")
+    lorem = F.when(F.col("doc_id") % 13 == 0,
+                   F.array(F.lit(C4_LOREM))).otherwise(empty)
+    brace = F.when(F.col("doc_id") % 17 == 0,
+                   F.array(F.lit("page config uses braces {x: 1}."))
+                   ).otherwise(empty)
+    return (docs.select("doc_id", F.expr(_WORDS_EXPR).alias("_w"))
+            .withColumn("_lines", lines)
+            .select("doc_id", F.array_join(
+                F.concat(F.col("_lines"), lorem, brace), "\n").alias("text")))
+
+
+_SQL_C4_CORPUS = f"""
+corpus AS (
+  SELECT doc_id,
+    array_to_string(list_concat(list_concat(
+      list_transform(range(1, greatest(CAST(ceil(len(w) / {C4_LINE_W}.0)
+                                            AS INT), 1) + 1),
+        i -> (CASE WHEN (doc_id + 2*i) % 11 = 0
+                   THEN 'javascript ' ELSE '' END)
+             || array_to_string(
+                  w[(i-1)*{C4_LINE_W}+1:(i-1)*{C4_LINE_W}+{C4_LINE_W}], ' ')
+             || (CASE CAST((doc_id + i) % 4 AS INT) WHEN 0 THEN '.'
+                      WHEN 1 THEN '!' WHEN 2 THEN '' ELSE '?' END)),
+      CASE WHEN doc_id % 13 = 0 THEN ['{C4_LOREM}']
+           ELSE CAST([] AS VARCHAR[]) END),
+      CASE WHEN doc_id % 17 = 0 THEN ['page config uses braces {{x: 1}}.']
+           ELSE CAST([] AS VARCHAR[]) END),
+    chr(10)) AS text
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                   t -> length(t) > 0) AS w
+        FROM documents)
+)"""
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filter (operators/corpus.py::c4_line_filter) over
+    the derived punctuated-line corpus."""
+    from .operators.corpus import c4_line_filter
+
+    return c4_line_filter(_with_c4_lines(_docs(spark, sf_dir)))
+
+
+def sql_c4_line_filter() -> str:
+    return f"""
+WITH {_SQL_C4_CORPUS.strip()},
+lines AS (
+  SELECT doc_id, s.idx AS idx, s.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        i -> struct_pack(idx := i, line := ls[i]))) AS s
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus))
+  WHERE trim(s.line) <> ''
+),
+verd AS (
+  SELECT doc_id, idx, line,
+    CASE WHEN (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?'
+               OR line LIKE '%"')
+          AND len(list_filter(string_split(line, ' '),
+                              t -> length(t) > 0)) >= 3
+          AND NOT contains(lower(line), 'javascript')
+    THEN 1 ELSE 0 END AS lk
+  FROM lines
+),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(lk) AS BIGINT) AS n_kept_lines,
+         md5(COALESCE(string_agg(line, chr(10) ORDER BY idx)
+                      FILTER (WHERE lk = 1), '')) AS kept_md5
+  FROM verd GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(p.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+       COALESCE(p.kept_md5, md5('')) AS kept_md5,
+       CAST(COALESCE(p.n_kept_lines, 0) >= 3
+            AND NOT contains(lower(d.text), 'lorem ipsum')
+            AND NOT contains(d.text, '{{')
+            AND NOT contains(d.text, '}}') AS INT) AS keep
+FROM corpus d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pii_scrub": q_pii_scrub,
@@ -1927,6 +2144,9 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quantiles": q_token_quantiles,
         "collocations_pmi": q_collocations_pmi,
         "dup_span_coverage": q_dup_span_coverage,
+        "paragraph_dedup": q_paragraph_dedup,
+        "doc_chunks": q_doc_chunks,
+        "c4_line_filter": q_c4_line_filter,
         "host_cap_sample": q_host_cap_sample,
         "pagerank_hosts": q_pagerank_hosts,
         "url_canonical_dedup": q_url_canonical_dedup,
@@ -1972,6 +2192,9 @@ def analytics_oracle_sql() -> dict[str, str]:
         "token_quantiles": sql_token_quantiles(),
         "collocations_pmi": sql_collocations_pmi(),
         "dup_span_coverage": sql_dup_span_coverage(),
+        "paragraph_dedup": sql_paragraph_dedup(),
+        "doc_chunks": sql_doc_chunks(),
+        "c4_line_filter": sql_c4_line_filter(),
         "host_cap_sample": sql_host_cap_sample(),
         "pagerank_hosts": sql_pagerank_hosts(),
         "url_canonical_dedup": sql_url_canonical_dedup(),

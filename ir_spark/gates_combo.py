@@ -80,6 +80,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
                               "dup_token_frac_micro", "n_dup_positions",
                               "n_grams", "n_tokens"],
         "dedup_clusters": ["cluster_id", "doc_id", "is_canonical"],
+        "paragraph_dedup": ["doc_id", "kept_md5", "n_kept", "n_paras"],
     },
     "corpus_suite": {
         "decontaminate": ["contaminated", "doc_id", "n_contaminated_grams",
@@ -93,6 +94,10 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "sequence_pack": ["bin_id", "bin_offset", "doc_id", "n_tokens",
                           "start"],
         "dsir_weights": ["doc_id", "dsir_logw_micro"],
+        "doc_chunks": ["chunk_id", "chunk_md5", "doc_id",
+                       "n_chunk_tokens", "start"],
+        "c4_line_filter": ["doc_id", "keep", "kept_md5",
+                           "n_kept_lines", "n_lines"],
     },
     "ann_suite": {
         "ann_cosine_topk": ["score_micro", "vec_id"],

@@ -353,3 +353,116 @@ def dsir_importance(raw: DataFrame, target: DataFrame, *,
     return (rawb.join(F.broadcast(ratio), "b")
             .groupBy("doc_id")
             .agg(F.sum(F.col("cnt") * F.col("lr")).alias("dsir_logw")))
+
+
+def chunk_documents(docs: DataFrame, chunk: int = 128,
+                    stride: int = 64) -> DataFrame:
+    """Sliding-window document chunking — the long-document splitting
+    step of a training pipeline (and of passage-level retrieval):
+    each doc's token stream becomes overlapping windows of ``chunk``
+    tokens advancing by ``stride``.
+
+    (doc_id, text) -> one row per window: (doc_id, chunk_id, start,
+    n_chunk_tokens, chunk_md5) where start is the 0-based token
+    offset, the last window may be short, and ``chunk_md5``
+    fingerprints the window's tokens re-joined by ' ' (value-checking
+    the exact slice without shipping it).  Tokens are whitespace
+    words; a doc with no tokens yields no rows.  Window count is
+    1 + ceil(max(n - chunk, 0) / stride): every token is covered and
+    no window starts at-or-past the end.
+
+    Scale shape: pure narrow map — split, sequence, explode, slice —
+    no shuffle at all; each input partition writes its own chunk rows
+    (the explode fan-out is bounded by ~n_tokens/stride per doc).
+    Whole-stage codegen end to end, no Python.
+    """
+    if chunk <= 0 or stride <= 0 or stride > chunk:
+        raise ValueError("need 0 < stride <= chunk")
+    words = F.expr("filter(split(text, ' '), t -> length(t) > 0)")
+    n = F.size(F.col("_w"))
+    n_chunks = F.when(n <= 0, F.lit(0)).when(n <= chunk, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - chunk) / F.lit(float(stride))).cast("int"))
+    based = docs.select("doc_id", words.alias("_w"))
+    # sequence(0, -1) would DESCEND, not be empty — guard the no-token case
+    ids = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+                 ).otherwise(F.array().cast("array<int>"))
+    rows = (
+        based.select("doc_id", "_w", F.explode(ids).alias("chunk_id"))
+        .withColumn("start", F.col("chunk_id") * stride)
+        # slice() is 1-based; the final window is clipped by slice itself
+        .withColumn("_win", F.slice(F.col("_w"), F.col("start") + 1, chunk))
+    )
+    return rows.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.size("_win").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("_win", " ").cast("binary")).alias("chunk_md5"),
+    )
+
+
+# C4-style line filter thresholds (Raffel et al. 2020, public rules)
+C4_MIN_LINE_WORDS = 3       # drop lines with fewer words
+C4_MIN_KEPT_LINES = 3       # drop pages keeping fewer lines ("sentences")
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_line_filter(docs: DataFrame, *, min_line_words: int = C4_MIN_LINE_WORDS,
+                   min_kept_lines: int = C4_MIN_KEPT_LINES) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020): keep only
+    lines that end in terminal punctuation, have at least
+    ``min_line_words`` words, and do not mention "javascript"; then
+    keep only pages that retain at least ``min_kept_lines`` lines and
+    contain neither "lorem ipsum" nor a curly brace anywhere.
+
+    (doc_id, text) -> (doc_id, n_lines, n_kept_lines, kept_md5, keep)
+    with ``kept_md5`` the md5 of surviving lines re-joined by '\\n' in
+    original order (md5('') when none survive) and ``keep`` the page
+    verdict as 0/1.  Pages with no lines at all still get a row
+    (n_lines = 0, keep = 0): the filter's report covers the corpus.
+
+    Scale shape: one narrow split pass + one groupBy(doc_id) — line
+    verdicts are pure column expressions inside the aggregate's
+    projection, so the only shuffle carries (doc_id, line verdicts),
+    partial-aggregated map-side.  No Python anywhere.
+    """
+    lower = F.lower(F.col("line"))
+    terminal = F.lit(False)
+    for t in C4_TERMINALS:
+        terminal = terminal | F.col("line").endswith(t)
+    n_words = F.size(F.expr("filter(split(line, ' '), t -> length(t) > 0)"))
+    line_keep = (terminal & (n_words >= min_line_words)
+                 & ~lower.contains("javascript"))
+    lines = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line"))
+        .filter(F.trim(F.col("line")) != "")
+        .withColumn("_lk", line_keep)
+    )
+    kept_sorted = F.transform(
+        F.array_sort(F.collect_list(
+            F.when(F.col("_lk"), F.struct("idx", "line")))),
+        lambda s: s["line"])
+    per_doc = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("_lk").cast("long")).cast("long").alias("n_kept_lines"),
+        F.md5(F.concat_ws("\n", kept_sorted).cast("binary")).alias("kept_md5"),
+    )
+    all_docs = docs.select("doc_id", F.lower(F.col("text")).alias("_lt"))
+    return (
+        all_docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept_lines", F.lit(0)).cast("long")
+            .alias("n_kept_lines"),
+            F.coalesce("kept_md5", F.md5(F.lit("").cast("binary")))
+            .alias("kept_md5"),
+            ((F.coalesce("n_kept_lines", F.lit(0)) >= min_kept_lines)
+             & ~F.col("_lt").contains("lorem ipsum")
+             & ~F.col("_lt").contains("{")
+             & ~F.col("_lt").contains("}"))
+            .cast("int").alias("keep"),
+        )
+    )

@@ -490,3 +490,52 @@ def _cc_star(pairs: DataFrame, max_iter: int,
             .select("doc_id", "cluster_id",
                     (F.col("doc_id") == F.col("cluster_id"))
                     .cast("int").alias("is_canonical")))
+
+
+def dedup_paragraphs(docs: DataFrame, delim: str = "\n") -> DataFrame:
+    """Paragraph-level exact dedup — the CCNet / FineWeb curation step
+    that strips boilerplate (headers, footers, cookie banners) shared
+    across pages while keeping each page's unique body.
+
+    (doc_id, text) -> (doc_id, n_paras, n_kept, kept_md5): every
+    occurrence of a paragraph other than its global FIRST occurrence
+    (lowest (doc_id, paragraph index), across and within documents)
+    is dropped; ``kept_md5`` fingerprints the surviving paragraphs
+    re-joined by ``delim`` in original order (md5('') when a page
+    loses every paragraph), so the full cleaned text is value-checked
+    without shipping it.  Blank/whitespace-only paragraphs are not
+    paragraphs.
+
+    Scale shape: one narrow split/explode pass; paragraphs travel the
+    shuffle as md5 keys + (doc_id, idx) ints, never resident text;
+    the global first-occurrence is a groupBy(hash).min(struct) whose
+    partial aggregation absorbs hot boilerplate keys MAP-SIDE (a
+    million-page cookie banner combines to one row per input
+    partition — the reason this is an agg + equi-join rather than a
+    row_number window, which would hash all occurrences of a hot
+    paragraph into one task with no combiner); the join back is
+    equi-keyed on the same md5, so AQE skew-join splitting covers the
+    residual hot buckets; final re-assembly is one groupBy(doc_id).
+    """
+    paras = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), delim)).alias("idx", "para"))
+        .filter(F.trim(F.col("para")) != "")
+        .withColumn("h", F.md5(F.col("para").cast("binary")))
+    )
+    first = paras.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first"))
+    tagged = paras.join(first, "h").withColumn(
+        "keep_para",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("idx") == F.col("first.idx")))
+    kept_sorted = F.transform(
+        F.array_sort(F.collect_list(
+            F.when(F.col("keep_para"), F.struct("idx", "para")))),
+        lambda s: s["para"])
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.col("keep_para").cast("long")).cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(delim, kept_sorted).cast("binary")).alias("kept_md5"),
+    )

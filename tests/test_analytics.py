@@ -453,3 +453,131 @@ def test_nfc_normalize_semantics(spark):
         nfc_normalize(rows).select(
             "doc_id", F.col("norm_text").alias("text"))).collect()
     assert all(r["was_nfc"] == 1 for r in again)
+
+
+# --- paragraph dedup / chunking / C4 line filter (round 3) -------------------
+
+
+def _para_oracle(rows, delim="\n"):
+    """Pure-python first-seen paragraph dedup oracle."""
+    import hashlib
+
+    occs = []  # (doc_id, idx, para)
+    for doc_id, text in rows:
+        for idx, para in enumerate(text.split(delim)):
+            if para.strip():
+                occs.append((doc_id, idx, para))
+    first = {}
+    for doc_id, idx, para in sorted(occs):
+        first.setdefault(para, (doc_id, idx))
+    out = {}
+    for doc_id, idx, para in occs:
+        n_paras, kept = out.setdefault(doc_id, [0, []])
+        out[doc_id][0] += 1
+        if first[para] == (doc_id, idx):
+            out[doc_id][1].append((idx, para))
+    return {
+        d: (n, len(k),
+            hashlib.md5(delim.join(p for _, p in sorted(k)).encode()).hexdigest())
+        for d, (n, k) in out.items()
+    }
+
+
+def test_dedup_paragraphs_first_seen_wins(spark):
+    from ir_spark.operators.dedup import dedup_paragraphs
+
+    header = "subscribe to our newsletter"
+    rows = [
+        (1, f"{header}\nalpha beta gamma\ndelta epsilon"),
+        (2, f"{header}\nzeta eta theta\n\n  \nalpha beta gamma"),
+        (3, "iota kappa\niota kappa\nunique line here"),  # within-doc dup
+        (4, header),                                       # loses everything
+    ]
+    got = {r["doc_id"]: (r["n_paras"], r["n_kept"], r["kept_md5"])
+           for r in dedup_paragraphs(
+               spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert got == _para_oracle(rows)
+    # doc 4's only para was first seen in doc 1 -> nothing kept
+    assert got[4][1] == 0
+    # doc 3 keeps its first "iota kappa" occurrence but not the second
+    assert got[3] == (3, 2, _para_oracle(rows)[3][2])
+
+
+def test_dedup_paragraphs_no_cross_dups_is_identity(spark):
+    from ir_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(i, f"only doc {i} line one\nonly doc {i} line two")
+            for i in range(5)]
+    got = dedup_paragraphs(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()
+    assert all(r["n_paras"] == r["n_kept"] == 2 for r in got)
+
+
+def test_chunk_documents_windows(spark):
+    import hashlib
+
+    from ir_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    rows = [(1, text), (2, "a b"), (3, "")]
+    got = chunk_documents(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        chunk=4, stride=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, chunk 4 stride 3 -> 1 + ceil(6/3) = 3 windows
+    w1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [(r["start"], r["n_chunk_tokens"]) for r in w1] == [
+        (0, 4), (3, 4), (6, 4)]
+    toks = text.split(" ")
+    for r in w1:
+        expect = " ".join(toks[r["start"]:r["start"] + 4])
+        assert r["chunk_md5"] == hashlib.md5(expect.encode()).hexdigest()
+    # doc 2: shorter than one chunk -> exactly one short window
+    assert [(r["start"], r["n_chunk_tokens"]) for r in by_doc[2]] == [(0, 2)]
+    # doc 3: empty -> no rows
+    assert 3 not in by_doc
+
+
+def test_chunk_documents_full_coverage_no_empty_tail(spark):
+    from ir_spark.operators.corpus import chunk_documents
+
+    # n = 9, chunk 4, stride 4 -> starts 0,4,8 (tail window length 1);
+    # n = 8 -> starts 0,4 only (no empty start-at-8 window)
+    for n, starts in [(9, [0, 4, 8]), (8, [0, 4])]:
+        rows = [(1, " ".join(f"t{i}" for i in range(n)))]
+        got = chunk_documents(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            chunk=4, stride=4).collect()
+        assert sorted(r["start"] for r in got) == starts
+        assert sum(r["n_chunk_tokens"] for r in got) == n
+
+
+def test_c4_line_filter_rules(spark):
+    import hashlib
+
+    from ir_spark.operators.corpus import c4_line_filter
+
+    rows = [
+        # keeps 3 lines -> keep=1
+        (1, "this line ends well.\nshort.\nuses JavaScript heavily today.\n"
+            "another good line here!\nis this kept?\nno terminal punct"),
+        # lorem ipsum page -> keep=0 even with enough good lines
+        (2, "lorem ipsum dolor sit amet.\ngood line number two.\n"
+            "good line number three."),
+        # curly brace page -> keep=0
+        (3, "var x = {a: 1}.\ngood line number two.\ngood line three."),
+        # too few kept lines -> keep=0
+        (4, "only one good line here."),
+    ]
+    got = {r["doc_id"]: r for r in c4_line_filter(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    d1 = got[1]
+    # kept: "this line ends well.", "another good line here!", "is this kept?"
+    assert (d1["n_lines"], d1["n_kept_lines"], d1["keep"]) == (6, 3, 1)
+    kept = "this line ends well.\nanother good line here!\nis this kept?"
+    assert d1["kept_md5"] == hashlib.md5(kept.encode()).hexdigest()
+    assert got[2]["keep"] == 0 and got[2]["n_kept_lines"] == 3
+    assert got[3]["keep"] == 0
+    assert got[4]["keep"] == 0 and got[4]["n_kept_lines"] == 1
