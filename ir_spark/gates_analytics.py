@@ -320,6 +320,60 @@ FROM bits GROUP BY doc_id
 """
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball SimHash pairing (Manku et al. 2007,
+    dedup.py::simhash_near_dup_pairs) over the near-dup corpus: every
+    pair at Hamming distance <= 3 via pigeonhole band blocking.  The
+    cap is lifted for the gate so the oracle is the clean all-pairs
+    Hamming predicate (pigeonhole makes blocking lossless at k=3 with
+    4 bands).  Gated on a 1/5 doc sample: the synthetic corpus draws
+    every doc from one vocabulary, so 32-bit fingerprints cluster far
+    more tightly than real web text — unsampled, ~0.6% of ALL pairs
+    qualify at k=3 and the gate's row count is quadratic noise, not
+    signal."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    fp = D.simhash32(B.token_counts(_with_near_dups(docs)))
+    return D.simhash_near_dup_pairs(fp, k=3, n_tables=4, max_bucket=100_000)
+
+
+def sql_simhash_near_dup() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS doc_id,
+         substr(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 = 0
+),
+toks AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM corpus) u
+  WHERE LENGTH(term) > 1
+  GROUP BY doc_id, term
+),
+bits AS (
+  SELECT doc_id, r.pos,
+         SUM(CASE WHEN (((strpos('0123456789abcdef',
+                                 substr(md5(term), r.pos // 4 + 1, 1)) - 1)
+                         >> (3 - r.pos % 4)) % 2) = 1
+                  THEN tf ELSE -tf END) AS s
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS pos) r
+  GROUP BY doc_id, r.pos
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << (31 - pos)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard for all sampled-doc pairs sharing a
     source partition (the blocked all-pairs pattern: block key bounds
@@ -2145,6 +2199,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": q_collocations_pmi,
         "dup_span_coverage": q_dup_span_coverage,
         "paragraph_dedup": q_paragraph_dedup,
+        "simhash_near_dup": q_simhash_near_dup,
         "doc_chunks": q_doc_chunks,
         "c4_line_filter": q_c4_line_filter,
         "host_cap_sample": q_host_cap_sample,
@@ -2193,6 +2248,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "collocations_pmi": sql_collocations_pmi(),
         "dup_span_coverage": sql_dup_span_coverage(),
         "paragraph_dedup": sql_paragraph_dedup(),
+        "simhash_near_dup": sql_simhash_near_dup(),
         "doc_chunks": sql_doc_chunks(),
         "c4_line_filter": sql_c4_line_filter(),
         "host_cap_sample": sql_host_cap_sample(),

@@ -81,6 +81,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
                               "n_grams", "n_tokens"],
         "dedup_clusters": ["cluster_id", "doc_id", "is_canonical"],
         "paragraph_dedup": ["doc_id", "kept_md5", "n_kept", "n_paras"],
+        "simhash_near_dup": ["a", "b", "dist"],
     },
     "corpus_suite": {
         "decontaminate": ["contaminated", "doc_id", "n_contaminated_grams",

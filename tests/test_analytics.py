@@ -581,3 +581,82 @@ def test_c4_line_filter_rules(spark):
     assert got[2]["keep"] == 0 and got[2]["n_kept_lines"] == 3
     assert got[3]["keep"] == 0
     assert got[4]["keep"] == 0 and got[4]["n_kept_lines"] == 1
+
+
+# --- simhash Hamming-ball near-dup pairs (round 3) ---------------------------
+
+
+def _hamming_pairs_oracle(fps, k):
+    """Brute-force all-pairs Hamming <= k over (doc_id, simhash)."""
+    out = set()
+    for i, (a, sa) in enumerate(fps):
+        for b, sb in fps[i + 1:]:
+            lo, hi = min(a, b), max(a, b)
+            d = bin(sa ^ sb).count("1")
+            if d <= k:
+                out.add((lo, hi, d))
+    return out
+
+
+def test_simhash_near_dup_pairs_crafted(spark):
+    from ir_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = 0b10110010101001011100101010010110
+    fps = [
+        (1, base),
+        (2, base),                    # dist 0
+        (3, base ^ 0b1),              # dist 1
+        (4, base ^ 0b11000000000000), # dist 2
+        (5, base ^ (1 << 31) ^ (1 << 15) ^ (1 << 7)),  # dist 3, spread bands
+        (6, base ^ 0b1111),           # dist 4 -> excluded at k=3
+        (7, 0),                       # far from everything
+    ]
+    got = {(r["a"], r["b"], r["dist"]) for r in simhash_near_dup_pairs(
+        spark.createDataFrame(fps, "doc_id long, simhash long"),
+        k=3).collect()}
+    assert got == _hamming_pairs_oracle(fps, 3)
+    assert (1, 2, 0) in got and (1, 5, 3) in got
+    # doc 6 is dist 4 from docs 1/2 (excluded) but dist 3 from doc 3
+    assert (1, 6, 4) not in got and (2, 6, 4) not in got
+    assert (3, 6, 3) in got
+
+
+def test_simhash_near_dup_pairs_random_recall_is_exact(spark):
+    """Pigeonhole blocking must find EVERY pair at dist <= k (no
+    probabilistic miss): operator == brute force on clustered-random
+    fingerprints."""
+    import random
+
+    from ir_spark.operators.dedup import simhash_near_dup_pairs
+
+    rng = random.Random(1234)
+    fps = []
+    doc = 0
+    for _ in range(40):  # 40 clusters of 1-3 near variants
+        center = rng.getrandbits(32)
+        for _ in range(rng.randint(1, 3)):
+            v = center
+            for _ in range(rng.randint(0, 4)):  # some exceed k
+                v ^= 1 << rng.randrange(32)
+            fps.append((doc, v))
+            doc += 1
+    got = {(r["a"], r["b"], r["dist"]) for r in simhash_near_dup_pairs(
+        spark.createDataFrame(fps, "doc_id long, simhash long"),
+        k=2).collect()}
+    assert got == _hamming_pairs_oracle(fps, 2)
+
+
+def test_simhash_near_dup_pairs_bucket_cap_and_validation(spark):
+    from ir_spark.operators.dedup import simhash_near_dup_pairs
+
+    same = [(i, 12345) for i in range(10)]
+    df = spark.createDataFrame(same, "doc_id long, simhash long")
+    # identical fingerprints overflow every band bucket past the cap
+    assert simhash_near_dup_pairs(df, k=1, max_bucket=5).count() == 0
+    # and are all found when the cap allows
+    assert simhash_near_dup_pairs(df, k=1, max_bucket=100).count() == 45
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        simhash_near_dup_pairs(df, k=4, n_tables=4)
+    with _pt.raises(ValueError):
+        simhash_near_dup_pairs(df, n_tables=5)
