@@ -2189,6 +2189,161 @@ FROM corpus d LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+GOPHER_LINE_W = 12
+
+
+def _with_gopher_text(docs: DataFrame) -> DataFrame:
+    """Derived corpus that fires every Gopher rule: words are
+    truncated to 10 on every 11th doc (min-word-count rule), 8 '#'
+    words appended on every 7th (hash-ratio rule), 40 numeric words on
+    every 13th (alphabetic-word rule), 4 required stopwords on even
+    docs vs 1 on odd (stopword rule); re-wrapped into GOPHER_LINE_W-
+    word lines where every 4th doc bullets ALL lines (fails <=0.9) vs
+    half on %4==1 docs (passes), and %5==1 docs end ALL lines with
+    '...' (fails <=0.3) vs every 4th line on %5==2 (passes) and a
+    single-char '…' first line on %5==3."""
+    w2 = F.expr(
+        "concat("
+        "CASE WHEN doc_id % 11 = 4 THEN slice(_w, 1, 10) ELSE _w END, "
+        "CASE WHEN doc_id % 7 = 3 THEN array_repeat('#', 8) "
+        "     ELSE cast(array() as array<string>) END, "
+        "CASE WHEN doc_id % 13 = 5 THEN array_repeat('12345', 40) "
+        "     ELSE cast(array() as array<string>) END, "
+        "CASE WHEN doc_id % 2 = 0 THEN array('the', 'of', 'and', 'that') "
+        "     ELSE array('the') END)")
+    lines = F.expr(
+        f"transform(sequence(1, greatest(cast(ceil(size(_w2) / "
+        f"{GOPHER_LINE_W}.0) as int), 1)), i -> concat("
+        f"CASE WHEN doc_id % 4 = 0 THEN '• ' "
+        f"     WHEN doc_id % 4 = 1 AND i % 2 = 0 THEN '- ' ELSE '' END, "
+        f"array_join(slice(_w2, (i-1)*{GOPHER_LINE_W}+1, {GOPHER_LINE_W}), "
+        f"' '), "
+        f"CASE WHEN doc_id % 5 = 1 THEN ' ...' "
+        f"     WHEN doc_id % 5 = 2 AND i % 4 = 0 THEN ' ...' "
+        f"     WHEN doc_id % 5 = 3 AND i = 1 THEN ' …' ELSE '' END))")
+    return (docs.select("doc_id", F.expr(_WORDS_EXPR).alias("_w"))
+            .withColumn("_w2", w2)
+            .select("doc_id", F.array_join(lines, "\n").alias("text")))
+
+
+_SQL_GOPHER_CORPUS = f"""
+corpus AS (
+  SELECT doc_id,
+    array_to_string(list_transform(
+      range(1, greatest(CAST(ceil(len(w2) / {GOPHER_LINE_W}.0) AS INT),
+                        1) + 1),
+      i -> (CASE WHEN doc_id % 4 = 0 THEN '• '
+                 WHEN doc_id % 4 = 1 AND i % 2 = 0 THEN '- '
+                 ELSE '' END)
+           || array_to_string(
+                w2[(i-1)*{GOPHER_LINE_W}+1:(i-1)*{GOPHER_LINE_W}+{GOPHER_LINE_W}], ' ')
+           || (CASE WHEN doc_id % 5 = 1 THEN ' ...'
+                    WHEN doc_id % 5 = 2 AND i % 4 = 0 THEN ' ...'
+                    WHEN doc_id % 5 = 3 AND i = 1 THEN ' …'
+                    ELSE '' END)),
+      chr(10)) AS text
+  FROM (
+    SELECT doc_id, list_concat(list_concat(list_concat(
+      CASE WHEN doc_id % 11 = 4 THEN w[1:10] ELSE w END,
+      CASE WHEN doc_id % 7 = 3
+           THEN list_transform(range(1, 9), x -> '#')
+           ELSE CAST([] AS VARCHAR[]) END),
+      CASE WHEN doc_id % 13 = 5
+           THEN list_transform(range(1, 41), x -> '12345')
+           ELSE CAST([] AS VARCHAR[]) END),
+      CASE WHEN doc_id % 2 = 0 THEN ['the', 'of', 'and', 'that']
+           ELSE ['the'] END) AS w2
+    FROM (SELECT doc_id, {_SQL_W} AS w FROM documents))
+)"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-level quality filter (Rae et al. 2021;
+    operators/corpus.py::gopher_quality_filter) over the derived
+    rule-firing corpus."""
+    from .operators.corpus import gopher_quality_filter
+
+    return gopher_quality_filter(_with_gopher_text(_docs(spark, sf_dir)))
+
+
+def sql_gopher_quality() -> str:
+    from .operators.corpus import (
+        GOPHER_ALPHA_WORD_MIN,
+        GOPHER_BULLET_LINE_MAX,
+        GOPHER_ELLIPSIS_LINE_MAX,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOP_KINDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+        GOPHER_SYMBOL_RATIO_MAX,
+    )
+
+    stops = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+    return f"""
+WITH {_SQL_GOPHER_CORPUS.strip()},
+feats AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'),
+                t -> length(t) > 0) AS w,
+    list_filter(list_transform(string_split(text, chr(10)),
+                               x -> trim(x)), x -> x <> '') AS l,
+    text
+  FROM corpus
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(w) AS DOUBLE) AS n_words,
+    CASE WHEN len(w) > 0
+         THEN CAST(list_sum(list_transform(w, t -> length(t)))
+                   AS DOUBLE) / len(w) ELSE 0.0 END AS mean_len,
+    CASE WHEN len(w) > 0
+         THEN CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+                   AS DOUBLE) / len(w) ELSE 0.0 END AS alpha_frac,
+    CASE WHEN len(w) > 0
+         THEN CAST(length(text) - length(replace(text, '#', ''))
+                   AS DOUBLE) / len(w) ELSE 0.0 END AS hash_ratio,
+    CASE WHEN len(w) > 0
+         THEN CAST((length(text) - length(replace(text, '…', '')))
+                   + (length(replace(text, '…', ''))
+                      - length(replace(replace(text, '…', ''), '...', '')))
+                     // 3 AS DOUBLE) / len(w) ELSE 0.0 END AS ell_ratio,
+    CASE WHEN len(l) > 0
+         THEN CAST(len(list_filter(l, x -> starts_with(x, '•')
+                                        OR starts_with(x, '-')
+                                        OR starts_with(x, '*')))
+                   AS DOUBLE) / len(l) ELSE 0.0 END AS bullet_frac,
+    CASE WHEN len(l) > 0
+         THEN CAST(len(list_filter(l, x -> ends_with(x, '...')
+                                        OR ends_with(x, '…')))
+                   AS DOUBLE) / len(l) ELSE 0.0 END AS ell_line_frac,
+    CAST(len(list_intersect(list_distinct(list_transform(w,
+         t -> lower(t))), {stops})) AS BIGINT) AS n_stop
+  FROM feats
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(ROUND(mean_len * 1000000) AS BIGINT) AS mean_word_len_micro,
+  CAST(ROUND(alpha_frac * 1000000) AS BIGINT) AS alpha_frac_micro,
+  CAST(ROUND(hash_ratio * 1000000) AS BIGINT) AS hash_ratio_micro,
+  CAST(ROUND(ell_ratio * 1000000) AS BIGINT) AS ellipsis_ratio_micro,
+  CAST(ROUND(bullet_frac * 1000000) AS BIGINT) AS bullet_line_frac_micro,
+  CAST(ROUND(ell_line_frac * 1000000) AS BIGINT) AS ellipsis_line_frac_micro,
+  n_stop AS n_stop_kinds,
+  CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+       AND mean_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                        AND {GOPHER_MAX_MEAN_WORD_LEN}
+       AND hash_ratio <= {GOPHER_SYMBOL_RATIO_MAX}
+       AND ell_ratio <= {GOPHER_SYMBOL_RATIO_MAX}
+       AND bullet_frac <= {GOPHER_BULLET_LINE_MAX}
+       AND ell_line_frac <= {GOPHER_ELLIPSIS_LINE_MAX}
+       AND alpha_frac >= {GOPHER_ALPHA_WORD_MIN}
+       AND n_stop >= {GOPHER_MIN_STOP_KINDS} AS INT) AS keep
+FROM m
+"""
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pii_scrub": q_pii_scrub,
@@ -2202,6 +2357,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "doc_chunks": q_doc_chunks,
         "c4_line_filter": q_c4_line_filter,
+        "gopher_quality": q_gopher_quality,
         "host_cap_sample": q_host_cap_sample,
         "pagerank_hosts": q_pagerank_hosts,
         "url_canonical_dedup": q_url_canonical_dedup,
@@ -2251,6 +2407,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "simhash_near_dup": sql_simhash_near_dup(),
         "doc_chunks": sql_doc_chunks(),
         "c4_line_filter": sql_c4_line_filter(),
+        "gopher_quality": sql_gopher_quality(),
         "host_cap_sample": sql_host_cap_sample(),
         "pagerank_hosts": sql_pagerank_hosts(),
         "url_canonical_dedup": sql_url_canonical_dedup(),

@@ -84,6 +84,11 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "simhash_near_dup": ["a", "b", "dist"],
     },
     "corpus_suite": {
+        "gopher_quality": ["alpha_frac_micro", "bullet_line_frac_micro",
+                           "doc_id", "ellipsis_line_frac_micro",
+                           "ellipsis_ratio_micro", "hash_ratio_micro",
+                           "keep", "mean_word_len_micro", "n_stop_kinds",
+                           "n_words"],
         "decontaminate": ["contaminated", "doc_id", "n_contaminated_grams",
                           "n_grams"],
         "repetition_filter": ["doc_id", "dup_trigram_frac_micro", "keep",

@@ -466,3 +466,106 @@ def c4_line_filter(docs: DataFrame, *, min_line_words: int = C4_MIN_LINE_WORDS,
             .cast("int").alias("keep"),
         )
     )
+
+
+# Gopher document-level quality rules (Rae et al. 2021, appendix A —
+# public thresholds; the repetition rules live in repetition_profile)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_SYMBOL_RATIO_MAX = 0.1       # hash-to-word AND ellipsis-to-word
+GOPHER_BULLET_LINE_MAX = 0.90       # > 90% bullet-started lines -> drop
+GOPHER_ELLIPSIS_LINE_MAX = 0.30     # > 30% ellipsis-ended lines -> drop
+GOPHER_ALPHA_WORD_MIN = 0.80        # >= 80% words contain a letter
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_KINDS = 2           # >= 2 distinct required stopwords
+_BULLETS = ("•", "-", "*")
+
+
+def gopher_quality_filter(docs: DataFrame) -> DataFrame:
+    """Gopher document-level quality filter (Rae et al. 2021): the
+    published word-count / mean-word-length / symbol-ratio / bullet
+    and ellipsis line-fraction / alphabetic-word / required-stopword
+    rules, as one narrow projection.
+
+    (doc_id, text) -> (doc_id, n_words, mean_word_len_micro,
+    alpha_frac_micro, hash_ratio_micro, ellipsis_ratio_micro,
+    bullet_line_frac_micro, ellipsis_line_frac_micro, n_stop_kinds,
+    keep) — ratios micro-quantized for cross-engine determinism,
+    ``keep`` the page verdict as 0/1.  Words are whitespace runs;
+    ellipses count both ``...`` and the single-char ``…``; bullet
+    chars are •, -, *.
+
+    Scale shape: every feature is an array/string expression over the
+    row's own text — pure narrow map, zero shuffle, whole-stage
+    codegen, no Python.  At 10^12 docs this filter costs exactly one
+    pass over the text column.
+    """
+    words = F.expr(r"filter(split(text, '\\s+'), w -> length(w) > 0)")
+    lns = F.expr(
+        r"filter(transform(split(text, '\n'), l -> trim(l)), l -> l != '')")
+    d = docs.select(
+        "doc_id",
+        F.col("text"),
+        words.alias("_w"),
+        lns.alias("_l"),
+    )
+    n_words = F.size("_w").cast("double")
+    n_lines = F.size("_l").cast("double")
+    has_words = n_words > 0
+    has_lines = n_lines > 0
+    mean_len = F.when(has_words, F.expr(
+        "aggregate(_w, 0L, (a, w) -> a + length(w))").cast("double")
+        / n_words).otherwise(F.lit(0.0))
+    alpha_frac = F.when(has_words, F.expr(
+        "size(filter(_w, w -> w rlike '[A-Za-z]'))").cast("double")
+        / n_words).otherwise(F.lit(0.0))
+    n_hash = (F.length("text")
+              - F.length(F.regexp_replace("text", "#", ""))).cast("double")
+    n_ell = (
+        (F.length("text") - F.length(F.regexp_replace("text", "…", "")))
+        + F.floor((F.length(F.regexp_replace("text", "…", ""))
+                   - F.length(F.regexp_replace(
+                       F.regexp_replace("text", "…", ""),
+                       r"\.\.\.", ""))) / F.lit(3))
+    ).cast("double")
+    hash_ratio = F.when(has_words, n_hash / n_words).otherwise(F.lit(0.0))
+    ell_ratio = F.when(has_words, n_ell / n_words).otherwise(F.lit(0.0))
+    bullet_cond = " or ".join(
+        f"startswith(l, '{b}')" for b in _BULLETS)
+    bullet_frac = F.when(has_lines, F.expr(
+        f"size(filter(_l, l -> {bullet_cond}))").cast("double")
+        / n_lines).otherwise(F.lit(0.0))
+    ell_line_frac = F.when(has_lines, F.expr(
+        "size(filter(_l, l -> endswith(l, '...') "
+        "or endswith(l, '…')))").cast("double")
+        / n_lines).otherwise(F.lit(0.0))
+    stop_arr = "array(" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + ")"
+    n_stop = F.expr(
+        f"size(array_intersect(array_distinct(transform(_w, "
+        f"w -> lower(w))), {stop_arr}))").cast("long")
+    keep = (
+        n_words.between(float(GOPHER_MIN_WORDS), float(GOPHER_MAX_WORDS))
+        & mean_len.between(GOPHER_MIN_MEAN_WORD_LEN,
+                           GOPHER_MAX_MEAN_WORD_LEN)
+        & (hash_ratio <= GOPHER_SYMBOL_RATIO_MAX)
+        & (ell_ratio <= GOPHER_SYMBOL_RATIO_MAX)
+        & (bullet_frac <= GOPHER_BULLET_LINE_MAX)
+        & (ell_line_frac <= GOPHER_ELLIPSIS_LINE_MAX)
+        & (alpha_frac >= GOPHER_ALPHA_WORD_MIN)
+        & (n_stop >= GOPHER_MIN_STOP_KINDS)
+    )
+    micro = lambda c: F.round(c * 1e6).cast("long")  # noqa: E731
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        micro(mean_len).alias("mean_word_len_micro"),
+        micro(alpha_frac).alias("alpha_frac_micro"),
+        micro(hash_ratio).alias("hash_ratio_micro"),
+        micro(ell_ratio).alias("ellipsis_ratio_micro"),
+        micro(bullet_frac).alias("bullet_line_frac_micro"),
+        micro(ell_line_frac).alias("ellipsis_line_frac_micro"),
+        n_stop.alias("n_stop_kinds"),
+        keep.cast("int").alias("keep"),
+    )

@@ -660,3 +660,59 @@ def test_simhash_near_dup_pairs_bucket_cap_and_validation(spark):
         simhash_near_dup_pairs(df, k=4, n_tables=4)
     with _pt.raises(ValueError):
         simhash_near_dup_pairs(df, n_tables=5)
+
+
+# --- Gopher document-level quality filter (round 3) ---------------------------
+
+
+def test_gopher_quality_filter_rules(spark):
+    from ir_spark.operators.corpus import gopher_quality_filter
+
+    good = " ".join(["the", "of", "and"] + ["wordy"] * 60)
+    docs = [
+        (1, good),                                    # passes every rule
+        (2, " ".join(["the", "of"] + ["word"] * 10)),  # < 50 words
+        (3, good + " " + " ".join(["#"] * 10)),        # hash ratio > 0.1
+        (4, "\n".join(["• " + good, "• the of more here"])),  # all bullets
+        (5, "\n".join([good + " ...", "the of a ...", "b c ..."])),  # ell lines
+        (6, " ".join(["the", "of"] + ["12345"] * 60)),  # alpha frac < 0.8
+        (7, " ".join(["zz"] * 60)),                    # mean len 2 + no stops
+        (8, ""),                                       # empty
+        (9, good + "\nthe of tail line"),              # 2 lines, none flagged
+        (10, good.replace("the of and", "the")),       # only 1 stopword kind
+    ]
+    got = {r["doc_id"]: r for r in gopher_quality_filter(
+        spark.createDataFrame(docs, "doc_id long, text string")).collect()}
+    assert len(got) == len(docs)
+    assert got[1]["keep"] == 1 and got[1]["n_stop_kinds"] == 3
+    assert got[2]["keep"] == 0 and got[2]["n_words"] < 50
+    assert got[3]["keep"] == 0 and got[3]["hash_ratio_micro"] > 100_000
+    assert got[4]["keep"] == 0 and got[4]["bullet_line_frac_micro"] == 1_000_000
+    assert got[5]["keep"] == 0 and got[5]["ellipsis_line_frac_micro"] == 1_000_000
+    assert got[6]["keep"] == 0 and got[6]["alpha_frac_micro"] < 800_000
+    assert got[7]["keep"] == 0 and got[7]["mean_word_len_micro"] == 2_000_000
+    assert got[7]["n_stop_kinds"] == 0
+    assert got[8]["keep"] == 0 and got[8]["n_words"] == 0
+    assert got[9]["keep"] == 1
+    assert got[10]["keep"] == 0 and got[10]["n_stop_kinds"] == 1
+
+
+def test_gopher_quality_single_char_ellipsis_and_mixed_bullets(spark):
+    from ir_spark.operators.corpus import gopher_quality_filter
+
+    base = " ".join(["the", "of"] + ["token"] * 58)
+    docs = [
+        # one '…' char: counts toward ellipsis ratio AND line fraction
+        (1, base + " …"),
+        # 1 of 4 lines bulleted (0.25 <= 0.9) and 1 of 4 ellipsis-ended
+        # (0.25 <= 0.3): both fractions nonzero but passing
+        (2, "\n".join(["- " + base, base, base, base + " ..."])),
+    ]
+    got = {r["doc_id"]: r for r in gopher_quality_filter(
+        spark.createDataFrame(docs, "doc_id long, text string")).collect()}
+    assert got[1]["ellipsis_ratio_micro"] > 0
+    assert got[1]["ellipsis_line_frac_micro"] == 1_000_000  # its only line
+    assert got[1]["keep"] == 0
+    assert got[2]["bullet_line_frac_micro"] == 250_000
+    assert got[2]["ellipsis_line_frac_micro"] == 250_000
+    assert got[2]["keep"] == 1
