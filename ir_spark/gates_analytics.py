@@ -1609,6 +1609,77 @@ SELECT node, CAST(ROUND(rank * 1000000) AS BIGINT) AS rank_micro FROM {final}
 """
 
 
+HITS_ITERS = 3
+
+
+def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the derived host graph — the real
+    iterative operator (linkgraph.py::hits: stationary persisted edge
+    partitioning per orientation, per-iteration O(nodes) shuffles,
+    integer-exact unnormalized iterations scaled once by max)."""
+    from .operators.linkgraph import hits
+
+    edges = _derived_host_edges(spark, sf_dir).localCheckpoint(eager=True)
+    h = hits(edges, n_iters=HITS_ITERS, weighted=True)
+    return h.select(
+        "node",
+        F.round(F.col("auth") * 1e6).cast("long").alias("auth_micro"),
+        F.round(F.col("hub") * 1e6).cast("long").alias("hub_micro"),
+    )
+
+
+def sql_hits_hosts() -> str:
+    """Unrolled HITS recurrence over the same perm/edges derivation as
+    the PageRank oracle (must stay in lockstep with
+    _md5_partner_pairs/_derived_host_edges).  hub_0 = 1; every
+    intermediate is an exact integer in doubles, so the only rounding
+    is the final max-division — bit-identical to the Spark operator."""
+    offs = ", ".join(f"({j})" for j in PR_OFFSETS)
+    steps = []
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        steps.append(f"""
+a{i} AS (
+  SELECT h.node, COALESCE(c.s, 0) AS auth
+  FROM hosts h LEFT JOIN (
+    SELECT e.dst, SUM(CAST(e.weight AS DOUBLE) * p.hub) AS s
+    FROM edges e JOIN {prev_h} p ON p.node = e.src GROUP BY e.dst) c
+  ON c.dst = h.node),
+h{i} AS (
+  SELECT h.node, COALESCE(c.s, 0) AS hub
+  FROM hosts h LEFT JOIN (
+    SELECT e.src, SUM(CAST(e.weight AS DOUBLE) * a.auth) AS s
+    FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src) c
+  ON c.src = h.node)""")
+        prev_h = f"h{i}"
+    k = HITS_ITERS
+    return f"""
+WITH perm AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS r
+  FROM documents
+),
+edges AS (
+  SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM perm a
+  CROSS JOIN (VALUES {offs}) offs(j)
+  JOIN perm b
+    ON b.r = (a.r + offs.j) % (SELECT COUNT(*) FROM documents)
+  WHERE a.source <> b.source
+  GROUP BY a.source, b.source
+),
+hosts AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub FROM hosts),{",".join(steps)}
+SELECT a.node,
+  CAST(ROUND(a.auth / (SELECT MAX(auth) FROM a{k}) * 1000000)
+       AS BIGINT) AS auth_micro,
+  CAST(ROUND(h.hub / (SELECT MAX(hub) FROM h{k}) * 1000000)
+       AS BIGINT) AS hub_micro
+FROM a{k} a JOIN h{k} h USING (node)
+"""
+
+
 def _derived_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Url-level outlink rows from the shared md5-partner pairing,
     keeping urls and synthesizing anchor text as the first two words
@@ -2360,6 +2431,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "host_cap_sample": q_host_cap_sample,
         "pagerank_hosts": q_pagerank_hosts,
+        "hits_hosts": q_hits_hosts,
         "url_canonical_dedup": q_url_canonical_dedup,
         "anchor_text_agg": q_anchor_text_agg,
         "bm25_pagerank_topk": q_bm25_pagerank_topk,
@@ -2410,6 +2482,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "gopher_quality": sql_gopher_quality(),
         "host_cap_sample": sql_host_cap_sample(),
         "pagerank_hosts": sql_pagerank_hosts(),
+        "hits_hosts": sql_hits_hosts(),
         "url_canonical_dedup": sql_url_canonical_dedup(),
         "anchor_text_agg": sql_anchor_text_agg(),
         "bm25_pagerank_topk": sql_bm25_pagerank_topk(),

@@ -114,6 +114,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
     },
     "linkgraph_suite": {
         "pagerank_hosts": ["node", "rank_micro"],
+        "hits_hosts": ["auth_micro", "hub_micro", "node"],
         "anchor_text_agg": ["anchor_terms", "dst", "n_inlinks",
                             "n_src_hosts"],
         "url_canonical_dedup": ["canon_url", "doc_id", "n_dups"],

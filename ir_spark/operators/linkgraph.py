@@ -280,3 +280,104 @@ def pagerank(
     nodes.unpersist()
     frac.unpersist()
     return out
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    n_iters: int = 3,
+    weighted: bool = True,
+    checkpoint_every: int = 4,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    in a hyperlinked environment") over (src, dst[, weight]) ->
+    (node, auth, hub).
+
+    hub_0 = 1; each iteration
+      auth(v) = sum_{u->v} w(u,v) * hub(u)
+      hub(u)  = sum_{u->v} w(u,v) * auth(v)
+    run UNNORMALIZED through the iterations, then scaled ONCE by the
+    max at the end.  Rationale: with integer edge weights every
+    intermediate value is an exact integer, and IEEE doubles represent
+    integers exactly below 2^53 — sums of exact integers are
+    order-independent, and max is an order-independent reduction, so
+    the result is bit-reproducible across engines (unlike per-iteration
+    L2 normalization, whose global float sum depends on reduction
+    order).  The exactness window (score growth ~ (total out-weight)^k)
+    comfortably covers small k on host graphs; for deep iteration
+    counts at web scale, renormalize by the max (still exact-safe)
+    every few iterations via ``checkpoint_every``.
+
+    Plan shape per iteration: the rank-sized (O(nodes)) hub/auth frames
+    shuffle into the STATIONARY persisted edge partitioning (edges —
+    the 100-TB side — are shuffled exactly once per orientation, up
+    front); one groupBy per phase with map-side partial aggs.  Lineage
+    is truncated with an eager localCheckpoint every
+    ``checkpoint_every`` iterations, exactly like ``pagerank``.
+    """
+    w = (F.col("weight").cast("double")
+         if weighted and "weight" in edges.columns else F.lit(1.0))
+    e = edges.select(F.col("src").alias("src"), F.col("dst").alias("dst"),
+                     w.alias("w"))
+    n_edges = e.count()
+    nparts = shuffle_partitions or max(
+        1, min(int(e.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32")),
+            (n_edges // 2_000_000) + 1))
+
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .repartition(nparts, "node")
+             .persist())
+    if nodes.count() == 0:
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node string, auth double, hub double")
+
+    by_dst = e.repartition(nparts, "dst").persist()
+    by_src = e.repartition(nparts, "src").persist()
+
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = nodes.select("node", F.lit(0.0).alias("auth"))
+    cached: list[DataFrame] = []
+    for it in range(n_iters):
+        a_contrib = (
+            by_dst.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("hub")).alias("s")))
+        auth = (nodes.join(a_contrib, nodes["node"] == a_contrib["dst"],
+                           "left")
+                .select("node", F.coalesce("s", F.lit(0.0)).alias("auth")))
+        h_contrib = (
+            by_src.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("auth")).alias("s")))
+        hub = (nodes.join(h_contrib, nodes["node"] == h_contrib["src"],
+                          "left")
+               .select("node", F.coalesce("s", F.lit(0.0)).alias("hub")))
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_iters:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+            for c in cached:
+                c.unpersist()
+            cached = []
+
+    scores = (auth.join(hub, "node")
+              .localCheckpoint(eager=True))  # truncate before the scalar aggs
+    mx = scores.agg(F.max("auth"), F.max("hub")).collect()[0]
+    max_a = mx[0] or 0.0
+    max_h = mx[1] or 0.0
+    out = scores.select(
+        "node",
+        (F.col("auth") / F.lit(max_a) if max_a > 0
+         else F.lit(0.0)).alias("auth"),
+        (F.col("hub") / F.lit(max_h) if max_h > 0
+         else F.lit(0.0)).alias("hub"))
+    for c in cached:
+        c.unpersist()
+    nodes.unpersist()
+    by_dst.unpersist()
+    by_src.unpersist()
+    return out

@@ -213,3 +213,77 @@ def test_anchor_text_agg_blank_anchor_yields_no_tokens(spark):
     assert len(rows) == 1
     assert rows[0].n_inlinks == 2
     assert list(rows[0].anchor_terms) == ["real", "term"]
+
+
+# --- HITS hubs & authorities (round 3) ----------------------------------------
+
+
+def _py_hits(edges, n_iters):
+    """Pure-python unnormalized-then-max-scaled HITS oracle."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(n_iters):
+        auth = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            auth[d] += w * hub[s]
+        hub = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            hub[s] += w * auth[d]
+    ma = max(auth.values()) or 1.0
+    mh = max(hub.values()) or 1.0
+    return ({v: a / ma for v, a in auth.items()},
+            {v: h / mh for v, h in hub.items()})
+
+
+@pytest.mark.parametrize("n_iters", [1, 3, 5])
+def test_hits_matches_python(spark, n_iters):
+    from ir_spark.operators.linkgraph import hits
+
+    edges = [("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 1.0),
+             ("a", "c", 4.0), ("d", "a", 3.0), ("e", "a", 1.0),
+             ("c", "f", 1.0)]  # f: authority only; e: hub only
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {r.node: (r.auth, r.hub)
+           for r in hits(df, n_iters=n_iters).collect()}
+    wa, wh = _py_hits(edges, n_iters)
+    assert set(got) == set(wa)
+    for v in wa:
+        # integer-exact arithmetic until the single final division:
+        # bit-equality, not approx
+        assert got[v][0] == wa[v], (v, got[v][0], wa[v])
+        assert got[v][1] == wh[v]
+    assert max(a for a, _ in got.values()) == 1.0
+    assert max(h for _, h in got.values()) == 1.0
+    assert got["f"][1] == 0.0  # never a src
+    assert got["e"][0] == 0.0  # never a dst
+
+
+def test_hits_empty_and_unweighted(spark):
+    from ir_spark.operators.linkgraph import hits
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert hits(empty).count() == 0
+    edges = [("a", "b", 100.0), ("b", "a", 1.0), ("a", "c", 1.0),
+             ("c", "a", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {r.node: (r.auth, r.hub)
+           for r in hits(df, n_iters=3, weighted=False).collect()}
+    wa, wh = _py_hits([(s, d, 1.0) for s, d, _ in edges], 3)
+    for v in wa:
+        assert got[v] == (wa[v], wh[v])
+    # b and c are symmetric under unit weights
+    assert got["b"] == got["c"]
+
+
+def test_hits_checkpointing_path(spark):
+    from ir_spark.operators.linkgraph import hits
+
+    edges = [("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 1.0),
+             ("d", "a", 3.0), ("b", "a", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {r.node: (r.auth, r.hub)
+           for r in hits(df, n_iters=6, checkpoint_every=2).collect()}
+    wa, wh = _py_hits(edges, 6)
+    for v in wa:
+        assert got[v] == (wa[v], wh[v])
