@@ -2260,6 +2260,124 @@ FROM corpus d LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+CMS_DEPTH, CMS_WIDTH = 3, 16      # narrow width: collisions exercised
+BLOOM_K, BLOOM_BITS = 3, 256
+SKETCH_ABSENT = ("zz_absent_alpha", "zz_absent_beta")
+N_SKETCH_PROBES = 20
+
+
+def _term_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection frequency per term (toks-level, stopwords included)
+    from the real tokenize kernel — the CMS input stream."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return (B.token_counts(docs).groupBy("term")
+            .agg(F.sum("tf").cast("long").alias("cnt")))
+
+
+def _sketch_probes(term_cf: DataFrame) -> DataFrame:
+    """Deterministic probe list: the N lexicographically-smallest
+    vocabulary terms plus fixed absent strings.  Gate plumbing — the
+    global sort is bounded by the vocabulary, not the corpus."""
+    spark = term_cf.sparkSession
+    present = term_cf.select("term").orderBy("term").limit(N_SKETCH_PROBES)
+    absent = spark.createDataFrame([(t,) for t in SKETCH_ABSENT],
+                                   "term string")
+    return present.union(absent)
+
+
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates (operators/sketch.py) for the
+    probe terms next to their true collection frequencies: the sketch
+    is built at deliberately narrow width so the min-over-rows
+    collision behavior is what the oracle must reproduce."""
+    from .operators.sketch import count_min_build, count_min_estimate
+
+    cf = _term_cf(spark, sf_dir)
+    cms = count_min_build(cf.select("term", "cnt"),
+                          depth=CMS_DEPTH, width=CMS_WIDTH)
+    est = count_min_estimate(cms, _sketch_probes(cf),
+                             depth=CMS_DEPTH, width=CMS_WIDTH)
+    return (est.join(cf, "term", "left")
+            .select("term", "est",
+                    F.coalesce("cnt", F.lit(0)).cast("long")
+                    .alias("true_cf")))
+
+
+def _sql_sketch_probes() -> str:
+    absent = " UNION ALL ".join(f"SELECT '{t}' AS term"
+                                for t in SKETCH_ABSENT)
+    return f"""
+cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM toks GROUP BY term),
+probes AS (
+  SELECT term FROM (SELECT term FROM cf ORDER BY term
+                    LIMIT {N_SKETCH_PROBES})
+  UNION ALL {absent}
+)"""
+
+
+def _sql_hash_bucket(value_expr: str, seed_expr: str, modulus: int) -> str:
+    """The cross-engine md5 bucket (first 8 hex digits mod m) — must
+    stay in lockstep with sketch.py::_bucket."""
+    return (f"('0x' || substr(md5(CAST({seed_expr} AS VARCHAR) || ':' || "
+            f"{value_expr}), 1, 8))::BIGINT % {modulus}")
+
+
+def sql_cms_term_counts() -> str:
+    return f"""
+WITH {TOKS_CTE.strip()},
+{_sql_sketch_probes().strip()},
+cells AS (
+  SELECT r.row, {_sql_hash_bucket('cf.term', 'r.row', CMS_WIDTH)} AS bucket,
+         SUM(cf.cnt) AS cnt
+  FROM cf CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS row) r
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT p.term,
+         MIN(COALESCE(c.cnt, 0)) AS est
+  FROM probes p
+  CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS row) r
+  LEFT JOIN cells c
+    ON c.row = r.row
+   AND c.bucket = {_sql_hash_bucket('p.term', 'r.row', CMS_WIDTH)}
+  GROUP BY p.term
+)
+SELECT e.term, CAST(e.est AS BIGINT) AS est,
+       CAST(COALESCE(cf.cnt, 0) AS BIGINT) AS true_cf
+FROM est e LEFT JOIN cf ON cf.term = e.term
+"""
+
+
+def q_bloom_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership (operators/sketch.py) of the probe terms
+    against a filter built over the toks vocabulary."""
+    from .operators.sketch import bloom_build, bloom_might_contain
+
+    cf = _term_cf(spark, sf_dir)
+    bloom = bloom_build(cf.select("term"), n_hashes=BLOOM_K,
+                        n_bits=BLOOM_BITS)
+    return bloom_might_contain(bloom, _sketch_probes(cf),
+                               n_hashes=BLOOM_K, n_bits=BLOOM_BITS)
+
+
+def sql_bloom_dictionary() -> str:
+    return f"""
+WITH {TOKS_CTE.strip()},
+{_sql_sketch_probes().strip()},
+bits AS (
+  SELECT DISTINCT {_sql_hash_bucket('cf.term', 'r.k', BLOOM_BITS)} AS bit
+  FROM cf CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS k) r
+)
+SELECT p.term,
+       CAST(MIN(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS INT)
+         AS might_contain
+FROM probes p
+CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS k) r
+LEFT JOIN bits b ON b.bit = {_sql_hash_bucket('p.term', 'r.k', BLOOM_BITS)}
+GROUP BY p.term
+"""
+
+
 GOPHER_LINE_W = 12
 
 
@@ -2429,6 +2547,8 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "c4_line_filter": q_c4_line_filter,
         "gopher_quality": q_gopher_quality,
+        "cms_term_counts": q_cms_term_counts,
+        "bloom_dictionary": q_bloom_dictionary,
         "host_cap_sample": q_host_cap_sample,
         "pagerank_hosts": q_pagerank_hosts,
         "hits_hosts": q_hits_hosts,
@@ -2480,6 +2600,8 @@ def analytics_oracle_sql() -> dict[str, str]:
         "doc_chunks": sql_doc_chunks(),
         "c4_line_filter": sql_c4_line_filter(),
         "gopher_quality": sql_gopher_quality(),
+        "cms_term_counts": sql_cms_term_counts(),
+        "bloom_dictionary": sql_bloom_dictionary(),
         "host_cap_sample": sql_host_cap_sample(),
         "pagerank_hosts": sql_pagerank_hosts(),
         "hits_hosts": sql_hits_hosts(),

@@ -67,6 +67,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "pii_scrub": ["doc_id", "n_emails", "n_ips", "n_phones",
                       "scrubbed_md5"],
         "collocations_pmi": ["n", "pmi_micro", "w1", "w2"],
+        "cms_term_counts": ["est", "term", "true_cf"],
+        "bloom_dictionary": ["might_contain", "term"],
         "unicode_nfc": ["bytes_after", "bytes_before", "doc_id",
                         "norm_md5", "was_nfc"],
     },

@@ -716,3 +716,60 @@ def test_gopher_quality_single_char_ellipsis_and_mixed_bullets(spark):
     assert got[2]["bullet_line_frac_micro"] == 250_000
     assert got[2]["ellipsis_line_frac_micro"] == 250_000
     assert got[2]["keep"] == 1
+
+
+# --- Count-Min / Bloom sketches (round 3) -------------------------------------
+
+
+def _py_bucket(term, seed, modulus):
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{term}".encode()).hexdigest()
+    return int(h[:8], 16) % modulus
+
+
+def test_count_min_upper_bound_and_exact_recompute(spark):
+    from ir_spark.operators.sketch import count_min_build, count_min_estimate
+
+    counts = [("alpha", 100), ("beta", 40), ("gamma", 7), ("delta", 1),
+              ("epsilon", 3), ("zeta", 12)]
+    depth, width = 3, 16  # narrow width forces collisions
+    tc = spark.createDataFrame(counts, "term string, cnt long")
+    cms = count_min_build(tc, depth=depth, width=width)
+    # the table never exceeds depth*width rows
+    assert cms.count() <= depth * width
+    probes = spark.createDataFrame(
+        [(t,) for t, _ in counts] + [("absent",)], "term string")
+    got = {r["term"]: r["est"] for r in count_min_estimate(
+        cms, probes, depth=depth, width=width).collect()}
+    # python recompute of the exact same sketch
+    table = {}
+    for t, c in counts:
+        for r in range(depth):
+            key = (r, _py_bucket(t, r, width))
+            table[key] = table.get(key, 0) + c
+    for t, c in counts + [("absent", 0)]:
+        want = min(table.get((r, _py_bucket(t, r, width)), 0)
+                   for r in range(depth))
+        assert got[t] == want
+        assert got[t] >= c  # CMS never underestimates
+
+
+def test_bloom_no_false_negatives_and_exact_recompute(spark):
+    from ir_spark.operators.sketch import bloom_build, bloom_might_contain
+
+    members = ["alpha", "beta", "gamma", "delta"]
+    k, m = 4, 64  # small m so some false positive is plausible
+    t = spark.createDataFrame([(x,) for x in members], "term string")
+    bloom = bloom_build(t, n_hashes=k, n_bits=m)
+    assert bloom.count() <= min(k * len(members), m)
+    probes = members + ["absent1", "absent2", "absent3"]
+    got = {r["term"]: r["might_contain"] for r in bloom_might_contain(
+        bloom, spark.createDataFrame([(x,) for x in probes], "term string"),
+        n_hashes=k, n_bits=m).collect()}
+    bits = {_py_bucket(x, i, m) for x in members for i in range(k)}
+    for x in probes:
+        want = int(all(_py_bucket(x, i, m) in bits for i in range(k)))
+        assert got[x] == want
+    for x in members:
+        assert got[x] == 1  # no false negatives, ever
