@@ -779,6 +779,80 @@ def _synth_image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(synth, "doc_id long, payload binary")
 
 
+def _synth_png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-bit PNG per doc — REAL zlib-compressed,
+    filter-cycled binary fixtures (multimodal.py::synth_png).  Width/
+    height/color type are pure functions of doc_id; h >= 5 guarantees
+    every scanline filter type (None/Sub/Up/Average/Paeth) occurs in
+    every file."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    cts = (0, 2, 4, 6)
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [M.synth_png(int(d) % 13 + 3, int(d) % 9 + 5,
+                                        seed=int(d),
+                                        color_type=cts[int(d) % 4])
+                            for d in pdf["doc_id"]],
+            })
+
+    return docs.mapInPandas(synth, "doc_id long, payload binary")
+
+
+def q_multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode: zlib inflate + Sub/Up/Average/Paeth
+    unfiltering of actual bytes (multimodal.py::decode_png_pixels),
+    reduced to per-channel statistics.  The oracle never sees the
+    PNG — it recomputes the stats from the closed-form pixel formula,
+    so a match proves the decode inverts the encode bit-for-bit."""
+    return M.image_pixel_stats(_synth_png_payloads(spark, sf_dir))
+
+
+def sql_multimodal_png_pixels() -> str:
+    # pixel(c, x, y) = (doc_id*7 + cc*11 + x*3 + y*5) % 256 with
+    # cc = min(c, channels-1); grayscale repeats across mean_r/g/b
+    return """
+WITH geo AS (
+  SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 9 + 5 AS h,
+         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
+              WHEN 2 THEN 2 ELSE 4 END AS ch
+  FROM documents
+),
+px AS (
+  -- c ranges 0..3 so the RGBA alpha channel reaches min/max;
+  -- least(c, ch-1) makes duplicates harmless (min/max idempotent)
+  SELECT g.doc_id, g.w, g.h, g.ch, c.c,
+         (g.doc_id * 7 + least(c.c, g.ch - 1) * 11 + x.x * 3 + y.y * 5)
+           % 256 AS v
+  FROM geo g
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c
+  JOIN LATERAL (SELECT unnest(range(0, g.w)) AS x) x ON true
+  JOIN LATERAL (SELECT unnest(range(0, g.h)) AS y) y ON true
+),
+chan AS (
+  SELECT doc_id, w, h, ch, c,
+         CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / (w * h) * 1000000 + 0.5)
+              AS BIGINT) AS mean_micro,
+         MIN(v) AS mn, MAX(v) AS mx
+  FROM px GROUP BY doc_id, w, h, ch, c
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(MAX(ch) AS INT) AS channels,
+       MAX(CASE WHEN c = 0 THEN mean_micro END) AS mean_r_micro,
+       MAX(CASE WHEN c = 1 THEN mean_micro END) AS mean_g_micro,
+       MAX(CASE WHEN c = 2 THEN mean_micro END) AS mean_b_micro,
+       CAST(MIN(mn) AS INT) AS min_px,
+       CAST(MAX(mx) AS INT) AS max_px
+FROM chan GROUP BY doc_id
+"""
+
+
 def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode: synthesize a spec-conformant BMP per doc,
     then parse geometry back out of the actual bytes
@@ -2549,6 +2623,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "cms_term_counts": q_cms_term_counts,
         "bloom_dictionary": q_bloom_dictionary,
+        "multimodal_png_pixels": q_multimodal_png_pixels,
         "host_cap_sample": q_host_cap_sample,
         "pagerank_hosts": q_pagerank_hosts,
         "hits_hosts": q_hits_hosts,
@@ -2602,6 +2677,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "gopher_quality": sql_gopher_quality(),
         "cms_term_counts": sql_cms_term_counts(),
         "bloom_dictionary": sql_bloom_dictionary(),
+        "multimodal_png_pixels": sql_multimodal_png_pixels(),
         "host_cap_sample": sql_host_cap_sample(),
         "pagerank_hosts": sql_pagerank_hosts(),
         "hits_hosts": sql_hits_hosts(),

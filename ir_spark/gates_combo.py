@@ -125,6 +125,9 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
                               "source"],
     },
     "multimodal_suite": {
+        "multimodal_png_pixels": ["channels", "doc_id", "height",
+                                  "max_px", "mean_b_micro", "mean_g_micro",
+                                  "mean_r_micro", "min_px", "width"],
         "multimodal_meta": ["doc_id", "format", "height", "n_bytes",
                             "width"],
         "multimodal_image_meta": ["doc_id", "format", "height", "n_bytes",

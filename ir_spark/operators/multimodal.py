@@ -276,3 +276,188 @@ def frame_sample_plan(df: DataFrame, every_n_bytes: int = 1 << 10) -> DataFrame:
             )
         ).alias("frame_no", "byte_offset"),
     )
+
+
+# --- real PNG pixel decode (stdlib zlib + numpy unfiltering) ------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import binascii
+    import struct as _s
+
+    return (_s.pack(">I", len(data)) + tag + data
+            + _s.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def _png_filter_scanline(ftype: int, raw: np.ndarray, prior: np.ndarray,
+                         bpp: int) -> np.ndarray:
+    """Apply PNG filter ``ftype`` to one raw scanline (encoder side)."""
+    raw16 = raw.astype(np.int16)
+    left = np.zeros_like(raw16)
+    left[bpp:] = raw16[:-bpp]
+    up = prior.astype(np.int16)
+    upleft = np.zeros_like(raw16)
+    upleft[bpp:] = up[:-bpp]
+    if ftype == 0:
+        out = raw16
+    elif ftype == 1:
+        out = raw16 - left
+    elif ftype == 2:
+        out = raw16 - up
+    elif ftype == 3:
+        out = raw16 - ((left + up) >> 1)
+    elif ftype == 4:
+        p = left + up - upleft
+        pa, pb, pc = (np.abs(p - left), np.abs(p - up), np.abs(p - upleft))
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, upleft))
+        out = raw16 - pred
+    else:  # pragma: no cover - caller controls ftype
+        raise ValueError(f"bad filter {ftype}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def synth_png(width: int, height: int, seed: int = 0, *,
+              color_type: int = 2) -> bytes:
+    """Spec-conformant non-interlaced 8-bit PNG whose pixel (x, y,
+    channel c) value is ``(seed*7 + c*11 + x*3 + y*5) % 256`` — the
+    same closed form the gate oracle recomputes in SQL.  Scanline
+    filters CYCLE through all five types (y % 5), so decoding requires
+    real Sub/Up/Average/Paeth inversion, not just zlib."""
+    import struct as _s
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    y, x, c = np.ogrid[:height, :width, :ch]
+    px = ((seed * 7 + c * 11 + x * 3 + y * 5) % 256).astype(np.uint8)
+    bpp = ch
+    lines = bytearray()
+    prior = np.zeros(width * ch, dtype=np.uint8)
+    for row in range(height):
+        raw = px[row].reshape(-1)
+        ftype = row % 5
+        lines.append(ftype)
+        lines.extend(_png_filter_scanline(ftype, raw, prior, bpp).tobytes())
+        prior = raw
+    ihdr = _s.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray | None:
+    """REAL PNG pixel decode via stdlib zlib + numpy: non-interlaced
+    8-bit gray/RGB/gray-alpha/RGBA, all five scanline filters
+    (None/Sub/Up/Average/Paeth per RFC 2083).  Returns (height, width,
+    channels) uint8, or None for signatures/variants this pure-python
+    path does not cover (the seam where a codec lib plugs in)."""
+    import struct as _s
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,), tag = _s.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = _s.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        return None
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp or filt or interlace or \
+            color_type not in _PNG_CHANNELS:
+        return None
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        return None
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int16)
+    bpp = ch
+    for row in range(height):
+        line = raw[row * (stride + 1):(row + 1) * (stride + 1)]
+        ftype = line[0]
+        cur = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int16)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 2:
+            rec = (cur + prior) & 0xFF
+        elif ftype in (1, 3, 4):
+            # left-dependent filters are sequential in x by definition;
+            # recurrence over width*channels bytes per row
+            rec = np.zeros(stride, dtype=np.int16)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                upleft = prior[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = left if pa <= pb and pa <= pc else \
+                        (up if pb <= pc else upleft)
+                rec[i] = (cur[i] + pred) & 0xFF
+        else:
+            return None
+        out[row] = rec.astype(np.uint8)
+        prior = out[row].astype(np.int16)
+    return out.reshape(height, width, ch)
+
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id long, width int, height int, channels int, "
+    "mean_r_micro long, mean_g_micro long, mean_b_micro long, "
+    "min_px int, max_px int"
+)
+
+
+def image_pixel_stats(df: DataFrame,
+                      payload_col: str = "payload") -> DataFrame:
+    """(doc_id, payload:binary) -> per-channel pixel statistics from
+    the REAL decoded pixel array (decode_png_pixels).  Non-decodable
+    payloads yield a NULL-stats row rather than a fake, so downstream
+    sees exactly which rows carried a supported codec.
+
+    Means are micro-quantized from exact integer sums (uint8 pixels
+    sum exactly in int64), so the values are bit-reproducible by an
+    oracle that recomputes the synthetic pixel formula.  Grayscale
+    repeats the single channel across mean_r/g/b."""
+    cols = df.select("doc_id", payload_col)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                px = decode_png_pixels(bytes(p))
+                if px is None:
+                    rows.append((doc_id, None, None, None,
+                                 None, None, None, None, None))
+                    continue
+                h, w, ch = px.shape
+                n = h * w
+                sums = px.reshape(-1, ch).astype(np.int64).sum(axis=0)
+                # explicit half-up (not Python banker's round), matching
+                # the SQL oracle's FLOOR(x*1e6 + 0.5)
+                means = [int(int(sums[min(c, ch - 1)]) / n * 1e6 + 0.5)
+                         for c in range(3)]
+                rows.append((doc_id, w, h, ch, *means,
+                             int(px.min()), int(px.max())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "channels", "mean_r_micro",
+                "mean_g_micro", "mean_b_micro", "min_px", "max_px"])
+
+    return cols.mapInPandas(kernel, PIXEL_STATS_SCHEMA)

@@ -109,3 +109,56 @@ def test_spark_wav_meta_roundtrip(spark):
     assert got[1].rms_micro == 1000 * 1_000_000
     assert got[1].zero_crossings == 49
     assert got[2].n_channels == 0  # schema-stable non-WAV row
+
+
+# --- real PNG pixel decode (round 3) -------------------------------------------
+
+
+def test_png_pixel_roundtrip_all_color_types_and_filters():
+    import numpy as np
+
+    from ir_spark.operators.multimodal import decode_png_pixels, synth_png
+
+    chans = {0: 1, 2: 3, 4: 2, 6: 4}
+    for ct, ch in chans.items():
+        for w, h, s in ((1, 1, 0), (7, 11, 3), (16, 5, 9), (3, 13, 42)):
+            px = decode_png_pixels(synth_png(w, h, s, color_type=ct))
+            assert px is not None and px.shape == (h, w, ch)
+            y, x, c = np.ogrid[:h, :w, :ch]
+            want = ((s * 7 + c * 11 + x * 3 + y * 5) % 256).astype(np.uint8)
+            assert (px == want).all(), (ct, w, h, s)
+
+
+def test_png_decode_rejects_unsupported():
+    from ir_spark.operators.multimodal import decode_png_pixels, synth_bmp
+
+    assert decode_png_pixels(b"not a png") is None
+    assert decode_png_pixels(synth_bmp(4, 4)) is None
+    # truncated PNG (signature only)
+    assert decode_png_pixels(b"\x89PNG\r\n\x1a\n") is None
+
+
+def test_image_pixel_stats_real_and_fallback(spark):
+    import pandas as pd
+
+    from ir_spark.operators.multimodal import image_pixel_stats, synth_png
+
+    rows = [(1, synth_png(4, 5, seed=1, color_type=2)),
+            (2, synth_png(3, 6, seed=2, color_type=0)),
+            (3, b"unsupported bytes")]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    got = {r["doc_id"]: r for r in image_pixel_stats(df).collect()}
+    r1 = got[1]
+    assert (r1["width"], r1["height"], r1["channels"]) == (4, 5, 3)
+    # exact mean recompute for doc 1 channel 0
+    vals = [(1 * 7 + 0 * 11 + x * 3 + y * 5) % 256
+            for x in range(4) for y in range(5)]
+    assert r1["mean_r_micro"] == int(sum(vals) / len(vals) * 1e6 + 0.5)
+    # grayscale repeats the single channel across r/g/b
+    r2 = got[2]
+    assert r2["channels"] == 1
+    assert r2["mean_r_micro"] == r2["mean_g_micro"] == r2["mean_b_micro"]
+    # unsupported payloads yield NULL stats, not fakes
+    r3 = got[3]
+    assert r3["width"] is None and r3["mean_r_micro"] is None
