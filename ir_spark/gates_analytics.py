@@ -2452,6 +2452,38 @@ GROUP BY p.term
 """
 
 
+HLL_B = 6  # m = 64 buckets: small enough that most see >1 term
+
+
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (operators/sketch.py::hll_build)
+    over the toks vocabulary — the registers are the bit-exact
+    deterministic object (the float estimator is pytest-verified
+    against true cardinality in test_analytics)."""
+    from .operators.sketch import hll_build
+
+    cf = _term_cf(spark, sf_dir)
+    return hll_build(cf.select("term"), b=HLL_B)
+
+
+def sql_hll_registers() -> str:
+    tail = 32 - HLL_B
+    return f"""
+WITH {TOKS_CTE.strip()},
+hashed AS (
+  SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT AS h
+  FROM (SELECT DISTINCT term FROM toks)
+),
+parts AS (
+  SELECT h // {1 << tail} AS bucket, h % {1 << tail} AS w FROM hashed
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(MAX(CASE WHEN w > 0 THEN {tail} - (length(bin(w)) - 1)
+                     ELSE {tail + 1} END) AS BIGINT) AS register
+FROM parts GROUP BY bucket
+"""
+
+
 GOPHER_LINE_W = 12
 
 
@@ -2623,6 +2655,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "cms_term_counts": q_cms_term_counts,
         "bloom_dictionary": q_bloom_dictionary,
+        "hll_registers": q_hll_registers,
         "multimodal_png_pixels": q_multimodal_png_pixels,
         "host_cap_sample": q_host_cap_sample,
         "pagerank_hosts": q_pagerank_hosts,
@@ -2677,6 +2710,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "gopher_quality": sql_gopher_quality(),
         "cms_term_counts": sql_cms_term_counts(),
         "bloom_dictionary": sql_bloom_dictionary(),
+        "hll_registers": sql_hll_registers(),
         "multimodal_png_pixels": sql_multimodal_png_pixels(),
         "host_cap_sample": sql_host_cap_sample(),
         "pagerank_hosts": sql_pagerank_hosts(),

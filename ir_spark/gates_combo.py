@@ -69,6 +69,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "collocations_pmi": ["n", "pmi_micro", "w1", "w2"],
         "cms_term_counts": ["est", "term", "true_cf"],
         "bloom_dictionary": ["might_contain", "term"],
+        "hll_registers": ["bucket", "register"],
         "unicode_nfc": ["bytes_after", "bytes_before", "doc_id",
                         "norm_md5", "was_nfc"],
     },

@@ -103,3 +103,61 @@ def bloom_might_contain(bloom: DataFrame, probes: DataFrame, *,
             .groupBy("term")
             .agg((F.min(F.coalesce("_set", F.lit(0))) == 1)
                  .cast("int").alias("might_contain")))
+
+
+def hll_build(terms: DataFrame, *, b: int = 8) -> DataFrame:
+    """(term) -> (bucket, register): HyperLogLog registers (Flajolet
+    et al. 2007) with m = 2^b buckets over a 32-bit md5-derived hash.
+
+    bucket = the hash's top b bits; register = max over the bucket's
+    values of rho(w) = leading-zero count of the remaining 32-b bits,
+    plus one.  rho is computed from the BINARY STRING LENGTH of w
+    (32-b-len(bin(w))+1), not a float log2, so the construction is
+    bit-exact across engines.  Like the CMS, the groupBy's key space
+    is at most m: the shuffle carries at most m rows per upstream
+    partition regardless of how many distinct values stream through —
+    THE way to count distinct URLs/shingles at crawl scale without a
+    distinct-keyed shuffle (Spark's approx_count_distinct is the same
+    structure; this one is engine-portable and oracle-checkable).
+    Empty buckets are implicit (estimator treats them as register 0).
+    """
+    if not 4 <= b <= 16:
+        raise ValueError("b must be in [4, 16]")
+    tail_bits = 32 - b
+    h = (F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 8),
+                16, 10).cast("long"))
+    w = h % (1 << tail_bits)
+    rho = F.when(F.col("_w") > 0,
+                 F.lit(tail_bits) - (F.length(F.expr("bin(_w)")) - 1)
+                 ).otherwise(F.lit(tail_bits + 1))
+    return (terms.select(F.floor(h / (1 << tail_bits)).cast("long")
+                         .alias("bucket"), w.alias("_w"))
+            .select("bucket", rho.cast("long").alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").cast("long").alias("register")))
+
+
+def hll_estimate(registers: DataFrame, *, b: int = 8) -> float:
+    """Cardinality estimate from an hll_build table.  Collects at most
+    m = 2^b register rows to the driver (the sketch IS tiny — that is
+    the point), then applies the standard HLL estimator with the
+    small-range (linear counting) correction."""
+    import math
+
+    m = 1 << b
+    regs = {int(r["bucket"]): int(r["register"])
+            for r in registers.collect()}
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    zeros = sum(1 for j in range(m) if regs.get(j, 0) == 0)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est

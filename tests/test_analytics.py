@@ -773,3 +773,39 @@ def test_bloom_no_false_negatives_and_exact_recompute(spark):
         assert got[x] == want
     for x in members:
         assert got[x] == 1  # no false negatives, ever
+
+
+def test_hll_registers_exact_recompute_and_estimate(spark):
+    import hashlib
+
+    from ir_spark.operators.sketch import hll_build, hll_estimate
+
+    b = 6  # m = 64 buckets
+    terms = [f"term_{i}" for i in range(500)]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {r["bucket"]: r["register"]
+           for r in hll_build(df, b=b).collect()}
+    # python recompute of the identical construction
+    want = {}
+    tail = 32 - b
+    for t in terms:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        bucket, w = h >> tail, h % (1 << tail)
+        rho = (tail - (w.bit_length() - 1)) if w > 0 else tail + 1
+        want[bucket] = max(want.get(bucket, 0), rho)
+    assert got == want
+    # estimator lands near the true cardinality (sigma ~ 1.04/sqrt(64)
+    # = 13%; allow 3 sigma)
+    est = hll_estimate(hll_build(df, b=b), b=b)
+    assert abs(est - 500) / 500 < 0.39
+    # duplicates do not move the registers: union of 5 copies == once
+    df5 = df.union(df).union(df).union(df).union(df)
+    est5 = hll_estimate(hll_build(df5, b=b), b=b)
+    assert est5 == est
+    # small-range correction path: 3 distinct values
+    tiny = spark.createDataFrame([("a",), ("b",), ("c",)], "term string")
+    est_tiny = hll_estimate(hll_build(tiny, b=b), b=b)
+    assert 1 <= est_tiny <= 6
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hll_build(df, b=2)
