@@ -320,24 +320,24 @@ def _png_filter_scanline(ftype: int, raw: np.ndarray, prior: np.ndarray,
     return (out & 0xFF).astype(np.uint8)
 
 
-def synth_png(width: int, height: int, seed: int = 0, *,
-              color_type: int = 2) -> bytes:
-    """Spec-conformant non-interlaced 8-bit PNG whose pixel (x, y,
-    channel c) value is ``(seed*7 + c*11 + x*3 + y*5) % 256`` — the
-    same closed form the gate oracle recomputes in SQL.  Scanline
-    filters CYCLE through all five types (y % 5), so decoding requires
-    real Sub/Up/Average/Paeth inversion, not just zlib."""
+def encode_png(px: np.ndarray, *, color_type: int | None = None) -> bytes:
+    """Encode an (height, width, channels) uint8 array as a
+    spec-conformant non-interlaced 8-bit PNG.  Scanline filters CYCLE
+    through all five types (row % 5), so any decoder must perform real
+    Sub/Up/Average/Paeth inversion, not just zlib."""
     import struct as _s
     import zlib
 
-    ch = _PNG_CHANNELS[color_type]
-    y, x, c = np.ogrid[:height, :width, :ch]
-    px = ((seed * 7 + c * 11 + x * 3 + y * 5) % 256).astype(np.uint8)
+    height, width, ch = px.shape
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if _PNG_CHANNELS[color_type] != ch:
+        raise ValueError("color_type does not match channel count")
     bpp = ch
     lines = bytearray()
     prior = np.zeros(width * ch, dtype=np.uint8)
     for row in range(height):
-        raw = px[row].reshape(-1)
+        raw = np.ascontiguousarray(px[row]).reshape(-1)
         ftype = row % 5
         lines.append(ftype)
         lines.extend(_png_filter_scanline(ftype, raw, prior, bpp).tobytes())
@@ -346,6 +346,17 @@ def synth_png(width: int, height: int, seed: int = 0, *,
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
             + _png_chunk(b"IEND", b""))
+
+
+def synth_png(width: int, height: int, seed: int = 0, *,
+              color_type: int = 2) -> bytes:
+    """Spec-conformant non-interlaced 8-bit PNG whose pixel (x, y,
+    channel c) value is ``(seed*7 + c*11 + x*3 + y*5) % 256`` — the
+    same closed form the gate oracle recomputes in SQL."""
+    ch = _PNG_CHANNELS[color_type]
+    y, x, c = np.ogrid[:height, :width, :ch]
+    px = ((seed * 7 + c * 11 + x * 3 + y * 5) % 256).astype(np.uint8)
+    return encode_png(px, color_type=color_type)
 
 
 def decode_png_pixels(payload: bytes) -> np.ndarray | None:

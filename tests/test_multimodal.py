@@ -162,3 +162,33 @@ def test_image_pixel_stats_real_and_fallback(spark):
     # unsupported payloads yield NULL stats, not fakes
     r3 = got[3]
     assert r3["width"] is None and r3["mean_r_micro"] is None
+
+
+def test_png_roundtrip_property_random_arrays():
+    """encode_png/decode_png_pixels are exact inverses on arbitrary
+    uint8 content — not just the gate's closed-form pattern."""
+    import numpy as np
+
+    from ir_spark.operators.multimodal import decode_png_pixels, encode_png
+
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from hypothesis.extra.numpy import arrays
+    except ImportError:  # pragma: no cover - hypothesis is baked in
+        rng = np.random.default_rng(7)
+        for ch in (1, 2, 3, 4):
+            px = rng.integers(0, 256, (9, 6, ch), dtype=np.uint8)
+            assert (decode_png_pixels(encode_png(px)) == px).all()
+        return
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 12), st.integers(1, 12),
+           st.sampled_from([1, 2, 3, 4]), st.data())
+    def check(h, w, ch, data):
+        px = data.draw(arrays(np.uint8, (h, w, ch)))
+        out = decode_png_pixels(encode_png(px))
+        assert out is not None and out.shape == px.shape
+        assert (out == px).all()
+
+    check()
