@@ -853,6 +853,71 @@ FROM chan GROUP BY doc_id
 """
 
 
+_WARC_MEMO: dict[tuple, str] = {}
+_WARC_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def _warc_gate_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the documents table as REAL WARC files (4 files, half of
+    them gzipped) into a memoized temp dir.  The driver-side collect
+    is gate plumbing over the 500-row gate corpus — the SCALE path
+    under test is the read side (sources/warc.py::read_warc, one task
+    per file)."""
+    import datetime
+    import tempfile
+
+    from .sources.warc import synth_warc
+
+    key = (id(spark), sf_dir)
+    if key not in _WARC_MEMO:
+        d = tempfile.mkdtemp(prefix="ir_spark_warc_gate_")
+        rows = (spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "source", "text").collect())
+        base = datetime.datetime(2024, 1, 1)
+        files: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            did = int(r["doc_id"])
+            ts = (base + datetime.timedelta(days=did % 365, hours=did % 24)
+                  ).strftime("%Y-%m-%dT%H:%M:%SZ")
+            files.setdefault(did % 4, []).append((
+                f"https://{r['source']}.example/d/{did}", ts,
+                f"<html><body>{r['text']}</body></html>".encode()))
+        for part, recs in files.items():
+            gz = part % 2 == 1
+            name = f"part-{part}.warc" + (".gz" if gz else "")
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(synth_warc(recs, gzip_file=gz))
+        _WARC_MEMO[key] = d
+    return _WARC_MEMO[key]
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl container source: documents written as REAL WARC
+    files (incl. gzipped), read back through sources/warc.py::read_warc
+    — url, capture timestamp, and the exact html bytes must all
+    survive the container roundtrip (oracle recomputes them from the
+    synthesis formula)."""
+    from .sources.warc import read_warc
+
+    w = read_warc(spark, _warc_gate_dir(spark, sf_dir))
+    return w.select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("long").alias("ts_epoch"),
+        F.md5("html").alias("html_md5"),
+    )
+
+
+def sql_warc_roundtrip() -> str:
+    return f"""
+SELECT 'https://' || source || '.example/d/' || doc_id AS url,
+       CAST({_WARC_EPOCH} + (doc_id % 365) * 86400
+            + (doc_id % 24) * 3600 AS BIGINT) AS ts_epoch,
+       md5('<html><body>' || text || '</body></html>') AS html_md5
+FROM documents
+"""
+
+
 def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode: synthesize a spec-conformant BMP per doc,
     then parse geometry back out of the actual bytes
@@ -2657,6 +2722,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dictionary": q_bloom_dictionary,
         "hll_registers": q_hll_registers,
         "multimodal_png_pixels": q_multimodal_png_pixels,
+        "warc_roundtrip": q_warc_roundtrip,
         "host_cap_sample": q_host_cap_sample,
         "pagerank_hosts": q_pagerank_hosts,
         "hits_hosts": q_hits_hosts,
@@ -2712,6 +2778,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "bloom_dictionary": sql_bloom_dictionary(),
         "hll_registers": sql_hll_registers(),
         "multimodal_png_pixels": sql_multimodal_png_pixels(),
+        "warc_roundtrip": sql_warc_roundtrip(),
         "host_cap_sample": sql_host_cap_sample(),
         "pagerank_hosts": sql_pagerank_hosts(),
         "hits_hosts": sql_hits_hosts(),

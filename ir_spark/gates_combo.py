@@ -126,6 +126,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
                               "source"],
     },
     "multimodal_suite": {
+        "warc_roundtrip": ["html_md5", "ts_epoch", "url"],
         "multimodal_png_pixels": ["channels", "doc_id", "height",
                                   "max_px", "mean_b_micro", "mean_g_micro",
                                   "mean_r_micro", "min_px", "width"],

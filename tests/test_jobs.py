@@ -230,3 +230,49 @@ def test_admin_job_delete_compact_snapshots(tmp_path, capsys):
     assert admin_index.main(["snapshots", "--index-dir", idx]) == 0
     snaps = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert snaps["n_snapshots"] == 0  # batch build; none committed
+
+
+# --- WARC source (round 3) -----------------------------------------------------
+
+
+def test_read_warc_spark_roundtrip(spark, tmp_path):
+    from ir_spark.sources.warc import read_warc, synth_warc
+
+    recs_a = [(f"https://a.example/{i}", f"2024-01-0{i+1}T0{i}:00:00Z",
+               f"<html>doc {i}</html>".encode()) for i in range(3)]
+    recs_b = [("https://b.example/9", "2024-02-03T04:05:06Z",
+               "<html>tëxt</html>".encode())]
+    (tmp_path / "part-0.warc").write_bytes(synth_warc(recs_a))
+    (tmp_path / "part-1.warc.gz").write_bytes(
+        synth_warc(recs_b, gzip_file=True))
+    got = {r["url"]: (r["warc_ts"], bytes(r["html"]))
+           for r in read_warc(spark, str(tmp_path)).collect()}
+    assert len(got) == 4
+    for url, ts, html in recs_a + recs_b:
+        gts, ghtml = got[url]
+        assert ghtml == html
+        assert gts.strftime("%Y-%m-%dT%H:%M:%SZ") == ts
+
+
+def test_warc_to_index_end_to_end(spark, tmp_path):
+    """The Common-Crawl shape: WARC files -> read_warc -> html text
+    extraction -> searchable index, same results as the direct path."""
+    from pyspark.sql import functions as F
+
+    from ir_spark.operators.build import build_dataframe_index
+    from ir_spark.operators.query import search
+    from ir_spark.sources.warc import read_warc, synth_warc
+
+    pages = [("https://h.example/a", "2024-01-01T00:00:00Z",
+              b"<html><body>spark index engine</body></html>"),
+             ("https://h.example/b", "2024-01-01T01:00:00Z",
+              b"<html><body>spark query engine fast</body></html>")]
+    (tmp_path / "crawl.warc").write_bytes(synth_warc(pages))
+    docs = (read_warc(spark, str(tmp_path))
+            .select("url", F.decode("html", "utf-8").alias("raw")))
+    from ir_spark.functions.tokenize import extract_text_udf
+
+    docs = docs.select("url", extract_text_udf(F.col("raw")).alias("text"))
+    idx = build_dataframe_index(docs)
+    hits = search(spark, idx, "fast query", k=2, mode="bm25").collect()
+    assert len(hits) >= 1
