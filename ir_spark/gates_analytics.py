@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .gates import TOKS_CTE
@@ -2182,6 +2182,218 @@ FROM canon
 """
 
 
+# --- crawl-control gates (round 3): robots / frontier / sitemaps -------------
+#
+# The crawl corpus has no robots.txt or sitemap files, so the gates
+# synthesize them DETERMINISTICALLY per host (source) with pure column
+# expressions, run the real parsers from operators/crawl.py over the
+# synthesized TEXT, and the DuckDB oracle generates the expected rows
+# DIRECTLY (robots_rules / sitemap_urls: a value-hash match proves the
+# parser inverts the synthesis bit-for-bit — warc_roundtrip pattern) or
+# recomputes the decision logic independently in SQL (robots_allowed:
+# longest-prefix-match precedence; crawl_frontier: politeness window).
+
+_ROBOTS_TXT_SQLEXPR = (
+    "'User-agent: otherbot' || char(10) || 'Disallow: /' || char(10) "
+    "|| char(10) || 'User-agent: helper' || char(10) || 'User-agent: *' "
+    "|| char(10) || 'Disallow: /private' || char(10) "
+    "|| 'Allow: /private/ok' || char(10) || '# generated fixture' "
+    "|| char(10) || 'Disallow: /tmp-' || substr(md5(host), 1, 1) "
+    "|| char(10) || 'Crawl-delay: 5' || char(10) || 'Disallow:' "
+    "|| char(10) || char(10) || 'User-agent: spider' || char(10) "
+    "|| 'User-agent: *' || char(10) || 'Disallow: /stacked'"
+)
+
+
+def _synth_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synthetic robots.txt per host, exercising every parser rule:
+    a non-* group (ignored), stacked User-agent lines, comments,
+    unknown directives, an empty Disallow, and a SECOND * group."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    hosts = docs.select(F.col("source").alias("host")).distinct()
+    return hosts.withColumn("robots_txt", F.expr(_ROBOTS_TXT_SQLEXPR))
+
+
+_CRAWL_RULES_CTE = """
+hosts AS (SELECT DISTINCT source AS host FROM documents),
+rules AS (
+  SELECT host, '/private' AS rule_path, CAST(0 AS BIGINT) AS allow FROM hosts
+  UNION ALL
+  SELECT host, '/private/ok', CAST(1 AS BIGINT) FROM hosts
+  UNION ALL
+  SELECT host, '/tmp-' || substr(md5(host), 1, 1), CAST(0 AS BIGINT)
+  FROM hosts
+  UNION ALL
+  SELECT host, '/stacked', CAST(0 AS BIGINT) FROM hosts
+)"""
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (operators/crawl.py::parse_robots): the
+    * -group Allow/Disallow prefix rules recovered from synthesized
+    robots text; the oracle emits the expected rules directly, so a
+    match proves the parser (group splitting, agent stacking, comment/
+    unknown-directive/empty-value handling) inverts the synthesis."""
+    from .operators.crawl import parse_robots
+
+    return parse_robots(_synth_robots(spark, sf_dir)) \
+        .select("host", "rule_path", "allow")
+
+
+def sql_robots_rules() -> str:
+    return f"WITH {_CRAWL_RULES_CTE}\nSELECT host, rule_path, allow FROM rules"
+
+
+_CRAWL_URL_PATH_SQL = """
+  CASE CAST(doc_id % 5 AS INTEGER)
+    WHEN 0 THEN '/private/d' || CAST(doc_id AS STRING)
+    WHEN 1 THEN '/private/ok/d' || CAST(doc_id AS STRING)
+    WHEN 2 THEN '/tmp-' || substr(md5(source), 1, 1) || '/d'
+                || CAST(doc_id AS STRING)
+    WHEN 3 THEN '/stacked/d' || CAST(doc_id AS STRING)
+    ELSE '/public/d' || CAST(doc_id AS STRING)
+  END"""
+
+
+def _crawl_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id", "source")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.expr(_CRAWL_URL_PATH_SQL)).alias("url"))
+
+
+def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots decision per url (operators/crawl.py::apply_robots):
+    longest matching prefix wins, Allow beats Disallow on ties, no
+    match -> allowed.  The url mix hits every outcome: blocked prefix,
+    longer-Allow override, per-host hashed prefix, second-group rule,
+    and no-rule default.  Oracle recomputes precedence independently
+    (join + window), not by replaying the synthesis arithmetic."""
+    from .operators.crawl import apply_robots, parse_robots
+
+    rules = parse_robots(_synth_robots(spark, sf_dir))
+    return apply_robots(_crawl_urls(spark, sf_dir), rules) \
+        .select("doc_id", "allowed", "matched_path")
+
+
+def sql_robots_allowed() -> str:
+    return f"""
+WITH {_CRAWL_RULES_CTE},
+urls AS (
+  SELECT doc_id, source AS host,
+         {_CRAWL_URL_PATH_SQL} AS path
+  FROM documents
+),
+hits AS (
+  SELECT u.doc_id, r.rule_path, r.allow
+  FROM urls u
+  JOIN rules r ON r.host = u.host AND starts_with(u.path, r.rule_path)
+),
+best AS (
+  SELECT doc_id, rule_path, allow,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY length(rule_path) DESC, allow DESC,
+                                     rule_path DESC) AS rn
+  FROM hits
+)
+SELECT u.doc_id,
+       CAST(COALESCE(b.allow, 1) AS BIGINT) AS allowed,
+       COALESCE(b.rule_path, '') AS matched_path
+FROM urls u
+LEFT JOIN (SELECT doc_id, rule_path, allow FROM best WHERE rn = 1) b
+  ON b.doc_id = u.doc_id
+"""
+
+
+CRAWL_DELAY_MS = 700
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness frontier (operators/crawl.py::crawl_frontier): one
+    fetch per host per wave, priority queue per host, eta spaced by
+    the host crawl delay."""
+    from .operators.crawl import crawl_frontier
+
+    urls = _crawl_urls(spark, sf_dir).withColumn(
+        "priority", F.pmod(F.col("doc_id") * 37 + 11, F.lit(97))
+        .cast("long"))
+    return crawl_frontier(urls, delay_ms=CRAWL_DELAY_MS) \
+        .select("doc_id", "host", "host_rank", "eta_ms")
+
+
+def sql_crawl_frontier() -> str:
+    return f"""
+WITH urls AS (
+  SELECT doc_id, source AS host,
+         'https://' || source || {_CRAWL_URL_PATH_SQL} AS url,
+         CAST((doc_id * 37 + 11) % 97 AS BIGINT) AS priority
+  FROM documents
+)
+SELECT doc_id, host,
+       CAST(ROW_NUMBER() OVER (PARTITION BY host
+                               ORDER BY priority DESC, url ASC) AS BIGINT)
+         AS host_rank,
+       CAST((ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY priority DESC, url ASC) - 1)
+            * {CRAWL_DELAY_MS} AS BIGINT) AS eta_ms
+FROM urls
+"""
+
+
+SITEMAP_PER_HOST = 3
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap extraction (operators/crawl.py::extract_sitemap_urls):
+    per-host sitemap XML synthesized from the host's first docs (every
+    4th entry omits <lastmod> to prove the optional-field path), then
+    parsed back; the oracle emits the expected (host, url, lastmod)
+    rows directly — a match proves the XML parse inverts the
+    synthesis."""
+    from .operators.crawl import extract_sitemap_urls
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    picked = (docs.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= SITEMAP_PER_HOST))
+    entry = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"), F.lit("/p"),
+        F.col("doc_id").cast("string"), F.lit("</loc>"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0, F.lit(""))
+        .otherwise(F.concat(
+            F.lit("<lastmod>2024-01-"),
+            F.lpad((F.pmod(F.col("doc_id"), F.lit(28)) + 1).cast("string"),
+                   2, "0"),
+            F.lit("</lastmod>"))),
+        F.lit("</url>"))
+    sitemaps = (picked.groupBy(F.col("source").alias("host"))
+                .agg(F.concat(
+                    F.lit("<urlset>"),
+                    F.concat_ws("", F.sort_array(F.collect_list(entry))),
+                    F.lit("</urlset>")).alias("xml")))
+    return extract_sitemap_urls(sitemaps).select("host", "url", "lastmod")
+
+
+def sql_sitemap_urls() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source AS host,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT host,
+       'https://' || host || '/p' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 4 = 0 THEN ''
+            ELSE '2024-01-'
+                 || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+       END AS lastmod
+FROM ranked WHERE rn <= {SITEMAP_PER_HOST}
+"""
+
+
 # --- paragraph dedup / chunking / C4 line filter (round 3) -------------------
 #
 # The synthetic documents are single-line; these gates derive a
@@ -2727,6 +2939,10 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "hits_hosts": q_hits_hosts,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "robots_rules": q_robots_rules,
+        "robots_allowed": q_robots_allowed,
+        "crawl_frontier": q_crawl_frontier,
+        "sitemap_urls": q_sitemap_urls,
         "anchor_text_agg": q_anchor_text_agg,
         "bm25_pagerank_topk": q_bm25_pagerank_topk,
         "bm25_diverse_topk": q_bm25_diverse_topk,
@@ -2783,6 +2999,10 @@ def analytics_oracle_sql() -> dict[str, str]:
         "pagerank_hosts": sql_pagerank_hosts(),
         "hits_hosts": sql_hits_hosts(),
         "url_canonical_dedup": sql_url_canonical_dedup(),
+        "robots_rules": sql_robots_rules(),
+        "robots_allowed": sql_robots_allowed(),
+        "crawl_frontier": sql_crawl_frontier(),
+        "sitemap_urls": sql_sitemap_urls(),
         "anchor_text_agg": sql_anchor_text_agg(),
         "bm25_pagerank_topk": sql_bm25_pagerank_topk(),
         "bm25_diverse_topk": sql_bm25_diverse_topk(),

@@ -124,6 +124,10 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "bm25_pagerank_topk": ["doc_id", "score_micro"],
         "bm25_diverse_topk": ["doc_id", "host_rank", "score_micro",
                               "source"],
+        "robots_rules": ["allow", "host", "rule_path"],
+        "robots_allowed": ["allowed", "doc_id", "matched_path"],
+        "crawl_frontier": ["doc_id", "eta_ms", "host", "host_rank"],
+        "sitemap_urls": ["host", "lastmod", "url"],
     },
     "multimodal_suite": {
         "warc_roundtrip": ["html_md5", "ts_epoch", "url"],

@@ -1,0 +1,202 @@
+"""Crawl-side operators: robots.txt, politeness frontier, sitemaps.
+
+A Common-Crawl-style pipeline doesn't start at the WARC file — it
+starts at the fetch decision.  These operators cover the crawl-control
+plane the reference engine assumes away (its corpus is pre-fetched,
+`/root/reference/README.md` "collection"): which urls a polite crawler
+MAY fetch (robots.txt), in what order it fetches them without
+hammering a host (frontier waves), and which urls a host advertises
+(sitemaps).
+
+Everything is JVM-side column expressions + per-HOST windows — no
+Python in any hot path.  At 10^12 urls the windows partition on host
+(robots files and per-host frontiers are naturally host-local), so no
+operator here ever moves more than one host's rows to one task; a
+pathological mega-host is the classic skew case and rides AQE skew
+splitting like any other keyed window.
+
+Robots semantics implemented (RFC 9309 subset, documented
+simplifications):
+  - only the ``User-agent: *`` group(s) are applied (a real crawler
+    would pick the longest agent match; single-agent engines crawl as
+    ``*``);
+  - consecutive ``User-agent`` lines stack onto one group (RFC 9309
+    §2.1: a group may name several agents);
+  - ``Allow`` / ``Disallow`` are path PREFIX rules; the longest
+    matching prefix wins, ``Allow`` wins ties (Google/RFC 9309
+    precedence);
+  - an empty ``Disallow:`` value means "no restriction" and is
+    dropped; unknown directives (``Crawl-delay``, ``Sitemap``, ...)
+    and ``#`` comments are ignored inside groups;
+  - no rule matches -> ALLOWED (robots is deny-listing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# absolute-url pieces (same shapes as urlnorm.py)
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+
+_AGENT_RE = r"(?i)^user-agent:\s*(\S+)\s*$"
+_ALLOW_RE = r"(?i)^allow:\s*(\S*)\s*$"
+_DISALLOW_RE = r"(?i)^disallow:\s*(\S*)\s*$"
+
+
+def url_host(col) -> F.Column:
+    """Host of an absolute url (column expression, lower-cased)."""
+    u = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(u, _HOST_RE, 1))
+
+
+def url_path(col) -> F.Column:
+    """Path of an absolute url ('' -> '/'), query/fragment excluded."""
+    u = F.col(col) if isinstance(col, str) else col
+    p = F.regexp_extract(u, _PATH_RE, 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) -> one row per ``*``-group rule:
+    (host, rule_path, allow:long 0/1).
+
+    Plan shape: split+posexplode (narrow), per-host window to assign
+    group ids (robots files are small and host-keyed — the window
+    shuffles each host's few dozen lines to one task, exactly the
+    locality a crawler wants), then a group-level semi-join keeps
+    groups naming agent ``*``.
+    """
+    lines = (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(txt_col), "\n")).alias("idx", "raw"))
+        # strip comments, then whitespace; blank lines stay as group
+        # separators (they end a stacked user-agent run)
+        .withColumn("line", F.trim(F.regexp_replace("raw", r"#.*$", "")))
+        .withColumn("agent", F.regexp_extract("line", _AGENT_RE, 1))
+        .withColumn("is_agent", (F.col("agent") != "").cast("int"))
+        .withColumn("allow_v", F.regexp_extract("line", _ALLOW_RE, 1))
+        .withColumn("dis_v", F.regexp_extract("line", _DISALLOW_RE, 1))
+        .withColumn("is_allow",
+                    F.col("line").rlike(r"(?i)^allow:").cast("int"))
+        .withColumn("is_dis",
+                    F.col("line").rlike(r"(?i)^disallow:").cast("int"))
+    )
+    w = Window.partitionBy("host").orderBy("idx")
+    # a User-agent line starts a NEW group iff the previous line was
+    # not itself a User-agent line (consecutive agent lines stack)
+    grouped = (
+        lines
+        .withColumn("prev_is_agent",
+                    F.coalesce(F.lag("is_agent").over(w), F.lit(0)))
+        .withColumn("boundary",
+                    ((F.col("is_agent") == 1)
+                     & (F.col("prev_is_agent") == 0)).cast("int"))
+        .withColumn("grp", F.sum("boundary").over(w))
+        .where(F.col("grp") > 0)  # rules before any User-agent: invalid
+    )
+    star_groups = (
+        grouped.where(F.col("agent") == "*")
+        .select("host", "grp").distinct()
+    )
+    rules = (
+        grouped
+        .where((F.col("is_allow") == 1) | (F.col("is_dis") == 1))
+        .select(
+            "host", "grp",
+            F.when(F.col("is_allow") == 1, F.col("allow_v"))
+            .otherwise(F.col("dis_v")).alias("rule_path"),
+            F.col("is_allow").cast("long").alias("allow"))
+        # empty Disallow: = no restriction; empty Allow: is a no-op too
+        .where(F.col("rule_path") != "")
+    )
+    return (rules.join(star_groups, ["host", "grp"])
+            .select("host", "rule_path", "allow")
+            .distinct())
+
+
+def apply_robots(urls: DataFrame, rules: DataFrame,
+                 url_col: str = "url") -> DataFrame:
+    """Attach (allowed:long 0/1, matched_path) to every url row.
+
+    Longest matching rule prefix wins; Allow wins length ties; no
+    match -> allowed, matched_path ''.  The join is host-equi (the
+    prefix test is a pushed join filter, not a cartesian residual) and
+    the winner pick is one max_by aggregation — partial-aggregable,
+    no window.  Rules tables are small (one row per host rule) — at
+    crawl scale Spark broadcasts them under AQE; urls never shuffle.
+    """
+    u = urls.withColumn("_host", url_host(url_col)) \
+            .withColumn("_path", url_path(url_col))
+    r = rules.select(F.col("host").alias("_host"), "rule_path", "allow")
+    hits = (
+        u.join(r, ["_host"], "left")
+        .withColumn(
+            "_m",
+            F.when(F.col("rule_path").isNotNull()
+                   & F.col("_path").startswith(F.col("rule_path")),
+                   F.struct(F.length("rule_path").alias("l"),
+                            F.col("allow").alias("a"),
+                            F.col("rule_path").alias("p"))))
+    )
+    best = (
+        hits.groupBy(*urls.columns)
+        .agg(F.max("_m").alias("_best"))
+        .select(
+            *urls.columns,
+            F.coalesce(F.col("_best.a"), F.lit(1)).cast("long")
+            .alias("allowed"),
+            F.coalesce(F.col("_best.p"), F.lit("")).alias("matched_path"))
+    )
+    return best
+
+
+def crawl_frontier(urls: DataFrame, url_col: str = "url",
+                   priority_col: str = "priority",
+                   delay_ms: int = 1000) -> DataFrame:
+    """Politeness scheduling: one fetch per host per wave.
+
+    host_rank = position of the url in its host's priority queue
+    (priority DESC, url ASC tie-break); the url's earliest fetch time
+    is (host_rank-1) * delay_ms after the host's first fetch.  One
+    per-host window — the frontier for a host lives on one task,
+    which is exactly how a fetcher shards politeness queues.
+    """
+    w = Window.partitionBy("host").orderBy(
+        F.col(priority_col).desc(), F.col(url_col).asc())
+    return (
+        urls.withColumn("host", url_host(url_col))
+        .withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .withColumn("eta_ms",
+                    ((F.col("host_rank") - 1) * F.lit(delay_ms))
+                    .cast("long"))
+    )
+
+
+def extract_sitemap_urls(sitemaps: DataFrame, host_col: str = "host",
+                         xml_col: str = "xml") -> DataFrame:
+    """(host, sitemap xml) -> one row per ``<url>`` entry:
+    (host, url, lastmod) with lastmod '' when the entry has none.
+
+    Narrow map only (regexp_extract_all + posexplode) — a sitemap
+    parse at crawl scale is a pure scan stage.  Entries without a
+    ``<loc>`` are skipped (spec: loc is mandatory).
+    """
+    entries = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(xml_col),
+                                 F.lit(r"<url>(.*?)</url>"), F.lit(1)))
+        .alias("pos", "entry"))
+    return (
+        entries.select(
+            "host",
+            F.regexp_extract("entry", r"<loc>([^<]*)</loc>", 1)
+            .alias("url"),
+            F.regexp_extract("entry", r"<lastmod>([^<]*)</lastmod>", 1)
+            .alias("lastmod"))
+        .where(F.col("url") != "")
+    )

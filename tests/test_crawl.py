@@ -1,0 +1,115 @@
+"""Crawl-control operators: robots.txt parse/apply, frontier, sitemaps."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ir_spark.operators.crawl import (apply_robots, crawl_frontier,
+                                      extract_sitemap_urls, parse_robots)
+
+
+def _rules(spark, txt, host="h.example"):
+    df = spark.createDataFrame([(host, txt)], "host string, robots_txt string")
+    return {(r.rule_path, r.allow)
+            for r in parse_robots(df).collect()}
+
+
+class TestParseRobots:
+    def test_star_group_rules(self, spark):
+        got = _rules(spark, "User-agent: *\nDisallow: /a\nAllow: /a/b\n")
+        assert got == {("/a", 0), ("/a/b", 1)}
+
+    def test_non_star_group_ignored(self, spark):
+        got = _rules(spark, "User-agent: googlebot\nDisallow: /\n\n"
+                            "User-agent: *\nDisallow: /x\n")
+        assert got == {("/x", 0)}
+
+    def test_stacked_agents_share_rules(self, spark):
+        got = _rules(spark, "User-agent: a\nUser-agent: *\nUser-agent: b\n"
+                            "Disallow: /s\n")
+        assert got == {("/s", 0)}
+
+    def test_multiple_star_groups_union(self, spark):
+        got = _rules(spark, "User-agent: *\nDisallow: /one\n\n"
+                            "User-agent: *\nDisallow: /two\n")
+        assert got == {("/one", 0), ("/two", 0)}
+
+    def test_comments_unknown_directives_empty_disallow(self, spark):
+        got = _rules(spark, "User-agent: *\n# note\nCrawl-delay: 7\n"
+                            "Sitemap: https://h/s.xml\nDisallow:\n"
+                            "Disallow: /keep  # trailing comment\n")
+        assert got == {("/keep", 0)}
+
+    def test_rules_before_any_group_dropped(self, spark):
+        got = _rules(spark, "Disallow: /orphan\nUser-agent: *\nAllow: /ok\n")
+        assert got == {("/ok", 1)}
+
+    def test_case_insensitive_directives(self, spark):
+        got = _rules(spark, "USER-AGENT: *\nDISALLOW: /up\nallow: /up/ok\n")
+        assert got == {("/up", 0), ("/up/ok", 1)}
+
+
+class TestApplyRobots:
+    def _apply(self, spark, urls, txt):
+        rules = parse_robots(spark.createDataFrame(
+            [("h.example", txt)], "host string, robots_txt string"))
+        udf_ = spark.createDataFrame([(u,) for u in urls], "url string")
+        return {r.url: (r.allowed, r.matched_path)
+                for r in apply_robots(udf_, rules).collect()}
+
+    def test_longest_prefix_wins_allow_beats_disallow(self, spark):
+        got = self._apply(
+            spark,
+            ["https://h.example/a/b/c", "https://h.example/a/x",
+             "https://h.example/free"],
+            "User-agent: *\nDisallow: /a\nAllow: /a/b\n")
+        assert got["https://h.example/a/b/c"] == (1, "/a/b")
+        assert got["https://h.example/a/x"] == (0, "/a")
+        assert got["https://h.example/free"] == (1, "")
+
+    def test_allow_wins_equal_length_tie(self, spark):
+        # same path listed both ways: RFC 9309 least-restrictive wins
+        got = self._apply(spark, ["https://h.example/t/x"],
+                          "User-agent: *\nDisallow: /t\nAllow: /t\n")
+        assert got["https://h.example/t/x"] == (1, "/t")
+
+    def test_unknown_host_allowed(self, spark):
+        rules = parse_robots(spark.createDataFrame(
+            [("other.example", "User-agent: *\nDisallow: /\n")],
+            "host string, robots_txt string"))
+        urls = spark.createDataFrame([("https://h.example/p",)],
+                                     "url string")
+        rows = apply_robots(urls, rules).collect()
+        assert rows[0].allowed == 1 and rows[0].matched_path == ""
+
+    def test_root_disallow_blocks_everything(self, spark):
+        got = self._apply(spark, ["https://h.example/", "https://h.example/x"],
+                          "User-agent: *\nDisallow: /\n")
+        assert set(got.values()) == {(0, "/")}
+
+
+class TestFrontier:
+    def test_waves_per_host_and_eta(self, spark):
+        urls = spark.createDataFrame(
+            [("https://a/1", 5), ("https://a/2", 9), ("https://a/3", 9),
+             ("https://b/1", 1)],
+            "url string, priority long")
+        rows = {r.url: (r.host_rank, r.eta_ms)
+                for r in crawl_frontier(urls, delay_ms=250).collect()}
+        # priority desc, url asc tie-break; one slot per host per wave
+        assert rows["https://a/2"] == (1, 0)
+        assert rows["https://a/3"] == (2, 250)
+        assert rows["https://a/1"] == (3, 500)
+        assert rows["https://b/1"] == (1, 0)
+
+
+class TestSitemap:
+    def test_entries_parsed_loc_mandatory_lastmod_optional(self, spark):
+        xml = ("<urlset><url><loc>https://h/p1</loc>"
+               "<lastmod>2024-02-03</lastmod></url>"
+               "<url><loc>https://h/p2</loc></url>"
+               "<url><lastmod>2024-02-04</lastmod></url></urlset>")
+        df = spark.createDataFrame([("h", xml)], "host string, xml string")
+        rows = {r.url: r.lastmod
+                for r in extract_sitemap_urls(df).collect()}
+        assert rows == {"https://h/p1": "2024-02-03", "https://h/p2": ""}
