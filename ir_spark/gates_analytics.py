@@ -2394,6 +2394,95 @@ FROM ranked WHERE rn <= {SITEMAP_PER_HOST}
 """
 
 
+# --- Naive Bayes classifier (round 3) ----------------------------------------
+
+NB_ALPHA = 1.0
+
+
+def q_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-Spark trained multinomial Naive Bayes (operators/classify.py)
+    — the CCNet/fastText-style classifier stage of a training-data
+    pipeline.  Train on docs with doc_id % 3 != 0 labeled by `lang`,
+    classify EVERY doc (held-out docs exercise the unseen-term
+    smoothing path).  The synthetic corpus shares one vocabulary
+    across langs, so accuracy is chance-level by construction — the
+    gate pins the exact math (smoothed log-probs, matched-postings
+    decomposition, micro-quantized argmax), not model quality."""
+    from .operators.classify import nb_classify, nb_train
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet"))
+    toks = (docs.select("doc_id", "lang",
+                        F.explode(F.expr(_WORDS_EXPR)).alias("term"))
+            .groupBy("doc_id", "lang", "term")
+            .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    model, classes = nb_train(
+        toks.where(F.pmod(F.col("doc_id"), F.lit(3)) != 0),
+        label_col="lang", alpha=NB_ALPHA)
+    pred = nb_classify(toks.select("doc_id", "term", "tf"), model, classes)
+    return pred.select("doc_id", F.col("pred_label").alias("pred_lang"),
+                       "mean_ll_micro")
+
+
+def sql_nb_lang_classify(alpha: float = NB_ALPHA) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, t AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> length(x) > 0)) AS t
+        FROM documents)
+  GROUP BY doc_id, lang, t
+),
+train AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
+vocab AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v FROM train),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM train),
+classes AS (
+  SELECT lang,
+         ln(CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / (SELECT n FROM nd))
+           AS log_prior,
+         ln({alpha} / (SUM(tf) + {alpha} * (SELECT v FROM vocab)))
+           AS log_unseen,
+         SUM(tf) + {alpha} * (SELECT v FROM vocab) AS denom
+  FROM train GROUP BY lang
+),
+model AS (
+  SELECT t.term, t.lang,
+         ln((SUM(t.tf) + {alpha}) / ANY_VALUE(c.denom)) AS log_cond
+  FROM train t JOIN classes c ON c.lang = t.lang
+  GROUP BY t.term, t.lang
+),
+lens AS (SELECT doc_id, SUM(tf) AS len FROM toks GROUP BY doc_id),
+matched AS (
+  SELECT a.doc_id, m.lang,
+         SUM(a.tf * m.log_cond) AS m_sum, SUM(a.tf) AS m_tf
+  FROM toks a JOIN model m ON m.term = a.term
+  GROUP BY a.doc_id, m.lang
+),
+grid AS (
+  SELECT l.doc_id, c.lang, l.len,
+         c.log_prior + COALESCE(mm.m_sum, 0)
+           + (l.len - COALESCE(mm.m_tf, 0)) * c.log_unseen AS score
+  FROM lens l
+  CROSS JOIN classes c
+  LEFT JOIN matched mm ON mm.doc_id = l.doc_id AND mm.lang = c.lang
+),
+quant AS (
+  SELECT doc_id, lang,
+         CAST(round(score / len * 1000000) AS BIGINT) AS micro
+  FROM grid
+),
+best AS (
+  SELECT doc_id, lang, micro,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY micro DESC, lang ASC) AS rn
+  FROM quant
+)
+SELECT doc_id, lang AS pred_lang, micro AS mean_ll_micro
+FROM best WHERE rn = 1
+"""
+
+
 # --- paragraph dedup / chunking / C4 line filter (round 3) -------------------
 #
 # The synthetic documents are single-line; these gates derive a
@@ -2967,6 +3056,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mix_report": q_mix_report,
         "dsir_weights": q_dsir_weights,
+        "nb_lang_classify": q_nb_lang_classify,
         "web_anchor_bm25f_topk": q_web_anchor_bm25f_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
@@ -3027,6 +3117,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "stratified_sample": sql_stratified_sample(),
         "mix_report": sql_mix_report(),
         "dsir_weights": sql_dsir_weights(),
+        "nb_lang_classify": sql_nb_lang_classify(),
         "web_anchor_bm25f_topk": sql_web_anchor_bm25f_topk(),
         "multimodal_meta": sql_multimodal_meta(),
         "multimodal_image_meta": sql_multimodal_image_meta(),

@@ -103,6 +103,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "sequence_pack": ["bin_id", "bin_offset", "doc_id", "n_tokens",
                           "start"],
         "dsir_weights": ["doc_id", "dsir_logw_micro"],
+        "nb_lang_classify": ["doc_id", "mean_ll_micro", "pred_lang"],
         "doc_chunks": ["chunk_id", "chunk_md5", "doc_id",
                        "n_chunk_tokens", "start"],
         "c4_line_filter": ["doc_id", "keep", "kept_md5",
