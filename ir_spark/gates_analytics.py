@@ -2342,6 +2342,59 @@ FROM urls
 """
 
 
+REVISIT_URL_MOD = 40
+REVISIT_CONTENT_MOD = 7
+
+
+def q_revisit_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl change detection (operators/crawl.py::revisit_stats):
+    docs sharing (source, doc_id % mod) are recrawls of one url, in
+    doc_id (capture-time) order; the content fingerprint repeats with
+    period 7 so some revisits change and some don't.  Oracle = the
+    same lag-window recurrence in SQL."""
+    from .operators.crawl import revisit_stats
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id", "source")
+    caps = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/p"),
+                 F.pmod(F.col("doc_id"), F.lit(REVISIT_URL_MOD))
+                 .cast("string")).alias("url"),
+        F.col("doc_id").alias("ts"),
+        F.md5(F.concat(
+            F.col("source"),
+            F.pmod(F.col("doc_id"), F.lit(REVISIT_CONTENT_MOD))
+            .cast("string"))).alias("content_md5"))
+    return revisit_stats(caps)
+
+
+def sql_revisit_change_rate() -> str:
+    return f"""
+WITH caps AS (
+  SELECT 'https://' || source || '/p'
+           || CAST(doc_id % {REVISIT_URL_MOD} AS STRING) AS url,
+         doc_id AS ts,
+         md5(source || CAST(doc_id % {REVISIT_CONTENT_MOD} AS STRING))
+           AS content_md5
+  FROM documents
+),
+flagged AS (
+  SELECT url,
+         CASE WHEN lag(content_md5) OVER w IS NOT NULL
+                   AND lag(content_md5) OVER w <> content_md5
+              THEN 1 ELSE 0 END AS chg
+  FROM caps
+  WINDOW w AS (PARTITION BY url ORDER BY ts ASC, content_md5 ASC)
+)
+SELECT url, CAST(COUNT(*) AS BIGINT) AS n_captures,
+       CAST(SUM(chg) AS BIGINT) AS n_changes,
+       CAST(CASE WHEN COUNT(*) > 1
+                 THEN round(SUM(chg) * 1000000.0 / (COUNT(*) - 1))
+                 ELSE 0 END AS BIGINT) AS change_rate_micro
+FROM flagged GROUP BY url
+"""
+
+
 SITEMAP_PER_HOST = 3
 
 
@@ -3032,6 +3085,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_allowed": q_robots_allowed,
         "crawl_frontier": q_crawl_frontier,
         "sitemap_urls": q_sitemap_urls,
+        "revisit_change_rate": q_revisit_change_rate,
         "anchor_text_agg": q_anchor_text_agg,
         "bm25_pagerank_topk": q_bm25_pagerank_topk,
         "bm25_diverse_topk": q_bm25_diverse_topk,
@@ -3093,6 +3147,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "robots_allowed": sql_robots_allowed(),
         "crawl_frontier": sql_crawl_frontier(),
         "sitemap_urls": sql_sitemap_urls(),
+        "revisit_change_rate": sql_revisit_change_rate(),
         "anchor_text_agg": sql_anchor_text_agg(),
         "bm25_pagerank_topk": sql_bm25_pagerank_topk(),
         "bm25_diverse_topk": sql_bm25_diverse_topk(),

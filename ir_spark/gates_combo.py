@@ -129,6 +129,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "robots_allowed": ["allowed", "doc_id", "matched_path"],
         "crawl_frontier": ["doc_id", "eta_ms", "host", "host_rank"],
         "sitemap_urls": ["host", "lastmod", "url"],
+        "revisit_change_rate": ["change_rate_micro", "n_captures",
+                                "n_changes", "url"],
     },
     "multimodal_suite": {
         "warc_roundtrip": ["html_md5", "ts_epoch", "url"],

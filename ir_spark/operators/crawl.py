@@ -176,6 +176,46 @@ def crawl_frontier(urls: DataFrame, url_col: str = "url",
     )
 
 
+def revisit_stats(captures: DataFrame, url_col: str = "url",
+                  ts_col: str = "ts", content_col: str = "content_md5"
+                  ) -> DataFrame:
+    """Change detection across recrawls of the same url — the signal a
+    crawl scheduler feeds back into revisit frequency (fast-changing
+    pages get recrawled sooner; Common Crawl's monthly snapshots make
+    this a per-url lag comparison).
+
+    Input: one row per capture (url, ts, content fingerprint).
+    Output: one row per url —
+      (url, n_captures, n_changes, change_rate_micro)
+    where a "change" is a capture whose fingerprint differs from the
+    PREVIOUS capture of the same url (ts order, fingerprint tie-break
+    for duplicate timestamps), and change_rate = n_changes /
+    (n_captures - 1), 0 for single-capture urls.
+
+    One per-URL window + one keyed agg — captures of a url co-locate
+    on one task (bounded by the crawl's revisit count, dozens not
+    millions), then a partial-aggregable groupBy.  No global state.
+    """
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(ts_col).asc(), F.col(content_col).asc())
+    flagged = captures.withColumn(
+        "_chg",
+        (F.lag(content_col).over(w).isNotNull()
+         & (F.lag(content_col).over(w) != F.col(content_col)))
+        .cast("long"))
+    return (
+        flagged.groupBy(F.col(url_col).alias("url"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_captures"),
+             F.sum("_chg").cast("long").alias("n_changes"))
+        .select(
+            "url", "n_captures", "n_changes",
+            F.when(F.col("n_captures") > 1,
+                   F.round(F.col("n_changes") * F.lit(1000000.0)
+                           / (F.col("n_captures") - 1)).cast("long"))
+            .otherwise(F.lit(0).cast("long")).alias("change_rate_micro"))
+    )
+
+
 def extract_sitemap_urls(sitemaps: DataFrame, host_col: str = "host",
                          xml_col: str = "xml") -> DataFrame:
     """(host, sitemap xml) -> one row per ``<url>`` entry:

@@ -5,7 +5,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ir_spark.operators.crawl import (apply_robots, crawl_frontier,
-                                      extract_sitemap_urls, parse_robots)
+                                      extract_sitemap_urls, parse_robots,
+                                      revisit_stats)
 
 
 def _rules(spark, txt, host="h.example"):
@@ -101,6 +102,27 @@ class TestFrontier:
         assert rows["https://a/3"] == (2, 250)
         assert rows["https://a/1"] == (3, 500)
         assert rows["https://b/1"] == (1, 0)
+
+
+class TestRevisitStats:
+    def test_changes_counted_against_previous_capture(self, spark):
+        caps = spark.createDataFrame(
+            [("u1", 1, "a"), ("u1", 2, "a"), ("u1", 3, "b"), ("u1", 4, "b"),
+             ("u1", 5, "a"),   # a -> b -> b -> a: 2 changes over 4 revisits
+             ("u2", 1, "x")],  # single capture: rate 0
+            "url string, ts long, content_md5 string")
+        rows = {r.url: (r.n_captures, r.n_changes, r.change_rate_micro)
+                for r in revisit_stats(caps).collect()}
+        assert rows["u1"] == (5, 2, 500000)
+        assert rows["u2"] == (1, 0, 0)
+
+    def test_first_capture_is_never_a_change(self, spark):
+        caps = spark.createDataFrame(
+            [("u", 1, "a"), ("u", 2, "b")],
+            "url string, ts long, content_md5 string")
+        r = revisit_stats(caps).collect()[0]
+        assert (r.n_captures, r.n_changes, r.change_rate_micro) \
+            == (2, 1, 1000000)
 
 
 class TestSitemap:
