@@ -156,6 +156,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "events_json_props": ["event_type", "max_k", "min_k", "n",
                               "sum_k"],
         "trending_terms": ["n", "rank", "term", "window_start_us"],
+        "event_attribution": ["click_id", "lag_us", "purchase_id"],
     },
 }
 

@@ -135,6 +135,62 @@ TREND_K = 5
 TREND_EPOCH0 = 1_704_067_200  # 2024-01-01 UTC
 
 
+ATTRIB_LOOKBACK_SEC = 1800
+
+
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join + last-touch attribution
+    (streaming/windows.py::interval_join / attribute_conversions):
+    each purchase pairs with same-user clicks at-or-before it within
+    the 30-min lookback, then keeps the latest click (click-ts DESC,
+    click-id DESC tie-break).  The gate runs the identical plan batch-
+    side; tests/test_streaming.py drives the same function through two
+    readStream sources and asserts pair parity."""
+    from .streaming.windows import attribute_conversions, interval_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("c_ts"))
+    pairs = interval_join(purchases, clicks, key="user_id",
+                          left_ts="p_ts", right_ts="c_ts",
+                          lookback_sec=ATTRIB_LOOKBACK_SEC)
+    return attribute_conversions(pairs, left_id="purchase_id",
+                                 right_id="click_id", left_ts="p_ts",
+                                 right_ts="c_ts")
+
+
+def sql_event_attribution() -> str:
+    return f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT p.purchase_id, c.click_id, c.c_ts,
+         epoch_us(p.p_ts) - epoch_us(c.c_ts) AS lag_us
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.c_ts <= p.p_ts
+   AND c.c_ts >= p.p_ts - INTERVAL {ATTRIB_LOOKBACK_SEC} SECONDS
+),
+best AS (
+  SELECT purchase_id, click_id, lag_us,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY c_ts DESC, click_id DESC) AS rn
+  FROM pairs
+)
+SELECT purchase_id, click_id, CAST(lag_us AS BIGINT) AS lag_us
+FROM best WHERE rn = 1
+"""
+
+
 def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k trending terms per tumbling hour over a timestamped doc
     stream (streaming/windows.py::trending_terms) — timestamps derived
@@ -353,6 +409,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_asof": q_bm25_topk_asof,
         "stream_dedup": q_stream_dedup,
         "trending_terms": q_trending_terms,
+        "event_attribution": q_event_attribution,
     }
 
 
@@ -366,4 +423,5 @@ def streaming_oracle_sql() -> dict[str, str]:
         "bm25_topk_asof": sql_bm25_topk_asof(),
         "stream_dedup": sql_stream_dedup(),
         "trending_terms": sql_trending_terms(),
+        "event_attribution": sql_event_attribution(),
     }

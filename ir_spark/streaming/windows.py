@@ -99,6 +99,62 @@ def json_prop_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join(left: DataFrame, right: DataFrame, *,
+                  key: str = "user_id", left_ts: str = "ts",
+                  right_ts: str = "ts", lookback_sec: int = 1800,
+                  watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream (or batch) interval join: pair each LEFT row with
+    every RIGHT row of the same key whose event time falls in
+    ``(left_ts - lookback_sec, left_ts]`` (right happens at-or-before
+    left, within the lookback) — the click->purchase attribution /
+    impression->conversion shape.
+
+    The SAME plan runs batch and streaming (the idiomatic Spark
+    pattern used throughout this module): on streaming inputs both
+    sides get event-time watermarks, which together with the two-sided
+    time-range join condition let Spark BOUND the join state — old
+    rows are evicted once the watermark passes their eligibility
+    window (Structured Streaming's stream-stream inner join contract).
+    Batch-side, Catalyst executes the equi-key part as an ordinary
+    shuffled hash/SMJ join with the range condition as a residual
+    filter — no cartesian.
+
+    Column names (other than ``key``) must be disjoint between the two
+    sides; alias before calling.
+    """
+    lts, rts = F.col(left_ts), F.col(right_ts)
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = ((rts <= lts)
+            & (rts >= lts - F.expr(f"INTERVAL {lookback_sec} SECONDS")))
+    return left.join(right, on=[left[key] == right[key], cond],
+                     how="inner").drop(right[key])
+
+
+def attribute_conversions(pairs: DataFrame, *, left_id: str,
+                          right_id: str, left_ts: str = "l_ts",
+                          right_ts: str = "r_ts") -> DataFrame:
+    """Last-touch attribution over interval_join output: for each LEFT
+    event keep the LATEST matching RIGHT event (right_ts DESC, then
+    right_id DESC for same-instant determinism) and the lag between
+    them.  One partial-aggregable max-of-struct groupBy — no window,
+    so it scales like any keyed agg.  Returns
+    (left_id, right_id, lag_us)."""
+    best = (
+        pairs.groupBy(left_id)
+        .agg(F.max(F.struct(
+            F.col(right_ts).alias("ts"),
+            F.col(right_id).alias("rid"),
+            (F.unix_micros(F.col(left_ts))
+             - F.unix_micros(F.col(right_ts))).alias("lag"))).alias("b")))
+    return best.select(
+        left_id,
+        F.col("b.rid").alias(right_id),
+        F.col("b.lag").cast("long").alias("lag_us"))
+
+
 def trending_terms(docs: DataFrame, ts_col: str = "ts",
                    width: str = "1 hour", k: int = 5,
                    stopwords: frozenset | None = None) -> DataFrame:

@@ -667,3 +667,45 @@ def test_asof_filter_is_partition_pruned(spark, corpus, tmp_path):
     assert any("grp" in ln and "<= 0" in ln and "bucket" in ln
                for ln in part_lines), part_lines
     assert "In(term" in plan
+
+
+def test_interval_join_stream_batch_parity(spark, tmp_path):
+    """Stream-stream interval join (windows.py::interval_join): the
+    SAME function over two readStream file sources produces exactly
+    the batch join's pairs — Structured Streaming's inner
+    time-interval join contract."""
+    from ir_spark.streaming.windows import interval_join
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("c_ts"))
+    batch = {(r.purchase_id, r.click_id)
+             for r in interval_join(p, c, key="user_id", left_ts="p_ts",
+                                    right_ts="c_ts", lookback_sec=1800)
+             .select("purchase_id", "click_id").collect()}
+    assert batch, "fixture should produce at least one pair"
+
+    pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+    p.write.parquet(pdir)
+    c.write.parquet(cdir)
+    ps = spark.readStream.schema(
+        "purchase_id long, user_id long, p_ts timestamp").parquet(pdir)
+    cs = spark.readStream.schema(
+        "click_id long, user_id long, c_ts timestamp").parquet(cdir)
+    joined = interval_join(ps, cs, key="user_id", left_ts="p_ts",
+                           right_ts="c_ts", lookback_sec=1800)
+    assert joined.isStreaming
+    q = (joined.select("purchase_id", "click_id")
+         .writeStream.format("memory").queryName("ivj")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ivj_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = {(r.purchase_id, r.click_id)
+                for r in spark.sql("select * from ivj").collect()}
+    assert streamed == batch
