@@ -116,6 +116,28 @@ def main() -> None:
     extras["gap_stream_gamma_bytes"] = (int(sizes["gamma_bits"]) + 7) // 8
     extras["gap_stream_delta_bytes"] = (int(sizes["delta_bits"]) + 7) // 8
 
+    # binary interpolative coding (codec.py::interpolative_encode) on
+    # the same per-(term, run) doc-id lists — the recursion has no
+    # closed-form size, so run the real encoder per run (Arrow-batched
+    # pandas UDF) and sum payload bytes (12-byte run headers excluded,
+    # matching the analytic Elias accounting above)
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("long")
+    def _interp_payload_bytes(ids: _pd.Series) -> _pd.Series:
+        from ir_spark.codec import interpolative_encode
+
+        return ids.map(
+            lambda a: max(0, len(interpolative_encode(a)) - 12))
+
+    runs = flat.groupBy(
+        "term",
+        F.floor(F.col("doc_id") / bench_range_width).alias("run")).agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    extras["gap_stream_interp_bytes"] = int(
+        runs.agg(F.sum(_interp_payload_bytes("ids"))).collect()[0][0] or 0)
+
     # dictionary compression evidence (C4/C5/C6): fixed-width vs
     # length-prefixed vs blocked front-coding on the real vocabulary —
     # the comparison the reference's stats.md makes for its dictionary

@@ -432,6 +432,107 @@ def elias_size_bits(values: np.ndarray | list[int]) -> tuple[int, int]:
     return int((2 * bl - 1).sum()), int((2 * bll - 1 + bl - 1).sum())
 
 
+# --- binary interpolative coding (Moffat & Stuehler 2000) -------------------
+#
+# The classic best-compressing posting-list code: encode the MIDDLE
+# doc id of a sorted run with a minimal binary code whose range is
+# narrowed by both neighbors' bounds, recurse on the halves.  Clustered
+# lists (the Zipf head terms that dominate index bytes) approach 0 bits
+# per posting because dense sub-ranges need NO bits at all (range size
+# == element count).  Like gamma/delta above this is an evidence codec
+# for the size comparison bench.py emits — the production store stays
+# delta+varbyte (D6) for vectorized decode — but encode/decode are
+# complete and property-tested.  Layout: uint32 n | uint64 hi | bits.
+
+def _min_binary_write(bits: list[int], v: int, r: int) -> None:
+    """Minimal binary code for v in [0, r): the first 2^b - r values
+    get b-1 bits, the rest b bits (b = ceil(log2 r))."""
+    if r <= 1:
+        return
+    b = (r - 1).bit_length()
+    t = (1 << b) - r
+    if v < t:
+        w = b - 1
+    else:
+        v, w = v + t, b
+    for i in range(w - 1, -1, -1):
+        bits.append((v >> i) & 1)
+
+
+def _min_binary_read(bits, pos: int, r: int) -> tuple[int, int]:
+    if r <= 1:
+        return 0, pos
+    b = (r - 1).bit_length()
+    t = (1 << b) - r
+    v = 0
+    for i in range(b - 1):
+        v = (v << 1) | int(bits[pos])
+        pos += 1
+    if v >= t:
+        v = ((v << 1) | int(bits[pos])) - t
+        pos += 1
+    return v, pos
+
+
+def interpolative_encode(doc_ids: np.ndarray | list[int]) -> bytes:
+    """Encode a strictly-increasing non-negative id list."""
+    s = [int(x) for x in doc_ids]
+    header = np.uint32(len(s)).tobytes()
+    if not s:
+        return header
+    if any(b <= a for a, b in zip(s, s[1:])) or s[0] < 0:
+        raise ValueError("interpolative code requires a strictly "
+                         "increasing non-negative sequence")
+    hi_all = s[-1]
+    header += np.uint64(hi_all).tobytes()
+    bits: list[int] = []
+    stack = [(0, len(s), 0, hi_all)]  # encode s[a:b] within [lo, hi]
+    while stack:
+        a, b, lo, hi = stack.pop()
+        n = b - a
+        if n == 0 or hi - lo + 1 == n:
+            continue  # empty, or fully dense: zero bits
+        m = a + n // 2
+        x = s[m]
+        lo_m = lo + (m - a)          # x >= lo + left count
+        hi_m = hi - (b - 1 - m)      # x <= hi - right count
+        _min_binary_write(bits, x - lo_m, hi_m - lo_m + 1)
+        # push right first so the left half is encoded first (LIFO)
+        stack.append((m + 1, b, x + 1, hi))
+        stack.append((a, m, lo, x - 1))
+    return header + np.packbits(
+        np.asarray(bits, dtype=np.uint8)).tobytes()
+
+
+def interpolative_decode(buf: bytes) -> np.ndarray:
+    n = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    hi_all = int(np.frombuffer(buf[4:12], dtype=np.uint64)[0])
+    bits = np.unpackbits(np.frombuffer(buf[12:], dtype=np.uint8))
+    out = [0] * n
+    pos = 0
+    stack = [(0, n, 0, hi_all)]
+    while stack:
+        a, b, lo, hi = stack.pop()
+        cnt = b - a
+        if cnt == 0:
+            continue
+        if hi - lo + 1 == cnt:       # dense: values are forced
+            for i in range(cnt):
+                out[a + i] = lo + i
+            continue
+        m = a + cnt // 2
+        lo_m = lo + (m - a)
+        hi_m = hi - (b - 1 - m)
+        v, pos = _min_binary_read(bits, pos, hi_m - lo_m + 1)
+        x = lo_m + v
+        out[m] = x
+        stack.append((m + 1, b, x + 1, hi))
+        stack.append((a, m, lo, x - 1))
+    return np.asarray(out, dtype=np.int64)
+
+
 # --- dictionary blocking + front coding (SURVEY C4/C5/C6) -------------------
 
 DICT_BLOCK = 8  # terms per dictionary block (reference blocking k=8)
