@@ -157,6 +157,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
                               "sum_k"],
         "trending_terms": ["n", "rank", "term", "window_start_us"],
         "event_attribution": ["click_id", "lag_us", "purchase_id"],
+        "percolate_match": ["doc_id", "n_matched", "n_terms", "query_id"],
     },
 }
 

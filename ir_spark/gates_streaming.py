@@ -135,6 +135,62 @@ TREND_K = 5
 TREND_EPOCH0 = 1_704_067_200  # 2024-01-01 UTC
 
 
+# stored alert queries over the corpus vocabulary (stable across SFs);
+# q4's terms never occur -> proves the no-false-positive path
+PERCOLATE_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("hash", "join"),
+    1: ("vector", "scan", "column"),
+    2: ("merge", "sort"),
+    3: ("group", "filter", "order", "window"),
+    4: ("quantum", "flux"),
+}
+
+
+def q_percolate_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search (operators/percolate.py): match every document
+    against the stored alert queries, AND semantics — the saved-search
+    primitive a streaming ingest runs per micro-batch (the plan is
+    pure joins + keyed aggs, so it is batch/stream identical; the
+    broadcast query registry never shuffles the docs)."""
+    from .operators import build as B
+    from .operators.percolate import percolate
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id", "text")
+    toks = B.token_counts(docs).select("doc_id", "term")
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in PERCOLATE_QUERIES.items()
+         for t in terms],
+        "query_id long, term string")
+    return percolate(toks, qdf)
+
+
+def sql_percolate_match() -> str:
+    from .gates import TOKS_CTE
+
+    vals = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{t}')"
+        for qid, terms in PERCOLATE_QUERIES.items() for t in terms)
+    return f"""
+WITH {TOKS_CTE},
+qterms(query_id, term) AS (VALUES {vals}),
+qsz AS (
+  SELECT query_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+  FROM qterms GROUP BY query_id
+),
+hits AS (
+  SELECT t.doc_id, q.query_id,
+         CAST(COUNT(DISTINCT t.term) AS BIGINT) AS n_matched
+  FROM (SELECT DISTINCT doc_id, term FROM toks) t
+  JOIN qterms q ON q.term = t.term
+  GROUP BY t.doc_id, q.query_id
+)
+SELECT h.query_id, h.doc_id, h.n_matched, s.n_terms
+FROM hits h JOIN qsz s ON s.query_id = h.query_id
+WHERE h.n_matched >= s.n_terms
+"""
+
+
 ATTRIB_LOOKBACK_SEC = 1800
 
 
@@ -410,6 +466,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "trending_terms": q_trending_terms,
         "event_attribution": q_event_attribution,
+        "percolate_match": q_percolate_match,
     }
 
 
@@ -424,4 +481,5 @@ def streaming_oracle_sql() -> dict[str, str]:
         "stream_dedup": sql_stream_dedup(),
         "trending_terms": sql_trending_terms(),
         "event_attribution": sql_event_attribution(),
+        "percolate_match": sql_percolate_match(),
     }
