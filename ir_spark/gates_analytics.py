@@ -2447,6 +2447,79 @@ FROM ranked WHERE rn <= {SITEMAP_PER_HOST}
 """
 
 
+# --- passage-level BM25 retrieval (round 3) -----------------------------------
+
+PASSAGE_K = 10
+PASSAGE_QUERY_TERMS = sorted({
+    "fast", "hash", "join", "with", "big", "vector", "table", "scan"})
+
+
+def q_passage_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage retrieval (operators/passages.py::search_passages): the
+    flagship query's whitespace terms scored BM25 over sliding-window
+    chunks (CHUNK_W/CHUNK_STRIDE, chunk-level df/avgdl stats) — the
+    RAG primitive.  Oracle recomputes windows, stats, the Lucene idf,
+    and the quantized top-k ordering entirely in SQL."""
+    from .operators.passages import search_passages
+
+    return search_passages(_docs(spark, sf_dir), PASSAGE_QUERY_TERMS,
+                           k=PASSAGE_K, chunk=CHUNK_W,
+                           stride=CHUNK_STRIDE)
+
+
+def sql_passage_bm25_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    terms = PASSAGE_QUERY_TERMS
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(win, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    score_terms = " + ".join(
+        f"(CASE WHEN s.df_{i} > 0 THEN "
+        f"ln(1.0 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5)) "
+        f"* c.tf_{i} * {k1 + 1.0} / (c.tf_{i} + {k1} * (1.0 - {b} + {b} "
+        f"* c.dl / s.avgdl)) ELSE 0.0 END)"
+        for i in range(len(terms)))
+    return f"""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '),
+                             t -> length(t) > 0) AS w
+  FROM documents
+),
+counted AS (SELECT doc_id, w, len(w) AS n FROM words),
+chunks AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_id,
+         CAST(t.i * {CHUNK_STRIDE} AS BIGINT) AS start,
+         w[t.i*{CHUNK_STRIDE}+1 : t.i*{CHUNK_STRIDE}+{CHUNK_W}] AS win
+  FROM counted, UNNEST(range(0,
+       CASE WHEN n <= 0 THEN 0 WHEN n <= {CHUNK_W} THEN 1
+            ELSE 1 + CAST(ceil((n - {CHUNK_W}) / {CHUNK_STRIDE}.0) AS INT)
+       END)) AS t(i)
+),
+cells AS (
+  SELECT doc_id, chunk_id, start,
+         CAST(len(win) AS DOUBLE) AS dl,
+         {tf_cols}
+  FROM chunks
+),
+stats AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+         {df_cols}
+  FROM cells
+),
+scored AS (
+  SELECT c.doc_id, c.chunk_id, c.start,
+         CAST(round(({score_terms}) * 1000000.0) AS BIGINT) AS score_micro
+  FROM cells c CROSS JOIN stats s
+)
+SELECT doc_id, chunk_id, start, score_micro
+FROM scored WHERE score_micro > 0
+ORDER BY score_micro DESC, doc_id ASC, chunk_id ASC
+LIMIT {PASSAGE_K}
+"""
+
+
 # --- Naive Bayes classifier (round 3) ----------------------------------------
 
 NB_ALPHA = 1.0
@@ -3111,6 +3184,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_report": q_mix_report,
         "dsir_weights": q_dsir_weights,
         "nb_lang_classify": q_nb_lang_classify,
+        "passage_bm25_topk": q_passage_bm25_topk,
         "web_anchor_bm25f_topk": q_web_anchor_bm25f_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
@@ -3173,6 +3247,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "mix_report": sql_mix_report(),
         "dsir_weights": sql_dsir_weights(),
         "nb_lang_classify": sql_nb_lang_classify(),
+        "passage_bm25_topk": sql_passage_bm25_topk(),
         "web_anchor_bm25f_topk": sql_web_anchor_bm25f_topk(),
         "multimodal_meta": sql_multimodal_meta(),
         "multimodal_image_meta": sql_multimodal_image_meta(),

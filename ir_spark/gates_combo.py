@@ -104,6 +104,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
                           "start"],
         "dsir_weights": ["doc_id", "dsir_logw_micro"],
         "nb_lang_classify": ["doc_id", "mean_ll_micro", "pred_lang"],
+        "passage_bm25_topk": ["chunk_id", "doc_id", "score_micro",
+                              "start"],
         "doc_chunks": ["chunk_id", "chunk_md5", "doc_id",
                        "n_chunk_tokens", "start"],
         "c4_line_filter": ["doc_id", "keep", "kept_md5",

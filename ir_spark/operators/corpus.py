@@ -376,6 +376,20 @@ def chunk_documents(docs: DataFrame, chunk: int = 128,
     (the explode fan-out is bounded by ~n_tokens/stride per doc).
     Whole-stage codegen end to end, no Python.
     """
+    rows = chunk_windows(docs, chunk=chunk, stride=stride)
+    return rows.select(
+        "doc_id", "chunk_id", "start",
+        F.size("win").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("win", " ").cast("binary")).alias("chunk_md5"),
+    )
+
+
+def chunk_windows(docs: DataFrame, chunk: int = 128,
+                  stride: int = 64) -> DataFrame:
+    """The window derivation behind :func:`chunk_documents`, with the
+    token arrays kept: (doc_id, chunk_id, start, win) — the input to
+    passage-level retrieval (operators/passages.py).  Same narrow-map
+    plan: split, sequence, explode, slice; no shuffle."""
     if chunk <= 0 or stride <= 0 or stride > chunk:
         raise ValueError("need 0 < stride <= chunk")
     words = F.expr("filter(split(text, ' '), t -> length(t) > 0)")
@@ -386,18 +400,13 @@ def chunk_documents(docs: DataFrame, chunk: int = 128,
     # sequence(0, -1) would DESCEND, not be empty — guard the no-token case
     ids = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
                  ).otherwise(F.array().cast("array<int>"))
-    rows = (
+    return (
         based.select("doc_id", "_w", F.explode(ids).alias("chunk_id"))
-        .withColumn("start", F.col("chunk_id") * stride)
+        .withColumn("start", (F.col("chunk_id") * stride).cast("long"))
         # slice() is 1-based; the final window is clipped by slice itself
-        .withColumn("_win", F.slice(F.col("_w"), F.col("start") + 1, chunk))
-    )
-    return rows.select(
-        "doc_id",
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.col("start").cast("long").alias("start"),
-        F.size("_win").cast("long").alias("n_chunk_tokens"),
-        F.md5(F.array_join("_win", " ").cast("binary")).alias("chunk_md5"),
+        .withColumn("win", F.slice(F.col("_w"), (F.col("chunk_id") * stride) + 1, chunk))
+        .select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+                "start", "win")
     )
 
 
