@@ -276,3 +276,46 @@ def test_warc_to_index_end_to_end(spark, tmp_path):
     idx = build_dataframe_index(docs)
     hits = search(spark, idx, "fast query", k=2, mode="bm25").collect()
     assert len(hits) >= 1
+
+
+def test_crawl_plan_job(tmp_path, capsys):
+    """crawl_plan CLI: robots gating + politeness waves + revisit
+    stats land in one fetch-plan parquet."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import crawl_plan
+
+    from ir_spark.session import get_spark
+
+    spark = get_spark("test_crawl_plan")
+    urls = spark.createDataFrame(
+        [("https://a.example/private/x", 5),
+         ("https://a.example/ok/1", 9),
+         ("https://a.example/ok/2", 3),
+         ("https://b.example/anything", 1)],
+        "url string, priority long")
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /private\n")],
+        "host string, robots_txt string")
+    caps = spark.createDataFrame(
+        [("https://a.example/ok/1", 1, "h1"),
+         ("https://a.example/ok/1", 2, "h2")],
+        "url string, ts long, content_md5 string")
+    src_u, src_r, src_c = (str(tmp_path / n) for n in ("u", "r", "c"))
+    urls.write.parquet(src_u)
+    robots.write.parquet(src_r)
+    caps.write.parquet(src_c)
+
+    out = str(tmp_path / "plan")
+    rc = crawl_plan.main([
+        "--urls", src_u, "--robots", src_r, "--captures", src_c,
+        "--output", out, "--delay-ms", "500", "--local-cpus", "4"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (report["n_urls"], report["n_blocked"]) == (4, 1)
+
+    plan = {r.url: r for r in spark.read.parquet(out).collect()}
+    assert plan["https://a.example/private/x"].allowed == 0
+    assert plan["https://a.example/ok/1"].host_rank == 1
+    assert plan["https://a.example/ok/2"].eta_ms == 500
+    assert plan["https://b.example/anything"].allowed == 1
+    assert plan["https://a.example/ok/1"].n_changes == 1
