@@ -1094,6 +1094,64 @@ DECON_BENCH_SRC = "src0"   # held-out "benchmark" slice of the corpus
 SAMPLE_RATES = {"en": 0.5, "zh": 0.8}   # per-lang keep fractions
 
 
+DECON_BLOOM_BITS = 1 << 16  # ~0.19 load at the gate's bench-gram count:
+DECON_BLOOM_K = 5           # discriminative, with a few deterministic
+#                             false positives still exercised
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory decontamination
+    (operators/corpus.py::decontaminate_bloom): benchmark grams as a
+    2^16-bit Bloom bitmap literal, corpus side a pure narrow map; the
+    oracle recomputes the identical bit math from the bench grams (no
+    false negatives by construction — pinned in pytest against the
+    exact decontaminate)."""
+    from .operators import corpus as C
+
+    full = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench = full.filter(F.col("source") == DECON_BENCH_SRC).select(
+        "doc_id", "text")
+    corpus = full.filter(F.col("source") != DECON_BENCH_SRC).select(
+        "doc_id", "text")
+    return C.decontaminate_bloom(corpus, bench, n=DECON_N,
+                                 n_hashes=DECON_BLOOM_K,
+                                 n_bits=DECON_BLOOM_BITS)
+
+
+def sql_decontaminate_bloom() -> str:
+    k, m = DECON_BLOOM_K, DECON_BLOOM_BITS
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents
+                WHERE source != '{DECON_BENCH_SRC}'),
+bench AS (SELECT doc_id, text FROM documents
+          WHERE source = '{DECON_BENCH_SRC}'),
+cg AS (SELECT DISTINCT doc_id, g FROM ({_sql_ngrams(DECON_N, 'corpus')})),
+bg AS (SELECT DISTINCT g FROM ({_sql_ngrams(DECON_N, 'bench')})),
+bits AS (
+  SELECT DISTINCT {_sql_hash_bucket('g', 'r.k', m)} AS bit
+  FROM bg CROSS JOIN (SELECT unnest(range(0, {k})) AS k) r
+),
+probe AS (
+  SELECT cg.doc_id, cg.g,
+         CASE WHEN SUM(CASE WHEN b.bit IS NULL THEN 1 ELSE 0 END) = 0
+              THEN 1 ELSE 0 END AS member
+  FROM cg
+  CROSS JOIN (SELECT unnest(range(0, {k})) AS k) r
+  LEFT JOIN bits b ON b.bit = {_sql_hash_bucket('cg.g', 'r.k', m)}
+  GROUP BY cg.doc_id, cg.g
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(member) AS BIGINT) AS n_bloom_hits,
+         CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM probe GROUP BY doc_id
+)
+SELECT doc_id, n_bloom_hits, n_grams,
+       CAST(CASE WHEN n_bloom_hits > 0 THEN 1 ELSE 0 END AS INT)
+         AS contaminated
+FROM agg
+"""
+
+
 def _sql_ngrams(n: int, src: str = "corpus") -> str:
     """DuckDB CTE body producing NON-distinct word n-grams (doc_id, g)
     from ``src(doc_id, text)`` — mirror of corpus._gram_counts input."""
@@ -3179,6 +3237,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "repetition_filter": q_repetition_filter,
         "stratified_sample": q_stratified_sample,
         "mix_report": q_mix_report,
@@ -3242,6 +3301,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "token_stats": sql_token_stats(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "decontaminate": sql_decontaminate(),
+        "decontaminate_bloom": sql_decontaminate_bloom(),
         "repetition_filter": sql_repetition_filter(),
         "stratified_sample": sql_stratified_sample(),
         "mix_report": sql_mix_report(),

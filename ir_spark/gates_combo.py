@@ -94,6 +94,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
                            "n_words"],
         "decontaminate": ["contaminated", "doc_id", "n_contaminated_grams",
                           "n_grams"],
+        "decontaminate_bloom": ["contaminated", "doc_id", "n_bloom_hits",
+                                "n_grams"],
         "repetition_filter": ["doc_id", "dup_trigram_frac_micro", "keep",
                               "top_bigram_frac_micro"],
         "stratified_sample": ["doc_id", "lang", "sample_key_micro"],

@@ -71,6 +71,68 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
+def decontaminate_bloom(docs: DataFrame, bench: DataFrame, *,
+                        n: int = 5, n_hashes: int = 5,
+                        n_bits: int = 1 << 16) -> DataFrame:
+    """Bounded-memory decontamination: the benchmark n-grams become an
+    ``n_bits`` Bloom bitmap instead of a broadcast gram set.
+
+    Output (doc_id, n_bloom_hits, n_grams, contaminated) over DISTINCT
+    per-doc grams.  No false negatives — a truly contaminated doc is
+    ALWAYS flagged; false positives at the configured rate flag a few
+    clean docs, the safe direction for eval hygiene (drop, never keep).
+    Same hash idiom as sketch.py::_bucket, so flags are deterministic
+    and engine-reproducible.
+
+    Scale shape — strictly better than :func:`decontaminate` when the
+    benchmark gram set outgrows a comfortable broadcast: the bitmap is
+    collected ONCE (<= n_bits set positions; n_bits/4 hex chars ride
+    the plan as a literal, the same idea as Spark's runtime bloom
+    pruning) and the corpus side is then a PURE NARROW MAP — grams,
+    k hash probes, and the bitmap test are all higher-order column
+    expressions; zero joins, zero shuffles, zero Python on the corpus.
+    """
+    from .sketch import bloom_build
+
+    bench_grams = word_shingles(bench.select("doc_id", "text"), n=n) \
+        .select(F.col("shingle").alias("term"))
+    bits = [int(r["bit"]) for r in
+            bloom_build(bench_grams, n_hashes=n_hashes,
+                        n_bits=n_bits).collect()]
+    nibbles = bytearray(n_bits // 4)
+    for b in bits:
+        nibbles[b // 4] |= 1 << (3 - (b % 4))
+    hex_map = "".join(f"{v:x}" for v in nibbles)
+
+    grams = (
+        f"array_distinct(CASE WHEN size(split(text, ' ')) < {n} THEN "
+        f"array() ELSE transform(sequence(1, size(split(text, ' ')) - "
+        f"{n - 1}), i -> array_join(slice(split(text, ' '), i, {n}), ' ')) "
+        f"END)")
+    # k md5 bucket positions per gram (lockstep with sketch._bucket)
+    positions = (
+        f"transform(sequence(0, {n_hashes - 1}), i -> "
+        f"CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', g)), "
+        f"1, 8), 16, 10) AS BIGINT) % {n_bits})")
+    # bitmap probe: hex nibble holds positions [4j..4j+3], MSB first
+    bit_clear = (
+        f"(CAST(conv(substring('{hex_map}', CAST(p / 4 AS INT) + 1, 1), "
+        f"16, 10) AS INT) >> (3 - CAST(p % 4 AS INT))) % 2 = 0")
+    member = f"size(filter({positions}, p -> {bit_clear})) = 0"
+    out = docs.select(
+        "doc_id",
+        F.expr(grams).alias("_dg")).select(
+        "doc_id",
+        F.expr(f"size(filter(_dg, g -> {member}))").cast("long")
+        .alias("n_bloom_hits"),
+        F.size("_dg").cast("long").alias("n_grams"))
+    # docs too short to form one gram are out of scope, matching
+    # :func:`decontaminate` (they cannot be contaminated)
+    return out.where(F.col("n_grams") > 0).select(
+        "doc_id", "n_bloom_hits", "n_grams",
+        (F.col("n_bloom_hits") > 0).cast("int").alias("contaminated"))
+
+
 def _gram_counts(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, gram, cnt) — NON-distinct word n-gram counts per doc."""
     grams = F.expr(

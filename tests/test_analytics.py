@@ -84,6 +84,34 @@ def test_decontaminate_flags_copied_ngram(spark):
     assert 3 not in out  # too short for any 4-gram -> no gram rows
 
 
+def test_decontaminate_bloom_no_false_negatives(spark):
+    """Bloom decontamination flags every truly contaminated doc (no
+    false negatives) and at a comfortable bitmap size introduces no
+    false positives either on this corpus."""
+    from ir_spark.operators import corpus as C
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "x y alpha beta gamma delta z"),
+         (2, "totally unrelated words go here ok"),
+         (3, "alpha beta gamma")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in C.decontaminate_bloom(
+        corpus, bench, n=4, n_bits=1 << 16).collect()}
+    assert out[1].contaminated == 1 and out[1].n_bloom_hits == 1
+    assert out[2].contaminated == 0
+    assert 3 not in out
+
+    # a saturated 8-bit / 3-hash filter MUST still catch doc 1 (the
+    # no-false-negative guarantee) — and at these exact deterministic
+    # hash values it false-positives doc 2, the safe direction
+    tiny = {r.doc_id: r for r in C.decontaminate_bloom(
+        corpus, bench, n=4, n_bits=8, n_hashes=3).collect()}
+    assert tiny[1].contaminated == 1
+    assert tiny[2].contaminated == 1
+
+
 def test_repetition_profile_flags_repetitive_doc(spark):
     from ir_spark.operators import corpus as C
 
