@@ -1094,6 +1094,37 @@ DECON_BENCH_SRC = "src0"   # held-out "benchmark" slice of the corpus
 SAMPLE_RATES = {"en": 0.5, "zh": 0.8}   # per-lang keep fractions
 
 
+WSAMPLE_N = 100
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sampling (operators/corpus.py::weighted_sample):
+    top-100 docs by the deterministic ln(u)/w key, weights = n_chars
+    (longer docs proportionally likelier).  Oracle recomputes the key
+    and ordering in SQL."""
+    from .operators.corpus import weighted_sample
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "n_chars")
+    return weighted_sample(docs, weight_col="n_chars", n=WSAMPLE_N) \
+        .select("doc_id", "sample_key_micro")
+
+
+def sql_weighted_sample() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      ::BIGINT + 1.0) / 4294967297.0)
+                  / CAST(n_chars AS DOUBLE) * 1000000.0) AS BIGINT)
+         AS sample_key_micro
+FROM documents
+WHERE n_chars > 0
+ORDER BY sample_key_micro DESC, doc_id ASC
+LIMIT {WSAMPLE_N}
+"""
+
+
 DECON_BLOOM_BITS = 1 << 16  # ~0.19 load at the gate's bench-gram count:
 DECON_BLOOM_K = 5           # discriminative, with a few deterministic
 #                             false positives still exercised
@@ -3240,6 +3271,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "repetition_filter": q_repetition_filter,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "mix_report": q_mix_report,
         "dsir_weights": q_dsir_weights,
         "nb_lang_classify": q_nb_lang_classify,
@@ -3304,6 +3336,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": sql_decontaminate_bloom(),
         "repetition_filter": sql_repetition_filter(),
         "stratified_sample": sql_stratified_sample(),
+        "weighted_sample": sql_weighted_sample(),
         "mix_report": sql_mix_report(),
         "dsir_weights": sql_dsir_weights(),
         "nb_lang_classify": sql_nb_lang_classify(),

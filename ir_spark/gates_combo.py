@@ -99,6 +99,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "repetition_filter": ["doc_id", "dup_trigram_frac_micro", "keep",
                               "top_bigram_frac_micro"],
         "stratified_sample": ["doc_id", "lang", "sample_key_micro"],
+        "weighted_sample": ["doc_id", "sample_key_micro"],
         "mix_report": ["lang", "n_chars", "n_docs", "n_tokens",
                        "token_share_micro"],
         "host_cap_sample": ["doc_id", "host_rank", "source"],

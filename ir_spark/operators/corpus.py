@@ -71,6 +71,38 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
+def weighted_sample(docs: DataFrame, *, weight_col: str, n: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, algorithm A-ES) — the corpus-mixing primitive: draw n docs
+    with inclusion probability proportional to ``weight_col`` (token
+    counts, DSIR importance, quality scores ...).
+
+    Each row gets key = ln(u) / w, a monotone transform of the paper's
+    u^(1/w) (same ordering, no float pow), with u derived
+    DETERMINISTICALLY from md5(id) — membership is reproducible across
+    reruns and engines, the property every training-data audit needs.
+    The sample is the global top-n by key.
+
+    Scale shape: the key is a pure narrow expression; top-n is ONE
+    TakeOrderedAndProject (per-partition heaps + driver merge of n
+    rows) — no shuffle, no sort of the corpus.  Keys are
+    micro-quantized before ranking so engines can't disagree at the
+    boundary; ties break by id ASC.  Rows with weight <= 0 are
+    excluded (zero weight = zero inclusion probability).
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float((1 << 32) + 1))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double")
+                  * F.lit(1000000.0)).cast("long")
+    return (docs.where(F.col(weight_col) > 0)
+            .withColumn("sample_key_micro", key)
+            .orderBy(F.col("sample_key_micro").desc(),
+                     F.col(id_col).asc())
+            .limit(n))
+
+
 def decontaminate_bloom(docs: DataFrame, bench: DataFrame, *,
                         n: int = 5, n_hashes: int = 5,
                         n_bits: int = 1 << 16) -> DataFrame:

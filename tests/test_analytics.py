@@ -84,6 +84,30 @@ def test_decontaminate_flags_copied_ngram(spark):
     assert 3 not in out  # too short for any 4-gram -> no gram rows
 
 
+def test_weighted_sample_is_deterministic_and_weight_biased(spark):
+    """A-ES sampling: reruns give identical membership; heavier docs
+    are sampled more often (inclusion prob ∝ weight)."""
+    from ir_spark.operators.corpus import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, 100 if i % 2 == 0 else 1) for i in range(400)],
+        "doc_id long, w long")
+    a = sorted(r.doc_id for r in
+               weighted_sample(docs, weight_col="w", n=50).collect())
+    b = sorted(r.doc_id for r in
+               weighted_sample(docs, weight_col="w", n=50).collect())
+    assert a == b and len(a) == 50
+    heavy = sum(1 for d in a if d % 2 == 0)
+    assert heavy >= 40, heavy  # 100:1 weights dominate the sample
+
+    # zero/negative weights are excluded outright
+    z = weighted_sample(
+        spark.createDataFrame([(1, 0), (2, -3), (3, 5)],
+                              "doc_id long, w long"),
+        weight_col="w", n=10).collect()
+    assert [r.doc_id for r in z] == [3]
+
+
 def test_decontaminate_bloom_no_false_negatives(spark):
     """Bloom decontamination flags every truly contaminated doc (no
     false negatives) and at a comfortable bitmap size introduces no
