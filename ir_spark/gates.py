@@ -1003,6 +1003,76 @@ BOOL_MUST = ["hash", "join"]
 BOOL_NOT = ["vector"]
 BOOL_SHOULD = ["fast", "scan"]
 SPELL_TERM, SPELL_K, SPELL_DIST = "sart", 5, 2
+
+# the flagship query with two out-of-vocabulary typos — the retry path
+# must correct both ('hashh' -> 'hash', 'vectr' -> 'vector') and score
+# identically to the corrected bag
+SPELLFIX_QUERY = "fast hashh join with big vectr table scan"
+
+
+def q_spellfix_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-corrected retry (operators/lexicon.py::search_with_
+    spellfix): unseen query terms are replaced by their best
+    did-you-mean candidate, then the ordinary BM25 plan runs.  The
+    oracle resolves the corrections independently in SQL (same
+    (dist, df, term) precedence) and scores the corrected bag."""
+    from .operators.lexicon import search_with_spellfix
+
+    idx = _df_index(spark, sf_dir)
+    raw, _ = search_with_spellfix(spark, idx, SPELLFIX_QUERY,
+                                  k=K_FLAGSHIP * 5, mode="bm25",
+                                  max_dist=SPELL_DIST)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_spellfix_bm25_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    from collections import Counter
+
+    bag = Counter(t for t in tokenize(SPELLFIX_QUERY)
+                  if t not in STOPWORDS)
+    vals = ", ".join(f"('{t}', {c})" for t, c in sorted(bag.items()))
+    return f"""
+WITH {TOKS_CTE},
+typos(term, qtf) AS (SELECT * FROM (VALUES {vals}) AS v(term, qtf)),
+present AS (
+  SELECT t.term, t.qtf FROM typos t JOIN dict d ON d.term = t.term
+),
+missing AS (
+  SELECT t.term AS typo, t.qtf FROM typos t
+  LEFT JOIN dict d ON d.term = t.term WHERE d.term IS NULL
+),
+cand AS (
+  SELECT m.typo, m.qtf, d.term,
+         ROW_NUMBER() OVER (PARTITION BY m.typo
+                            ORDER BY levenshtein(d.term, m.typo) ASC,
+                                     d.df DESC, d.term ASC) AS rn
+  FROM missing m
+  JOIN dict d ON ABS(LENGTH(d.term) - LENGTH(m.typo)) <= {SPELL_DIST}
+  WHERE levenshtein(d.term, m.typo) <= {SPELL_DIST}
+),
+qterms AS (
+  SELECT term, SUM(qtf) AS qtf FROM (
+    SELECT term, qtf FROM present
+    UNION ALL
+    SELECT term, qtf FROM cand WHERE rn = 1
+  ) GROUP BY term
+),
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
 PREFIX, PREFIX_K = "s", 10
 
 
@@ -1936,6 +2006,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": q_eval_metrics,
         "boolean_match": q_boolean_match,
         "spell_suggest": q_spell_suggest,
+        "spellfix_bm25_topk": q_spellfix_bm25_topk,
         "prefix_terms": q_prefix_terms,
         "wildcard_terms": q_wildcard_terms,
         "fuzzy_terms": q_fuzzy_terms,
@@ -1986,6 +2057,7 @@ def core_oracle_sql() -> dict[str, str]:
         "eval_metrics": sql_eval_metrics(),
         "boolean_match": sql_boolean_match(),
         "spell_suggest": sql_spell_suggest(),
+        "spellfix_bm25_topk": sql_spellfix_bm25_topk(),
         "prefix_terms": sql_prefix_terms(),
         "wildcard_terms": sql_wildcard_terms(),
         "fuzzy_terms": sql_fuzzy_terms(),

@@ -51,6 +51,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
     "lexicon_suite": {
         "synonym_bm25_topk": ["doc_id", "score_micro"],
         "spell_suggest": ["df", "dist", "term"],
+        "spellfix_bm25_topk": ["doc_id", "score_micro"],
         "prefix_terms": ["df", "term"],
         "wildcard_terms": ["df", "term"],
         "fuzzy_terms": ["df", "dist", "term"],

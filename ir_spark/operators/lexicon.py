@@ -159,3 +159,57 @@ def fuzzy_terms(dictionary: DataFrame, query_term: str, k: int = 5,
             .select("term", F.col("dist").cast("int").alias("dist"), "df")
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
             .limit(k))
+
+
+def spellfix_query(index, query: str, *, max_dist: int = 2,
+                   stem: bool = False) -> tuple[str, dict[str, str]]:
+    """Elasticsearch-style "did you mean" RETRY rewrite: query terms
+    present in the dictionary pass through; terms the corpus has never
+    seen are replaced by their best suggestion (dist ASC, df DESC,
+    term ASC — :func:`suggest_terms` order); unseen terms with no
+    candidate within ``max_dist`` drop (they'd contribute nothing
+    anyway).  Returns (corrected query string with qtf preserved by
+    repetition, {typo: correction} map).
+
+    Driver cost: ONE dictionary probe for presence (isin pushdown over
+    the query's few terms) + one suggestion top-1 per missing term —
+    the same bounded probes a query front-end makes; the corpus is
+    never touched.
+    """
+    from ..oracle import parse_query
+
+    bag = parse_query(query, stem=stem)
+    if not bag:
+        return "", {}
+    present = {
+        r["term"] for r in index.dictionary
+        .filter(F.col("term").isin(sorted(bag))).select("term").collect()}
+    corrections: dict[str, str] = {}
+    out: list[str] = []
+    for t in sorted(bag):
+        if t in present:
+            out.extend([t] * bag[t])
+            continue
+        sug = suggest_terms(index.dictionary, t,
+                            k=1, max_dist=max_dist).collect()
+        if sug:
+            corrections[t] = sug[0]["term"]
+            out.extend([sug[0]["term"]] * bag[t])
+    return " ".join(out), corrections
+
+
+def search_with_spellfix(spark, index, query: str, *, k: int = 5,
+                         mode: str = "bm25", k1: float = 1.2,
+                         b: float = 0.75, max_dist: int = 2
+                         ) -> tuple[DataFrame, dict[str, str]]:
+    """Search with automatic spell-corrected retry: rewrite via
+    :func:`spellfix_query`, then run the ordinary engine — identical
+    plan, identical semantics, only the query bag differs."""
+    from .query import search
+
+    fixed, corrections = spellfix_query(index, query, max_dist=max_dist)
+    if not fixed:
+        return (spark.createDataFrame([], "doc_id long, score double"),
+                corrections)
+    return (search(spark, index, fixed, k=k, mode=mode, k1=k1, b=b),
+            corrections)

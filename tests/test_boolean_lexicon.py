@@ -178,3 +178,41 @@ def test_fuzzy_terms_trigram_blocking(spark):
             suggest_terms(d, "sart", k=10, max_dist=2).collect()}
     assert {t for t, _ in got} <= full
     assert {"sart", "start", "art"} <= {t for t, _ in got}
+
+
+@pytest.fixture(scope="module")
+def docs_index(spark):
+    """DataFrame index over the documents corpus (the vocabulary the
+    spellfix fixtures reference: 'hash', 'vector', ...)."""
+    from ir_spark import gates
+
+    return gates._df_index(spark, "/root/testdata/sf0.001")
+
+
+class TestSpellfix:
+    def test_corrections_and_passthrough(self, spark, docs_index):
+        from ir_spark.gates import SPELLFIX_QUERY
+        from ir_spark.operators.lexicon import spellfix_query
+
+        fixed, corr = spellfix_query(docs_index, SPELLFIX_QUERY)
+        assert corr == {"hashh": "hash", "vectr": "vector"}
+        assert "hashh" not in fixed and "hash" in fixed.split()
+
+    def test_corrected_equals_clean_query(self, spark, docs_index):
+        """The retry result must equal running the corrected query
+        directly — the rewrite changes nothing but the bag."""
+        from ir_spark.operators import query as Q
+        from ir_spark.operators.lexicon import search_with_spellfix
+
+        got, _ = search_with_spellfix(
+            spark, docs_index, "fast hashh join", k=5)
+        want = Q.search(spark, docs_index, "fast hash join", k=5)
+        assert [(r.doc_id, round(r.score, 9)) for r in got.collect()] == \
+               [(r.doc_id, round(r.score, 9)) for r in want.collect()]
+
+    def test_hopeless_term_drops(self, spark, docs_index):
+        from ir_spark.operators.lexicon import spellfix_query
+
+        fixed, corr = spellfix_query(docs_index, "fast zzzzqqqqxxxx join")
+        assert corr == {}
+        assert sorted(fixed.split()) == ["fast", "join"]
