@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""spark-submit entry point: crawl-control plane.
+r"""spark-submit entry point: crawl-control plane.
 
 Turns a candidate-url table plus per-host robots.txt into a polite
 fetch plan, and reports per-url revisit-change statistics when a
