@@ -46,3 +46,44 @@ class TestPercolate:
         got = {(r.query_id, r.doc_id): r.n_matched
                for r in percolate(docs, queries).collect()}
         assert got[(20, 2)] == 1  # doc2 has 'a' twice -> one match
+
+
+def test_percolate_streaming_foreachbatch(spark, tmp_path):
+    """The alerting deployment shape: percolate each micro-batch of
+    newly crawled docs against the stored queries via foreachBatch —
+    per-batch results equal batch percolation of that batch's docs."""
+    import os
+
+    queries = spark.createDataFrame(
+        [(10, "a"), (10, "b"), (20, "x")], "query_id long, term string")
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    b0 = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "x")], "doc_id long, term string")
+    b1 = spark.createDataFrame(
+        [(3, "a"), (3, "x")], "doc_id long, term string")
+    # flat files (the file-stream source does not recurse into
+    # nested .parquet output directories)
+    b0.toPandas().to_parquet(os.path.join(src, "b0.parquet"), index=False)
+    b1.toPandas().to_parquet(os.path.join(src, "b1.parquet"), index=False)
+
+    seen: list[tuple] = []
+
+    def _alert(batch_df, batch_id):
+        rows = percolate(batch_df, queries).collect()
+        seen.extend((r.query_id, r.doc_id) for r in rows)
+
+    stream = (spark.readStream.schema("doc_id long, term string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(_alert)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    want = {(r.query_id, r.doc_id)
+            for r in percolate(b0, queries).collect()}
+    want |= {(r.query_id, r.doc_id)
+             for r in percolate(b1, queries).collect()}
+    assert set(seen) == want
+    assert (10, 1) in set(seen) and (20, 2) in set(seen) \
+        and (20, 3) in set(seen)
