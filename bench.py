@@ -30,6 +30,9 @@ import sys
 import tempfile
 import time
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+#                      looks at function GLOBALS, not enclosing locals
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -121,11 +124,10 @@ def main() -> None:
     # closed-form size, so run the real encoder per run (Arrow-batched
     # pandas UDF) and sum payload bytes (12-byte run headers excluded,
     # matching the analytic Elias accounting above)
-    import pandas as _pd
     from pyspark.sql.functions import pandas_udf as _pudf
 
     @_pudf("long")
-    def _interp_payload_bytes(ids: _pd.Series) -> _pd.Series:
+    def _interp_payload_bytes(ids: pd.Series) -> pd.Series:
         from ir_spark.codec import interpolative_encode
 
         return ids.map(
