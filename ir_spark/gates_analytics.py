@@ -2627,16 +2627,25 @@ def q_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet"))
+    # the token table feeds four aggregation passes (train scalars +
+    # model + classify matched/lens) — persist for the gate's duration
+    # and release after the result materializes via localCheckpoint
     toks = (docs.select("doc_id", "lang",
                         F.explode(F.expr(_WORDS_EXPR)).alias("term"))
             .groupBy("doc_id", "lang", "term")
-            .agg(F.count(F.lit(1)).cast("double").alias("tf")))
-    model, classes = nb_train(
-        toks.where(F.pmod(F.col("doc_id"), F.lit(3)) != 0),
-        label_col="lang", alpha=NB_ALPHA)
-    pred = nb_classify(toks.select("doc_id", "term", "tf"), model, classes)
-    return pred.select("doc_id", F.col("pred_label").alias("pred_lang"),
-                       "mean_ll_micro")
+            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+            .persist())
+    try:
+        model, classes = nb_train(
+            toks.where(F.pmod(F.col("doc_id"), F.lit(3)) != 0),
+            label_col="lang", alpha=NB_ALPHA)
+        pred = nb_classify(toks.select("doc_id", "term", "tf"),
+                           model, classes)
+        return pred.select(
+            "doc_id", F.col("pred_label").alias("pred_lang"),
+            "mean_ll_micro").localCheckpoint(eager=True)
+    finally:
+        toks.unpersist()
 
 
 def sql_nb_lang_classify(alpha: float = NB_ALPHA) -> str:

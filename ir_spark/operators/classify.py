@@ -58,8 +58,10 @@ def nb_train(tokens: DataFrame, *, label_col: str = "label",
     toks = tokens.select(
         F.col(doc_col).alias("doc_id"), F.col(label_col).alias("label"),
         F.col(term_col).alias("term"), F.col(tf_col).alias("tf"))
-    v = toks.select("term").distinct().count()
-    n_docs = toks.select("doc_id").distinct().count()
+    # one job for both scalars (vocab size, doc count)
+    row = toks.agg(F.countDistinct("term").alias("v"),
+                   F.countDistinct("doc_id").alias("n")).collect()[0]
+    v, n_docs = int(row["v"]), int(row["n"])
     per_class = toks.groupBy("label").agg(
         F.sum("tf").cast("double").alias("cf_c"),
         F.countDistinct("doc_id").cast("double").alias("n_docs_c"))
