@@ -1094,6 +1094,48 @@ DECON_BENCH_SRC = "src0"   # held-out "benchmark" slice of the corpus
 SAMPLE_RATES = {"en": 0.5, "zh": 0.8}   # per-lang keep fractions
 
 
+def q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level curation profile (operators/corpus.py::host_profile)
+    — the aggregation behind UT1/FineWeb-style host blocklists: doc
+    counts, within-host exact-dup mass, mean token length, majority
+    language per host."""
+    from .operators.corpus import host_profile
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return host_profile(docs)
+
+
+def sql_host_profile() -> str:
+    return """
+WITH base AS (
+  SELECT source AS host, lang, md5(text) AS h,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> length(t) > 0)) AS DOUBLE) AS nt
+  FROM documents
+),
+lc AS (SELECT host, lang, COUNT(*) AS c FROM base GROUP BY host, lang),
+tl AS (
+  SELECT host, lang AS top_lang
+  FROM (SELECT host, lang,
+               ROW_NUMBER() OVER (PARTITION BY host
+                                  ORDER BY c DESC, lang ASC) AS rn
+        FROM lc)
+  WHERE rn = 1
+),
+prof AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs,
+         CAST(round(AVG(nt) * 1000000.0) AS BIGINT) AS mean_tokens_micro
+  FROM base GROUP BY host
+)
+SELECT p.host, p.n_docs, p.n_dup_docs,
+       CAST(round(p.n_dup_docs * 1000000.0 / p.n_docs) AS BIGINT)
+         AS dup_frac_micro,
+       p.mean_tokens_micro, t.top_lang
+FROM prof p JOIN tl t ON t.host = p.host
+"""
+
+
 WSAMPLE_N = 100
 
 
@@ -3281,6 +3323,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
+        "host_profile": q_host_profile,
         "mix_report": q_mix_report,
         "dsir_weights": q_dsir_weights,
         "nb_lang_classify": q_nb_lang_classify,
@@ -3346,6 +3389,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "repetition_filter": sql_repetition_filter(),
         "stratified_sample": sql_stratified_sample(),
         "weighted_sample": sql_weighted_sample(),
+        "host_profile": sql_host_profile(),
         "mix_report": sql_mix_report(),
         "dsir_weights": sql_dsir_weights(),
         "nb_lang_classify": sql_nb_lang_classify(),

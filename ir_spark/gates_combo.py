@@ -101,6 +101,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
                               "top_bigram_frac_micro"],
         "stratified_sample": ["doc_id", "lang", "sample_key_micro"],
         "weighted_sample": ["doc_id", "sample_key_micro"],
+        "host_profile": ["dup_frac_micro", "host", "mean_tokens_micro",
+                         "n_docs", "n_dup_docs", "top_lang"],
         "mix_report": ["lang", "n_chars", "n_docs", "n_tokens",
                        "token_share_micro"],
         "host_cap_sample": ["doc_id", "host_rank", "source"],

@@ -71,6 +71,60 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
+def host_profile(docs: DataFrame, host_col: str = "source") -> DataFrame:
+    """Host-level curation profile — the aggregation behind host
+    blocklists (UT1-style) and FineWeb's host-granularity filters:
+    spam/SEO farms are host phenomena, so pipelines score HOSTS, not
+    just documents.
+
+    (doc_id, text, lang, host) -> one row per host:
+      n_docs, n_dup_docs (docs minus distinct text fingerprints —
+      within-host exact-duplicate mass), dup_frac_micro,
+      mean_tokens_micro (mean whitespace token count), top_lang
+      (majority language, count DESC then lang ASC tie-break).
+
+    Two keyed aggregations, both partial-aggregable: one over
+    (host, lang) for the majority language, one over host for the
+    counters — at 10^12 docs this is the cheapest shape that exists.
+    """
+    toks = F.size(F.expr("filter(split(text, ' '), t -> length(t) > 0)"))
+    base = docs.select(
+        F.col(host_col).alias("host"), "lang",
+        F.md5(F.col("text").cast("binary")).alias("_h"),
+        toks.cast("double").alias("_nt"))
+    lang_counts = (base.groupBy("host", "lang")
+                   .agg(F.count(F.lit(1)).alias("_c")))
+    # deterministic majority: min of (-count, lang)
+    top_lang = (lang_counts.select(
+        "host", F.struct((-F.col("_c")).alias("nc"),
+                         F.col("lang").alias("lang")).alias("_s"))
+        .groupBy("host").agg(F.min("_s").alias("_s"))
+        .select("host", F.col("_s.lang").alias("top_lang")))
+    prof = base.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("_h")).cast("long")
+        .alias("n_dup_docs"),
+        F.round(F.avg("_nt") * F.lit(1000000.0)).cast("long")
+        .alias("mean_tokens_micro"))
+    return (prof.join(top_lang, "host")
+            .select("host", "n_docs", "n_dup_docs",
+                    F.round(F.col("n_dup_docs") * F.lit(1000000.0)
+                            / F.col("n_docs")).cast("long")
+                    .alias("dup_frac_micro"),
+                    "mean_tokens_micro", "top_lang"))
+
+
+def host_blocklist(profile: DataFrame, *, max_dup_frac: float = 0.5,
+                   min_mean_tokens: float = 5.0) -> DataFrame:
+    """Hosts failing the profile thresholds: duplicate-heavy (SEO spam
+    mills) or degenerate-short content.  Join the result back as an
+    anti-join to drop every doc from a blocked host."""
+    return profile.where(
+        (F.col("dup_frac_micro") > int(max_dup_frac * 1_000_000))
+        | (F.col("mean_tokens_micro")
+           < int(min_mean_tokens * 1_000_000))).select("host")
+
+
 def weighted_sample(docs: DataFrame, *, weight_col: str, n: int,
                     id_col: str = "doc_id") -> DataFrame:
     """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis

@@ -84,6 +84,35 @@ def test_decontaminate_flags_copied_ngram(spark):
     assert 3 not in out  # too short for any 4-gram -> no gram rows
 
 
+def test_host_profile_and_blocklist(spark):
+    """Host-level curation: dup mass, mean tokens, majority language,
+    and the blocklist thresholds."""
+    from ir_spark.operators.corpus import host_blocklist, host_profile
+
+    docs = spark.createDataFrame(
+        [(1, "same spam page", "en", "spam.example"),
+         (2, "same spam page", "en", "spam.example"),
+         (3, "same spam page", "zh", "spam.example"),
+         (4, "a real article with many words here", "en", "ok.example"),
+         (5, "another real article some words", "fr", "ok.example"),
+         (6, "x", "en", "short.example")],
+        "doc_id long, text string, lang string, source string")
+    prof = {r.host: r for r in host_profile(docs).collect()}
+    assert prof["spam.example"].n_docs == 3
+    assert prof["spam.example"].n_dup_docs == 2
+    assert prof["spam.example"].dup_frac_micro == 666667
+    assert prof["spam.example"].top_lang == "en"
+    assert prof["ok.example"].n_dup_docs == 0
+    # majority tie (1 en, 1 fr) -> lang ASC
+    assert prof["ok.example"].top_lang == "en"
+    assert prof["short.example"].mean_tokens_micro == 1000000
+
+    blocked = {r.host for r in host_blocklist(
+        host_profile(docs), max_dup_frac=0.5,
+        min_mean_tokens=2.0).collect()}
+    assert blocked == {"spam.example", "short.example"}
+
+
 def test_weighted_sample_is_deterministic_and_weight_biased(spark):
     """A-ES sampling: reruns give identical membership; heavier docs
     are sampled more often (inclusion prob ∝ weight)."""
