@@ -1094,6 +1094,60 @@ DECON_BENCH_SRC = "src0"   # held-out "benchmark" slice of the corpus
 SAMPLE_RATES = {"en": 0.5, "zh": 0.8}   # per-lang keep fractions
 
 
+_HAN = "的一是不了人我在有他"  # 10-char alphabet for the CJK synthesis
+
+
+def q_cjk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK segmentation fallback (textstats.py::cjk_bigrams — Lucene
+    CJKAnalyzer analogue): the corpus is Latin, so the gate derives a
+    deterministic mixed-script text per doc (a Han run mapped from the
+    first words' lengths + ' latin ' + one isolated Han char, which
+    must index as a unigram) and recovers the bigram terms; the oracle
+    rebuilds the same text and bigrams in SQL (both engines slice
+    strings by codepoint)."""
+    from .operators.textstats import cjk_bigrams
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id", "text")
+    zh = docs.select("doc_id", F.expr(
+        f"concat(array_join(transform(slice(filter(split(text, ' '), "
+        f"t -> length(t) > 0), 1, 4), w -> substring('{_HAN}', "
+        f"(length(w) % 10) + 1, 1)), ''), ' latin ', "
+        f"substring('{_HAN}', CAST(doc_id % 10 AS INT) + 1, 1))"
+    ).alias("text"))
+    return cjk_bigrams(zh)
+
+
+def sql_cjk_bigrams() -> str:
+    return f"""
+WITH zh AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             list_filter(string_split(text, ' '),
+                         t -> length(t) > 0)[1:4],
+             w -> substr('{_HAN}', (length(w) % 10) + 1, 1)), '')
+         || ' latin '
+         || substr('{_HAN}', CAST(doc_id % 10 AS INT) + 1, 1) AS text
+  FROM documents
+),
+runs AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text,
+                '[\\x{{4e00}}-\\x{{9fff}}]+', 0)) AS r
+  FROM zh
+),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN length(r) < 2 THEN [r]
+                ELSE list_transform(range(1, length(r)),
+                                    i -> substr(r, i, 2)) END) AS term
+  FROM runs
+)
+SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+FROM grams GROUP BY doc_id, term
+"""
+
+
 def q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level curation profile (operators/corpus.py::host_profile)
     — the aggregation behind UT1/FineWeb-style host blocklists: doc
@@ -3324,6 +3378,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "host_profile": q_host_profile,
+        "cjk_bigrams": q_cjk_bigrams,
         "mix_report": q_mix_report,
         "dsir_weights": q_dsir_weights,
         "nb_lang_classify": q_nb_lang_classify,
@@ -3390,6 +3445,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "stratified_sample": sql_stratified_sample(),
         "weighted_sample": sql_weighted_sample(),
         "host_profile": sql_host_profile(),
+        "cjk_bigrams": sql_cjk_bigrams(),
         "mix_report": sql_mix_report(),
         "dsir_weights": sql_dsir_weights(),
         "nb_lang_classify": sql_nb_lang_classify(),

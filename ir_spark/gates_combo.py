@@ -73,6 +73,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "hll_registers": ["bucket", "register"],
         "unicode_nfc": ["bytes_after", "bytes_before", "doc_id",
                         "norm_md5", "was_nfc"],
+        "cjk_bigrams": ["doc_id", "term", "tf"],
     },
     "dedup_suite": {
         "dedup_exact": ["max_doc_id", "min_doc_id", "n_copies", "text_md5"],

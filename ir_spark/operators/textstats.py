@@ -347,3 +347,34 @@ def token_quantiles(docs: DataFrame, probs: list[float],
         "lang", "n_docs",
         F.transform("qs", lambda q: F.round(q * F.lit(1000000.0))
                     .cast("long")).alias("q_micro"))
+
+
+def cjk_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CJK segmentation fallback (Lucene CJKAnalyzer analogue).
+
+    The frozen reference tokenizer (T1-T12) is whitespace/Latin-
+    oriented: unsegmented scripts carry no spaces to split on, so CJK
+    content would be unsearchable.  The standard IR fallback indexes
+    overlapping character BIGRAMS of each contiguous CJK run (an
+    isolated single CJK character is indexed as a unigram).  Returns
+    (doc_id, term, tf) — union with the Latin token table before the
+    index build to make mixed-script pages searchable.
+
+    Pure narrow map (regexp run extraction + per-run transform +
+    explode) followed by one keyed count — same scale shape as the
+    Latin tokenize pass.
+    """
+    runs = F.expr(
+        f"regexp_extract_all({text_col}, '[\\\\u4e00-\\\\u9fff]+', 0)")
+    grams_per_run = (
+        "transform(runs, r -> CASE WHEN length(r) < 2 THEN array(r) "
+        "ELSE transform(sequence(1, length(r) - 1), "
+        "i -> substring(r, i, 2)) END)")
+    return (
+        docs.select("doc_id", runs.alias("runs"))
+        .select("doc_id",
+                F.explode(F.expr(f"flatten({grams_per_run})"))
+                .alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )

@@ -172,3 +172,29 @@ class TestPorterStemmer:
     def test_short_words_untouched(self):
         assert porter_stem("as") == "as"
         assert porter_stem("is") == "is"
+
+
+class TestCJKBigrams:
+    """CJK segmentation fallback (textstats.py::cjk_bigrams)."""
+
+    def test_runs_bigrams_unigrams_counts(self, spark):
+        from ir_spark.operators.textstats import cjk_bigrams
+
+        df = spark.createDataFrame(
+            [(1, "abc 中文分词 xy 中 test 文文文"), (2, "no cjk here")],
+            "doc_id long, text string")
+        got = sorted((r.doc_id, r.term, r.tf)
+                     for r in cjk_bigrams(df).collect())
+        assert got == [
+            (1, "中", 1),          # isolated char -> unigram
+            (1, "中文", 1), (1, "分词", 1), (1, "文分", 1),
+            (1, "文文", 2),        # overlapping repeat counted
+        ]
+
+    def test_latin_never_leaks_into_terms(self, spark):
+        from ir_spark.operators.textstats import cjk_bigrams
+
+        df = spark.createDataFrame([(1, "latin中文mixed中run")],
+                                   "doc_id long, text string")
+        terms = {r.term for r in cjk_bigrams(df).collect()}
+        assert terms == {"中文", "中"}
