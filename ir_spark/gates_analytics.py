@@ -1871,6 +1871,45 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-linking spam signal (linkgraph.py::host_reciprocity)
+    over the derived host graph (same derivation as the pagerank
+    gate)."""
+    from .operators.linkgraph import host_reciprocity
+
+    return host_reciprocity(_derived_host_edges(spark, sf_dir))
+
+
+def sql_host_reciprocity() -> str:
+    # perm/edges derivation in lockstep with _pagerank_ctes
+    offs = ", ".join(f"({j})" for j in PR_OFFSETS)
+    return f"""
+WITH perm AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS r
+  FROM documents
+),
+pairs AS (
+  SELECT DISTINCT a.source AS src, b.source AS dst
+  FROM perm a
+  CROSS JOIN (VALUES {offs}) offs(j)
+  JOIN perm b
+    ON b.r = (a.r + offs.j) % (SELECT COUNT(*) FROM documents)
+  WHERE a.source <> b.source
+)
+SELECT p.src AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_out,
+       CAST(SUM(CASE WHEN q.src IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_reciprocal,
+       CAST(round(SUM(CASE WHEN q.src IS NULL THEN 0 ELSE 1 END)
+                  * 1000000.0 / COUNT(*)) AS BIGINT) AS recip_frac_micro
+FROM pairs p
+LEFT JOIN pairs q ON q.src = p.dst AND q.dst = p.src
+GROUP BY p.src
+"""
+
+
 def _pagerank_ctes() -> tuple[str, str]:
     """Shared unrolled-PageRank CTE body (derivation + {PR_ITERS}
     damped iterations); returns (cte_sql, final_rank_cte_name).  Used
@@ -3346,6 +3385,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "host_cap_sample": q_host_cap_sample,
         "pagerank_hosts": q_pagerank_hosts,
+        "host_reciprocity": q_host_reciprocity,
         "hits_hosts": q_hits_hosts,
         "url_canonical_dedup": q_url_canonical_dedup,
         "robots_rules": q_robots_rules,
@@ -3413,6 +3453,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "warc_roundtrip": sql_warc_roundtrip(),
         "host_cap_sample": sql_host_cap_sample(),
         "pagerank_hosts": sql_pagerank_hosts(),
+        "host_reciprocity": sql_host_reciprocity(),
         "hits_hosts": sql_hits_hosts(),
         "url_canonical_dedup": sql_url_canonical_dedup(),
         "robots_rules": sql_robots_rules(),

@@ -127,6 +127,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
     },
     "linkgraph_suite": {
         "pagerank_hosts": ["node", "rank_micro"],
+        "host_reciprocity": ["host", "n_out", "n_reciprocal",
+                             "recip_frac_micro"],
         "hits_hosts": ["auth_micro", "hub_micro", "node"],
         "anchor_text_agg": ["anchor_terms", "dst", "n_inlinks",
                             "n_src_hosts"],

@@ -381,3 +381,34 @@ def hits(
     by_dst.unpersist()
     by_src.unpersist()
     return out
+
+
+def host_reciprocity(edges: DataFrame) -> DataFrame:
+    """Reciprocal-linking profile per host — a classic link-spam
+    signal (link farms exchange links; organic linking is mostly
+    one-way).  Input: weighted host edges (src, dst[, weight]).
+
+    Output per linking host:
+      (host, n_out, n_reciprocal, recip_frac_micro)
+    where n_out counts DISTINCT outgoing partner hosts and
+    n_reciprocal counts those that link back.
+
+    One self-join on the (small) distinct host-pair edge list — the
+    host graph is orders of magnitude smaller than the page corpus, so
+    this is dimension-table work; both sides of the join are the same
+    deduplicated frame.
+    """
+    pairs = (edges.select("src", "dst")
+             .where(F.col("src") != F.col("dst")).distinct())
+    back = pairs.select(F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        F.lit(1).alias("_rec"))
+    marked = pairs.join(back, ["src", "dst"], "left")
+    return (marked.groupBy(F.col("src").alias("host"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_out"),
+                 F.sum(F.coalesce("_rec", F.lit(0))).cast("long")
+                 .alias("n_reciprocal"))
+            .select("host", "n_out", "n_reciprocal",
+                    F.round(F.col("n_reciprocal") * F.lit(1000000.0)
+                            / F.col("n_out")).cast("long")
+                    .alias("recip_frac_micro")))

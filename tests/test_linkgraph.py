@@ -287,3 +287,21 @@ def test_hits_checkpointing_path(spark):
     wa, wh = _py_hits(edges, 6)
     for v in wa:
         assert got[v] == (wa[v], wh[v])
+
+
+def test_host_reciprocity(spark):
+    from ir_spark.operators.linkgraph import host_reciprocity
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", 1),      # reciprocal pair
+         ("a", "c", 2),                      # one-way
+         ("c", "c", 9),                      # self-loop ignored
+         ("a", "b", 5)],                     # duplicate edge deduped
+        "src string, dst string, weight long")
+    got = {r.host: (r.n_out, r.n_reciprocal, r.recip_frac_micro)
+           for r in host_reciprocity(edges).collect()}
+    # c has only a self-loop -> no outgoing partners -> absent
+    assert got == {
+        "a": (2, 1, 500000),   # b reciprocates, c does not
+        "b": (1, 1, 1000000),
+    }
