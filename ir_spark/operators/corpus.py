@@ -180,15 +180,25 @@ def decontaminate_bloom(docs: DataFrame, bench: DataFrame, *,
     """
     from .sketch import bloom_build
 
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
     bench_grams = word_shingles(bench.select("doc_id", "text"), n=n) \
         .select(F.col("shingle").alias("term"))
     bits = [int(r["bit"]) for r in
             bloom_build(bench_grams, n_hashes=n_hashes,
                         n_bits=n_bits).collect()]
-    nibbles = bytearray(n_bits // 4)
+    # pack into an array<long> literal: constant-folded ONCE by
+    # Catalyst, probed with element_at + shiftright — a 16 KB string
+    # literal in the same position costs ~13x (per-call UTF8 copying)
+    words = [0] * (n_bits // 64)
     for b in bits:
-        nibbles[b // 4] |= 1 << (3 - (b % 4))
-    hex_map = "".join(f"{v:x}" for v in nibbles)
+        words[b // 64] |= 1 << (b % 64)
+
+    def _as_long(w: int) -> int:  # two's-complement into signed 64
+        return w - (1 << 64) if w >= (1 << 63) else w
+
+    bitmap = "array(" + ",".join(
+        f"{_as_long(w)}L" for w in words) + ")"
 
     grams = (
         f"array_distinct(CASE WHEN size(split(text, ' ')) < {n} THEN "
@@ -200,10 +210,9 @@ def decontaminate_bloom(docs: DataFrame, bench: DataFrame, *,
         f"transform(sequence(0, {n_hashes - 1}), i -> "
         f"CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', g)), "
         f"1, 8), 16, 10) AS BIGINT) % {n_bits})")
-    # bitmap probe: hex nibble holds positions [4j..4j+3], MSB first
     bit_clear = (
-        f"(CAST(conv(substring('{hex_map}', CAST(p / 4 AS INT) + 1, 1), "
-        f"16, 10) AS INT) >> (3 - CAST(p % 4 AS INT))) % 2 = 0")
+        f"(shiftright(element_at({bitmap}, CAST(p / 64 AS INT) + 1), "
+        f"CAST(p % 64 AS INT)) & 1) = 0")
     member = f"size(filter({positions}, p -> {bit_clear})) = 0"
     out = docs.select(
         "doc_id",

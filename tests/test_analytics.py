@@ -156,11 +156,18 @@ def test_decontaminate_bloom_no_false_negatives(spark):
     assert out[2].contaminated == 0
     assert 3 not in out
 
-    # a saturated 8-bit / 3-hash filter MUST still catch doc 1 (the
-    # no-false-negative guarantee) — and at these exact deterministic
-    # hash values it false-positives doc 2, the safe direction
+    # a saturated 64-bit / 3-hash filter over a larger bench MUST
+    # still catch doc 1 (the no-false-negative guarantee) — and at
+    # these exact deterministic hash values it false-positives doc 2,
+    # the safe direction
+    big_bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lam mu nu xi omicron pi rho sigma tau upsilon "
+             "phi chi psi omega one two three four five six seven "
+             "eight nine ten")],
+        ["doc_id", "text"])
     tiny = {r.doc_id: r for r in C.decontaminate_bloom(
-        corpus, bench, n=4, n_bits=8, n_hashes=3).collect()}
+        corpus, big_bench, n=4, n_bits=64, n_hashes=3).collect()}
     assert tiny[1].contaminated == 1
     assert tiny[2].contaminated == 1
 
