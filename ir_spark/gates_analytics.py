@@ -514,6 +514,65 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb, threshold=EMB_NEAR_DUP_MIN)
 
 
+SRP_BITS = 32
+SRP_K, SRP_TABLES = 3, 4
+
+
+def q_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP cosine sketch (similarity.py::srp_signatures, Charikar
+    2002) + the Manku pigeonhole blocker (dedup.py::
+    simhash_near_dup_pairs) over the dup-injected embeddings — the
+    all-float-free embedding near-dup path.  Exact vector copies have
+    identical signatures (dist 0) and MUST pair; the oracle recomputes
+    the md5-parity projections, the signatures, and the all-pairs
+    Hamming filter in SQL."""
+    from .operators.dedup import simhash_near_dup_pairs
+    from .operators.similarity import srp_signatures
+
+    emb = _with_vector_dups(spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")))
+    sigs = srp_signatures(emb, dim=64, n_bits=SRP_BITS)
+    return simhash_near_dup_pairs(
+        sigs.select(F.col("vec_id").alias("doc_id"), "simhash"),
+        k=SRP_K, n_tables=SRP_TABLES, bits=SRP_BITS)
+
+
+def sql_srp_near_dup() -> str:
+    return f"""
+WITH emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_DUP_OFFSET_EXACT}, embedding
+  FROM embeddings WHERE vec_id < 10
+  UNION ALL
+  SELECT a.vec_id + {EMB_DUP_OFFSET_MIXED},
+         a.embedding[1:32] || b.embedding[33:64]
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id < 30
+),
+comps AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                 generate_subscripts(embedding, 1) - 1 AS d FROM emb2),
+bits AS (
+  SELECT c.vec_id, r.i,
+         CASE WHEN SUM(c.e * (CASE WHEN ('0x' || substr(md5(
+                    CAST(r.i AS VARCHAR) || ':' || CAST(c.d AS VARCHAR)),
+                    1, 8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END)) >= 0
+              THEN 1 ELSE 0 END AS b
+  FROM comps c CROSS JOIN (SELECT unnest(range(0, {SRP_BITS})) AS i) r
+  GROUP BY c.vec_id, r.i
+),
+sig AS (
+  SELECT vec_id,
+         CAST(SUM(b * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS simhash
+  FROM bits GROUP BY vec_id
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+FROM sig x JOIN sig y ON x.vec_id < y.vec_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {SRP_K}
+"""
+
+
 def sql_embedding_near_dup() -> str:
     return f"""
 WITH emb2 AS (
@@ -3407,6 +3466,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_index_topk": q_ann_ivf_index_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "srp_near_dup": q_srp_near_dup,
         "lang_id": q_lang_id,
         "unicode_nfc": q_unicode_nfc,
         "quality_score": q_quality_score,
@@ -3475,6 +3535,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "ann_ivf_index_topk": sql_ann_ivf_index_topk(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "embedding_near_dup": sql_embedding_near_dup(),
+        "srp_near_dup": sql_srp_near_dup(),
         "lang_id": sql_lang_id(),
         "unicode_nfc": sql_unicode_nfc(),
         "quality_score": sql_quality_score(),

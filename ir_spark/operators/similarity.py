@@ -234,3 +234,43 @@ def ivf_index_topk(spark, index_dir: str, query_vec: list[float],
     probes = [int(cents[i]["cell"]) for i in order[: min(n_probe, len(cents))]]
     vecs = spark.read.parquet(os.path.join(index_dir, "vectors"))
     return cosine_topk(vecs.filter(F.col("cell").isin(probes)), query_vec, k)
+
+
+def srp_signatures(emb: DataFrame, *, dim: int, n_bits: int = 32,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Signed-random-projection cosine sketch (Charikar, STOC 2002):
+    bit i of the signature is [<v, s_i> >= 0] with a fixed ±1
+    projection s_i whose entries come from md5-parity of ``(i, d)`` —
+    NO RNG, so signatures are deterministic and engine-reproducible.
+    P[bit agreement] = 1 - angle(u, v)/pi, so Hamming distance on the
+    signatures estimates cosine similarity.
+
+    This is the 100-TB embedding near-dup path: feed the output
+    straight into dedup.simhash_near_dup_pairs — the Manku pigeonhole
+    blocker runs unchanged over these fingerprints, so candidate
+    pairing needs no all-pairs pass and no float arithmetic.  The
+    sketch itself is ONE narrow map (n_bits fold expressions per
+    vector); (id, simhash) is all that travels downstream.
+    """
+    import hashlib
+
+    if n_bits > 62:
+        raise ValueError("signature must fit a signed 64-bit long")
+
+    def _sign(i: int, d: int) -> int:
+        h = int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
+        return 1 if h % 2 == 0 else -1
+
+    bit_terms = []
+    for i in range(n_bits):
+        signs = ",".join(str(_sign(i, d)) for d in range(dim))
+        dot = (f"aggregate(zip_with({vec_col}, array({signs}), "
+               f"(x, s) -> CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), "
+               f"(a, y) -> a + y)")
+        bit_terms.append(
+            f"(CASE WHEN {dot} >= 0 THEN CAST({1 << i} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)")
+    sig = " + ".join(bit_terms)
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      F.expr(sig).alias("simhash"))

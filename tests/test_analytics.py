@@ -897,3 +897,31 @@ def test_hll_registers_exact_recompute_and_estimate(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         hll_build(df, b=2)
+
+
+def test_srp_signature_hamming_tracks_cosine(spark):
+    """Charikar SRP: identical vectors -> identical signatures;
+    similar vectors (cosine ~0.5) have systematically smaller Hamming
+    distance than unrelated ones (E[dist] = bits * angle / pi)."""
+    import math
+    import random
+
+    from ir_spark.operators.similarity import srp_signatures
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+        rows.append((100 + i, list(v)))                      # exact copy
+        rows.append((200 + i, [x + rng.gauss(0, 1) for x in v]))  # ~0.7 cos
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sig = {r.vec_id: r.simhash
+           for r in srp_signatures(df, dim=64, n_bits=32).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert all(sig[i] == sig[100 + i] for i in range(20))
+    noisy = sum(ham(sig[i], sig[200 + i]) for i in range(20)) / 20
+    unrelated = sum(ham(sig[i], sig[(i + 7) % 20]) for i in range(20)) / 20
+    # cos ~0.7 -> angle ~0.25*pi -> E[dist] ~ 8; unrelated ~ 16
+    assert noisy < unrelated - 3, (noisy, unrelated)
+    assert noisy < 12, noisy
