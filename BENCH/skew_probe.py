@@ -82,6 +82,18 @@ def main() -> int:
         out[f"{tag}_sec"] = round(sec, 2)
         out[f"{tag}_tokens"] = n_tokens
         out[f"{tag}_tokens_per_sec"] = round(n_tokens / sec)
+        if tag == "skewed":
+            # query-side skew: the head term's posting list spans EVERY
+            # run — top-k over it must stay interactive (strategy=auto)
+            from ir_spark.operators.segment_query import (SegmentIndex,
+                                                          search_segments)
+
+            sidx = SegmentIndex.load(spark, idx)
+            t0 = time.time()
+            rows = search_segments(spark, sidx, "zipfhead", k=10,
+                                   mode="bm25").collect()
+            out["head_term_query_sec"] = round(time.time() - t0, 3)
+            out["head_term_hits"] = len(rows)
         shutil.rmtree(idx, ignore_errors=True)
     out["skew_throughput_ratio"] = round(
         out["skewed_tokens_per_sec"] / out["uniform_tokens_per_sec"], 3)
