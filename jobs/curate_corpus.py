@@ -23,6 +23,10 @@ Stages (each one of the operators in ir_spark/operators/{dedup,corpus}
                            like the --dsir-target seed set (DSIR
                            importance resampling; skipped without
                            --dsir-target)
+  4.5 host_profile()/host_blocklist(): drop every doc of hosts
+                           failing the duplicate-mass / mean-length
+                           thresholds (--block-hosts; UT1/FineWeb
+                           host-granularity filtering)
   5. stratified_sample():  deterministic md5-threshold downsampling
                            per language (skipped without --sample-rate)
   6. mix_report():         per-language doc/token/char totals + shares
@@ -73,6 +77,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="seed table (doc_id, text) for DSIR selection")
     ap.add_argument("--dsir-keep", type=float, default=0.5,
                     help="fraction of docs kept by DSIR weight")
+    ap.add_argument("--block-hosts", action="store_true",
+                    help="drop all docs of hosts failing the profile "
+                         "thresholds (host_profile/host_blocklist)")
+    ap.add_argument("--host-max-dup-frac", type=float, default=0.5)
+    ap.add_argument("--host-min-mean-tokens", type=float, default=5.0)
     ap.add_argument("--jaccard", type=float, default=0.3)
     ap.add_argument("--min-words", type=int, default=5)
     ap.add_argument("--decon-n", type=int, default=4)
@@ -124,6 +133,23 @@ def main(argv: list[str] | None = None) -> int:
     # re-attach metadata columns for sampling / reporting
     extra = [c for c in ("lang", "source") if c in docs.columns]
     kept = kept.join(docs.select("doc_id", *extra), "doc_id")
+
+    # 3.7 host-level blocklist (UT1/FineWeb-style): host reputation
+    # comes from the RAW corpus (the doc-level dedup above already
+    # collapsed a mill's copies, which is precisely the evidence the
+    # host score needs), then every surviving doc of a failing host
+    # drops
+    if args.block_hosts and "source" in docs.columns:
+        prof_in = docs if "lang" in docs.columns else docs.withColumn(
+            "lang", F.lit("und"))
+        prof = C.host_profile(
+            prof_in.select("doc_id", "text", "lang", "source"))
+        blocked = C.host_blocklist(
+            prof, max_dup_frac=args.host_max_dup_frac,
+            min_mean_tokens=args.host_min_mean_tokens)
+        report["n_blocked_hosts"] = blocked.count()
+        kept = kept.join(blocked.withColumnRenamed("host", "source"),
+                         "source", "left_anti")
 
     # 4. deterministic stratified sampling
     rates = {}

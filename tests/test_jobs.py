@@ -319,3 +319,36 @@ def test_crawl_plan_job(tmp_path, capsys):
     assert plan["https://a.example/ok/2"].eta_ms == 500
     assert plan["https://b.example/anything"].allowed == 1
     assert plan["https://a.example/ok/1"].n_changes == 1
+
+
+def test_curate_block_hosts_stage(tmp_path, capsys):
+    """--block-hosts drops every doc of a host failing the profile
+    thresholds (duplicate mill here), leaving other hosts intact."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import curate_corpus
+
+    from ir_spark.session import get_spark
+
+    spark = get_spark("test_block_hosts")
+    rows = []
+    for i in range(12):  # spam mill: identical text
+        rows.append((i, "copy of the very same spam page text here",
+                     "en", "mill.example"))
+    for i in range(12, 24):  # healthy host: distinct long docs
+        rows.append((i, f"article number {i} with plenty of distinct "
+                        f"words in the body {i * 7}", "en", "ok.example"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "curated")
+    rc = curate_corpus.main([
+        "--input", src, "--output", out, "--block-hosts",
+        "--host-max-dup-frac", "0.5", "--local-cpus", "4"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_blocked_hosts"] == 1
+    kept = spark.read.parquet(out)
+    hosts = {r.source for r in kept.select("source").distinct().collect()}
+    assert hosts == {"ok.example"}
