@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""spark-submit entry point: training-data curation pipeline.
+r"""spark-submit entry point: training-data curation pipeline.
 
 Chains the corpus-curation operators into the standard pre-training
 data flow and writes the curated corpus plus a JSON report::
