@@ -2476,13 +2476,18 @@ FROM canon
 # recomputes the decision logic independently in SQL (robots_allowed:
 # longest-prefix-match precedence; crawl_frontier: politeness window).
 
+# per-host star-group Crawl-delay (1-3 s, length-derived) + a decoy
+# delay in the otherbot group that a correct parser must IGNORE
 _ROBOTS_TXT_SQLEXPR = (
     "'User-agent: otherbot' || char(10) || 'Disallow: /' || char(10) "
+    "|| 'Crawl-delay: 99' || char(10) "
     "|| char(10) || 'User-agent: helper' || char(10) || 'User-agent: *' "
     "|| char(10) || 'Disallow: /private' || char(10) "
     "|| 'Allow: /private/ok' || char(10) || '# generated fixture' "
     "|| char(10) || 'Disallow: /tmp-' || substr(md5(host), 1, 1) "
-    "|| char(10) || 'Crawl-delay: 5' || char(10) || 'Disallow:' "
+    "|| char(10) || 'Crawl-delay: ' "
+    "|| CAST(length(host) % 3 + 1 AS STRING) "
+    "|| char(10) || 'Disallow:' "
     "|| char(10) || char(10) || 'User-agent: spider' || char(10) "
     "|| 'User-agent: *' || char(10) || 'Disallow: /stacked'"
 )
@@ -2596,13 +2601,17 @@ CRAWL_DELAY_MS = 700
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness frontier (operators/crawl.py::crawl_frontier): one
     fetch per host per wave, priority queue per host, eta spaced by
-    the host crawl delay."""
-    from .operators.crawl import crawl_frontier
+    each host's OWN robots Crawl-delay (crawl.py::parse_crawl_delays —
+    the star group's length-derived value; the otherbot group's decoy
+    must be ignored)."""
+    from .operators.crawl import crawl_frontier, parse_crawl_delays
 
     urls = _crawl_urls(spark, sf_dir).withColumn(
         "priority", F.pmod(F.col("doc_id") * 37 + 11, F.lit(97))
         .cast("long"))
-    return crawl_frontier(urls, delay_ms=CRAWL_DELAY_MS) \
+    delays = parse_crawl_delays(_synth_robots(spark, sf_dir))
+    return crawl_frontier(urls, delay_ms=CRAWL_DELAY_MS,
+                          host_delays=delays) \
         .select("doc_id", "host", "host_rank", "eta_ms")
 
 
@@ -2618,9 +2627,9 @@ SELECT doc_id, host,
        CAST(ROW_NUMBER() OVER (PARTITION BY host
                                ORDER BY priority DESC, url ASC) AS BIGINT)
          AS host_rank,
-       CAST((ROW_NUMBER() OVER (PARTITION BY host
-                                ORDER BY priority DESC, url ASC) - 1)
-            * {CRAWL_DELAY_MS} AS BIGINT) AS eta_ms
+       CAST(round((ROW_NUMBER() OVER (PARTITION BY host
+                                      ORDER BY priority DESC, url ASC) - 1)
+            * (length(host) % 3 + 1) * 1000.0) AS BIGINT) AS eta_ms
 FROM urls
 """
 

@@ -118,6 +118,46 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
             .distinct())
 
 
+_DELAY_RE = r"(?i)^crawl-delay:\s*(\d+(?:\.\d+)?)\s*$"
+
+
+def parse_crawl_delays(robots: DataFrame, host_col: str = "host",
+                       txt_col: str = "robots_txt",
+                       default_delay_sec: float = 1.0) -> DataFrame:
+    """(host, robots_txt) -> (host, delay_sec): the ``Crawl-delay``
+    value of the ``*`` group (non-standard but honored by most polite
+    crawlers).  Several ``*``-group values collapse to the MAX (the
+    most conservative); hosts with none are absent — join with a
+    coalesce to ``default_delay_sec``.  Same per-host window shape as
+    :func:`parse_robots`."""
+    lines = (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(txt_col), "\n")).alias("idx", "raw"))
+        .withColumn("line", F.trim(F.regexp_replace("raw", r"#.*$", "")))
+        .withColumn("agent", F.regexp_extract("line", _AGENT_RE, 1))
+        .withColumn("is_agent", (F.col("agent") != "").cast("int"))
+        .withColumn("delay", F.regexp_extract("line", _DELAY_RE, 1))
+    )
+    w = Window.partitionBy("host").orderBy("idx")
+    grouped = (
+        lines
+        .withColumn("prev_is_agent",
+                    F.coalesce(F.lag("is_agent").over(w), F.lit(0)))
+        .withColumn("boundary",
+                    ((F.col("is_agent") == 1)
+                     & (F.col("prev_is_agent") == 0)).cast("int"))
+        .withColumn("grp", F.sum("boundary").over(w))
+        .where(F.col("grp") > 0)
+    )
+    star_groups = (grouped.where(F.col("agent") == "*")
+                   .select("host", "grp").distinct())
+    return (grouped.where(F.col("delay") != "")
+            .join(star_groups, ["host", "grp"])
+            .groupBy("host")
+            .agg(F.max(F.col("delay").cast("double")).alias("delay_sec")))
+
+
 def apply_robots(urls: DataFrame, rules: DataFrame,
                  url_col: str = "url") -> DataFrame:
     """Attach (allowed:long 0/1, matched_path) to every url row.
@@ -156,23 +196,37 @@ def apply_robots(urls: DataFrame, rules: DataFrame,
 
 def crawl_frontier(urls: DataFrame, url_col: str = "url",
                    priority_col: str = "priority",
-                   delay_ms: int = 1000) -> DataFrame:
+                   delay_ms: int = 1000,
+                   host_delays: DataFrame | None = None) -> DataFrame:
     """Politeness scheduling: one fetch per host per wave.
 
     host_rank = position of the url in its host's priority queue
     (priority DESC, url ASC tie-break); the url's earliest fetch time
-    is (host_rank-1) * delay_ms after the host's first fetch.  One
-    per-host window — the frontier for a host lives on one task,
+    is (host_rank-1) * the host's crawl delay after the host's first
+    fetch.  ``host_delays`` (host, delay_sec — e.g. the output of
+    :func:`parse_crawl_delays`) overrides the default ``delay_ms``
+    per host; the delays table is host-count-sized and broadcast.
+    One per-host window — the frontier for a host lives on one task,
     which is exactly how a fetcher shards politeness queues.
     """
     w = Window.partitionBy("host").orderBy(
         F.col(priority_col).desc(), F.col(url_col).asc())
+    out = urls.withColumn("host", url_host(url_col))
+    delay_col = F.lit(float(delay_ms))
+    if host_delays is not None:
+        out = out.join(
+            F.broadcast(host_delays.select("host", "delay_sec")),
+            "host", "left")
+        delay_col = F.coalesce(F.col("delay_sec") * 1000.0,
+                               F.lit(float(delay_ms)))
+        out = out.withColumn("_delay_ms", delay_col).drop("delay_sec")
+        delay_col = F.col("_delay_ms")
     return (
-        urls.withColumn("host", url_host(url_col))
-        .withColumn("host_rank", F.row_number().over(w).cast("long"))
+        out.withColumn("host_rank", F.row_number().over(w).cast("long"))
         .withColumn("eta_ms",
-                    ((F.col("host_rank") - 1) * F.lit(delay_ms))
+                    F.round((F.col("host_rank") - 1) * delay_col)
                     .cast("long"))
+        .drop("_delay_ms")
     )
 
 

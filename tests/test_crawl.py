@@ -89,6 +89,39 @@ class TestApplyRobots:
         assert set(got.values()) == {(0, "/")}
 
 
+class TestCrawlDelays:
+    def test_star_group_delay_max_decoy_ignored(self, spark):
+        from ir_spark.operators.crawl import parse_crawl_delays
+
+        robots = spark.createDataFrame(
+            [("a.example",
+              "User-agent: bot\nCrawl-delay: 99\n\n"
+              "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+              "User-agent: *\nCrawl-delay: 3.5\n"),
+             ("b.example", "User-agent: *\nDisallow: /\n")],  # no delay
+            "host string, robots_txt string")
+        got = {r.host: r.delay_sec
+               for r in parse_crawl_delays(robots).collect()}
+        # max of the *-group delays; the bot group's 99 ignored;
+        # delay-less host absent
+        assert got == {"a.example": 3.5}
+
+    def test_frontier_uses_per_host_delay(self, spark):
+        from ir_spark.operators.crawl import crawl_frontier
+
+        urls = spark.createDataFrame(
+            [("https://a/1", 2), ("https://a/2", 1), ("https://b/1", 1),
+             ("https://b/2", 2)],
+            "url string, priority long")
+        delays = spark.createDataFrame([("a", 2.5)],
+                                       "host string, delay_sec double")
+        rows = {r.url: r.eta_ms
+                for r in crawl_frontier(urls, delay_ms=1000,
+                                        host_delays=delays).collect()}
+        assert rows["https://a/2"] == 2500   # rank 2 at 2.5 s/host
+        assert rows["https://b/1"] == 1000   # rank 2 at default 1 s
+
+
 class TestFrontier:
     def test_waves_per_host_and_eta(self, spark):
         urls = spark.createDataFrame(
