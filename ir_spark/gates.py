@@ -1004,6 +1004,50 @@ BOOL_NOT = ["vector"]
 BOOL_SHOULD = ["fast", "scan"]
 SPELL_TERM, SPELL_K, SPELL_DIST = "sart", 5, 2
 
+MSM_REQUIRED, MSM_K = 7, 100  # at this (floor, depth) the result
+#                               PROVABLY differs from plain bm25 top-k
+#                               at both gate SFs — the floor is live
+
+
+def q_bm25_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-should-match retrieval (operators/query.py::
+    search_min_should_match): flagship BM25 but docs matching fewer
+    than 7 of the query's 8 distinct terms are pruned BEFORE top-k —
+    the Elasticsearch minimum_should_match coverage floor.  Scores of
+    qualifying docs are unchanged (pinned by the shared oracle score
+    expression + the HAVING floor)."""
+    from .operators.query import search_min_should_match
+
+    idx = _df_index(spark, sf_dir)
+    raw = search_min_should_match(spark, idx, FLAGSHIP_QUERY,
+                                  min_should_match=MSM_REQUIRED,
+                                  k=MSM_K * 5, mode="bm25")
+    return _rerank_quantized(raw, MSM_K)
+
+
+def sql_bm25_msm_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id, p.term,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+HAVING COUNT(DISTINCT term) >= {MSM_REQUIRED}
+ORDER BY score_micro DESC, doc_id ASC LIMIT {MSM_K}
+"""
+
+
 # the flagship query with two out-of-vocabulary typos — the retry path
 # must correct both ('hashh' -> 'hash', 'vectr' -> 'vector') and score
 # identically to the corrected bag
@@ -2007,6 +2051,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_match": q_boolean_match,
         "spell_suggest": q_spell_suggest,
         "spellfix_bm25_topk": q_spellfix_bm25_topk,
+        "bm25_msm_topk": q_bm25_msm_topk,
         "prefix_terms": q_prefix_terms,
         "wildcard_terms": q_wildcard_terms,
         "fuzzy_terms": q_fuzzy_terms,
@@ -2058,6 +2103,7 @@ def core_oracle_sql() -> dict[str, str]:
         "boolean_match": sql_boolean_match(),
         "spell_suggest": sql_spell_suggest(),
         "spellfix_bm25_topk": sql_spellfix_bm25_topk(),
+        "bm25_msm_topk": sql_bm25_msm_topk(),
         "prefix_terms": sql_prefix_terms(),
         "wildcard_terms": sql_wildcard_terms(),
         "fuzzy_terms": sql_fuzzy_terms(),

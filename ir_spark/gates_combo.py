@@ -52,6 +52,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "synonym_bm25_topk": ["doc_id", "score_micro"],
         "spell_suggest": ["df", "dist", "term"],
         "spellfix_bm25_topk": ["doc_id", "score_micro"],
+        "bm25_msm_topk": ["doc_id", "score_micro"],
         "prefix_terms": ["df", "term"],
         "wildcard_terms": ["df", "term"],
         "fuzzy_terms": ["df", "dist", "term"],

@@ -208,6 +208,57 @@ def search_weighted(spark: SparkSession, index: DataFrameIndex,
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def search_min_should_match(spark: SparkSession, index: DataFrameIndex,
+                            query: str, *, min_should_match: int,
+                            k: int | None = 5, mode: str = "bm25",
+                            k1: float = 1.2, b: float = 0.75,
+                            stem: bool = False) -> DataFrame:
+    """OR-retrieval with a coverage floor (Elasticsearch
+    ``minimum_should_match``): docs matching fewer than
+    ``min(min_should_match, |distinct query terms|)`` of the query's
+    DISTINCT terms are excluded BEFORE top-k, so the returned k rows
+    are exactly the top-k of the qualifying universe.  Scores are
+    unchanged for qualifying docs — the floor prunes, it does not
+    re-weight.  Cost over plain search: one extra countDistinct in the
+    SAME per-doc aggregation — no extra shuffle, no extra pass.
+    """
+    weights, q_norm = query_weights(index, query, mode, stem=stem)
+    if not weights:
+        return spark.createDataFrame([], "doc_id long, score double")
+    required = min(int(min_should_match), len(weights))
+
+    qdf = spark.createDataFrame(
+        [(t, w) for t, w in weights.items()], "term string, w_tq double")
+    hits = (
+        index.postings
+        .join(F.broadcast(qdf), "term")
+        .join(F.broadcast(index.dictionary.filter(
+            F.col("term").isin(list(weights)))).select("term", "df"),
+            "term")
+        .join(index.docinfo, "doc_id")
+    )
+    w_td = doc_weight_expr(mode, index.n_docs, index.avg_doc_len, k1, b)
+    scores = (
+        hits.select("doc_id", "term",
+                    (w_td * F.col("w_tq")).alias("partial"))
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"),
+             F.countDistinct("term").alias("_n_matched"))
+        .where(F.col("_n_matched") >= required)
+        .drop("_n_matched")
+    )
+    if mode in ("w1", "w2"):
+        norms = doc_norms(index, mode, k1, b)
+        scores = scores.join(norms, "doc_id").select(
+            "doc_id",
+            F.when((F.col("norm") > 0) & (F.lit(q_norm) > 0),
+                   F.col("score") / F.col("norm") / F.lit(q_norm))
+            .otherwise(F.lit(0.0)).alias("score"))
+    if k is None:
+        return scores
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def boost_by_recency(scores: DataFrame, doc_ts: DataFrame,
                      now: str, half_life_days: float = 30.0) -> DataFrame:
     """Recency-boosted ranking for time-stamped web corpora: fold a

@@ -216,3 +216,34 @@ class TestSpellfix:
         fixed, corr = spellfix_query(docs_index, "fast zzzzqqqqxxxx join")
         assert corr == {}
         assert sorted(fixed.split()) == ["fast", "join"]
+
+
+class TestMinShouldMatch:
+    def test_floor_prunes_low_coverage_docs(self, spark, docs_index):
+        from ir_spark.gates import FLAGSHIP_QUERY
+        from ir_spark.operators import query as Q
+        from ir_spark.operators.query import search_min_should_match
+
+        plain = {r.doc_id for r in Q.search(
+            spark, docs_index, FLAGSHIP_QUERY, k=100).collect()}
+        floored = {r.doc_id for r in search_min_should_match(
+            spark, docs_index, FLAGSHIP_QUERY, min_should_match=7,
+            k=100).collect()}
+        assert floored - plain or plain - floored, \
+            "floor must be live at this depth"
+        # every floored doc scores identically to its plain score
+        plain_all = {r.doc_id: r.score for r in Q.search(
+            spark, docs_index, FLAGSHIP_QUERY, k=None).collect()}
+        for r in search_min_should_match(
+                spark, docs_index, FLAGSHIP_QUERY, min_should_match=7,
+                k=20).collect():
+            assert abs(r.score - plain_all[r.doc_id]) < 1e-12
+
+    def test_floor_caps_at_query_size(self, spark, docs_index):
+        from ir_spark.operators.query import search_min_should_match
+
+        # msm beyond the distinct-term count caps to AND semantics
+        out = search_min_should_match(
+            spark, docs_index, "hash join", min_should_match=99,
+            k=5).collect()
+        assert out, "AND of two common terms must match something"
