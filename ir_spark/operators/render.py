@@ -172,3 +172,33 @@ def render_search_results(
             [(t, pos[t], w) for t, w in doc_vecs.get(d, [])]))
         lines.append(RULE)
     return "\n".join(lines) + "\n"
+
+
+def render_trec_run(results: DataFrame, *, query_id: str,
+                    run_tag: str = "ir_spark",
+                    doc_map: DataFrame | None = None) -> list[str]:
+    """Render a ranking as TREC run-file lines — the standard IR
+    interchange format every evaluation toolkit (trec_eval, pytrec-
+    eval, ir-measures) consumes::
+
+        qid Q0 docno rank score tag
+
+    ``results``: (doc_id, score), ALREADY ordered (any search()'s
+    output).  ``doc_map``: optional (doc_id, url) to emit external
+    document names; without it docno is ``doc%08d`` (the engine's S10
+    external-id convention).  Rank is 1-based in result order, the
+    engine's (score DESC, doc_id ASC) total order — exactly what
+    trec_eval expects, no re-sorting.  Driver-side over the k-row
+    result (a run file is human-scale output, not a data path)."""
+    rows = results.collect()
+    names: dict[int, str] = {}
+    if doc_map is not None:
+        ids = [int(r["doc_id"]) for r in rows]
+        names = {int(r["doc_id"]): r["url"] for r in
+                 doc_map.filter(F.col("doc_id").isin(ids)).collect()}
+    out = []
+    for rank, r in enumerate(rows, start=1):
+        docno = names.get(int(r["doc_id"]), f"doc{int(r['doc_id']):08d}")
+        out.append(f"{query_id} Q0 {docno} {rank} "
+                   f"{float(r['score']):.6f} {run_tag}")
+    return out

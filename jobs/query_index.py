@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
                          "jobs — the offline/bulk path")
     ap.add_argument("--stem", action="store_true")
     ap.add_argument("--output", default=None, help="parquet output path")
+    ap.add_argument("--trec-run", default=None, metavar="FILE",
+                    help="also write a TREC run file (qid Q0 docno "
+                         "rank score tag) for trec_eval/ir-measures")
+    ap.add_argument("--run-tag", default="ir_spark")
     ap.add_argument("--render-vectors", default=None, metavar="DIR",
                     help="write reference-style per-query text files "
                          "(<mode>-q<i>.txt) with sparse vectors")
@@ -126,6 +130,22 @@ def main(argv: list[str] | None = None) -> int:
             with open(os.path.join(args.render_vectors,
                                    f"{args.mode}-q{i}.txt"), "w") as fh:
                 fh.write(text)
+
+    if args.trec_run:
+        from ir_spark.operators.render import render_trec_run
+        from ir_spark.operators.segments import index_paths
+
+        doc_map = spark.read.parquet(
+            index_paths(args.index_dir)["doc_map"])
+        lines = []
+        for qid, q in enumerate(queries, start=1):
+            qrows = [(r[3], r[4]) for r in all_rows if r[0] == qid]
+            qdf = spark.createDataFrame(qrows, "doc_id long, score double")
+            lines.extend(render_trec_run(qdf, query_id=str(qid),
+                                         run_tag=args.run_tag,
+                                         doc_map=doc_map))
+        with open(args.trec_run, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
 
     schema = "query_id int, query string, rank int, doc_id long, score double"
     results = spark.createDataFrame(all_rows, schema)

@@ -352,3 +352,41 @@ def test_curate_block_hosts_stage(tmp_path, capsys):
     kept = spark.read.parquet(out)
     hosts = {r.source for r in kept.select("source").distinct().collect()}
     assert hosts == {"ok.example"}
+
+
+def test_query_job_trec_run_file(tmp_path, capsys):
+    """--trec-run writes the standard 6-column interchange format in
+    rank order with the engine's external doc names."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import build_index
+    import query_index
+
+    pages = generate_pages(150, seed=11)
+    src = str(tmp_path / "pages.parquet")
+    pages_to_parquet(pages, src)
+    idx = str(tmp_path / "idx")
+    assert build_index.main([
+        "--input", src, "--index-dir", idx, "--segment-groups", "1",
+        "--local-cpus", "8"]) == 0
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("flow pressure boundary layer\nheat transfer\n")
+    run = tmp_path / "run.txt"
+    assert query_index.main([
+        "--index-dir", idx, "--queries", str(qfile), "--k", "5",
+        "--trec-run", str(run), "--run-tag", "myrun",
+        "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+
+    lines = run.read_text().strip().splitlines()
+    assert len(lines) == 10
+    prev = {}
+    for ln in lines:
+        qid, q0, docno, rank, score, tag = ln.split()
+        assert q0 == "Q0" and tag == "myrun"
+        assert docno.startswith("http")  # doc_map urls used as docnos
+        if qid in prev:
+            p_rank, p_score = prev[qid]
+            assert int(rank) == p_rank + 1
+            assert float(score) <= p_score + 1e-9
+        prev[qid] = (int(rank), float(score))
+    assert {ln.split()[0] for ln in lines} == {"1", "2"}
