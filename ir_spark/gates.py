@@ -1174,6 +1174,117 @@ def q_merged_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_quantized(mapped, K_FLAGSHIP)
 
 
+def q_sharded_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated two-phase search over the two half-corpus shard
+    indexes (operators/shards.py::search_sharded — per-shard df/N/
+    avgDocLen summed into GLOBAL statistics, every shard scored with
+    the global weights, lossless k-per-shard gather) vs the flat
+    single-index BM25 oracle: proves cross-shard score comparability
+    (the dfs_query_then_fetch semantics) value-for-value.  Reuses the
+    memoized half builds of the merge gate — this is the OTHER way to
+    serve partial indexes: merge them (merged_bm25_topk) or federate
+    them (here)."""
+    from .operators.segment_query import SegmentIndex
+    from .operators.shards import search_sharded
+
+    merged = _merged_index_dir(spark, sf_dir)  # halves live beside it
+    base = os.path.dirname(merged)
+    shards = [SegmentIndex.load(spark, os.path.join(base, h))
+              for h in ("a", "b")]
+    raw = search_sharded(spark, shards, FLAGSHIP_QUERY,
+                         k=K_FLAGSHIP * 5, mode="bm25")
+    ids = raw.select(
+        F.substring("url", 7, 12).cast("long").alias("doc_id"), "score")
+    return _rerank_quantized(ids, K_FLAGSHIP)
+
+
+# --- query clarity (operators/feedback.py::clarity_score) ---------------------
+
+CLARITY_N_FB = 10
+
+
+def q_clarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-performance prediction: Cronen-Townsend clarity score for
+    every BATCH_QUERIES entry -> (query_id, clarity_micro,
+    n_model_terms).  The all-stopword query yields no row on either
+    engine; the unseen-term query still scores (its known terms carry
+    the model)."""
+    from .operators.feedback import clarity_score
+
+    idx = _df_index(spark, sf_dir)
+    out = None
+    for qid, q in enumerate(BATCH_QUERIES):
+        part = clarity_score(spark, idx, q, n_fb=CLARITY_N_FB).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            "clarity_micro", "n_model_terms")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def sql_clarity_scores(n_fb: int = CLARITY_N_FB, k1: float = 1.2,
+                       b: float = 0.75) -> str:
+    """Per-query clarity recurrence: fb docs by micro-quantized BM25,
+    RM1 term weights as BIGINT micros, KL contributions rounded to
+    BIGINT micros BEFORE the final sum (order-independent; matches
+    operators/feedback.py::clarity_score exactly)."""
+    from collections import Counter
+
+    bm25 = (f"LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))"
+            f" * p.tf * ({k1} + 1.0)"
+            f" / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))")
+    ctes = [TOKS_CTE,
+            "coll AS (SELECT CAST(SUM(cf) AS DOUBLE) AS c_total FROM dict)"]
+    arms = []
+    for qid, q in enumerate(BATCH_QUERIES):
+        bag = Counter(t for t in tokenize(q) if t not in STOPWORDS)
+        if not bag:
+            continue  # engine side emits no row for an empty bag
+        vals = ", ".join(f"('{t}', {tf})" for t, tf in sorted(bag.items()))
+        ctes.append(
+            f"qt_{qid} AS (SELECT * FROM (VALUES {vals}) AS q(term, qtf))")
+        ctes.append(f"""hits_{qid} AS (
+  SELECT p.doc_id, {bm25} * q.qtf AS partial
+  FROM postings p
+  JOIN qt_{qid} q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+)""")
+        ctes.append(f"""fb_{qid} AS (
+  SELECT doc_id, score_micro FROM (
+    SELECT doc_id,
+           CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+    FROM hits_{qid} GROUP BY doc_id)
+  ORDER BY score_micro DESC, doc_id ASC LIMIT {n_fb}
+)""")
+        ctes.append(f"""model_{qid} AS (
+  SELECT term, w_micro FROM (
+    SELECT p.term,
+           CAST(ROUND(1000000.0 * SUM(CAST(p.tf AS DOUBLE) / d.doc_len
+                                      * f.score_micro / 1000000.0))
+                AS BIGINT) AS w_micro
+    FROM postings p JOIN fb_{qid} f USING (doc_id)
+    JOIN docinfo d USING (doc_id)
+    GROUP BY p.term)
+  WHERE w_micro > 0
+)""")
+        ctes.append(f"""tot_{qid} AS (
+  SELECT CAST(SUM(w_micro) AS DOUBLE) AS w_total FROM model_{qid}
+)""")
+        ctes.append(f"""contrib_{qid} AS (
+  SELECT CAST(ROUND(1000000.0 * (m.w_micro / w.w_total)
+              * LN((m.w_micro * c.c_total) / (w.w_total * dd.cf)))
+         AS BIGINT) AS contrib_micro
+  FROM model_{qid} m JOIN dict dd USING (term)
+  CROSS JOIN tot_{qid} w CROSS JOIN coll c
+)""")
+        arms.append(f"""SELECT CAST({qid} AS BIGINT) AS query_id,
+       CAST(SUM(contrib_micro) AS BIGINT) AS clarity_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_model_terms
+FROM contrib_{qid} HAVING COUNT(*) > 0""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
+
+
 # --- document deletion lifecycle (operators/deletes.py) ----------------------
 
 DELETE_MOD = 7  # tombstone every doc with orig_id % DELETE_MOD == 0
@@ -2045,6 +2156,8 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "snippet_extract": q_snippet_extract,
         "merged_bm25_topk": q_merged_bm25_topk,
+        "sharded_bm25_topk": q_sharded_bm25_topk,
+        "clarity_scores": q_clarity_scores,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_compacted": q_bm25_topk_compacted,
         "eval_metrics": q_eval_metrics,
@@ -2097,6 +2210,8 @@ def core_oracle_sql() -> dict[str, str]:
         "facet_counts": sql_facet_counts(),
         "snippet_extract": sql_snippet_extract(),
         "merged_bm25_topk": sql_bm25_topk(),
+        "sharded_bm25_topk": sql_bm25_topk(),
+        "clarity_scores": sql_clarity_scores(),
         "bm25_topk_deleted": sql_bm25_topk_deleted(),
         "bm25_topk_compacted": sql_bm25_topk_compacted(),
         "eval_metrics": sql_eval_metrics(),

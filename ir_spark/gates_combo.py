@@ -44,9 +44,11 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "snippet_extract": ["doc_id", "pos", "snippet", "term"],
         "date_histogram": ["bucket", "bucket_start_day", "n_docs"],
     },
-    "cosine_suite": {
+    "scoring_suite": {
         "w1_topk": ["doc_id", "score_micro"],
         "w2_topk": ["doc_id", "score_micro"],
+        "sharded_bm25_topk": ["doc_id", "score_micro"],
+        "clarity_scores": ["clarity_micro", "n_model_terms", "query_id"],
     },
     "lexicon_suite": {
         "synonym_bm25_topk": ["doc_id", "score_micro"],

@@ -133,3 +133,84 @@ def search_more_like_this(spark: SparkSession, index: DataFrameIndex,
                              k=None, mode="bm25", k1=k1, b=b)
     return (scores.filter(F.col("doc_id") != doc_id)
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def clarity_score(spark: SparkSession, index: DataFrameIndex, query: str,
+                  *, n_fb: int = 10, k1: float = 1.2, b: float = 0.75
+                  ) -> DataFrame:
+    """Query clarity — pre-retrieval-quality prediction (Cronen-
+    Townsend, Zhou & Croft, SIGIR 2002): the KL divergence between the
+    query's relevance language model and the collection language model,
+
+        clarity(Q) = sum_w P(w|R) * ln( P(w|R) / P_coll(w) )
+
+    High clarity = the feedback docs speak a vocabulary distinct from
+    the collection background (an unambiguous query); clarity near 0 =
+    the query's result set looks like random background (likely to
+    perform poorly).  The standard IR query-performance predictor; the
+    reference engine has no analogue (it always executes the query).
+
+    Determinism contract (the RM3 convention, see module docstring):
+    every value that crosses engines is an integer —
+
+      rel_micro(d)  = round(1e6 * BM25(q, d))            (fb selection)
+      w_micro(t)    = round(1e6 * sum_d tf/len * rel_micro/1e6)  (RM1)
+      W             = sum_t w_micro(t)                   (BIGINT sum)
+      P(w|R)        = w_micro / W;   P_coll(w) = cf_w / C
+      clarity_micro = sum_t round(1e6 * (w/W) * ln((w*C)/(W*cf_w)))
+
+    The outer sum adds BIGINTs, so engine summation order cannot move
+    the result.  Every model term has cf > 0 (it occurs in a fb doc),
+    so the log is always finite.
+
+    Returns one row (clarity_micro BIGINT, n_model_terms BIGINT), or
+    zero rows for an empty/stopword-only query.
+
+    Scale shape: one ordinary top-n_fb query, then the RM1 mine
+    touches only the fb docs' posting rows (broadcast semi-join — no
+    corpus sweep); dictionary join is term-keyed on those few hundred
+    model terms; C and W are one-row aggregates broadcast into the
+    final projection.  Nothing is corpus-wide but the initial
+    retrieval."""
+    out_schema = "clarity_micro long, n_model_terms long"
+    if not parse_query(query):
+        return spark.createDataFrame([], out_schema)
+    raw = search(spark, index, query, k=n_fb * 5, mode="bm25", k1=k1, b=b)
+    fb = (
+        raw.select(
+            "doc_id",
+            F.round(F.col("score") * 1000000.0).cast("long")
+            .alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(n_fb)
+    )
+    fbinfo = index.docinfo.join(F.broadcast(fb), "doc_id").select(
+        "doc_id", "doc_len", "score_micro")
+    model = (
+        index.postings.join(F.broadcast(fbinfo), "doc_id")
+        .groupBy("term")
+        .agg(
+            F.round(F.lit(1000000.0) * F.sum(
+                F.col("tf").cast("double") / F.col("doc_len")
+                * F.col("score_micro") / F.lit(1000000.0)))
+            .cast("long").alias("w_micro"))
+        .filter(F.col("w_micro") > 0)
+    )
+    total_w = model.agg(F.sum("w_micro").cast("double").alias("w_total"))
+    total_c = index.dictionary.agg(
+        F.sum("cf").cast("double").alias("c_total"))
+    contrib = (
+        model.join(index.dictionary.select("term", "cf"), "term")
+        .crossJoin(F.broadcast(total_w))
+        .crossJoin(F.broadcast(total_c))
+        .select(
+            F.round(F.lit(1000000.0)
+                    * (F.col("w_micro") / F.col("w_total"))
+                    * F.log((F.col("w_micro") * F.col("c_total"))
+                            / (F.col("w_total") * F.col("cf"))))
+            .cast("long").alias("contrib_micro"))
+    )
+    return contrib.agg(
+        F.sum("contrib_micro").cast("long").alias("clarity_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_model_terms"),
+    ).filter(F.col("n_model_terms") > 0)  # no-match query -> no rows

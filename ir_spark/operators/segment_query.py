@@ -794,7 +794,10 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
                     b: float = 0.75, stem: bool = False,
                     strategy: str = "exhaustive",
                     mu: float = 1000.0,
-                    prune_counters: dict | None = None) -> DataFrame:
+                    prune_counters: dict | None = None,
+                    df_override: dict[str, int] | None = None,
+                    cf_override: dict[str, int] | None = None,
+                    cf_total_override: float | None = None) -> DataFrame:
     """Top-k over the compressed index; result schema (doc_id, score),
     ordered, rank-identical to the DataFrame engine and the oracle.
     ``mode='qld'`` scores Dirichlet query-likelihood (``mu``) — same
@@ -808,7 +811,15 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
 
     ``prune_counters``: optional ``{"runs_seen": acc, "runs_pruned":
     acc, "nonessential": acc}`` Spark accumulators, incremented by the
-    pruning kernels (tests / diagnostics only)."""
+    pruning kernels (tests / diagnostics only).
+
+    ``df_override`` / ``cf_override`` / ``cf_total_override``: use
+    these term statistics instead of this index's own — the federated
+    hook (operators/shards.py): a shard scores its local postings with
+    GLOBAL df/cf so scores are comparable across shards.  Pair with a
+    ``dataclasses.replace``-d SegmentIndex carrying the global
+    n_docs/avg_doc_len.  Terms absent from an override score zero,
+    same as terms absent from the dictionary."""
     import math as _math
 
     if sidx.as_of_grp is not None and mode in ("w1", "w2"):
@@ -821,11 +832,12 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
     terms = sorted(bag)
 
     if mode == "qld":
-        cfs = sidx.cf_of(terms)
+        cfs = cf_override if cf_override is not None else sidx.cf_of(terms)
         qterms = sorted(t for t in bag if t in cfs)
         if not qterms:
             return spark.createDataFrame([], SCORE_SCHEMA)
-        c_total = float(sidx.cf_total())
+        c_total = (float(cf_total_override) if cf_total_override is not None
+                   else float(sidx.cf_total()))
         const = sum(bag[t] * _math.log(mu * cfs[t] / c_total)
                     for t in qterms)
         q_len = float(sum(bag[t] for t in qterms))
@@ -841,7 +853,7 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
         scored = hits.groupBy("run").applyInPandas(kernel, SCORE_SCHEMA)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    dfs = sidx.df_of(terms)
+    dfs = df_override if df_override is not None else sidx.df_of(terms)
     weights, q_norm = compute_query_weights(bag, dfs, sidx.n_docs, mode)
 
     buckets = sorted({storage.term_bucket_py(t, sidx.n_buckets) for t in terms})

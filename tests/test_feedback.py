@@ -11,7 +11,9 @@ from ir_spark.operators.feedback import rm3_expansion_terms, search_rm3
 from ir_spark.oracle import bm25_weight, build_index, parse_query, search
 
 N_FB, N_EXP, ALPHA, K = 5, 4, 0.6, 10
-QUERY = "fast hash join with big vector table scan"
+# fixture-vocabulary query (make_vocab is aero-themed; an absent-term
+# query would make every comparison here pass vacuously on empty sets)
+QUERY = "boundary layer heat transfer model"
 
 
 @pytest.fixture(scope="module")
@@ -204,12 +206,12 @@ def test_synonym_expansion_semantics(spark, both):
     from ir_spark.operators.query import search_weighted, search_with_synonyms
 
     index, oracle = both
-    q = "fast scan"
+    q = "shock wave"
     # expansion == explicit weighted bag (originals 1.0, synonyms 0.5,
     # original term wins over a synonym mapping onto it)
-    syn = {"fast": ["merge", "scan"], "scan": ["nosuchterm"]}
+    syn = {"shock": ["mach", "wave"], "wave": ["nosuchterm"]}
     want = search_weighted(
-        spark, index, {"fast": 1.0, "scan": 1.0, "merge": 0.5},
+        spark, index, {"shock": 1.0, "wave": 1.0, "mach": 0.5},
         k=10, mode="bm25").collect()
     got = search_with_synonyms(spark, index, q, syn, syn_weight=0.5,
                                k=10, mode="bm25").collect()
@@ -223,3 +225,77 @@ def test_synonym_expansion_semantics(spark, both):
                                 mode="bm25").collect()
     assert [(r["doc_id"], round(r["score"], 9)) for r in none] == \
         [(r["doc_id"], round(r["score"], 9)) for r in plain]
+
+
+# --- query clarity (clarity_score) -------------------------------------------
+
+
+def _py_clarity(oracle, query, n_fb=10):
+    """Pure-Python clarity with the operator's quantization contract:
+    BIGINT w_micro RM1 weights, per-term BIGINT micro contributions,
+    integer final sum."""
+    import math
+
+    if not parse_query(query):
+        return None
+    fb_raw = search(oracle, query, k=oracle.n_docs, mode="bm25")
+    fb = sorted(((d, round(s * 1e6)) for d, s in fb_raw),
+                key=lambda r: (-r[1], r[0]))[:n_fb]
+    relw = dict(fb)
+    w_micro: dict[str, int] = {}
+    for term, plist in oracle.postings.items():
+        s = sum(tf / oracle.docinfo[d][0] * relw[d] / 1e6
+                for d, tf in plist if d in relw)
+        w = round(s * 1e6)
+        if w > 0:
+            w_micro[term] = w
+    if not w_micro:
+        return None
+    w_total = float(sum(w_micro.values()))
+    cf = {t: sum(tf for _, tf in pl) for t, pl in oracle.postings.items()}
+    c_total = float(sum(cf.values()))
+    clarity = sum(
+        round(1e6 * (w / w_total)
+              * math.log((w * c_total) / (w_total * cf[t])))
+        for t, w in w_micro.items())
+    return clarity, len(w_micro)
+
+
+def test_clarity_matches_python_oracle(spark, both):
+    from ir_spark.operators.feedback import clarity_score
+
+    idx, oracle = both
+    for query in (QUERY, "supersonic wing pressure flow"):
+        row = clarity_score(spark, idx, query).collect()
+        expect = _py_clarity(oracle, query)
+        assert (int(row[0]["clarity_micro"]),
+                int(row[0]["n_model_terms"])) == expect
+
+
+def test_clarity_nonnegative_and_empty_cases(spark, both):
+    """KL(P(w|R) || P_coll) >= 0 (P_coll sub-normalized over the model
+    support only strengthens the bound); degenerate queries emit no
+    row."""
+    from ir_spark.operators.feedback import clarity_score
+
+    idx, _ = both
+    row = clarity_score(spark, idx, QUERY).collect()
+    assert len(row) == 1 and int(row[0]["clarity_micro"]) >= 0
+    assert clarity_score(spark, idx, "the a of").count() == 0
+    assert clarity_score(spark, idx, "zzzneverseen qqqabsent").count() == 0
+
+
+def test_clarity_separates_specific_from_ambiguous(spark, both):
+    """A vocabulary-specific query should score HIGHER clarity than a
+    query of ubiquitous corpus terms (the predictor's whole point)."""
+    from ir_spark.operators.feedback import clarity_score
+
+    idx, oracle = both
+    # most ubiquitous indexed terms = highest df
+    common = sorted(oracle.postings,
+                    key=lambda t: -len(oracle.postings[t]))[:3]
+    specific = int(clarity_score(spark, idx, QUERY)
+                   .collect()[0]["clarity_micro"])
+    ambiguous = int(clarity_score(spark, idx, " ".join(common))
+                    .collect()[0]["clarity_micro"])
+    assert specific > ambiguous

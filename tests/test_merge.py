@@ -13,7 +13,9 @@ from ir_spark.operators.merge import merge_indexes
 from ir_spark.operators.segment_query import SegmentIndex, search_segments
 from ir_spark.operators.segments import build_segment_index, decode_segments
 
-QUERIES = ["fast hash join with big vector table scan", "spark window agg"]
+# fixture-vocabulary queries (make_vocab is aero-themed; absent-term
+# queries would make the equality assertions pass vacuously)
+QUERIES = ["boundary layer heat transfer", "supersonic wing pressure flow"]
 
 
 @pytest.fixture(scope="module")

@@ -15,11 +15,13 @@ from ir_spark.oracle import build_index, parse_query
 
 MU, K = 1000.0, 10
 
+# fixture-vocabulary queries (make_vocab is aero-themed; absent-term
+# queries would exercise only the empty path)
 QUERIES = [
-    "fast hash join with big vector table scan",
-    "spark window agg",
-    "customer the of",          # mostly stopwords
-    "zzzunseen big table",      # unseen term dropped
+    "boundary layer heat transfer model",
+    "supersonic wing pressure",
+    "theory the of",            # mostly stopwords
+    "zzzunseen shock wave",     # unseen term dropped
     "zzzunseen qqqunseen",      # nothing survives
 ]
 

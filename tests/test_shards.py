@@ -1,0 +1,116 @@
+"""Federated sharded search (operators/shards.py): two-phase search
+over document-partitioned shards with global-statistics exchange must
+be query-identical to one monolithic index over the union corpus —
+and the exchange must actually matter (shard-local statistics differ).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ir_spark.operators.build import assign_doc_ids
+from ir_spark.operators.segment_query import SegmentIndex, search_segments
+from ir_spark.operators.segments import build_segment_index
+from ir_spark.operators.shards import global_term_stats, search_sharded
+
+# real fixture-vocabulary queries (make_vocab is aero-themed; a
+# query of absent terms would make the equality tests pass vacuously)
+QUERIES = ["boundary layer heat transfer", "supersonic wing pressure flow"]
+
+
+@pytest.fixture(scope="module")
+def sharded(spark, pages_small, tmp_path_factory):
+    """Three UNEVEN shards (sizes ~n/6, ~n/3, ~n/2 — uneven on purpose
+    so local n_docs/avg_dl/df genuinely differ per shard) plus the
+    monolithic full build."""
+    path, _ = pages_small
+    raw = spark.read.parquet(path)
+    ids = assign_doc_ids(raw)
+    n = ids.count()
+    cuts = [(0, n // 6), (n // 6, n // 2), (n // 2, n + 1)]
+    base = tmp_path_factory.mktemp("shards")
+    dirs = []
+    for i, (lo, hi) in enumerate(cuts):
+        keep = ids.filter((F.col("doc_id") > lo)
+                          & (F.col("doc_id") <= hi)).select("url")
+        d = str(base / f"s{i}")
+        build_segment_index(spark, raw.join(keep, "url"), d,
+                            source=f"s{i}", norms=False)
+        dirs.append(d)
+    full = str(base / "full")
+    build_segment_index(spark, raw, full, source="full", norms=False)
+    return dirs, full
+
+
+def _full_by_url(spark, full_dir, query, mode, k=10):
+    sidx = SegmentIndex.load(spark, full_dir)
+    res = search_segments(spark, sidx, query, k=k, mode=mode)
+    doc_map = spark.read.parquet(full_dir + "/doc_map")
+    rows = res.join(doc_map, "doc_id").select("url", "score").collect()
+    return sorted((r["url"], round(r["score"] * 1e6)) for r in rows)
+
+
+@pytest.mark.parametrize("mode", ["bm25", "qld"])
+@pytest.mark.parametrize("query", QUERIES)
+def test_sharded_equals_monolithic(spark, sharded, query, mode):
+    dirs, full = sharded
+    shards = [SegmentIndex.load(spark, d) for d in dirs]
+    got = sorted(
+        (r["url"], round(r["score"] * 1e6))
+        for r in search_sharded(spark, shards, query, k=10,
+                                mode=mode).collect())
+    assert got == _full_by_url(spark, full, query, mode)
+
+
+def test_exchange_matters(spark, sharded):
+    """Shard-local df/N differ from the global view — scoring without
+    the exchange would produce incomparable scores."""
+    dirs, full = sharded
+    shards = [SegmentIndex.load(spark, d) for d in dirs]
+    terms = ["boundary", "layer", "heat"]
+    g = global_term_stats(shards, terms)
+    fidx = SegmentIndex.load(spark, full)
+    # globals reconstruct the monolithic stats exactly
+    assert g["n_docs"] == fidx.n_docs
+    assert g["avg_doc_len"] == pytest.approx(fidx.avg_doc_len, rel=1e-9)
+    assert g["df"] == fidx.df_of(terms)
+    # and at least one shard's local stats genuinely differ from them
+    assert any(s.df_of(terms) != g["df"] for s in shards)
+    assert any(s.n_docs != g["n_docs"] for s in shards)
+
+
+def test_local_stats_would_be_wrong(spark, sharded):
+    """The negative control: score each shard with its LOCAL stats and
+    gather — the ranking diverges from the monolithic one for at least
+    one query (this is exactly the bug the exchange exists to fix)."""
+    dirs, full = sharded
+    diverged = False
+    for query in QUERIES:
+        gathered = []
+        for d in dirs:
+            s = SegmentIndex.load(spark, d)
+            res = search_segments(spark, s, query, k=10, mode="bm25")
+            dm = spark.read.parquet(d + "/doc_map")
+            gathered += [
+                (r["url"], round(r["score"] * 1e6))
+                for r in res.join(dm, "doc_id")
+                .select("url", "score").collect()]
+        naive = sorted(sorted(gathered, key=lambda t: (-t[1], t[0]))[:10])
+        if naive != _full_by_url(spark, full, query, "bm25"):
+            diverged = True
+    assert diverged
+
+
+def test_cosine_rejected(spark, sharded):
+    dirs, _ = sharded
+    shards = [SegmentIndex.load(spark, d) for d in dirs]
+    with pytest.raises(ValueError, match="cosine|norms"):
+        search_sharded(spark, shards, QUERIES[0], mode="w1")
+
+
+def test_empty_query_and_no_shards(spark, sharded):
+    dirs, _ = sharded
+    shards = [SegmentIndex.load(spark, d) for d in dirs]
+    assert search_sharded(spark, shards, "the a of").count() == 0
+    assert search_sharded(spark, [], QUERIES[0]).count() == 0
