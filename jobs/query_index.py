@@ -12,6 +12,14 @@ Usage (north-rule deployment path)::
         [--render-vectors /tmp/results]      # reference-style text files
         [--documents /data/pages.parquet]    # (url, text) for headlines
 
+Federated serving (document-partitioned shard indexes, global-stats
+exchange — operators/shards.py)::
+
+    spark-submit --py-files dist/ir_spark.zip jobs/query_index.py \
+        --shards /data/shard0,/data/shard1,... \
+        --queries queries.txt [--k 5] [--mode bm25|qld]
+        # output keyed by url (doc ids are shard-private)
+
 Output schema: (query_id:int, query:string, rank:int, doc_id:long,
 score:double) — deterministic (score desc, doc_id asc) ordering (D8),
 mirroring the reference's per-query result files (Driver.java:66-71).
@@ -31,7 +39,15 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--index-dir", default=None)
+    ap.add_argument("--shards", default=None, metavar="DIR,DIR,...",
+                    help="federated serving: comma-separated shard "
+                         "index dirs searched with a global-statistics "
+                         "exchange (operators/shards.py); results are "
+                         "keyed by url instead of doc_id; bm25/qld "
+                         "only, mutually exclusive with --index-dir/"
+                         "--batch/--as-of-grp/--render-vectors/"
+                         "--trec-run")
     ap.add_argument("--queries", required=True,
                     help="text file, one query per line")
     ap.add_argument("--k", type=int, default=5)
@@ -83,9 +99,43 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.batch and args.mode == "qld":
         ap.error("--batch supports bm25/w1/w2 (qld scores per query)")
+    if bool(args.index_dir) == bool(args.shards):
+        ap.error("exactly one of --index-dir / --shards is required")
 
     with open(args.queries) as fh:
         queries = [ln.strip() for ln in fh if ln.strip()]
+
+    if args.shards:
+        if (args.batch or args.as_of_grp is not None
+                or args.render_vectors or args.trec_run):
+            ap.error("--shards serves plain per-query retrieval only")
+        from ir_spark.operators.shards import search_sharded
+
+        shards = [SegmentIndex.load(spark, d.strip())
+                  for d in args.shards.split(",") if d.strip()]
+        all_rows = []
+        for qid, q in enumerate(queries, start=1):
+            hits = search_sharded(
+                spark, shards, q, k=args.k, mode=args.mode, k1=args.k1,
+                b=args.b, stem=args.stem, strategy=args.strategy,
+                mu=args.mu).collect()
+            for rank, row in enumerate(hits, start=1):
+                all_rows.append((qid, q, rank, row["url"],
+                                 float(row["score"])))
+        schema = ("query_id int, query string, rank int, url string, "
+                  "score double")
+        results = spark.createDataFrame(all_rows, schema)
+        if args.output:
+            results.coalesce(1).write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"output": args.output,
+                              "n_queries": len(queries),
+                              "n_rows": len(all_rows)}))
+        else:
+            for r in all_rows:
+                print(json.dumps({"query_id": r[0], "query": r[1],
+                                  "rank": r[2], "url": r[3],
+                                  "score": r[4]}))
+        return 0
 
     sidx = SegmentIndex.load(spark, args.index_dir,
                              as_of_grp=args.as_of_grp)

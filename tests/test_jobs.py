@@ -8,6 +8,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 from ir_spark.fixtures import generate_pages, pages_to_parquet
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -390,3 +392,59 @@ def test_query_job_trec_run_file(tmp_path, capsys):
             assert float(score) <= p_score + 1e-9
         prev[qid] = (int(rank), float(score))
     assert {ln.split()[0] for ln in lines} == {"1", "2"}
+
+
+def test_sharded_query_job(tmp_path, capsys):
+    """jobs/query_index.py --shards: federated retrieval over two shard
+    indexes equals querying a full build of the union (url-keyed)."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import build_index
+    import query_index
+
+    pages = generate_pages(120, seed=13)
+    src_a = str(tmp_path / "a.parquet")
+    src_b = str(tmp_path / "b.parquet")
+    src_all = str(tmp_path / "all.parquet")
+    pages_to_parquet(pages[:40], src_a)       # uneven on purpose
+    pages_to_parquet(pages[40:], src_b)
+    pages_to_parquet(pages, src_all)
+    dirs = {k: str(tmp_path / k) for k in ("sa", "sb", "sfull")}
+    for src, idx in ((src_a, dirs["sa"]), (src_b, dirs["sb"]),
+                     (src_all, dirs["sfull"])):
+        assert build_index.main([
+            "--input", src, "--index-dir", idx, "--segment-groups", "1",
+            "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("flow pressure boundary layer\n")
+    dest_sh = str(tmp_path / "res_sharded")
+    assert query_index.main([
+        "--shards", f"{dirs['sa']},{dirs['sb']}", "--queries", str(qfile),
+        "--k", "5", "--output", dest_sh, "--local-cpus", "8"]) == 0
+    dest_full = str(tmp_path / "res_full")
+    assert query_index.main([
+        "--index-dir", dirs["sfull"], "--queries", str(qfile), "--k", "5",
+        "--output", dest_full, "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+
+    from ir_spark.session import get_spark
+
+    spark = get_spark("test_jobs")
+    sharded = sorted(
+        (r["rank"], r["url"], round(r["score"], 9))
+        for r in spark.read.parquet(dest_sh).collect())
+    doc_map = spark.read.parquet(os.path.join(dirs["sfull"], "doc_map"))
+    full = sorted(
+        (r["rank"], r["url"], round(r["score"], 9))
+        for r in spark.read.parquet(dest_full)
+        .join(doc_map, "doc_id").collect())
+    assert sharded and sharded == full
+
+    # option validation: --shards excludes the single-index extras
+    with pytest.raises(SystemExit):
+        query_index.main([
+            "--shards", dirs["sa"], "--queries", str(qfile), "--batch",
+            "--local-cpus", "8"])
+    with pytest.raises(SystemExit):
+        query_index.main(["--queries", str(qfile), "--local-cpus", "8"])
