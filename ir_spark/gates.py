@@ -1285,6 +1285,120 @@ FROM contrib_{qid} HAVING COUNT(*) > 0""")
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
 
 
+# --- selective PRF (clarity-gated RM3, operators/feedback.py) -----------------
+
+# threshold sits between the two arms' sf0.01 clarities (77,183 and
+# 80,890 micro) so the driver run exercises BOTH branches; the oracle
+# recomputes the decision, so parity holds at any SF regardless
+PRF_THRESHOLD_MICRO = 80_000
+PRF_QUERIES = [FLAGSHIP_QUERY, "batch small scan"]
+
+
+def q_selective_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clarity-gated pseudo-relevance feedback
+    (operators/feedback.py::search_selective_prf): expand a query with
+    RM3 only when its clarity predicts vocabulary mismatch ->
+    (query_id, expanded, doc_id, score_micro)."""
+    from .operators.feedback import search_selective_prf
+
+    idx = _df_index(spark, sf_dir)
+    out = None
+    for qid, q in enumerate(PRF_QUERIES):
+        raw, expanded = search_selective_prf(
+            spark, idx, q, clarity_threshold_micro=PRF_THRESHOLD_MICRO,
+            k=K_FLAGSHIP * 5)
+        part = _rerank_quantized(raw, K_FLAGSHIP).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.lit(1 if expanded else 0).cast("long").alias("expanded"),
+            "doc_id", "score_micro")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def sql_selective_prf_topk(threshold: int | None = None,
+                           n_fb: int = 10, n_exp: int = 5,
+                           alpha: float = 0.6, k1: float = 1.2,
+                           b: float = 0.75) -> str:
+    """Per-arm recurrence: shared fb CTE feeds BOTH the clarity model
+    and the RM3 expansion mine; the branch is one scalar predicate the
+    oracle recomputes, so it always takes the same branch as the
+    engine."""
+    from collections import Counter
+
+    if threshold is None:
+        threshold = PRF_THRESHOLD_MICRO
+    bm25 = (f"LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))"
+            f" * p.tf * ({k1} + 1.0)"
+            f" / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))")
+    ctes = [TOKS_CTE]
+    arms = []
+    for qid, q in enumerate(PRF_QUERIES):
+        bag = Counter(t for t in tokenize(q) if t not in STOPWORDS)
+        s = f"p{qid}"
+        vals = ", ".join(f"('{t}', {tf})" for t, tf in sorted(bag.items()))
+        ctes.append(
+            f"qt_{s} AS (SELECT * FROM (VALUES {vals}) AS q(term, qtf))")
+        ctes.append(f"""hits_{s} AS (
+  SELECT p.doc_id, {bm25} * q.qtf AS partial
+  FROM postings p JOIN qt_{s} q USING (term) JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id) CROSS JOIN stats s)""")
+        ctes.append(f"""fbs_{s} AS (
+  SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT)
+         AS score_micro
+  FROM hits_{s} GROUP BY doc_id)""")
+        ctes.append(f"""fb_{s} AS (
+  SELECT doc_id, score_micro FROM fbs_{s}
+  ORDER BY score_micro DESC, doc_id ASC LIMIT {n_fb})""")
+        ctes.append(f"""model_{s} AS (
+  SELECT term, w_micro FROM (
+    SELECT p.term,
+           CAST(ROUND(1000000.0 * SUM(CAST(p.tf AS DOUBLE) / d.doc_len
+                                      * f.score_micro / 1000000.0))
+                AS BIGINT) AS w_micro
+    FROM postings p JOIN fb_{s} f USING (doc_id)
+    JOIN docinfo d USING (doc_id) GROUP BY p.term)
+  WHERE w_micro > 0)""")
+        ctes.append(f"""clar_{s} AS (
+  SELECT CAST(SUM(CAST(ROUND(1000000.0 * (m.w_micro / w.w_total)
+              * LN((m.w_micro * c.c_total) / (w.w_total * dd.cf)))
+              AS BIGINT)) AS BIGINT) AS c, COUNT(*) AS n
+  FROM model_{s} m JOIN dict dd USING (term)
+  CROSS JOIN (SELECT CAST(SUM(w_micro) AS DOUBLE) AS w_total
+              FROM model_{s}) w
+  CROSS JOIN (SELECT CAST(SUM(cf) AS DOUBLE) AS c_total FROM dict) c)""")
+        ctes.append(f"""expterms_{s} AS (
+  SELECT term, w_micro FROM model_{s}
+  WHERE term NOT IN (SELECT term FROM qt_{s})
+  ORDER BY w_micro DESC, term ASC LIMIT {n_exp})""")
+        ctes.append(f"""allq_{s} AS (
+  SELECT term, {alpha} * qtf AS w_tq FROM qt_{s}
+  UNION ALL
+  SELECT term, (1.0 - {alpha}) * w_micro
+               / (SELECT MAX(w_micro) FROM expterms_{s})
+  FROM expterms_{s})""")
+        ctes.append(f"""rm3top_{s} AS (
+  SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT)
+         AS score_micro
+  FROM (SELECT p.doc_id, {bm25} * a.w_tq AS partial
+        FROM postings p JOIN allq_{s} a USING (term)
+        JOIN dict t USING (term) JOIN docinfo d USING (doc_id)
+        CROSS JOIN stats s) GROUP BY doc_id
+  ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP})""")
+        ctes.append(f"""plaintop_{s} AS (
+  SELECT doc_id, score_micro FROM fbs_{s}
+  ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP})""")
+        expand = (f"(SELECT n FROM clar_{s}) > 0 "
+                  f"AND (SELECT c FROM clar_{s}) < {threshold}")
+        arms.append(f"""SELECT CAST({qid} AS BIGINT) AS query_id,
+       CAST(1 AS BIGINT) AS expanded, doc_id, score_micro
+FROM rm3top_{s} WHERE {expand}
+UNION ALL
+SELECT CAST({qid} AS BIGINT) AS query_id,
+       CAST(0 AS BIGINT) AS expanded, doc_id, score_micro
+FROM plaintop_{s} WHERE NOT ({expand})""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
+
+
 # --- document deletion lifecycle (operators/deletes.py) ----------------------
 
 DELETE_MOD = 7  # tombstone every doc with orig_id % DELETE_MOD == 0
@@ -2158,6 +2272,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_bm25_topk": q_merged_bm25_topk,
         "sharded_bm25_topk": q_sharded_bm25_topk,
         "clarity_scores": q_clarity_scores,
+        "selective_prf_topk": q_selective_prf_topk,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_compacted": q_bm25_topk_compacted,
         "eval_metrics": q_eval_metrics,
@@ -2212,6 +2327,7 @@ def core_oracle_sql() -> dict[str, str]:
         "merged_bm25_topk": sql_bm25_topk(),
         "sharded_bm25_topk": sql_bm25_topk(),
         "clarity_scores": sql_clarity_scores(),
+        "selective_prf_topk": sql_selective_prf_topk(),
         "bm25_topk_deleted": sql_bm25_topk_deleted(),
         "bm25_topk_compacted": sql_bm25_topk_compacted(),
         "eval_metrics": sql_eval_metrics(),

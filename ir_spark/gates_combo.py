@@ -58,6 +58,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "prefix_terms": ["df", "term"],
         "wildcard_terms": ["df", "term"],
         "fuzzy_terms": ["df", "dist", "term"],
+        "selective_prf_topk": ["doc_id", "expanded", "query_id",
+                               "score_micro"],
     },
     "textstats_suite": {
         "lang_id": ["doc_id", "lang_pred", "stop_ratio_micro"],

@@ -214,3 +214,38 @@ def clarity_score(spark: SparkSession, index: DataFrameIndex, query: str,
         F.sum("contrib_micro").cast("long").alias("clarity_micro"),
         F.count(F.lit(1)).cast("long").alias("n_model_terms"),
     ).filter(F.col("n_model_terms") > 0)  # no-match query -> no rows
+
+
+def search_selective_prf(spark: SparkSession, index: DataFrameIndex,
+                         query: str, *, clarity_threshold_micro: int,
+                         k: int = 5, n_fb: int = 10, n_exp: int = 5,
+                         alpha: float = 0.6, k1: float = 1.2,
+                         b: float = 0.75) -> tuple[DataFrame, bool]:
+    """Selective pseudo-relevance feedback — expand ONLY when the query
+    needs it.  PRF helps ambiguous queries and HURTS clear ones (query
+    drift), which is exactly what the clarity score predicts
+    (Cronen-Townsend et al. 2002 propose clarity as the expansion
+    gate; also Amati's "query difficulty" line of work).  Decision:
+
+        expand  iff  clarity_micro(query) < clarity_threshold_micro
+
+    (low clarity = the query's result set looks like collection
+    background = vocabulary mismatch likely).  A query whose clarity is
+    undefined (no matching docs at all) runs unexpanded — there are no
+    feedback docs to mine anyway.
+
+    Returns ``(results, expanded)``: the (doc_id, score) top-k of
+    either `search_rm3` or plain BM25, plus the decision taken.  The
+    decision is one integer comparison on the driver; both branches
+    are the ordinary plans.  Deterministic across engines because
+    clarity_micro is a BIGINT (see clarity_score)."""
+    row = clarity_score(spark, index, query, n_fb=n_fb, k1=k1,
+                        b=b).collect()
+    expand = bool(row) and int(row[0]["clarity_micro"]) \
+        < int(clarity_threshold_micro)
+    if expand:
+        res = search_rm3(spark, index, query, k=k, n_fb=n_fb,
+                         n_exp=n_exp, alpha=alpha, k1=k1, b=b)
+    else:
+        res = search(spark, index, query, k=k, mode="bm25", k1=k1, b=b)
+    return res, expand

@@ -299,3 +299,32 @@ def test_clarity_separates_specific_from_ambiguous(spark, both):
     ambiguous = int(clarity_score(spark, idx, " ".join(common))
                     .collect()[0]["clarity_micro"])
     assert specific > ambiguous
+
+
+def test_selective_prf_takes_the_predicted_branch(spark, both):
+    """Below-threshold clarity -> RM3 ranking; above -> plain BM25;
+    no-match query -> plain (nothing to mine)."""
+    from pyspark.sql import functions as F
+
+    from ir_spark.operators.feedback import (clarity_score, search_rm3,
+                                             search_selective_prf)
+    from ir_spark.operators.query import search as df_search
+
+    idx, _ = both
+    c = int(clarity_score(spark, idx, QUERY).collect()[0]["clarity_micro"])
+
+    def rows(df):
+        return [(r["doc_id"], round(r["score"], 9)) for r in
+                df.orderBy(F.desc("score"), F.asc("doc_id")).collect()]
+
+    got, expanded = search_selective_prf(
+        spark, idx, QUERY, clarity_threshold_micro=c + 1, k=K)
+    assert expanded and rows(got) == rows(
+        search_rm3(spark, idx, QUERY, k=K))
+    got, expanded = search_selective_prf(
+        spark, idx, QUERY, clarity_threshold_micro=c, k=K)
+    assert not expanded and rows(got) == rows(
+        df_search(spark, idx, QUERY, k=K, mode="bm25"))
+    got, expanded = search_selective_prf(
+        spark, idx, "zzzneverseen", clarity_threshold_micro=10**9, k=K)
+    assert not expanded and got.count() == 0
