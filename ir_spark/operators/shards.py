@@ -67,12 +67,27 @@ def global_term_stats(shards: list[SegmentIndex], terms: list[str],
     Returns ``{"n_docs", "avg_doc_len", "df", ("cf", "cf_total")}``.
     Each shard contributes O(|terms|) dictionary-probe rows and two
     manifest scalars — the exchange is independent of corpus size.
+    The per-shard probes are independent bucket-pruned jobs, so they
+    are submitted CONCURRENTLY (Spark schedules concurrent actions
+    from one driver fine); at S shards the exchange wall is the
+    slowest single probe, not S probes end to end.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     n_docs = sum(s.n_docs for s in shards)
     total_len = sum(s.n_docs * s.avg_doc_len for s in shards)
+
+    def probe(s: SegmentIndex) -> tuple[dict, dict, int]:
+        return (s.df_of(terms),
+                s.cf_of(terms) if with_cf else {},
+                s.cf_total() if with_cf else 0)
+
+    with ThreadPoolExecutor(max_workers=min(len(shards), 16)) as pool:
+        probed = list(pool.map(probe, shards))
+
     df: dict[str, int] = {}
-    for s in shards:
-        for t, v in s.df_of(terms).items():
+    for sdf, _, _ in probed:
+        for t, v in sdf.items():
             df[t] = df.get(t, 0) + v
     out = {
         "n_docs": n_docs,
@@ -81,11 +96,11 @@ def global_term_stats(shards: list[SegmentIndex], terms: list[str],
     }
     if with_cf:
         cf: dict[str, int] = {}
-        for s in shards:
-            for t, v in s.cf_of(terms).items():
+        for _, scf, _ in probed:
+            for t, v in scf.items():
                 cf[t] = cf.get(t, 0) + v
         out["cf"] = cf
-        out["cf_total"] = float(sum(s.cf_total() for s in shards))
+        out["cf_total"] = float(sum(p[2] for p in probed))
     return out
 
 
