@@ -1835,6 +1835,53 @@ GROUP BY d.lang
 """
 
 
+SIGTERMS_K = 20
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-terms aggregation over the flagship query's
+    candidate set (operators/boolean.py::significant_terms — the ES
+    significant_terms analogue, JLH lift scoring): which terms
+    characterize the matching documents relative to the corpus."""
+    from .operators.boolean import significant_terms
+
+    idx = _df_index(spark, sf_dir)
+    terms = sorted(
+        t for t in set(tokenize(FLAGSHIP_QUERY)) if t not in STOPWORDS)
+    return significant_terms(idx.postings, idx.dictionary, idx.n_docs,
+                             terms, k=SIGTERMS_K)
+
+
+def sql_significant_terms() -> str:
+    terms = sorted(
+        t for t in set(tokenize(FLAGSHIP_QUERY)) if t not in STOPWORDS)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {TOKS_CTE},
+cand AS (SELECT DISTINCT doc_id FROM postings WHERE term IN ({in_list})),
+fg AS (
+  SELECT p.term, CAST(COUNT(*) AS BIGINT) AS fg_df
+  FROM postings p JOIN cand c USING (doc_id)
+  WHERE p.term NOT IN ({in_list})
+  GROUP BY p.term
+),
+sizes AS (
+  SELECT CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) AS fg_size,
+         CAST((SELECT n FROM stats) AS DOUBLE) AS n
+)
+SELECT f.term, f.fg_df, CAST(d.df AS BIGINT) AS bg_df,
+       CAST(ROUND(((CAST(f.fg_df AS DOUBLE) / s.fg_size)
+                   - (CAST(d.df AS DOUBLE) / s.n))
+                  * ((CAST(f.fg_df AS DOUBLE) / s.fg_size)
+                     / (CAST(d.df AS DOUBLE) / s.n)) * 1000000)
+            AS BIGINT) AS score_micro
+FROM fg f JOIN dict d USING (term) CROSS JOIN sizes s
+WHERE (CAST(f.fg_df AS DOUBLE) / s.fg_size) > (CAST(d.df AS DOUBLE) / s.n)
+ORDER BY score_micro DESC, term ASC
+LIMIT {SIGTERMS_K}
+"""
+
+
 def q_qld_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet QLD over the COMPRESSED segment index
     (segment_query.search_segments mode='qld') — same oracle as the
@@ -2268,6 +2315,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_recency_topk": q_bm25_recency_topk,
         "bm25_page2": q_bm25_page2,
         "facet_counts": q_facet_counts,
+        "significant_terms": q_significant_terms,
         "snippet_extract": q_snippet_extract,
         "merged_bm25_topk": q_merged_bm25_topk,
         "sharded_bm25_topk": q_sharded_bm25_topk,
@@ -2323,6 +2371,7 @@ def core_oracle_sql() -> dict[str, str]:
         "bm25_recency_topk": sql_bm25_recency_topk(),
         "bm25_page2": sql_bm25_page2(),
         "facet_counts": sql_facet_counts(),
+        "significant_terms": sql_significant_terms(),
         "snippet_extract": sql_snippet_extract(),
         "merged_bm25_topk": sql_bm25_topk(),
         "sharded_bm25_topk": sql_bm25_topk(),

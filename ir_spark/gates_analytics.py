@@ -2324,6 +2324,63 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
 """
 
 
+def q_bm25_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsed top-k (operators/query.py::collapse_topk — the
+    ES ``collapse`` analogue): exactly ONE result per host (``source``),
+    winner = highest score then lowest doc_id, then the global top-k of
+    the representatives.  Windowless: the per-group winner is a plain
+    min-aggregate with a map-side combiner."""
+    from .gates import FLAGSHIP_QUERY, K_FLAGSHIP, _df_index
+    from .operators import query as Q
+    from .operators.query import collapse_topk
+
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search(spark, idx, FLAGSHIP_QUERY, k=None, mode="bm25")
+    scored = raw.select(
+        "doc_id",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_micro"))
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id", "source")
+    return collapse_topk(scored, docs, "source", K_FLAGSHIP)
+
+
+def sql_bm25_collapse_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    from .gates import K_FLAGSHIP, _sql_query_terms
+
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT h.doc_id, dd.source,
+         CAST(ROUND(SUM(h.partial) * 1000000) AS BIGINT) AS score_micro
+  FROM hits h JOIN documents dd ON dd.doc_id = h.doc_id
+  GROUP BY h.doc_id, dd.source
+),
+ranked AS (
+  SELECT doc_id, source, score_micro,
+         ROW_NUMBER() OVER (
+              PARTITION BY source
+              ORDER BY score_micro DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT source, doc_id, score_micro
+FROM ranked WHERE rn = 1
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 PR_BOOST = 10.0
 
 
@@ -3464,6 +3521,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": q_anchor_text_agg,
         "bm25_pagerank_topk": q_bm25_pagerank_topk,
         "bm25_diverse_topk": q_bm25_diverse_topk,
+        "bm25_collapse_topk": q_bm25_collapse_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -3533,6 +3591,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "anchor_text_agg": sql_anchor_text_agg(),
         "bm25_pagerank_topk": sql_bm25_pagerank_topk(),
         "bm25_diverse_topk": sql_bm25_diverse_topk(),
+        "bm25_collapse_topk": sql_bm25_collapse_topk(),
         "dedup_exact": sql_dedup_exact(),
         "minhash_bands": sql_minhash_bands(),
         "lsh_near_dup_pairs": sql_lsh_near_dup_pairs(),

@@ -41,6 +41,7 @@ NULL_TOKEN = "∅"
 COMBO_SPECS: dict[str, dict[str, list[str]]] = {
     "resultpage_suite": {
         "facet_counts": ["lang", "n_docs"],
+        "significant_terms": ["bg_df", "fg_df", "score_micro", "term"],
         "snippet_extract": ["doc_id", "pos", "snippet", "term"],
         "date_histogram": ["bucket", "bucket_start_day", "n_docs"],
     },
@@ -142,6 +143,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "bm25_pagerank_topk": ["doc_id", "score_micro"],
         "bm25_diverse_topk": ["doc_id", "host_rank", "score_micro",
                               "source"],
+        "bm25_collapse_topk": ["doc_id", "score_micro", "source"],
         "robots_rules": ["allow", "host", "rule_path"],
         "robots_allowed": ["allowed", "doc_id", "matched_path"],
         "crawl_frontier": ["doc_id", "eta_ms", "host", "host_rank"],

@@ -117,3 +117,57 @@ def date_histogram(postings, terms: list[str], doc_ts,
             .select("bucket",
                     (F.col("bucket") * interval_days).alias("bucket_start_day"),
                     "n_docs"))
+
+
+def significant_terms(postings, dictionary, n_docs: int,
+                      terms: list[str], k: int = 20,
+                      exclude_query: bool = True) -> "DataFrame":
+    """Significant-terms aggregation (the Elasticsearch
+    ``significant_terms`` analogue): terms over-represented in the
+    query's OR-candidate set relative to the whole corpus, scored with
+    the JLH heuristic ``(fg_rate - bg_rate) * (fg_rate / bg_rate)``
+    where fg_rate = fg_df / |candidates| and bg_rate = df / N.  Only
+    terms with fg_rate > bg_rate qualify (positive lift); the query's
+    own terms are excluded by default (they trivially dominate).
+
+    Returns (term, fg_df, bg_df, score_micro) — the top ``k`` by
+    (score DESC, term ASC).  score_micro is the micro-quantized JLH
+    score; every arithmetic step is a fixed-shape IEEE double
+    expression (two exact-integer divisions, one subtraction, one
+    division, one product), so the value is bit-reproducible across
+    engines.
+
+    Shape at 100 TB: the candidate set is one distinct over the
+    term-pruned postings scan (bucket + term pushdown); foreground
+    term counts are ONE groupBy(term) over the candidates' postings
+    (shuffle bounded by the candidate postings, combiner absorbs
+    per-partition repeats); the dictionary join is vocabulary-sized;
+    the final top-k is a TakeOrderedAndProject.  |candidates| and N
+    are scalars.  Nothing touches non-candidate documents' rows except
+    the already-aggregated dictionary.
+    """
+    qterms = sorted(set(terms))
+    cands = (postings.filter(F.col("term").isin(qterms))
+             .select("doc_id").distinct())
+    fg_size = float(cands.count())
+    if fg_size == 0:
+        return dictionary.select(
+            "term", F.lit(0).cast("long").alias("fg_df"),
+            F.col("df").cast("long").alias("bg_df"),
+            F.lit(0).cast("long").alias("score_micro")).limit(0)
+    fg = (postings.join(cands, "doc_id")
+          .groupBy("term")
+          .agg(F.count("*").cast("long").alias("fg_df")))
+    if exclude_query:
+        fg = fg.filter(~F.col("term").isin(qterms))
+    fg_rate = F.col("fg_df").cast("double") / F.lit(fg_size)
+    bg_rate = F.col("df").cast("double") / F.lit(float(n_docs))
+    jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+    return (fg.join(dictionary.select("term", "df"), "term")
+            .filter(fg_rate > bg_rate)
+            .select("term", "fg_df",
+                    F.col("df").cast("long").alias("bg_df"),
+                    F.round(jlh * F.lit(1000000.0)).cast("long")
+                    .alias("score_micro"))
+            .orderBy(F.desc("score_micro"), F.asc("term"))
+            .limit(k))

@@ -462,3 +462,35 @@ def search_qld(spark: SparkSession, index: DataFrameIndex, query: str,
              ).alias("score"))
     )
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def collapse_topk(scored: DataFrame, keys: DataFrame, key_col: str,
+                  k: int) -> DataFrame:
+    """Field collapsing (the Elasticsearch ``collapse`` analogue): keep
+    only the single best-scoring document per ``key_col`` group (e.g.
+    one result per host / per canonical-url cluster), then take the
+    global top-k of the surviving representatives.
+
+    ``scored`` is (doc_id, score_micro) — already micro-quantized so
+    the per-group winner is engine-reproducible; ``keys`` is a
+    (doc_id, <key_col>) dimension relation.  Winner per group = highest
+    score_micro, lowest doc_id on ties.
+
+    Distinct from result *diversification* (``bm25_diverse_topk``: up
+    to N per host via a rank window): collapsing keeps exactly one and
+    needs NO window — the winner is a plain min-aggregate over
+    ``struct(-score_micro, doc_id)``, so the partial aggregate absorbs
+    per-group candidates map-side before the shuffle (a row_number
+    window has no combiner).  At 100 TB that is one bounded shuffle of
+    group keys; the final top-k is a TakeOrderedAndProject.
+    """
+    winners = (scored.join(keys.select("doc_id", key_col), "doc_id")
+               .groupBy(key_col)
+               .agg(F.min(F.struct(
+                   (-F.col("score_micro")).alias("neg_score"),
+                   F.col("doc_id"))).alias("w"))
+               .select(F.col(key_col),
+                       F.col("w.doc_id").alias("doc_id"),
+                       (-F.col("w.neg_score")).cast("long")
+                       .alias("score_micro")))
+    return winners.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(k)

@@ -6,6 +6,7 @@ DuckDB gates cover the clean corpus)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ir_spark.operators.boolean import boolean_search
 from ir_spark.operators.lexicon import prefix_terms, suggest_terms
@@ -247,3 +248,76 @@ class TestMinShouldMatch:
             spark, docs_index, "hash join", min_should_match=99,
             k=5).collect()
         assert out, "AND of two common terms must match something"
+
+
+class TestSignificantTerms:
+    """operators/boolean.py::significant_terms — JLH lift semantics."""
+
+    def _relations(self, spark):
+        # 6 docs; query term 'q' matches docs 0-2.  'sig' appears in
+        # ALL candidates and NO background doc (max lift); 'common'
+        # appears everywhere (no lift -> filtered out).
+        rows = [
+            (0, "q"), (0, "sig"), (0, "common"),
+            (1, "q"), (1, "sig"), (1, "common"),
+            (2, "q"), (2, "sig"), (2, "common"),
+            (3, "common"), (4, "common"), (5, "common"),
+        ]
+        postings = spark.createDataFrame(
+            [(d, t, 1) for d, t in rows], "doc_id long, term string, tf long")
+        dictionary = postings.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        return postings, dictionary
+
+    def test_jlh_values_and_filters(self, spark):
+        from ir_spark.operators.boolean import significant_terms
+
+        postings, dictionary = self._relations(spark)
+        out = significant_terms(postings, dictionary, 6, ["q"], k=10)
+        rows = {r["term"]: r for r in out.collect()}
+        # the query term itself is excluded; 'common' has zero lift
+        assert "q" not in rows
+        assert "common" not in rows
+        # 'sig': fg_rate = 3/3 = 1, bg_rate = 3/6 = 0.5
+        # JLH = (1 - 0.5) * (1 / 0.5) = 1.0
+        assert rows["sig"]["fg_df"] == 3
+        assert rows["sig"]["bg_df"] == 3
+        assert rows["sig"]["score_micro"] == 1_000_000
+
+    def test_empty_candidates(self, spark):
+        from ir_spark.operators.boolean import significant_terms
+
+        postings, dictionary = self._relations(spark)
+        out = significant_terms(postings, dictionary, 6, ["absent"], k=10)
+        assert out.count() == 0
+
+
+class TestCollapseTopk:
+    """operators/query.py::collapse_topk — one winner per key."""
+
+    def test_winner_tiebreak_and_topk(self, spark):
+        from ir_spark.operators.query import collapse_topk
+
+        scored = spark.createDataFrame(
+            [(1, 500), (2, 900), (3, 900), (4, 100), (5, 700)],
+            "doc_id long, score_micro long")
+        keys = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "c")],
+            "doc_id long, source string")
+        out = collapse_topk(scored, keys, "source", k=2).collect()
+        # host a: docs 2 and 3 tie at 900 -> lowest doc_id (2) wins;
+        # global top-2 of winners (2:900, 5:700, 4:100) -> [2, 5]
+        assert [(r["doc_id"], r["score_micro"], r["source"])
+                for r in out] == [(2, 900, "a"), (5, 700, "c")]
+
+    def test_exactly_one_per_key(self, spark):
+        from ir_spark.operators.query import collapse_topk
+
+        scored = spark.createDataFrame(
+            [(i, i * 10) for i in range(20)], "doc_id long, score_micro long")
+        keys = spark.createDataFrame(
+            [(i, f"h{i % 3}") for i in range(20)],
+            "doc_id long, source string")
+        out = collapse_topk(scored, keys, "source", k=10)
+        assert out.count() == 3  # one per host, all fit in k
+        assert out.select("source").distinct().count() == 3
