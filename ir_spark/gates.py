@@ -1198,6 +1198,27 @@ def q_sharded_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_quantized(ids, K_FLAGSHIP)
 
 
+def q_sharded_pruned_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-pruned federated search (operators/shards.py::
+    search_sharded_pruned — distributed WAND at shard granularity:
+    metadata skyline bounds order the shards, theta from gathered
+    candidates skips shards that provably cannot contribute) vs the
+    same flat single-index BM25 oracle as sharded_bm25_topk: proves
+    the pruning is lossless end-to-end on the driver's harness."""
+    from .operators.segment_query import SegmentIndex
+    from .operators.shards import search_sharded_pruned
+
+    merged = _merged_index_dir(spark, sf_dir)  # halves live beside it
+    base = os.path.dirname(merged)
+    shards = [SegmentIndex.load(spark, os.path.join(base, h))
+              for h in ("a", "b")]
+    raw = search_sharded_pruned(spark, shards, FLAGSHIP_QUERY,
+                                k=K_FLAGSHIP * 5)
+    ids = raw.select(
+        F.substring("url", 7, 12).cast("long").alias("doc_id"), "score")
+    return _rerank_quantized(ids, K_FLAGSHIP)
+
+
 # --- query clarity (operators/feedback.py::clarity_score) ---------------------
 
 CLARITY_N_FB = 10
@@ -2319,6 +2340,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_extract": q_snippet_extract,
         "merged_bm25_topk": q_merged_bm25_topk,
         "sharded_bm25_topk": q_sharded_bm25_topk,
+        "sharded_pruned_bm25_topk": q_sharded_pruned_bm25_topk,
         "clarity_scores": q_clarity_scores,
         "selective_prf_topk": q_selective_prf_topk,
         "bm25_topk_deleted": q_bm25_topk_deleted,
@@ -2375,6 +2397,7 @@ def core_oracle_sql() -> dict[str, str]:
         "snippet_extract": sql_snippet_extract(),
         "merged_bm25_topk": sql_bm25_topk(),
         "sharded_bm25_topk": sql_bm25_topk(),
+        "sharded_pruned_bm25_topk": sql_bm25_topk(),
         "clarity_scores": sql_clarity_scores(),
         "selective_prf_topk": sql_selective_prf_topk(),
         "bm25_topk_deleted": sql_bm25_topk_deleted(),

@@ -149,3 +149,135 @@ def search_sharded(spark: SparkSession, shards: list[SegmentIndex],
 
     # global gather: S*k candidate rows -> TakeOrderedAndProject
     return gathered.orderBy(F.desc("score"), F.asc("url")).limit(k)
+
+
+def shard_upper_bound(shard: SegmentIndex, weights: dict[str, float],
+                      g: dict, mode: str = "bm25", k1: float = 1.2,
+                      b: float = 0.75) -> float:
+    """Metadata-only upper bound on ANY document's score inside
+    ``shard`` under the GLOBAL statistics ``g`` — the shard-granularity
+    WAND bound.  Per query term: max over the shard's (term, run) rows
+    of the max weight over the row's block (tf, doc_len) Pareto
+    skyline (attained by a real posting, so tight), times the query
+    weight; summed over terms.
+
+    Cost: one bucket-pruned, term-pushdown scan reading only the
+    skyline METADATA columns for the query's terms — O(|q| x runs)
+    rows per shard, no postings decode.  Tombstones only shrink the
+    attainable set, so the bound stays valid on indexes with deletes
+    (same argument as the run-level WAND kernel).
+    """
+    import numpy as np
+
+    from ..sources import storage
+    from .segment_query import _np_doc_weight
+
+    terms = sorted(weights)
+    if not terms:
+        return 0.0
+    buckets = sorted({storage.term_bucket_py(t, shard.n_buckets)
+                      for t in terms})
+    rows = (shard.segments
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(terms))
+            .select("term", "block_sky_tf", "block_sky_dl")
+            .collect())
+    ub = 0.0
+    best: dict[str, float] = {}
+    for r in rows:
+        sky_tf = np.asarray(r["block_sky_tf"], dtype=np.int64)
+        sky_dl = np.asarray(r["block_sky_dl"], dtype=np.int64)
+        if not sky_tf.size:
+            continue
+        w = _np_doc_weight(mode, sky_tf, sky_dl, sky_tf,
+                           g["df"].get(r["term"], 0), g["n_docs"],
+                           g["avg_doc_len"], k1, b) * weights[r["term"]]
+        m = float(w.max())
+        if m > best.get(r["term"], 0.0):
+            best[r["term"]] = m
+    ub = sum(best.values())
+    return ub
+
+
+def search_sharded_pruned(spark: SparkSession, shards: list[SegmentIndex],
+                          query: str, k: int = 5, k1: float = 1.2,
+                          b: float = 0.75, stem: bool = False,
+                          strategy: str = "auto",
+                          info: dict | None = None) -> DataFrame:
+    """Federated BM25 top-k with SAFE shard pruning — distributed WAND
+    at shard granularity.  Provably rank- and score-identical to
+    ``search_sharded`` (and hence to the flat single index):
+
+      1. phase 1 stats exchange (``global_term_stats``), as usual;
+      2. per-shard upper bounds from skyline metadata
+         (``shard_upper_bound``) — each bound dominates every document
+         score its shard can produce under the global stats;
+      3. shards are visited in DESCENDING bound order; after each
+         searched shard the driver's candidate pool defines theta =
+         current k-th best true score, and any remaining shard with
+         ub < theta (strictly) is SKIPPED — all its documents score
+         below k already-gathered candidates, and adding candidates
+         only raises theta, so the skip is lossless for the final
+         top-k including the url tie-break.
+
+    At web scale this is the serving win: a query whose terms are
+    concentrated in a few crawl batches touches only those shards'
+    postings; the rest pay one metadata probe.  Per searched shard the
+    driver materializes k (url, score) rows — bounded by S*k.
+
+    BM25 only: QLD's per-absent-term document contributions make a
+    per-shard max bound meaningless without scanning doc lengths.
+    ``info`` (optional dict) receives {"bounds", "searched",
+    "skipped"} for probes/tests.
+    """
+    out_schema = "url string, score double"
+    bag = parse_query(query, stem=stem)
+    if not bag or not shards:
+        return spark.createDataFrame([], out_schema)
+    terms = sorted(bag)
+
+    g = global_term_stats(shards, terms)
+    if g["n_docs"] == 0:
+        return spark.createDataFrame([], out_schema)
+    from .query import compute_query_weights
+
+    weights, _ = compute_query_weights(bag, g["df"], g["n_docs"], "bm25")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(shards), 16)) as pool:
+        ubs = list(pool.map(
+            lambda s: shard_upper_bound(s, weights, g, "bm25", k1, b),
+            shards))
+    order = sorted(range(len(shards)), key=lambda i: (-ubs[i], i))
+
+    cands: list[tuple[str, float]] = []
+    searched: list[int] = []
+    skipped: list[int] = []
+    for i in order:
+        if len(cands) >= k:
+            theta = sorted((s for _, s in cands), reverse=True)[k - 1]
+            if ubs[i] < theta:
+                skipped.append(i)
+                continue
+        s = shards[i]
+        gview = replace(s, n_docs=g["n_docs"], avg_doc_len=g["avg_doc_len"])
+        object.__setattr__(gview, "_dfs", s._dfs)
+        local = search_segments(
+            spark, gview, query, k=k, mode="bm25", k1=k1, b=b, stem=stem,
+            strategy=strategy, df_override=g["df"]).collect()
+        if local:
+            ids = [int(r["doc_id"]) for r in local]
+            doc_map = spark.read.parquet(index_paths(s.index_dir)["doc_map"])
+            urls = {int(r["doc_id"]): r["url"] for r in
+                    doc_map.filter(F.col("doc_id").isin(ids))
+                    .select("doc_id", "url").collect()}
+            cands.extend((urls[int(r["doc_id"])], float(r["score"]))
+                         for r in local)
+        searched.append(i)
+    if info is not None:
+        info.update(bounds=ubs, searched=searched, skipped=skipped)
+    if not cands:
+        return spark.createDataFrame([], out_schema)
+    return (spark.createDataFrame(cands, out_schema)
+            .orderBy(F.desc("score"), F.asc("url")).limit(k))

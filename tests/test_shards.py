@@ -114,3 +114,68 @@ def test_empty_query_and_no_shards(spark, sharded):
     shards = [SegmentIndex.load(spark, d) for d in dirs]
     assert search_sharded(spark, shards, "the a of").count() == 0
     assert search_sharded(spark, [], QUERIES[0]).count() == 0
+
+
+class TestPrunedShardedSearch:
+    """search_sharded_pruned: safe shard-level WAND — identical results
+    with shards provably skipped when bounds allow."""
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_pruned_equals_monolithic(self, spark, sharded, query):
+        from ir_spark.operators.shards import search_sharded_pruned
+
+        dirs, full = sharded
+        shards = [SegmentIndex.load(spark, d) for d in dirs]
+        info = {}
+        got = sorted(
+            (r["url"], round(r["score"] * 1e6))
+            for r in search_sharded_pruned(spark, shards, query, k=10,
+                                           info=info).collect())
+        assert got == _full_by_url(spark, full, query, "bm25", k=10)
+        # every shard is accounted for exactly once
+        assert sorted(info["searched"] + info["skipped"]) == [0, 1, 2]
+
+    def test_bounds_dominate_scores(self, spark, sharded):
+        """Each shard's metadata bound >= its own best true score under
+        global stats — the safety invariant the skip rule rests on."""
+        from ir_spark.operators.query import compute_query_weights
+        from ir_spark.operators.shards import shard_upper_bound
+        from ir_spark.oracle import parse_query
+        from dataclasses import replace
+
+        dirs, _ = sharded
+        shards = [SegmentIndex.load(spark, d) for d in dirs]
+        query = QUERIES[0]
+        bag = parse_query(query)
+        g = global_term_stats(shards, sorted(bag))
+        weights, _ = compute_query_weights(bag, g["df"], g["n_docs"],
+                                           "bm25")
+        for s in shards:
+            ub = shard_upper_bound(s, weights, g)
+            gview = replace(s, n_docs=g["n_docs"],
+                            avg_doc_len=g["avg_doc_len"])
+            object.__setattr__(gview, "_dfs", s._dfs)
+            top = search_segments(spark, gview, query, k=1, mode="bm25",
+                                  df_override=g["df"]).collect()
+            if top:
+                assert ub >= top[0]["score"] - 1e-12
+
+    def test_skips_boundless_shard(self, spark, sharded, tmp_path):
+        """A shard containing NONE of the query's terms has bound 0 and
+        is skipped once k candidates exist."""
+        from ir_spark.operators.shards import search_sharded_pruned
+
+        dirs, _ = sharded
+        # shard of docs with disjoint vocabulary
+        rows = [(f"https://x.example/d{i}", f"zzqx{i} zzqy{i} zzqz{i}")
+                for i in range(20)]
+        raw = spark.createDataFrame(rows, "url string, text string")
+        d = str(tmp_path / "empty_vocab")
+        build_segment_index(spark, raw, d, source="ev", norms=False)
+        shards = [SegmentIndex.load(spark, p) for p in [*dirs, d]]
+        info = {}
+        res = search_sharded_pruned(spark, shards, QUERIES[0], k=5,
+                                    info=info)
+        assert res.count() == 5
+        assert 3 in info["skipped"]          # the disjoint shard
+        assert info["bounds"][3] == 0.0
