@@ -112,6 +112,42 @@ def main() -> int:
     out["sharded_over_mono"] = round(sh_sec / mono_sec, 3)
     out["rank_identical"] = int(mono_res == sh_res)
 
+    # --- pruned arm (search_sharded_pruned): same shards PLUS one
+    # disjoint-vocabulary shard (the "other-language crawl batch") —
+    # uniform url-hash shards give the bounds nothing to separate
+    # (honest negative: expect ~all original shards searched), but the
+    # disjoint batch must be skipped on every query without touching
+    # its postings.  Results must stay rank-identical throughout.
+    from ir_spark.operators.shards import search_sharded_pruned
+
+    xen_rows = [(f"https://xen.example/d{i}",
+                 " ".join(f"xq{(i * 7 + j) % 97}" for j in range(40)))
+                for i in range(max(100, args.n_docs // args.shards))]
+    xen_src = spark.createDataFrame(xen_rows, "url string, text string")
+    xen_dir = os.path.join(work, "shard_xen")
+    build_segment_index(spark, xen_src, xen_dir, source="xen",
+                        segment_groups=1, norms=False)
+    shards_x = shards + [SegmentIndex.load(spark, xen_dir)]
+    search_sharded_pruned(spark, shards_x, qset[0], k=args.k).collect()
+
+    t0 = time.time()
+    pr_res, searched_counts, xen_skips = [], [], 0
+    for q in qset:
+        info: dict = {}
+        pr_res.append(
+            [(r["url"], round(r["score"] * 1e6)) for r in
+             search_sharded_pruned(spark, shards_x, q, k=args.k,
+                                   info=info).collect()])
+        searched_counts.append(len(info["searched"]))
+        xen_skips += int(len(shards_x) - 1 in info["skipped"])
+    pr_sec = time.time() - t0
+    out["pruned_query_mean_sec"] = round(pr_sec / len(qset), 4)
+    out["pruned_shards_searched_mean"] = round(
+        sum(searched_counts) / len(qset), 2)
+    out["pruned_n_shards_total"] = len(shards_x)
+    out["pruned_disjoint_shard_skipped"] = f"{xen_skips}/{len(qset)}"
+    out["pruned_rank_identical"] = int(mono_res == pr_res)
+
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
     return 0

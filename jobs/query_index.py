@@ -48,6 +48,11 @@ def main(argv: list[str] | None = None) -> int:
                          "only, mutually exclusive with --index-dir/"
                          "--batch/--as-of-grp/--render-vectors/"
                          "--trec-run")
+    ap.add_argument("--prune", action="store_true",
+                    help="with --shards: safe shard pruning (distributed"
+                         " WAND — skyline metadata bounds skip shards "
+                         "that cannot contribute; bm25 only, results "
+                         "identical)")
     ap.add_argument("--queries", required=True,
                     help="text file, one query per line")
     ap.add_argument("--k", type=int, default=5)
@@ -109,16 +114,25 @@ def main(argv: list[str] | None = None) -> int:
         if (args.batch or args.as_of_grp is not None
                 or args.render_vectors or args.trec_run):
             ap.error("--shards serves plain per-query retrieval only")
-        from ir_spark.operators.shards import search_sharded
+        if args.prune and args.mode != "bm25":
+            ap.error("--prune requires --mode bm25 (shard bounds are "
+                     "BM25 skyline ceilings)")
+        from ir_spark.operators.shards import (search_sharded,
+                                               search_sharded_pruned)
 
         shards = [SegmentIndex.load(spark, d.strip())
                   for d in args.shards.split(",") if d.strip()]
         all_rows = []
         for qid, q in enumerate(queries, start=1):
-            hits = search_sharded(
-                spark, shards, q, k=args.k, mode=args.mode, k1=args.k1,
-                b=args.b, stem=args.stem, strategy=args.strategy,
-                mu=args.mu).collect()
+            if args.prune:
+                hits = search_sharded_pruned(
+                    spark, shards, q, k=args.k, k1=args.k1, b=args.b,
+                    stem=args.stem, strategy=args.strategy).collect()
+            else:
+                hits = search_sharded(
+                    spark, shards, q, k=args.k, mode=args.mode, k1=args.k1,
+                    b=args.b, stem=args.stem, strategy=args.strategy,
+                    mu=args.mu).collect()
             for rank, row in enumerate(hits, start=1):
                 all_rows.append((qid, q, rank, row["url"],
                                  float(row["score"])))

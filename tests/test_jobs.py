@@ -441,6 +441,24 @@ def test_sharded_query_job(tmp_path, capsys):
         .join(doc_map, "doc_id").collect())
     assert sharded and sharded == full
 
+    # --prune: shard-skipping arm must return the identical run
+    dest_pr = str(tmp_path / "res_pruned")
+    assert query_index.main([
+        "--shards", f"{dirs['sa']},{dirs['sb']}", "--queries", str(qfile),
+        "--k", "5", "--prune", "--output", dest_pr,
+        "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+    pruned = sorted(
+        (r["rank"], r["url"], round(r["score"], 9))
+        for r in spark.read.parquet(dest_pr).collect())
+    assert pruned == full
+
+    # --prune bounds are BM25 ceilings: other modes must be rejected
+    with pytest.raises(SystemExit):
+        query_index.main([
+            "--shards", dirs["sa"], "--queries", str(qfile), "--prune",
+            "--mode", "w1", "--local-cpus", "8"])
+
     # option validation: --shards excludes the single-index extras
     with pytest.raises(SystemExit):
         query_index.main([
