@@ -130,6 +130,17 @@ def main() -> int:
     shards_x = shards + [SegmentIndex.load(spark, xen_dir)]
     search_sharded_pruned(spark, shards_x, qset[0], k=args.k).collect()
 
+    # the pruning invariant is identity to the UNpruned federation over
+    # the SAME shard set (adding the xen shard changes global N, hence
+    # every idf and micro-score, so comparing against the 4-shard mono
+    # results would fail on stats, not on pruning)
+    t0 = time.time()
+    shx_res = [
+        [(r["url"], round(r["score"] * 1e6)) for r in
+         search_sharded(spark, shards_x, q, k=args.k).collect()]
+        for q in qset]
+    shx_sec = time.time() - t0
+
     t0 = time.time()
     pr_res, searched_counts, xen_skips = [], [], 0
     for q in qset:
@@ -141,12 +152,14 @@ def main() -> int:
         searched_counts.append(len(info["searched"]))
         xen_skips += int(len(shards_x) - 1 in info["skipped"])
     pr_sec = time.time() - t0
+    out["unpruned5_query_mean_sec"] = round(shx_sec / len(qset), 4)
     out["pruned_query_mean_sec"] = round(pr_sec / len(qset), 4)
+    out["pruned_over_unpruned"] = round(pr_sec / shx_sec, 3)
     out["pruned_shards_searched_mean"] = round(
         sum(searched_counts) / len(qset), 2)
     out["pruned_n_shards_total"] = len(shards_x)
     out["pruned_disjoint_shard_skipped"] = f"{xen_skips}/{len(qset)}"
-    out["pruned_rank_identical"] = int(mono_res == pr_res)
+    out["pruned_rank_identical"] = int(shx_res == pr_res)
 
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))

@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #      are checked first.  (VERDICT r2 "What's wrong" #1.)
 _PRIORITY: tuple[str, ...] = (
     # -- components never driver-checked in r2, now riding combos --------
+    "positions_suite",     # incl. new r3 span_near_ordered / span_near_unordered
     "scoring_suite",       # incl. late-r3 sharded_bm25_topk / clarity_scores / selective_prf_topk
     "events_suite",        # incl. events_json_props: FAILED r1, fixed, needs a green row
     "ann_suite",           # incl. never-checked ann_ivf_index_topk + hybrid_rrf_topk

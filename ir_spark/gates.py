@@ -997,6 +997,63 @@ HAVING MIN(b.pos - a.pos) <= {SLOP + 1}
 """
 
 
+SPAN_TERMS = ["hash", "join", "merge"]
+SPAN_SLOP = 4  # at sf0.01: 16 docs ordered / 58 unordered of 264
+#              containing all three clauses — the window constraint is
+#              live in both directions
+
+
+def q_span_near_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term ORDERED span query (Lucene SpanNearQuery,
+    operators/positions.py::span_near_search): minimal window holding
+    'hash' < 'join' < 'merge' in order with width - 3 <= 4, over the
+    compressed positional store."""
+    from .operators.positions import read_positional_store, span_near_search
+
+    rel = read_positional_store(spark, _pos_store_dir(spark, sf_dir),
+                                SPAN_TERMS)
+    return span_near_search(rel, SPAN_TERMS, SPAN_SLOP, ordered=True)
+
+
+def sql_span_near_ordered() -> str:
+    t0, t1, t2 = SPAN_TERMS
+    return f"""
+WITH {SEQ_CTE}
+SELECT a.doc_id, CAST(MIN(c.pos - a.pos + 1) AS INT) AS min_span
+FROM seq a
+JOIN seq b ON b.doc_id = a.doc_id AND b.pos > a.pos
+JOIN seq c ON c.doc_id = a.doc_id AND c.pos > b.pos
+WHERE a.term = '{t0}' AND b.term = '{t1}' AND c.term = '{t2}'
+GROUP BY a.doc_id
+HAVING MIN(c.pos - a.pos + 1) - 3 <= {SPAN_SLOP}
+"""
+
+
+def q_span_near_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term UNORDERED span query: minimal window holding all of
+    'hash', 'join', 'merge' in any order, width - 3 <= 4."""
+    from .operators.positions import read_positional_store, span_near_search
+
+    rel = read_positional_store(spark, _pos_store_dir(spark, sf_dir),
+                                SPAN_TERMS)
+    return span_near_search(rel, SPAN_TERMS, SPAN_SLOP, ordered=False)
+
+
+def sql_span_near_unordered() -> str:
+    t0, t1, t2 = SPAN_TERMS
+    width = "GREATEST(a.pos, b.pos, c.pos) - LEAST(a.pos, b.pos, c.pos) + 1"
+    return f"""
+WITH {SEQ_CTE}
+SELECT a.doc_id, CAST(MIN({width}) AS INT) AS min_span
+FROM seq a
+JOIN seq b ON b.doc_id = a.doc_id
+JOIN seq c ON c.doc_id = a.doc_id
+WHERE a.term = '{t0}' AND b.term = '{t1}' AND c.term = '{t2}'
+GROUP BY a.doc_id
+HAVING MIN({width}) - 3 <= {SPAN_SLOP}
+"""
+
+
 # --- boolean retrieval + lexicon helpers (beyond-reference surface) ----------
 
 BOOL_MUST = ["hash", "join"]
@@ -1795,6 +1852,43 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
 """
 
 
+LMJM_LAMBDA = 0.1
+
+
+def q_lmjm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer smoothed LM top-k (operators/query.py::
+    search_lmjm) — the linear-interpolation companion to Dirichlet
+    QLD; matched-postings decomposition vs the oracle's textbook
+    per-(candidate, query-term) formula."""
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search_lmjm(spark, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                        lam=LMJM_LAMBDA)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_lmjm_topk(lam: float = LMJM_LAMBDA) -> str:
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+qd AS (SELECT q.term, q.qtf, t.cf FROM qterms q JOIN dict t USING (term)),
+coll AS (SELECT CAST(SUM(cf) AS DOUBLE) AS c FROM dict),
+cand AS (SELECT DISTINCT p.doc_id AS doc_id FROM postings p JOIN qd USING (term)),
+hits AS (
+  SELECT cand.doc_id,
+         q.qtf * LN((1.0 - {lam}) * COALESCE(p.tf, 0) / d.doc_len
+                    + {lam} * q.cf / coll.c) AS partial
+  FROM cand
+  CROSS JOIN qd q
+  CROSS JOIN coll
+  LEFT JOIN postings p ON p.doc_id = cand.doc_id AND p.term = q.term
+  JOIN docinfo d ON d.doc_id = cand.doc_id
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang facet counts of the flagship query's candidate set
     (operators/boolean.py::facet_counts)."""
@@ -2300,6 +2394,67 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
 """
 
 
+DISMAX_TIE = 0.3  # exercises BOTH the max and the tie-broken sum
+
+
+def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction-max field retrieval (operators/fields.py::
+    search_dismax): per query term, the BEST single field's BM25 score
+    plus tie * the rest — the ES best_fields multi_match, semantic
+    complement of BM25F's joint saturation."""
+    from .operators.fields import search_dismax
+
+    docs = _read_documents(spark, sf_dir).select("doc_id", "text")
+    raw = search_dismax(
+        spark, docs, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+        k1=1.2, b=0.75, tie=DISMAX_TIE,
+        title_tokens=BM25F_TITLE_TOKENS)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_dismax_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    tt, tie = BM25F_TITLE_TOKENS, DISMAX_TIE
+    return f"""
+WITH raw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ftoks AS (
+  SELECT doc_id, 'title' AS field, UNNEST(w[1:{tt}]) AS term FROM raw
+  UNION ALL
+  SELECT doc_id, 'body' AS field, UNNEST(w[{tt + 1}:]) AS term FROM raw
+),
+ft AS (SELECT * FROM ftoks WHERE LENGTH(term) > 1),
+tc AS (SELECT doc_id, field, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM ft GROUP BY doc_id, field, term),
+fdocinfo AS (SELECT doc_id, field, SUM(tf) AS fdl
+             FROM tc GROUP BY doc_id, field),
+fstats AS (SELECT field, CAST(COUNT(*) AS DOUBLE) AS n_f,
+                  AVG(fdl) AS avg_fdl
+           FROM fdocinfo GROUP BY field),
+fpost AS (SELECT * FROM tc WHERE term NOT IN ({STOP_SQL})),
+fdict AS (SELECT field, term, CAST(COUNT(*) AS DOUBLE) AS df
+          FROM fpost GROUP BY field, term),
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id, p.term, q.qtf,
+         LN(1.0 + (s.n_f - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.fdl / s.avg_fdl)) AS s
+  FROM fpost p
+  JOIN qterms q USING (term)
+  JOIN fdict t ON t.field = p.field AND t.term = p.term
+  JOIN fdocinfo d ON d.doc_id = p.doc_id AND d.field = p.field
+  JOIN fstats s ON s.field = p.field
+),
+perterm AS (
+  SELECT doc_id, term,
+         (MAX(s) + {tie} * (SUM(s) - MAX(s))) * MAX(qtf) AS dmax
+  FROM hits GROUP BY doc_id, term
+)
+SELECT doc_id, CAST(ROUND(SUM(dmax) * 1000000) AS BIGINT) AS score_micro
+FROM perterm GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokens_tf": q_tokens_tf,
@@ -2327,8 +2482,11 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,
         "proximity_match": q_proximity_match,
         "sloppy_phrase": q_sloppy_phrase,
+        "span_near_ordered": q_span_near_ordered,
+        "span_near_unordered": q_span_near_unordered,
         "rm3_topk": q_rm3_topk,
         "qld_topk": q_qld_topk,
+        "lmjm_topk": q_lmjm_topk,
         "keywords_tfidf": q_keywords_tfidf,
         "qld_segment_topk": q_qld_segment_topk,
         "bm25_topk_maxscore": q_bm25_topk_maxscore,
@@ -2354,6 +2512,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_terms": q_wildcard_terms,
         "fuzzy_terms": q_fuzzy_terms,
         "bm25f_topk": q_bm25f_topk,
+        "dismax_topk": q_dismax_topk,
     }
 
 
@@ -2384,8 +2543,11 @@ def core_oracle_sql() -> dict[str, str]:
         "phrase_match": sql_phrase_match(),
         "proximity_match": sql_proximity_match(),
         "sloppy_phrase": sql_sloppy_phrase(),
+        "span_near_ordered": sql_span_near_ordered(),
+        "span_near_unordered": sql_span_near_unordered(),
         "rm3_topk": sql_rm3_topk(),
         "qld_topk": sql_qld_topk(),
+        "lmjm_topk": sql_lmjm_topk(),
         "keywords_tfidf": sql_keywords_tfidf(),
         "qld_segment_topk": sql_qld_topk(),
         "bm25_topk_maxscore": sql_bm25_topk(),
@@ -2411,4 +2573,5 @@ def core_oracle_sql() -> dict[str, str]:
         "wildcard_terms": sql_wildcard_terms(),
         "fuzzy_terms": sql_fuzzy_terms(),
         "bm25f_topk": sql_bm25f_topk(),
+        "dismax_topk": sql_dismax_topk(),
     }

@@ -45,9 +45,18 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "snippet_extract": ["doc_id", "pos", "snippet", "term"],
         "date_histogram": ["bucket", "bucket_start_day", "n_docs"],
     },
+    "positions_suite": {
+        "phrase_match": ["doc_id", "phrase_tf"],
+        "proximity_match": ["doc_id", "min_dist"],
+        "sloppy_phrase": ["doc_id", "min_gap"],
+        "span_near_ordered": ["doc_id", "min_span"],
+        "span_near_unordered": ["doc_id", "min_span"],
+    },
     "scoring_suite": {
         "w1_topk": ["doc_id", "score_micro"],
         "w2_topk": ["doc_id", "score_micro"],
+        "lmjm_topk": ["doc_id", "score_micro"],
+        "dismax_topk": ["doc_id", "score_micro"],
         "sharded_bm25_topk": ["doc_id", "score_micro"],
         "sharded_pruned_bm25_topk": ["doc_id", "score_micro"],
         "clarity_scores": ["clarity_micro", "n_model_terms", "query_id"],

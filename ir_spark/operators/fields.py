@@ -193,3 +193,91 @@ def _search_merged(spark: SparkSession, merged: DataFrame, query: str,
     out = scored.localCheckpoint(eager=True)
     merged.unpersist()
     return out
+
+
+def search_dismax(spark: SparkSession, docs: DataFrame, query: str, *,
+                  k: int = 10, k1: float = 1.2, b: float = 0.75,
+                  tie: float = 0.0,
+                  title_tokens: int = DEFAULT_TITLE_TOKENS) -> DataFrame:
+    """Disjunction-max field retrieval (Lucene DisjunctionMaxQuery /
+    the Elasticsearch ``multi_match type=best_fields`` default) ->
+    (doc_id, score): each field is scored as its OWN BM25 index
+    (per-field df, per-field doc count, per-field length norm) and a
+    term's document contribution is
+
+        dmax(t, d) = max_f s_f(t,d) + tie * sum_{f != argmax} s_f(t,d)
+
+    summed over query terms (times qtf).  The semantic complement of
+    ``search_bm25f``: BM25F saturates a term's tf JOINTLY across
+    fields (best when fields are homogeneous text), dis_max takes the
+    single best field per term (best when fields are alternative
+    descriptions — title vs body vs anchors — and matching several
+    should not multiply evidence).  ``tie`` in [0,1]; 0 = pure max
+    (the ES default), 1 = plain per-field score sum.
+
+    Scale shape: one tokenize pass per field (shared persisted
+    parent), per-field stats are a 2-row broadcast, and scoring adds
+    ONE extra partial-agg level — groupBy (doc_id, term) for the
+    per-term max/sum — before the usual doc_id agg; both aggs combine
+    map-side, so the only wide exchange is still keyed on doc_id
+    grain.  No driver-side scalar collects at all (per-field N and
+    avg length join in as columns).
+    """
+    from collections import Counter
+
+    if not 0.0 <= tie <= 1.0:
+        raise ValueError("tie must be in [0, 1]")
+    bag = Counter(t for t in tokenize(query) if t not in STOPWORDS)
+    if not bag:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    fields = split_title_body(docs, title_tokens)
+    per_field = []
+    for fname in ("title", "body"):
+        tc = B.token_counts(
+            fields.select("doc_id", F.col(fname).alias("text")))
+        per_field.append(tc.select(
+            "doc_id", F.lit(fname).alias("field"), "term",
+            F.col("tf").cast("double").alias("tf")))
+    rel = per_field[0].unionByName(per_field[1]).persist()
+
+    fdocinfo = rel.groupBy("doc_id", "field").agg(
+        F.sum("tf").alias("fdl"))
+    fstats = fdocinfo.groupBy("field").agg(
+        F.count("*").cast("double").alias("n_f"),
+        F.avg("fdl").alias("avg_fdl"))
+    fpost = rel.where(~F.col("term").isin(sorted(STOPWORDS)))
+    fdict = fpost.groupBy("field", "term").agg(
+        F.count("*").cast("double").alias("df"))
+    qterms = spark.createDataFrame(
+        sorted(bag.items()), "term string, qtf long")
+
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_f") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf") + F.lit(k1)
+             * (F.lit(1.0 - b)
+                + F.lit(b) * F.col("fdl") / F.col("avg_fdl")))
+    scored = (
+        fpost.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(fdict.join(qterms.select("term"), "term")),
+              ["field", "term"])
+        .join(fdocinfo, ["doc_id", "field"])
+        .join(F.broadcast(fstats), "field")
+        .select("doc_id", "term", "qtf",
+                (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("s"))
+        .groupBy("doc_id", "term")
+        .agg(F.max("s").alias("ms"), F.sum("s").alias("ss"),
+             F.max("qtf").alias("qtf"))
+        .select(
+            "doc_id",
+            ((F.col("ms") + F.lit(tie) * (F.col("ss") - F.col("ms")))
+             * F.col("qtf").cast("double")).alias("dmax"))
+        .groupBy("doc_id")
+        .agg(F.sum("dmax").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    out = scored.localCheckpoint(eager=True)
+    rel.unpersist()
+    return out

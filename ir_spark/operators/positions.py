@@ -306,3 +306,90 @@ def sloppy_phrase_search(positions: DataFrame, term_a: str, term_b: str,
     out = grouped.select(
         "doc_id", F.array_min(gaps).cast("int").alias("min_gap"))
     return out.filter(F.col("min_gap") <= slop + 1)
+
+
+_SPAN_SENTINEL = 1 << 40  # larger than any in-document position
+
+
+def span_near_search(positions: DataFrame, terms: Sequence[str],
+                     slop: int, ordered: bool = True) -> DataFrame:
+    """Multi-term span query (the Lucene ``SpanNearQuery`` over
+    single-term clauses, which the 2-term ``proximity_search`` /
+    ``sloppy_phrase_search`` specialize): documents containing a token
+    window with ALL ``terms`` (in query order when ``ordered``) such
+    that ``min_span - len(terms) <= slop`` -> (doc_id, min_span) with
+    the EXACT minimal window width in tokens.
+
+    One JVM-side ``F.aggregate`` pass per document over the merged
+    position arrays tagged by clause — no explode, no positional
+    self-join, O(sum of clause tfs) per doc:
+
+    - unordered: the classic minimal-covering-window scan — carry the
+      last-seen position per clause; every element closes the best
+      window ending there (``pos - min(last_seen) + 1``) once every
+      clause has been seen.  Exact because a minimal window ends at
+      some clause occurrence, and at that scan element each other
+      clause's last-seen is >= its occurrence inside the window.
+    - ordered: subsequence DP — ``d[j]`` = start of the LATEST chain
+      matching clauses ``0..j`` in order (``d[j] <= d[j-1]`` always,
+      so seeing clause ``j`` sets ``d[j] = d[j-1]``); an occurrence of
+      the last clause at ``pos`` closes a window ``pos - d[n-2] + 1``.
+
+    Distributed shape identical to ``phrase_search``: the scan prunes
+    to the clause terms (bucket + term pushdown on the positional
+    store), one doc_id shuffle assembles candidates.  Clause terms
+    must be distinct (repeated clauses would need multiset state).
+    """
+    terms = list(terms)
+    n = len(terms)
+    if n < 2:
+        raise ValueError("span_near needs >= 2 terms")
+    if len(set(terms)) != n:
+        raise ValueError("span_near clause terms must be distinct")
+    grouped = _phrase_candidates(positions, terms)
+
+    tag = lambda col, s: F.transform(  # noqa: E731
+        col, lambda x: F.struct(x.cast("long").alias("pos"),
+                                F.lit(s).alias("src")))
+    merged = F.array_sort(F.concat(*[
+        tag(F.col("m")[t], i) for i, t in enumerate(terms)]))
+
+    fields = [f"s{i}" for i in range(n)]
+    init = F.struct(*(
+        [F.lit(-1).cast("long").alias(f) for f in fields]
+        + [F.lit(_SPAN_SENTINEL).cast("long").alias("best")]))
+
+    if ordered:
+        def step(acc, e):
+            new = [F.when(e["src"] == 0, e["pos"])
+                   .otherwise(acc["s0"]).alias("s0")]
+            for j in range(1, n):
+                new.append(
+                    F.when((e["src"] == j) & (acc[f"s{j - 1}"] >= 0),
+                           acc[f"s{j - 1}"])
+                    .otherwise(acc[f"s{j}"]).alias(f"s{j}"))
+            width = e["pos"] - acc[f"s{n - 2}"] + 1
+            closes = ((e["src"] == n - 1) & (acc[f"s{n - 2}"] >= 0)
+                      & (width < acc["best"]))
+            return F.struct(
+                *new, F.when(closes, width).otherwise(acc["best"])
+                .alias("best"))
+    else:
+        def step(acc, e):
+            upd = [F.when(e["src"] == j, e["pos"]).otherwise(acc[f"s{j}"])
+                   for j in range(n)]
+            new = [c.alias(f"s{j}") for j, c in enumerate(upd)]
+            lo = F.least(*upd)
+            width = e["pos"] - lo + 1
+            closes = (lo >= 0) & (width < acc["best"])
+            return F.struct(
+                *new, F.when(closes, width).otherwise(acc["best"])
+                .alias("best"))
+
+    out = grouped.select(
+        "doc_id",
+        F.aggregate(merged, init, step, lambda acc: acc["best"])
+        .alias("min_span"))
+    return (out.filter(F.col("min_span") - n <= slop)
+            .select("doc_id", F.col("min_span").cast("int")
+                    .alias("min_span")))

@@ -464,6 +464,65 @@ def search_qld(spark: SparkSession, index: DataFrameIndex, query: str,
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def search_lmjm(spark: SparkSession, index: DataFrameIndex, query: str,
+                k: int = 5, lam: float = 0.1,
+                stem: bool = False) -> DataFrame:
+    """Query-likelihood retrieval with Jelinek-Mercer smoothing (the
+    linear-interpolation LM of Zhai & Lafferty 2001, the standard
+    companion to the Dirichlet ``search_qld``; ``lam`` is the
+    collection weight — 0.1 for short web queries per the paper):
+
+        score(q, d) = sum_t qtf_t
+                      * ln( (1-lam)*tf_td/dl_d + lam*cf_t/C )
+
+    over query terms present in the collection.  Matched-postings
+    decomposition (same scale argument as ``search_qld``):
+
+        const + sum_{matched t} qtf_t
+                * ln(1 + (1-lam)*tf*C / (lam*dl*cf_t))
+
+    with const = sum_t qtf_t*ln(lam*cf_t/C) driver-side.  Unlike
+    Dirichlet there is NO separate doc-length term outside the matched
+    sum (dl only enters through matched postings), so the plan is
+    exactly the pruned postings >< broadcast(query) >< docinfo join +
+    one hash agg — shuffle-equivalent to BM25.
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lam must be in (0, 1)")
+    bag = parse_query(query, stem=stem)
+    if not bag:
+        return spark.createDataFrame([], "doc_id long, score double")
+    rows = index.dictionary.filter(
+        F.col("term").isin(list(bag))).select("term", "cf").collect()
+    cfs = {r["term"]: int(r["cf"]) for r in rows if r["cf"]}
+    terms = sorted(t for t in bag if t in cfs)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    c_total = float(collection_cf_total(index))
+    const = sum(bag[t] * math.log(lam * cfs[t] / c_total) for t in terms)
+
+    qdf = spark.createDataFrame(
+        [(t, float(bag[t]), float(cfs[t])) for t in terms],
+        "term string, qtf double, cf double")
+    hits = (
+        index.postings
+        .join(F.broadcast(qdf), "term")
+        .join(index.docinfo.select("doc_id", "doc_len"), "doc_id")
+    )
+    partial = F.col("qtf") * F.log(
+        F.lit(1.0)
+        + F.lit((1.0 - lam) / lam) * F.col("tf") * F.lit(c_total)
+        / (F.col("doc_len") * F.col("cf")))
+    scores = (
+        hits.select("doc_id", partial.alias("partial"))
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("matched"))
+        .select("doc_id",
+                (F.lit(const) + F.col("matched")).alias("score"))
+    )
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def collapse_topk(scored: DataFrame, keys: DataFrame, key_col: str,
                   k: int) -> DataFrame:
     """Field collapsing (the Elasticsearch ``collapse`` analogue): keep

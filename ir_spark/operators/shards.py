@@ -203,7 +203,8 @@ def search_sharded_pruned(spark: SparkSession, shards: list[SegmentIndex],
                           query: str, k: int = 5, k1: float = 1.2,
                           b: float = 0.75, stem: bool = False,
                           strategy: str = "auto",
-                          info: dict | None = None) -> DataFrame:
+                          info: dict | None = None,
+                          wave: int = 4) -> DataFrame:
     """Federated BM25 top-k with SAFE shard pruning — distributed WAND
     at shard granularity.  Provably rank- and score-identical to
     ``search_sharded`` (and hence to the flat single index):
@@ -212,13 +213,15 @@ def search_sharded_pruned(spark: SparkSession, shards: list[SegmentIndex],
       2. per-shard upper bounds from skyline metadata
          (``shard_upper_bound``) — each bound dominates every document
          score its shard can produce under the global stats;
-      3. shards are visited in DESCENDING bound order; after each
-         searched shard the driver's candidate pool defines theta =
-         current k-th best true score, and any remaining shard with
-         ub < theta (strictly) is SKIPPED — all its documents score
-         below k already-gathered candidates, and adding candidates
-         only raises theta, so the skip is lossless for the final
-         top-k including the url tie-break.
+      3. shards are visited in DESCENDING bound order, ``wave`` at a
+         time concurrently (their per-shard Spark jobs interleave as
+         in the unpruned gather, so a one-box probe pays no
+         serialization penalty); between waves the driver's candidate
+         pool defines theta = current k-th best true score, and any
+         remaining shard with ub < theta (strictly) is SKIPPED — all
+         its documents score below k already-gathered candidates, and
+         adding candidates only raises theta, so the skip is lossless
+         for the final top-k including the url tie-break.
 
     At web scale this is the serving win: a query whose terms are
     concentrated in a few crawl batches touches only those shards'
@@ -251,30 +254,57 @@ def search_sharded_pruned(spark: SparkSession, shards: list[SegmentIndex],
             shards))
     order = sorted(range(len(shards)), key=lambda i: (-ubs[i], i))
 
-    cands: list[tuple[str, float]] = []
-    searched: list[int] = []
-    skipped: list[int] = []
-    for i in order:
-        if len(cands) >= k:
-            theta = sorted((s for _, s in cands), reverse=True)[k - 1]
-            if ubs[i] < theta:
-                skipped.append(i)
-                continue
+    def visit(i: int) -> list[tuple[str, float]]:
         s = shards[i]
         gview = replace(s, n_docs=g["n_docs"], avg_doc_len=g["avg_doc_len"])
         object.__setattr__(gview, "_dfs", s._dfs)
         local = search_segments(
             spark, gview, query, k=k, mode="bm25", k1=k1, b=b, stem=stem,
             strategy=strategy, df_override=g["df"]).collect()
-        if local:
-            ids = [int(r["doc_id"]) for r in local]
-            doc_map = spark.read.parquet(index_paths(s.index_dir)["doc_map"])
-            urls = {int(r["doc_id"]): r["url"] for r in
-                    doc_map.filter(F.col("doc_id").isin(ids))
-                    .select("doc_id", "url").collect()}
-            cands.extend((urls[int(r["doc_id"])], float(r["score"]))
-                         for r in local)
-        searched.append(i)
+        if not local:
+            return []
+        ids = [int(r["doc_id"]) for r in local]
+        doc_map = spark.read.parquet(index_paths(s.index_dir)["doc_map"])
+        urls = {int(r["doc_id"]): r["url"] for r in
+                doc_map.filter(F.col("doc_id").isin(ids))
+                .select("doc_id", "url").collect()}
+        return [(urls[int(r["doc_id"])], float(r["score"])) for r in local]
+
+    # bound-ordered WAVES: up to ``wave`` still-unpruned shards are
+    # searched concurrently (their Spark jobs interleave exactly as in
+    # the unpruned gather), theta refreshes between waves.  wave=1 is
+    # the fully-sequential WAND visit (tightest theta, no parallelism);
+    # wave>=S degenerates to the unpruned all-at-once gather with one
+    # pre-filter.  Skips stay lossless: a shard is only dropped when
+    # its bound is below the CURRENT k-th true score, which later
+    # candidates can only raise.
+    cands: list[tuple[str, float]] = []
+    searched: list[int] = []
+    skipped: list[int] = []
+    pos = 0
+    while pos < len(order):
+        theta = (sorted((sc for _, sc in cands), reverse=True)[k - 1]
+                 if len(cands) >= k else None)
+        wave_ids: list[int] = []
+        while pos < len(order) and len(wave_ids) < max(1, wave):
+            i = order[pos]
+            pos += 1
+            if ubs[i] <= 0.0:
+                # no query term occurs in this shard at all (df=0 for
+                # every term): it cannot yield a candidate, skip before
+                # any theta exists
+                skipped.append(i)
+                continue
+            if theta is not None and ubs[i] < theta:
+                skipped.append(i)
+                continue
+            wave_ids.append(i)
+        if not wave_ids:
+            continue
+        with ThreadPoolExecutor(max_workers=len(wave_ids)) as pool:
+            for i, res in zip(wave_ids, pool.map(visit, wave_ids)):
+                cands.extend(res)
+                searched.append(i)
     if info is not None:
         info.update(bounds=ubs, searched=searched, skipped=skipped)
     if not cands:

@@ -110,3 +110,100 @@ def test_anchor_field_ranks_doc_without_body_match(spark):
         spark, {"body": (body, 1.0), "anchor": (anchors, 2.0)},
         "d2", k=3).collect()]
     assert res2[0] == 1  # doc 1: anchor 'd2 d2' (w=2) beats doc 2's body d2
+
+
+class TestDisMax:
+    """search_dismax: per-term best-field BM25 with tie-breaker."""
+
+    def _brute(self, texts, query, *, k1=1.2, b=0.75, tie=0.0, tt=6):
+        """Per-field BM25 indices + per-term dis_max, pure python."""
+        from collections import Counter
+
+        from ir_spark.text import STOPWORDS, tokenize
+
+        bag = Counter(t for t in tokenize(query) if t not in STOPWORDS)
+        fields = {}
+        for doc_id, text in texts:
+            w = text.split(" ")
+            for fname, toks in (("title", w[:tt]), ("body", w[tt:])):
+                kept = [t for t in tokenize(" ".join(toks))]
+                if kept:
+                    fields.setdefault(fname, {})[doc_id] = kept
+        scores = {}
+        for fname, docs_f in fields.items():
+            n_f = len(docs_f)
+            avg = sum(len(v) for v in docs_f.values()) / n_f
+            for t in bag:
+                df = sum(1 for v in docs_f.values()
+                         if t in v and t not in STOPWORDS)
+                if df == 0:
+                    continue
+                idf = math.log(1 + (n_f - df + 0.5) / (df + 0.5))
+                for d, toks in docs_f.items():
+                    tf = sum(1 for x in toks if x == t)
+                    if tf == 0:
+                        continue
+                    s = idf * tf * (k1 + 1) / (
+                        tf + k1 * (1 - b + b * len(toks) / avg))
+                    scores.setdefault((d, t), []).append(s)
+        out = {}
+        for (d, t), ss in scores.items():
+            m = max(ss)
+            out[d] = out.get(d, 0.0) + (m + tie * (sum(ss) - m)) * bag[t]
+        return sorted(out.items(), key=lambda r: (-round(r[1] * 1e6), r[0]))
+
+    TEXTS = [
+        (1, "query w2 w3 w4 w5 w6 b1 query b3 b4"),
+        (2, "w1 w2 w3 w4 w5 w6 query query b3 b4"),
+        (3, "query w2 w3 w4 w5 w6 other b2 b3 b4 b5 b6 b7"),
+        (4, "x1 x2 x3"),
+        (5, "other w2 query w4 w5 w6 query b2 query b4"),
+    ]
+
+    @pytest.mark.parametrize("tie", [0.0, 0.3, 1.0])
+    def test_matches_bruteforce(self, spark, tie):
+        from ir_spark.operators.fields import search_dismax
+
+        docs = spark.createDataFrame(self.TEXTS, "doc_id long, text string")
+        got = [(r.doc_id, round(r.score * 1e6)) for r in
+               search_dismax(spark, docs, "query other", k=10,
+                             tie=tie).collect()]
+        want = [(d, round(s * 1e6)) for d, s in
+                self._brute(self.TEXTS, "query other", tie=tie)]
+        assert got == want
+
+    def test_tie_one_equals_field_sum(self, spark):
+        """tie=1.0 degenerates to summing per-field scores."""
+        from ir_spark.operators.fields import search_dismax
+
+        docs = spark.createDataFrame(self.TEXTS, "doc_id long, text string")
+        got = {r.doc_id: r.score for r in
+               search_dismax(spark, docs, "query", k=10, tie=1.0).collect()}
+        want = dict(self._brute(self.TEXTS, "query", tie=1.0))
+        for d, s in want.items():
+            assert got[d] == pytest.approx(s, rel=1e-12)
+
+    def test_tie_monotone_only_for_multifield_docs(self, spark):
+        """Raising tie adds the non-best fields' scores: a doc matching
+        in BOTH fields gains, a single-field match is tie-invariant."""
+        from ir_spark.operators.fields import search_dismax
+
+        docs = spark.createDataFrame(
+            [(1, "aa t2 t3 t4 t5 t6 aa b2 b3 b4"),   # title + body match
+             (2, "aa t2 t3 t4 t5 t6 b1 b2 b3 b4")],  # title-only match
+            "doc_id long, text string")
+        lo = {r.doc_id: r.score for r in
+              search_dismax(spark, docs, "aa", k=2, tie=0.0).collect()}
+        hi = {r.doc_id: r.score for r in
+              search_dismax(spark, docs, "aa", k=2, tie=0.5).collect()}
+        assert hi[1] > lo[1]
+        assert hi[2] == pytest.approx(lo[2], rel=1e-12)
+
+    def test_rejects_bad_tie(self, spark):
+        from ir_spark.operators.fields import search_dismax
+
+        docs = spark.createDataFrame([(1, "aa bb")],
+                                     "doc_id long, text string")
+        for tie in (-0.1, 1.01):
+            with pytest.raises(ValueError):
+                search_dismax(spark, docs, "aa", tie=tie)

@@ -221,3 +221,108 @@ def test_proximity_repeated_term_stress(spark):
     got = {r.doc_id: r.min_dist
            for r in proximity_search(pos, "aa", "bb", window=100).collect()}
     assert got == {1: 1, 2: 11}
+
+
+class TestSpanNear:
+    """span_near_search: Lucene SpanNearQuery semantics over n
+    single-term clauses — exact minimal window, ordered + unordered."""
+
+    def _brute(self, texts, terms, slop, ordered):
+        import itertools
+
+        n = len(terms)
+        want = {}
+        for doc_id, text in texts:
+            toks = tokenize(text)
+            occ = [[p for p, w in enumerate(toks) if w == t] for t in terms]
+            if any(not o for o in occ):
+                continue
+            widths = [
+                max(c) - min(c) + 1
+                for c in itertools.product(*occ)
+                if len(set(c)) == n
+                and (not ordered
+                     or all(c[j] < c[j + 1] for j in range(n - 1)))
+            ]
+            if widths and min(widths) - n <= slop:
+                want[doc_id] = min(widths)
+        return want
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        from ir_spark.operators.positions import span_near_search
+
+        rng = random.Random(11)
+        vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+        texts = [(i, " ".join(rng.choice(vocab)
+                              for _ in range(rng.randint(3, 60))))
+                 for i in range(60)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        rel = token_positions(df)
+        for terms, slop, ordered in [
+            (["aa", "bb"], 2, True),
+            (["aa", "bb"], 2, False),
+            (["aa", "bb", "cc"], 3, True),
+            (["aa", "bb", "cc"], 4, False),
+            (["aa", "bb", "cc", "dd"], 6, True),
+            (["aa", "bb", "cc", "dd"], 8, False),
+            (["cc", "aa", "bb"], 0, True),   # exact adjacent triple
+        ]:
+            got = {r["doc_id"]: r["min_span"]
+                   for r in span_near_search(rel, terms, slop,
+                                             ordered).collect()}
+            assert got == self._brute(texts, terms, slop, ordered), (
+                terms, slop, ordered)
+
+    def test_ordered_vs_unordered(self, spark):
+        from ir_spark.operators.positions import span_near_search
+
+        df = spark.createDataFrame(
+            [(1, "cc xx bb xx aa"),          # reverse order only
+             (2, "aa xx bb xx cc"),          # in order, span 5
+             (3, "aa bb cc")],               # in order, span 3
+            "doc_id long, text string")
+        rel = token_positions(df)
+        terms = ["aa", "bb", "cc"]
+        ordered = {r["doc_id"]: r["min_span"]
+                   for r in span_near_search(rel, terms, 2, True).collect()}
+        assert ordered == {2: 5, 3: 3}
+        unordered = {r["doc_id"]: r["min_span"]
+                     for r in span_near_search(rel, terms, 2,
+                                               False).collect()}
+        assert unordered == {1: 5, 2: 5, 3: 3}
+        # slop 0: only the adjacent run qualifies
+        tight = {r["doc_id"]: r["min_span"]
+                 for r in span_near_search(rel, terms, 0, True).collect()}
+        assert tight == {3: 3}
+
+    def test_rejects_degenerate_clauses(self, spark):
+        from ir_spark.operators.positions import span_near_search
+
+        df = spark.createDataFrame([(1, "aa bb")],
+                                   "doc_id long, text string")
+        rel = token_positions(df)
+        with pytest.raises(ValueError):
+            span_near_search(rel, ["aa"], 1)
+        with pytest.raises(ValueError):
+            span_near_search(rel, ["aa", "aa"], 1)
+
+    def test_repeated_term_stress_linear(self, spark):
+        """Pathological doc with thousands of occurrences of every
+        clause: the single-pass scan stays linear (a pairwise product
+        would be 1000^3 here) and still returns the exact min."""
+        from ir_spark.operators.positions import span_near_search
+
+        words = []
+        for _ in range(1000):
+            words.extend(["aa", "bb", "cc"])
+        df = spark.createDataFrame(
+            [(1, " ".join(words)),
+             (2, "cc " + " ".join(["xx"] * 7) + " aa bb xx cc")],
+            "doc_id long, text string")
+        rel = token_positions(df)
+        got = {r["doc_id"]: r["min_span"]
+               for r in span_near_search(rel, ["aa", "bb", "cc"], 7,
+                                         True).collect()}
+        assert got == {1: 3, 2: 4}

@@ -315,3 +315,50 @@ def test_cc_star_empty_and_self_pairs(spark):
     got = sorted(map(tuple, connected_components(
         selfp, algorithm="star").collect()))
     assert got == [(1, 1, 1), (2, 1, 0), (7, 7, 1)]
+
+
+# --- Jelinek-Mercer smoothing --------------------------------------------
+
+LAM = 0.1
+
+
+def _py_lmjm(oracle, query, lam=LAM, k=K):
+    """Textbook JM LM: qtf * ln((1-lam)*tf/dl + lam*cf/C) over
+    surviving query terms for every candidate doc."""
+    bag = parse_query(query)
+    cf = {t: sum(tf for _, tf in oracle.postings.get(t, ()))
+          for t in bag}
+    terms = sorted(t for t in bag if cf.get(t))
+    if not terms:
+        return []
+    c_total = sum(sum(tf for _, tf in pl) for pl in oracle.postings.values())
+    cands = sorted({d for t in terms for d, _ in oracle.postings[t]})
+    out = []
+    for d in cands:
+        dl = oracle.docinfo[d][0]
+        tfs = {t: dict(oracle.postings[t]).get(d, 0) for t in terms}
+        s = sum(bag[t] * math.log((1 - lam) * tfs[t] / dl
+                                  + lam * cf[t] / c_total) for t in terms)
+        out.append((d, s))
+    out.sort(key=lambda r: (-round(r[1] * 1e6), r[0]))
+    return [(d, round(s * 1e6)) for d, s in out[:k]]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_lmjm_matches_bruteforce(spark, both, query):
+    from ir_spark.operators.query import search_lmjm
+
+    idx, oracle = both
+    got = [(r["doc_id"], round(r["score"] * 1e6))
+           for r in search_lmjm(spark, idx, query, k=K, lam=LAM).collect()]
+    want = _py_lmjm(oracle, query)
+    assert got == want
+
+
+def test_lmjm_rejects_bad_lambda(spark, both):
+    from ir_spark.operators.query import search_lmjm
+
+    idx, _ = both
+    for lam in (0.0, 1.0, -0.2, 1.5):
+        with pytest.raises(ValueError):
+            search_lmjm(spark, idx, QUERIES[0], lam=lam)
