@@ -1144,6 +1144,57 @@ FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {HYBRID_K}
 """
 
 
+def q_hybrid_combmnz_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-based hybrid fusion (operators/hybrid.py::combsum_fuse,
+    CombMNZ): the same BM25 + dense top-10 lists as the RRF gate, but
+    fused on min-max-normalized SCORES times the number of lists
+    containing the doc — preserves within-list score gaps RRF
+    discards."""
+    from .gates import q_bm25_topk
+    from .operators import hybrid as H
+
+    lex = q_bm25_topk(spark, sf_dir)
+    dense = q_ann_cosine_topk(spark, sf_dir).withColumnRenamed(
+        "vec_id", "doc_id")
+    return H.combsum_fuse([lex, dense], k=HYBRID_K, mnz=True)
+
+
+def sql_hybrid_combmnz_topk() -> str:
+    from .gates import sql_bm25_topk
+
+    def norm(side: str) -> str:
+        return f"""
+{side} AS (
+  SELECT doc_id,
+         CASE WHEN MAX(score_micro) OVER () = MIN(score_micro) OVER ()
+              THEN 1.0
+              ELSE (CAST(score_micro AS DOUBLE) - MIN(score_micro) OVER ())
+                   / (MAX(score_micro) OVER () - MIN(score_micro) OVER ())
+         END AS ns
+  FROM {side}_base
+)"""
+
+    return f"""
+WITH lex_base AS ({sql_bm25_topk()}),
+dense_base AS (SELECT vec_id AS doc_id, score_micro
+               FROM ({sql_ann_cosine_topk()}) _d),
+{norm("lex")},
+{norm("dense")},
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         CAST(ROUND((COALESCE(l.ns, 0.0) + COALESCE(d.ns, 0.0))
+                    * ((CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END)
+                       + (CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END))
+                    * 1000000) AS BIGINT) AS fused_micro
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, fused_micro,
+       CAST(ROW_NUMBER() OVER (ORDER BY fused_micro DESC, doc_id) AS INT)
+         AS rank
+FROM fused ORDER BY fused_micro DESC, doc_id LIMIT {HYBRID_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus curation gates (decontamination / repetition / sampling / mix)
 # ---------------------------------------------------------------------------
@@ -3532,6 +3583,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index_topk": q_ann_ivf_index_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "hybrid_combmnz_topk": q_hybrid_combmnz_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "srp_near_dup": q_srp_near_dup,
         "lang_id": q_lang_id,
@@ -3602,6 +3654,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": sql_ann_ivf_topk(),
         "ann_ivf_index_topk": sql_ann_ivf_index_topk(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
+        "hybrid_combmnz_topk": sql_hybrid_combmnz_topk(),
         "embedding_near_dup": sql_embedding_near_dup(),
         "srp_near_dup": sql_srp_near_dup(),
         "lang_id": sql_lang_id(),

@@ -141,6 +141,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "embedding_near_dup": ["a", "b", "cosine_micro"],
         "srp_near_dup": ["a", "b", "dist"],
         "hybrid_rrf_topk": ["doc_id", "rank", "rrf_micro"],
+        "hybrid_combmnz_topk": ["doc_id", "fused_micro", "rank"],
     },
     "linkgraph_suite": {
         "pagerank_hosts": ["node", "rank_micro"],

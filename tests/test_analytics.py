@@ -352,6 +352,34 @@ def test_rrf_fuse_semantics(spark):
     assert [r["doc_id"] for r in rows] == [3, 7]
 
 
+def test_combsum_fuse_semantics(spark):
+    """CombSUM/CombMNZ: per-list min-max normalization, 0 for missing,
+    MNZ multiplies by the number of containing lists; id-asc ties."""
+    from ir_spark.operators.hybrid import combsum_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 900), (20, 500), (30, 100)], ["doc_id", "score_micro"])
+    dense = spark.createDataFrame(
+        [(20, 80), (40, 20)], ["doc_id", "score_micro"])
+    # norms: lex 10->1.0 20->0.5 30->0.0 ; dense 20->1.0 40->0.0
+    out = {r["doc_id"]: (r["fused_micro"], r["rank"])
+           for r in combsum_fuse([lex, dense], k=10).collect()}
+    assert out[20] == (round(1.5e6), 1)
+    assert out[10] == (round(1.0e6), 2)
+    assert out[30][0] == 0 and out[40][0] == 0
+    assert (out[30][1], out[40][1]) == (3, 4)  # id-asc tie
+
+    mnz = {r["doc_id"]: r["fused_micro"]
+           for r in combsum_fuse([lex, dense], k=10, mnz=True).collect()}
+    assert mnz[20] == round(3.0e6)      # 1.5 * 2 lists
+    assert mnz[10] == round(1.0e6)      # 1.0 * 1 list
+    # constant list -> all 1.0
+    const = spark.createDataFrame([(1, 7), (2, 7)], ["doc_id", "score_micro"])
+    c = {r["doc_id"]: r["fused_micro"]
+         for r in combsum_fuse([const], k=5).collect()}
+    assert c == {1: round(1e6), 2: round(1e6)}
+
+
 def test_duplicate_span_coverage_brute_force(spark):
     """Coverage == union of length-n intervals over positions whose
     gram occurs in >=2 docs, verified against a pure-Python oracle."""
