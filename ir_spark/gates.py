@@ -24,6 +24,7 @@ real Arrow kernel.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -1054,6 +1055,130 @@ HAVING MIN({width}) - 3 <= {SPAN_SLOP}
 """
 
 
+SNIPPET_BW_WINDOW = 8
+
+
+def q_snippet_best_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-window snippet selection (positions.py::
+    best_window_snippets — the Lucene unified-highlighter passage
+    scorer): per doc, the 8-token window maximizing the sum of
+    distinct matched flagship terms' micro-quantized Lucene idfs."""
+    from .operators.positions import (best_window_snippets,
+                                      read_positional_store)
+
+    idx = _df_index(spark, sf_dir)
+    terms = sorted(
+        t for t in set(tokenize(FLAGSHIP_QUERY)) if t not in STOPWORDS)
+    rows = idx.dictionary.filter(
+        F.col("term").isin(terms)).select("term", "df").collect()
+    n = idx.n_docs
+    weights = {
+        r["term"]: int(math.floor(
+            math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)) * 1e6
+            + 0.5))
+        for r in rows if r["df"]}
+    rel = read_positional_store(spark, _pos_store_dir(spark, sf_dir),
+                                sorted(weights))
+    return best_window_snippets(rel, weights, SNIPPET_BW_WINDOW)
+
+
+def sql_snippet_best_window() -> str:
+    w1 = SNIPPET_BW_WINDOW - 1
+    return f"""
+WITH {TOKS_CTE},
+{SEQ_CTE.strip()},
+{_sql_query_terms()},
+qw AS (
+  SELECT t.term,
+         CAST(ROUND(LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5)) * 1000000)
+              AS BIGINT) AS w
+  FROM dict t JOIN qterms q USING (term) CROSS JOIN stats s
+),
+anchors AS (SELECT s.doc_id, s.pos FROM seq s JOIN qw ON qw.term = s.term),
+inwin AS (
+  SELECT DISTINCT a.doc_id, a.pos, b.term
+  FROM anchors a
+  JOIN seq b ON b.doc_id = a.doc_id
+       AND b.pos BETWEEN a.pos - {w1} AND a.pos
+  JOIN qw ON qw.term = b.term
+),
+scored AS (
+  SELECT i.doc_id, i.pos, CAST(SUM(qw.w) AS BIGINT) AS score,
+         CAST(COUNT(*) AS INT) AS n_terms
+  FROM inwin i JOIN qw ON qw.term = i.term
+  GROUP BY i.doc_id, i.pos
+),
+best AS (
+  SELECT doc_id, pos, score, n_terms,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, pos ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(GREATEST(0, pos - {w1}) AS INT) AS win_start,
+       score AS score_micro, n_terms
+FROM best WHERE rn = 1
+"""
+
+
+PHRASE_BOOST = 0.5
+
+
+def q_bm25_phrase_boost_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-boosted BM25 (positions.py::search_phrase_boosted):
+    flagship OR scoring + 0.5*ln(1+phrase_tf) for docs containing the
+    exact phrase 'table hash' — the Lucene query OR "phrase"^boost
+    composite; base relation un-truncated so the fuse is lossless."""
+    from .operators.positions import (read_positional_store,
+                                      search_phrase_boosted)
+
+    idx = _df_index(spark, sf_dir)
+    rel = read_positional_store(spark, _pos_store_dir(spark, sf_dir),
+                                PHRASE_TERMS)
+    raw = search_phrase_boosted(
+        spark, idx, rel, FLAGSHIP_QUERY, PHRASE_TERMS,
+        k=K_FLAGSHIP * 5, boost=PHRASE_BOOST)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_bm25_phrase_boost_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    joins = " ".join(
+        f"JOIN seq t{i} ON t{i}.doc_id = t0.doc_id"
+        f" AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, len(PHRASE_TERMS)))
+    conds = " AND ".join(
+        f"t{i}.term = '{t}'" for i, t in enumerate(PHRASE_TERMS))
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+{SEQ_CTE.strip().rstrip()},
+ph AS (
+  SELECT t0.doc_id, CAST(COUNT(*) AS BIGINT) AS phrase_tf
+  FROM seq t0 {joins}
+  WHERE {conds}
+  GROUP BY t0.doc_id
+),
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+base AS (SELECT doc_id, SUM(partial) AS score FROM hits GROUP BY doc_id)
+SELECT base.doc_id,
+       CAST(ROUND((base.score
+                   + {PHRASE_BOOST} * LN(1.0 + COALESCE(ph.phrase_tf, 0)))
+                  * 1000000) AS BIGINT) AS score_micro
+FROM base LEFT JOIN ph ON ph.doc_id = base.doc_id
+ORDER BY score_micro DESC, base.doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 # --- boolean retrieval + lexicon helpers (beyond-reference surface) ----------
 
 BOOL_MUST = ["hash", "join"]
@@ -1889,6 +2014,52 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
 """
 
 
+PL2_C = 1.0
+_LN2 = "0.6931471805599453"          # repr(math.log(2.0)) on both engines
+_LOG2E = "1.4426950408889634"        # repr(math.log2(math.e))
+_TWO_PI = "6.283185307179586"        # repr(2*math.pi)
+
+
+def q_pl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PL2 divergence-from-randomness top-k (operators/query.py::
+    search_pl2) — Terrier's default DFR model; matched-only
+    contributions make the plan the plain pruned BM25 join."""
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search_pl2(spark, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                       c=PL2_C)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_pl2_topk(c: float = PL2_C) -> str:
+    # both engines compute log2 as LN(x)/ln2 with the SAME double
+    # constant, keeping the float paths operation-identical
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+qd AS (SELECT q.term, q.qtf, t.cf FROM qterms q JOIN dict t USING (term)),
+tn AS (
+  SELECT p.doc_id, q.qtf,
+         p.tf * LN(1.0 + {c} * s.avg_dl / d.doc_len) / {_LN2} AS tfn,
+         CAST(q.cf AS DOUBLE) / s.n AS lam
+  FROM postings p
+  JOIN qd q USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+hits AS (
+  SELECT doc_id,
+         qtf / (tfn + 1.0)
+           * (tfn * LN(tfn / lam) / {_LN2}
+              + (lam - tfn) * {_LOG2E}
+              + 0.5 * LN({_TWO_PI} * tfn) / {_LN2}) AS partial
+  FROM tn
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang facet counts of the flagship query's candidate set
     (operators/boolean.py::facet_counts)."""
@@ -2483,10 +2654,13 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_match": q_proximity_match,
         "sloppy_phrase": q_sloppy_phrase,
         "span_near_ordered": q_span_near_ordered,
+        "bm25_phrase_boost_topk": q_bm25_phrase_boost_topk,
+        "snippet_best_window": q_snippet_best_window,
         "span_near_unordered": q_span_near_unordered,
         "rm3_topk": q_rm3_topk,
         "qld_topk": q_qld_topk,
         "lmjm_topk": q_lmjm_topk,
+        "pl2_topk": q_pl2_topk,
         "keywords_tfidf": q_keywords_tfidf,
         "qld_segment_topk": q_qld_segment_topk,
         "bm25_topk_maxscore": q_bm25_topk_maxscore,
@@ -2544,10 +2718,13 @@ def core_oracle_sql() -> dict[str, str]:
         "proximity_match": sql_proximity_match(),
         "sloppy_phrase": sql_sloppy_phrase(),
         "span_near_ordered": sql_span_near_ordered(),
+        "bm25_phrase_boost_topk": sql_bm25_phrase_boost_topk(),
+        "snippet_best_window": sql_snippet_best_window(),
         "span_near_unordered": sql_span_near_unordered(),
         "rm3_topk": sql_rm3_topk(),
         "qld_topk": sql_qld_topk(),
         "lmjm_topk": sql_lmjm_topk(),
+        "pl2_topk": sql_pl2_topk(),
         "keywords_tfidf": sql_keywords_tfidf(),
         "qld_segment_topk": sql_qld_topk(),
         "bm25_topk_maxscore": sql_bm25_topk(),

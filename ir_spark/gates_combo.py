@@ -43,6 +43,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "facet_counts": ["lang", "n_docs"],
         "significant_terms": ["bg_df", "fg_df", "score_micro", "term"],
         "snippet_extract": ["doc_id", "pos", "snippet", "term"],
+        "snippet_best_window": ["doc_id", "n_terms", "score_micro",
+                                "win_start"],
         "date_histogram": ["bucket", "bucket_start_day", "n_docs"],
     },
     "positions_suite": {
@@ -51,11 +53,13 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "sloppy_phrase": ["doc_id", "min_gap"],
         "span_near_ordered": ["doc_id", "min_span"],
         "span_near_unordered": ["doc_id", "min_span"],
+        "bm25_phrase_boost_topk": ["doc_id", "score_micro"],
     },
     "scoring_suite": {
         "w1_topk": ["doc_id", "score_micro"],
         "w2_topk": ["doc_id", "score_micro"],
         "lmjm_topk": ["doc_id", "score_micro"],
+        "pl2_topk": ["doc_id", "score_micro"],
         "dismax_topk": ["doc_id", "score_micro"],
         "sharded_bm25_topk": ["doc_id", "score_micro"],
         "sharded_pruned_bm25_topk": ["doc_id", "score_micro"],

@@ -393,3 +393,129 @@ def span_near_search(positions: DataFrame, terms: Sequence[str],
     return (out.filter(F.col("min_span") - n <= slop)
             .select("doc_id", F.col("min_span").cast("int")
                     .alias("min_span")))
+
+
+def search_phrase_boosted(spark: SparkSession, index, positions: DataFrame,
+                          query: str, phrase_terms: Sequence[str], *,
+                          k: int = 10, boost: float = 1.0,
+                          mode: str = "bm25", k1: float = 1.2,
+                          b: float = 0.75) -> DataFrame:
+    """Phrase-boosted ranking — the classic web-ranking composite
+    (Lucene's ``query OR "exact phrase"^boost`` idiom): BM25 (or any
+    ``query.search`` mode) over the OR candidates, plus
+    ``boost * ln(1 + phrase_tf)`` for documents containing the exact
+    phrase:
+
+        score'(d) = score(d) + boost * ln(1 + phrase_tf(d))
+
+    Composition stays lossless w.r.t. the final top-k because the
+    base relation is UN-truncated (``search(k=None)`` returns all OR
+    candidates unsorted — no global sort is spent before the fuse) and
+    every phrase doc is an OR candidate by construction (its terms are
+    query terms).  Scale shape: the phrase side touches only the
+    phrase terms' buckets of the positional store; the fuse is an
+    equi-join on doc_id between two already-pruned relations, then ONE
+    TakeOrderedAndProject.
+    """
+    from ..oracle import parse_query
+    from .query import search as _search
+
+    extra = set(phrase_terms) - set(parse_query(query))
+    if extra:
+        raise ValueError(
+            f"phrase terms {sorted(extra)} are not query terms: their "
+            "docs would not be OR candidates and the left-join fuse "
+            "would drop them — add them to the query")
+    base = _search(spark, index, query, k=None, mode=mode, k1=k1, b=b)
+    hits = phrase_search(positions, list(phrase_terms))
+    fused = (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("score")
+             + F.lit(float(boost))
+             * F.log(F.lit(1.0)
+                     + F.coalesce(F.col("phrase_tf"), F.lit(0)).cast("double"))
+             ).alias("score"))
+    )
+    return fused.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def best_window_snippets(positions: DataFrame,
+                         term_weights: dict[str, int],
+                         window: int) -> DataFrame:
+    """Query-dependent best-snippet selection (the Lucene unified
+    highlighter's passage scoring, exact): for every document
+    containing ANY weighted term, the ``window``-token span maximizing
+    the sum of the DISTINCT matched terms' weights ->
+    (doc_id, win_start, score_micro, n_terms), earliest window on
+    ties.
+
+    Weights are integer micro-units so both engines sum exactly (no
+    float-order sensitivity).  Single ``F.aggregate`` pass per doc
+    over the merged tagged occurrence array — at each occurrence the
+    window ENDING there scores sum(w_j : last_seen_j inside window);
+    exact because any window shrinks rightward to end at its last
+    matched occurrence without losing terms.  Same pruned-scan +
+    one-shuffle shape as the span operators; the oracle's
+    anchor x in-window self-join is the quadratic shape this avoids.
+    """
+    terms = sorted(term_weights)
+    n = len(terms)
+    if n == 0:
+        raise ValueError("no weighted terms")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    grouped = (
+        positions.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("term", "positions"))).alias("m"))
+    )
+    tag = lambda col, s: F.transform(  # noqa: E731
+        col, lambda x: F.struct(x.cast("long").alias("pos"),
+                                F.lit(s).alias("src")))
+    merged = F.array_sort(F.concat(*[
+        tag(F.coalesce(F.col("m")[t], F.array().cast("array<int>")), i)
+        for i, t in enumerate(terms)]))
+
+    fields = [f"s{i}" for i in range(n)]
+    init = F.struct(*(
+        [F.lit(-1).cast("long").alias(f) for f in fields]
+        + [F.lit(-1).cast("long").alias("best"),
+           F.lit(0).cast("long").alias("bend"),
+           F.lit(0).cast("long").alias("bcnt")]))
+
+    def step(acc, e):
+        new = [F.when(e["src"] == j, e["pos"]).otherwise(acc[f"s{j}"])
+               for j in range(n)]
+        # the -1 "never seen" sentinel must fail the window test even
+        # when pos - window < -1 (windows touching position 0)
+        inside = [(nj >= 0) & (nj > e["pos"] - window) for nj in new]
+        score = None
+        cnt = None
+        for j in range(n):
+            w = F.when(inside[j], F.lit(int(term_weights[terms[j]]))
+                       ).otherwise(F.lit(0)).cast("long")
+            one = F.when(inside[j], F.lit(1)).otherwise(F.lit(0)).cast("long")
+            score = w if score is None else score + w
+            cnt = one if cnt is None else cnt + one
+        better = score > acc["best"]
+        return F.struct(
+            *[c.alias(f"s{j}") for j, c in enumerate(new)],
+            F.when(better, score).otherwise(acc["best"]).alias("best"),
+            F.when(better, e["pos"]).otherwise(acc["bend"]).alias("bend"),
+            F.when(better, cnt).otherwise(acc["bcnt"]).alias("bcnt"))
+
+    agg = F.aggregate(merged, init, step)
+    return (
+        grouped.select("doc_id", agg.alias("a"))
+        .filter(F.col("a")["best"] > 0)
+        .select(
+            "doc_id",
+            F.greatest(F.lit(0),
+                       F.col("a")["bend"] - F.lit(window - 1))
+            .cast("int").alias("win_start"),
+            F.col("a")["best"].alias("score_micro"),
+            F.col("a")["bcnt"].cast("int").alias("n_terms"))
+    )

@@ -523,6 +523,61 @@ def search_lmjm(spark: SparkSession, index: DataFrameIndex, query: str,
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def search_pl2(spark: SparkSession, index: DataFrameIndex, query: str,
+               k: int = 5, c: float = 1.0,
+               stem: bool = False) -> DataFrame:
+    """PL2 divergence-from-randomness retrieval (Amati & van
+    Rijsbergen 2002; Terrier's default DFR model) — Poisson
+    randomness, Laplace first normalization, length normalization 2:
+
+        tfn      = tf * log2(1 + c * avg_dl / dl)
+        lambda_t = cf_t / N
+        score    = sum_t qtf_t / (tfn + 1) *
+                   ( tfn * log2(tfn / lambda_t)
+                     + (lambda_t - tfn) * log2(e)
+                     + 0.5 * log2(2 * pi * tfn) )
+
+    Unlike the LM scorers a term contributes ONLY where tf > 0, so the
+    matched-postings plan needs no decomposition at all: the same
+    pruned postings >< broadcast(query terms + lambda) >< docinfo join
+    and one hash agg as BM25, all weighting in whole-stage codegen.
+    """
+    bag = parse_query(query, stem=stem)
+    if not bag:
+        return spark.createDataFrame([], "doc_id long, score double")
+    rows = index.dictionary.filter(
+        F.col("term").isin(list(bag))).select("term", "cf").collect()
+    cfs = {r["term"]: int(r["cf"]) for r in rows if r["cf"]}
+    terms = sorted(t for t in bag if t in cfs)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n_docs = float(index.n_docs)
+    avg_dl = float(index.avg_doc_len)
+
+    qdf = spark.createDataFrame(
+        [(t, float(bag[t]), cfs[t] / n_docs) for t in terms],
+        "term string, qtf double, lam double")
+    hits = (
+        index.postings
+        .join(F.broadcast(qdf), "term")
+        .join(index.docinfo.select("doc_id", "doc_len"), "doc_id")
+    )
+    ln2 = math.log(2.0)
+    tfn = F.col("tf") * F.log(
+        F.lit(1.0) + F.lit(c * avg_dl) / F.col("doc_len")) / F.lit(ln2)
+    lam = F.col("lam")
+    gain = (tfn * F.log(tfn / lam) / F.lit(ln2)
+            + (lam - tfn) * F.lit(math.log2(math.e))
+            + F.lit(0.5) * F.log(F.lit(2.0 * math.pi) * tfn) / F.lit(ln2))
+    partial = F.col("qtf") / (tfn + F.lit(1.0)) * gain
+    scores = (
+        hits.select("doc_id", partial.alias("partial"))
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def collapse_topk(scored: DataFrame, keys: DataFrame, key_col: str,
                   k: int) -> DataFrame:
     """Field collapsing (the Elasticsearch ``collapse`` analogue): keep

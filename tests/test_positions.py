@@ -326,3 +326,96 @@ class TestSpanNear:
                for r in span_near_search(rel, ["aa", "bb", "cc"], 7,
                                          True).collect()}
         assert got == {1: 3, 2: 4}
+
+
+class TestPhraseBoost:
+    def test_boost_reranks_phrase_doc(self, spark):
+        """Two docs with identical BM25 bags; only one has the exact
+        phrase — it must win, by exactly boost*ln(2) (phrase_tf=1)."""
+        import math
+
+        from ir_spark.operators.build import build_dataframe_index
+        from ir_spark.operators.positions import (search_phrase_boosted,
+                                                  token_positions)
+        from ir_spark.operators.query import search
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"),
+             (2, "beta alpha gamma delta")],
+            "doc_id long, text string")
+        idx = build_dataframe_index(docs)
+        rel = token_positions(docs)
+        base = {r.doc_id: r.score
+                for r in search(spark, idx, "alpha beta", k=2).collect()}
+        assert base[1] == pytest.approx(base[2])
+        boosted = {r.doc_id: r.score for r in search_phrase_boosted(
+            spark, idx, rel, "alpha beta", ["alpha", "beta"],
+            k=2, boost=0.7).collect()}
+        assert boosted[1] == pytest.approx(base[1] + 0.7 * math.log(2))
+        assert boosted[2] == pytest.approx(base[2])
+
+    def test_rejects_non_query_phrase(self, spark):
+        from ir_spark.operators.build import build_dataframe_index
+        from ir_spark.operators.positions import (search_phrase_boosted,
+                                                  token_positions)
+
+        docs = spark.createDataFrame([(1, "alpha beta")],
+                                     "doc_id long, text string")
+        idx = build_dataframe_index(docs)
+        rel = token_positions(docs)
+        with pytest.raises(ValueError):
+            search_phrase_boosted(spark, idx, rel, "alpha",
+                                  ["alpha", "zeta"], k=1)
+
+
+class TestBestWindowSnippets:
+    """best_window_snippets: exact max-weight window, earliest tie."""
+
+    def _brute(self, texts, weights, W):
+        want = {}
+        for doc_id, text in texts:
+            toks = tokenize(text)
+            best = None
+            for end in range(len(toks)):
+                if toks[end] not in weights:
+                    continue
+                lo = max(0, end - W + 1)
+                seen = {t for t in toks[lo:end + 1] if t in weights}
+                sc = sum(weights[t] for t in seen)
+                if best is None or sc > best[1]:
+                    best = (max(0, end - W + 1), sc, len(seen))
+            if best is not None:
+                want[doc_id] = best
+        return want
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        from ir_spark.operators.positions import best_window_snippets
+
+        rng = random.Random(23)
+        vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+        texts = [(i, " ".join(rng.choice(vocab)
+                              for _ in range(rng.randint(2, 50))))
+                 for i in range(60)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        rel = token_positions(df)
+        weights = {"aa": 500000, "bb": 900000, "cc": 1500000}
+        for W in (1, 3, 8):
+            got = {r.doc_id: (r.win_start, r.score_micro, r.n_terms)
+                   for r in best_window_snippets(rel, weights, W).collect()}
+            assert got == self._brute(texts, weights, W), W
+
+    def test_semantics_hand_case(self, spark):
+        from ir_spark.operators.positions import best_window_snippets
+
+        df = spark.createDataFrame(
+            [(1, "aa xx xx bb cc xx aa bb"),   # best: [3,5] bb+cc? vs [6,7] aa+bb
+             (2, "xx yy zz")],                  # no match -> absent
+            "doc_id long, text string")
+        rel = token_positions(df)
+        w = {"aa": 10, "bb": 20, "cc": 70}
+        out = {r.doc_id: (r.win_start, r.score_micro, r.n_terms)
+               for r in best_window_snippets(rel, w, 3).collect()}
+        # windows of 3: [2,4]=bb+cc=90 beats [5,7]=aa+bb=30
+        assert out == {1: (2, 90, 2)}

@@ -362,3 +362,43 @@ def test_lmjm_rejects_bad_lambda(spark, both):
     for lam in (0.0, 1.0, -0.2, 1.5):
         with pytest.raises(ValueError):
             search_lmjm(spark, idx, QUERIES[0], lam=lam)
+
+
+# --- PL2 divergence from randomness ---------------------------------------
+
+PL2_C = 1.0
+
+
+def _py_pl2(oracle, query, c=PL2_C, k=K):
+    """Textbook PL2: matched terms only, log2 everywhere."""
+    bag = parse_query(query)
+    cf = {t: sum(tf for _, tf in oracle.postings.get(t, ()))
+          for t in bag}
+    terms = sorted(t for t in bag if cf.get(t))
+    if not terms:
+        return []
+    n = len(oracle.docinfo)
+    avg_dl = sum(v[0] for v in oracle.docinfo.values()) / n
+    out = {}
+    for t in terms:
+        lam = cf[t] / n
+        for d, tf in oracle.postings[t]:
+            dl = oracle.docinfo[d][0]
+            tfn = tf * math.log2(1 + c * avg_dl / dl)
+            gain = (tfn * math.log2(tfn / lam)
+                    + (lam - tfn) * math.log2(math.e)
+                    + 0.5 * math.log2(2 * math.pi * tfn))
+            out[d] = out.get(d, 0.0) + bag[t] / (tfn + 1.0) * gain
+    rows = sorted(out.items(), key=lambda r: (-round(r[1] * 1e6), r[0]))
+    return [(d, round(s * 1e6)) for d, s in rows[:k]]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_pl2_matches_bruteforce(spark, both, query):
+    from ir_spark.operators.query import search_pl2
+
+    idx, oracle = both
+    got = [(r["doc_id"], round(r["score"] * 1e6))
+           for r in search_pl2(spark, idx, query, k=K, c=PL2_C).collect()]
+    want = _py_pl2(oracle, query)
+    assert got == want
