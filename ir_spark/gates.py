@@ -1055,6 +1055,93 @@ HAVING MIN({width}) - 3 <= {SPAN_SLOP}
 """
 
 
+SDM_MU, SDM_WINDOW = 1000.0, 8
+SDM_LAMBDAS = (0.85, 0.1, 0.05)
+
+
+def _sdm_pairs() -> list[tuple[str, str]]:
+    seq = [t for t in tokenize(FLAGSHIP_QUERY) if t not in STOPWORDS]
+    return [(a, b) for a, b in zip(seq, seq[1:]) if a != b]
+
+
+def q_sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential dependence model top-k (operators/sdm.py::
+    search_sdm — Metzler & Croft 2005): unigram + ordered-bigram +
+    unordered-window-8 Dirichlet features over one pruned positional
+    scan."""
+    from .operators.positions import read_positional_store
+    from .operators.sdm import search_sdm
+
+    idx = _df_index(spark, sf_dir)
+    terms = sorted(
+        t for t in set(tokenize(FLAGSHIP_QUERY)) if t not in STOPWORDS)
+    rel = read_positional_store(spark, _pos_store_dir(spark, sf_dir), terms)
+    raw = search_sdm(spark, idx, rel, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                     mu=SDM_MU, window=SDM_WINDOW, lambdas=SDM_LAMBDAS)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_sdm_topk() -> str:
+    lt, lo, lu = SDM_LAMBDAS
+    mu, w = SDM_MU, SDM_WINDOW
+    pairs = _sdm_pairs()
+    ctes, score_terms, join_sql = [], [f"{lt} * u.s"], []
+    for i, (a, b) in enumerate(pairs):
+        ctes.append(f"""po{i} AS (
+  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM seq a
+  JOIN seq b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{a}' AND b.term = '{b}' GROUP BY a.doc_id)""")
+        ctes.append(f"""pu{i} AS (
+  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM seq a
+  JOIN seq b ON b.doc_id = a.doc_id AND ABS(b.pos - a.pos) < {w}
+  WHERE a.term = '{a}' AND b.term = '{b}' GROUP BY a.doc_id)""")
+        ctes.append(f"cfo{i} AS (SELECT CAST(COALESCE(SUM(tf), 0) AS DOUBLE)"
+                    f" AS v FROM po{i})")
+        ctes.append(f"cfu{i} AS (SELECT CAST(COALESCE(SUM(tf), 0) AS DOUBLE)"
+                    f" AS v FROM pu{i})")
+        join_sql.append(f"LEFT JOIN po{i} ON po{i}.doc_id = u.doc_id")
+        join_sql.append(f"LEFT JOIN pu{i} ON pu{i}.doc_id = u.doc_id")
+        join_sql.append(f"CROSS JOIN cfo{i}")
+        join_sql.append(f"CROSS JOIN cfu{i}")
+        score_terms.append(
+            f"CASE WHEN cfo{i}.v > 0 THEN {lo} * LN((COALESCE(po{i}.tf, 0)"
+            f" + {mu} * cfo{i}.v / coll.c) / (d.doc_len + {mu}))"
+            f" ELSE 0.0 END")
+        score_terms.append(
+            f"CASE WHEN cfu{i}.v > 0 THEN {lu} * LN((COALESCE(pu{i}.tf, 0)"
+            f" + {mu} * cfu{i}.v / coll.c) / (d.doc_len + {mu}))"
+            f" ELSE 0.0 END")
+    nl = ",\n"
+    return f"""
+WITH {TOKS_CTE},
+{SEQ_CTE.strip()},
+{_sql_query_terms()},
+qd AS (SELECT q.term, q.qtf, t.cf FROM qterms q JOIN dict t USING (term)),
+coll AS (SELECT CAST(SUM(cf) AS DOUBLE) AS c FROM dict),
+cand AS (SELECT DISTINCT p.doc_id AS doc_id FROM postings p JOIN qd USING (term)),
+{nl.join(ctes)},
+u AS (
+  SELECT cand.doc_id,
+         SUM(q.qtf * LN((COALESCE(p.tf, 0) + {mu} * q.cf / coll.c)
+                        / (d.doc_len + {mu}))) AS s
+  FROM cand
+  CROSS JOIN qd q
+  CROSS JOIN coll
+  LEFT JOIN postings p ON p.doc_id = cand.doc_id AND p.term = q.term
+  JOIN docinfo d ON d.doc_id = cand.doc_id
+  GROUP BY cand.doc_id
+)
+SELECT u.doc_id,
+       CAST(ROUND(({" + ".join(score_terms)}) * 1000000) AS BIGINT)
+         AS score_micro
+FROM u
+JOIN docinfo d ON d.doc_id = u.doc_id
+CROSS JOIN coll
+{" ".join(join_sql)}
+ORDER BY score_micro DESC, u.doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 SNIPPET_BW_WINDOW = 8
 
 
@@ -2661,6 +2748,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_topk": q_qld_topk,
         "lmjm_topk": q_lmjm_topk,
         "pl2_topk": q_pl2_topk,
+        "sdm_topk": q_sdm_topk,
         "keywords_tfidf": q_keywords_tfidf,
         "qld_segment_topk": q_qld_segment_topk,
         "bm25_topk_maxscore": q_bm25_topk_maxscore,
@@ -2725,6 +2813,7 @@ def core_oracle_sql() -> dict[str, str]:
         "qld_topk": sql_qld_topk(),
         "lmjm_topk": sql_lmjm_topk(),
         "pl2_topk": sql_pl2_topk(),
+        "sdm_topk": sql_sdm_topk(),
         "keywords_tfidf": sql_keywords_tfidf(),
         "qld_segment_topk": sql_qld_topk(),
         "bm25_topk_maxscore": sql_bm25_topk(),

@@ -60,6 +60,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "w2_topk": ["doc_id", "score_micro"],
         "lmjm_topk": ["doc_id", "score_micro"],
         "pl2_topk": ["doc_id", "score_micro"],
+        "sdm_topk": ["doc_id", "score_micro"],
         "dismax_topk": ["doc_id", "score_micro"],
         "sharded_bm25_topk": ["doc_id", "score_micro"],
         "sharded_pruned_bm25_topk": ["doc_id", "score_micro"],
