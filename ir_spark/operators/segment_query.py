@@ -369,6 +369,96 @@ def _make_qld_run_kernel(qcf: dict[str, tuple[float, float]], *,
     return kernel
 
 
+def _make_lmjm_run_kernel(qcf: dict[str, tuple[float, float]], *,
+                          c_total: float, lam: float, const: float,
+                          range_width: int, top_k: int, deleted=None):
+    """applyInPandas kernel for Jelinek-Mercer query likelihood over
+    one doc-range run (query.py::search_lmjm's decomposition, numpy
+    form): acc += qtf*ln(1 + (1-lam)*tf*C/(lam*dl*cf)) per matched
+    posting; score = const + acc — no doc-length term outside the
+    matched sum, so no doc-stat pass at all."""
+    ratio = (1.0 - lam) / lam
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        run = int(pdf["run"].iloc[0])
+        base = run * range_width
+        acc = np.zeros(range_width, dtype=np.float64)
+        touched = np.zeros(range_width, dtype=bool)
+        for row in pdf.itertuples(index=False):
+            tw = qcf.get(row.term)
+            if tw is None:
+                continue
+            qtf, cf = tw
+            ids = codec.delta_decode(row.doc_gaps_vb)
+            tfs = codec.varbyte_decode(row.tfs_vb).astype(np.float64)
+            dls = codec.varbyte_decode(row.doc_lens_vb).astype(np.float64)
+            off = ids - base
+            acc[off] += qtf * np.log1p(ratio * tfs * c_total / (dls * cf))
+            touched[off] = True
+        _mask_deleted_offsets(touched, deleted, base, range_width)
+        idx = np.flatnonzero(touched)
+        if idx.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"})
+        scores = const + acc[idx]
+        doc_ids = idx + base
+        if top_k and idx.size > top_k:
+            order = np.lexsort((doc_ids, -scores))[:top_k]
+            doc_ids, scores = doc_ids[order], scores[order]
+        return pd.DataFrame({"doc_id": doc_ids.astype(np.int64),
+                             "score": scores})
+
+    return kernel
+
+
+def _make_pl2_run_kernel(qcf: dict[str, tuple[float, float]], *,
+                         avg_dl: float, c: float, range_width: int,
+                         top_k: int, deleted=None):
+    """applyInPandas kernel for PL2 divergence-from-randomness over
+    one doc-range run (query.py::search_pl2, numpy form).  Matched
+    terms only; log2 computed as ln/ln2 with the SAME double constants
+    as the Catalyst expressions, so the engines stay bit-comparable.
+    ``qcf`` maps term -> (qtf, lambda_t = cf/N)."""
+    ln2 = math.log(2.0)
+    log2e = math.log2(math.e)
+    two_pi = 2.0 * math.pi
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        run = int(pdf["run"].iloc[0])
+        base = run * range_width
+        acc = np.zeros(range_width, dtype=np.float64)
+        touched = np.zeros(range_width, dtype=bool)
+        for row in pdf.itertuples(index=False):
+            tw = qcf.get(row.term)
+            if tw is None:
+                continue
+            qtf, lam = tw
+            ids = codec.delta_decode(row.doc_gaps_vb)
+            tfs = codec.varbyte_decode(row.tfs_vb).astype(np.float64)
+            dls = codec.varbyte_decode(row.doc_lens_vb).astype(np.float64)
+            off = ids - base
+            tfn = tfs * (np.log(1.0 + c * avg_dl / dls) / ln2)
+            gain = (tfn * (np.log(tfn / lam) / ln2)
+                    + (lam - tfn) * log2e
+                    + 0.5 * (np.log(two_pi * tfn) / ln2))
+            acc[off] += qtf / (tfn + 1.0) * gain
+            touched[off] = True
+        _mask_deleted_offsets(touched, deleted, base, range_width)
+        idx = np.flatnonzero(touched)
+        if idx.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"})
+        scores = acc[idx]
+        doc_ids = idx + base
+        if top_k and idx.size > top_k:
+            order = np.lexsort((doc_ids, -scores))[:top_k]
+            doc_ids, scores = doc_ids[order], scores[order]
+        return pd.DataFrame({"doc_id": doc_ids.astype(np.int64),
+                             "score": scores})
+
+    return kernel
+
+
 def _make_wand_partition_kernel(weights: dict[str, float],
                                 dfs: dict[str, int], *,
                                 mode: str, n_docs: int, avg_dl: float,
@@ -793,7 +883,8 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
                     k: int = 5, mode: str = "bm25", k1: float = 1.2,
                     b: float = 0.75, stem: bool = False,
                     strategy: str = "exhaustive",
-                    mu: float = 1000.0,
+                    mu: float = 1000.0, lam: float = 0.1,
+                    pl2_c: float = 1.0,
                     prune_counters: dict | None = None,
                     df_override: dict[str, int] | None = None,
                     cf_override: dict[str, int] | None = None,
@@ -831,25 +922,46 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
         return spark.createDataFrame([], SCORE_SCHEMA)
     terms = sorted(bag)
 
-    if mode == "qld":
+    if mode in ("qld", "lmjm", "pl2"):
+        # the cf-statistics LM family: same pruned scan + one
+        # run-keyed Python pass, kernels differ only in the per-posting
+        # accumulation and the driver-side constants
         cfs = cf_override if cf_override is not None else sidx.cf_of(terms)
         qterms = sorted(t for t in bag if t in cfs)
         if not qterms:
             return spark.createDataFrame([], SCORE_SCHEMA)
         c_total = (float(cf_total_override) if cf_total_override is not None
                    else float(sidx.cf_total()))
-        const = sum(bag[t] * _math.log(mu * cfs[t] / c_total)
-                    for t in qterms)
-        q_len = float(sum(bag[t] for t in qterms))
         buckets = sorted({storage.term_bucket_py(t, sidx.n_buckets)
                           for t in qterms})
         hits = sidx.segments.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(qterms))
-        kernel = _make_qld_run_kernel(
-            {t: (float(bag[t]), float(cfs[t])) for t in qterms},
-            c_total=c_total, mu=mu, const=const, q_len=q_len,
-            range_width=sidx.range_width, top_k=k,
-            deleted=sidx.deleted_bc())
+        if mode == "qld":
+            const = sum(bag[t] * _math.log(mu * cfs[t] / c_total)
+                        for t in qterms)
+            q_len = float(sum(bag[t] for t in qterms))
+            kernel = _make_qld_run_kernel(
+                {t: (float(bag[t]), float(cfs[t])) for t in qterms},
+                c_total=c_total, mu=mu, const=const, q_len=q_len,
+                range_width=sidx.range_width, top_k=k,
+                deleted=sidx.deleted_bc())
+        elif mode == "lmjm":
+            if not 0.0 < lam < 1.0:
+                raise ValueError("lam must be in (0, 1)")
+            const = sum(bag[t] * _math.log(lam * cfs[t] / c_total)
+                        for t in qterms)
+            kernel = _make_lmjm_run_kernel(
+                {t: (float(bag[t]), float(cfs[t])) for t in qterms},
+                c_total=c_total, lam=lam, const=const,
+                range_width=sidx.range_width, top_k=k,
+                deleted=sidx.deleted_bc())
+        else:
+            n_docs = float(sidx.n_docs)
+            kernel = _make_pl2_run_kernel(
+                {t: (float(bag[t]), cfs[t] / n_docs) for t in qterms},
+                avg_dl=float(sidx.avg_doc_len), c=pl2_c,
+                range_width=sidx.range_width, top_k=k,
+                deleted=sidx.deleted_bc())
         scored = hits.groupBy("run").applyInPandas(kernel, SCORE_SCHEMA)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

@@ -107,25 +107,26 @@ def global_term_stats(shards: list[SegmentIndex], terms: list[str],
 def search_sharded(spark: SparkSession, shards: list[SegmentIndex],
                    query: str, k: int = 5, mode: str = "bm25",
                    k1: float = 1.2, b: float = 0.75, stem: bool = False,
-                   strategy: str = "auto", mu: float = 1000.0) -> DataFrame:
+                   strategy: str = "auto", mu: float = 1000.0,
+                   lam: float = 0.1, pl2_c: float = 1.0) -> DataFrame:
     """Two-phase federated top-k over document-partitioned shards ->
     (url, score), k rows ordered by (score DESC, url ASC).
 
     Rank- and score-identical to a single index over the union corpus
     (see module docstring for why k-per-shard gather is lossless).
     """
-    if mode not in ("bm25", "qld"):
+    if mode not in ("bm25", "qld", "lmjm", "pl2"):
         raise ValueError(
-            "sharded search supports bm25/qld; cosine norms are a "
-            "shard-local build artifact (refresh against global stats "
-            "first)")
+            "sharded search supports bm25 and the cf-statistics LM "
+            "family (qld/lmjm/pl2); cosine norms are a shard-local "
+            "build artifact (refresh against global stats first)")
     out_schema = "url string, score double"
     bag = parse_query(query, stem=stem)
     if not bag or not shards:
         return spark.createDataFrame([], out_schema)
     terms = sorted(bag)
 
-    g = global_term_stats(shards, terms, with_cf=(mode == "qld"))
+    g = global_term_stats(shards, terms, with_cf=(mode != "bm25"))
     if g["n_docs"] == 0:
         return spark.createDataFrame([], out_schema)
 
@@ -137,7 +138,7 @@ def search_sharded(spark: SparkSession, shards: list[SegmentIndex],
         object.__setattr__(gview, "_dfs", s._dfs)
         local = search_segments(
             spark, gview, query, k=k, mode=mode, k1=k1, b=b, stem=stem,
-            strategy=strategy, mu=mu,
+            strategy=strategy, mu=mu, lam=lam, pl2_c=pl2_c,
             df_override=g["df"] if mode == "bm25" else None,
             cf_override=g.get("cf"), cf_total_override=g.get("cf_total"))
         doc_map = spark.read.parquet(index_paths(s.index_dir)["doc_map"])

@@ -57,7 +57,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="text file, one query per line")
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--mode", default="bm25",
-                    choices=["bm25", "w1", "w2", "qld"])
+                    choices=["bm25", "w1", "w2", "qld", "lmjm", "pl2"])
+    ap.add_argument("--lam", type=float, default=0.1,
+                    help="Jelinek-Mercer collection weight (--mode lmjm)")
+    ap.add_argument("--pl2-c", type=float, default=1.0,
+                    help="PL2 length-normalization c (--mode pl2)")
     ap.add_argument("--mu", type=float, default=1000.0,
                     help="Dirichlet smoothing for --mode qld")
     ap.add_argument("--k1", type=float, default=1.2)
@@ -102,8 +106,8 @@ def main(argv: list[str] | None = None) -> int:
             .getOrCreate()
         )
 
-    if args.batch and args.mode == "qld":
-        ap.error("--batch supports bm25/w1/w2 (qld scores per query)")
+    if args.batch and args.mode in ("qld", "lmjm", "pl2"):
+        ap.error("--batch supports bm25/w1/w2 (LM modes score per query)")
     if bool(args.index_dir) == bool(args.shards):
         ap.error("exactly one of --index-dir / --shards is required")
 
@@ -132,7 +136,7 @@ def main(argv: list[str] | None = None) -> int:
                 hits = search_sharded(
                     spark, shards, q, k=args.k, mode=args.mode, k1=args.k1,
                     b=args.b, stem=args.stem, strategy=args.strategy,
-                    mu=args.mu).collect()
+                    mu=args.mu, lam=args.lam, pl2_c=args.pl2_c).collect()
             for rank, row in enumerate(hits, start=1):
                 all_rows.append((qid, q, rank, row["url"],
                                  float(row["score"])))
@@ -172,7 +176,7 @@ def main(argv: list[str] | None = None) -> int:
             hits = search_segments(
                 spark, sidx, q, k=args.k, mode=args.mode, k1=args.k1,
                 b=args.b, stem=args.stem, strategy=args.strategy,
-                mu=args.mu,
+                mu=args.mu, lam=args.lam, pl2_c=args.pl2_c,
             ).collect()
             for rank, row in enumerate(hits, start=1):
                 all_rows.append((qid, q, rank, int(row["doc_id"]),

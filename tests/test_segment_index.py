@@ -154,6 +154,35 @@ class TestSegmentQueryParity:
             for (gd, gs), (wd, ws) in zip(got, want):
                 assert abs(gs - ws) < 1e-9, (mode, q)
 
+    @pytest.mark.parametrize("mode", ("lmjm", "pl2"))
+    def test_lm_family_matches_dataframe_engine(self, spark, sidx,
+                                                pages_small, mode):
+        """The segment kernels for Jelinek-Mercer and PL2 must be
+        rank- and score-identical to the DataFrame operators (which
+        are themselves brute-force-verified in test_qld.py)."""
+        from ir_spark.operators import build as B
+        from ir_spark.operators import query as Q
+
+        path, _ = pages_small
+        pages = spark.read.parquet(path)
+        raw = B.assign_doc_ids(pages)
+        docs = pages.join(raw, "url").select("doc_id", "text")
+        idx = B.build_dataframe_index(docs)
+        for q in REFERENCE_QUERIES[:5] + EDGE_QUERIES:
+            if mode == "lmjm":
+                want_df = Q.search_lmjm(spark, idx, q, k=5, lam=0.1)
+                got_df = SQ.search_segments(spark, sidx, q, k=5,
+                                            mode="lmjm", lam=0.1)
+            else:
+                want_df = Q.search_pl2(spark, idx, q, k=5, c=1.0)
+                got_df = SQ.search_segments(spark, sidx, q, k=5,
+                                            mode="pl2", pl2_c=1.0)
+            want = [(r["doc_id"], r["score"]) for r in want_df.collect()]
+            got = [(r["doc_id"], r["score"]) for r in got_df.collect()]
+            assert [d for d, _ in got] == [d for d, _ in want], (mode, q)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9, (mode, q)
+
     @pytest.mark.parametrize("mode", MODES)
     def test_batch_equals_per_query(self, spark, sidx, mode):
         """search_segments_batch scores the whole workload in one pass
