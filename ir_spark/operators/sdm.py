@@ -107,15 +107,22 @@ def search_sdm(spark: SparkSession, index, positions: DataFrame,
     if not bag:
         return spark.createDataFrame([], "doc_id long, score double")
     seq = [t for t in tokenize(query, stem=stem) if t not in STOPWORDS]
-    rows = index.dictionary.filter(
-        F.col("term").isin(list(bag))).select("term", "cf").collect()
-    cfs = {r["term"]: int(r["cf"]) for r in rows if r["cf"]}
+    # duck-typed statistics: a SegmentIndex aggregates dictionary
+    # DELTA rows via cf_of()/cf_total(); the DataFrameIndex probes its
+    # flat dictionary directly
+    if hasattr(index, "cf_of"):
+        cfs = {t: int(v) for t, v in index.cf_of(sorted(bag)).items() if v}
+        c_total = float(index.cf_total())
+    else:
+        rows = index.dictionary.filter(
+            F.col("term").isin(list(bag))).select("term", "cf").collect()
+        cfs = {r["term"]: int(r["cf"]) for r in rows if r["cf"]}
+        c_total = float(collection_cf_total(index))
     terms = sorted(t for t in bag if t in cfs)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     pairs = [(a, b) for a, b in zip(seq, seq[1:])
              if a in cfs and b in cfs and a != b]
-    c_total = float(collection_cf_total(index))
 
     grouped = (
         positions.filter(F.col("term").isin(terms))

@@ -141,6 +141,10 @@ class SegmentIndex:
         return self._cached("dictionary")
 
     @property
+    def docinfo(self) -> DataFrame:
+        return self._cached("docinfo")
+
+    @property
     def norms(self) -> DataFrame:
         return self._cached("norms")
 

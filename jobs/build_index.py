@@ -70,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="docs per posting run (doc-range sharding width)")
     ap.add_argument("--segment-groups", type=int, default=4,
                     help="independent segment jobs = resume granularity")
+    ap.add_argument("--positions-dir", default=None, metavar="DIR",
+                    help="also build the term-bucketed positional store "
+                         "(phrase / span-near / SDM serving) with doc ids "
+                         "aligned to this index's doc_map")
     ap.add_argument("--local-cpus", type=int, default=None,
                     help="run on local[N] instead of the submitted master "
                          "(sandbox/bench use)")
@@ -110,12 +114,22 @@ def main(argv: list[str] | None = None) -> int:
         range_width=args.range_width or DEFAULT_RANGE_WIDTH,
         segment_groups=args.segment_groups,
     )
-    print(json.dumps({
+    out = {
         "index_dir": report.index_dir,
         "stages_run": report.stages_run,
         "stages_skipped": report.stages_skipped,
         "metrics": report.metrics,
-    }))
+    }
+    if args.positions_dir:
+        from ir_spark.operators.positions import build_positional_store
+        from ir_spark.operators.segments import index_paths
+
+        doc_map = spark.read.parquet(index_paths(args.index_dir)["doc_map"])
+        docs = pages.join(doc_map, "url").select("doc_id", "text")
+        build_positional_store(spark, docs, args.positions_dir,
+                               stem=args.stem)
+        out["positions_dir"] = args.positions_dir
+    print(json.dumps(out))
     return 0
 
 

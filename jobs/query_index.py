@@ -57,7 +57,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="text file, one query per line")
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--mode", default="bm25",
-                    choices=["bm25", "w1", "w2", "qld", "lmjm", "pl2"])
+                    choices=["bm25", "w1", "w2", "qld", "lmjm", "pl2",
+                             "sdm"])
+    ap.add_argument("--positions-dir", default=None, metavar="DIR",
+                    help="positional store (build_index --positions-dir); "
+                         "required for --mode sdm / --phrase / --span-near")
+    ap.add_argument("--phrase", action="store_true",
+                    help="treat each query line as an EXACT PHRASE: rank "
+                         "by (phrase_tf desc, doc_id)")
+    ap.add_argument("--span-near", action="store_true",
+                    help="treat each query line as span-near clauses: rank "
+                         "by (min_span asc, doc_id); see --slop/--unordered")
+    ap.add_argument("--slop", type=int, default=4)
+    ap.add_argument("--unordered", action="store_true")
     ap.add_argument("--lam", type=float, default=0.1,
                     help="Jelinek-Mercer collection weight (--mode lmjm)")
     ap.add_argument("--pl2-c", type=float, default=1.0,
@@ -106,8 +118,13 @@ def main(argv: list[str] | None = None) -> int:
             .getOrCreate()
         )
 
-    if args.batch and args.mode in ("qld", "lmjm", "pl2"):
+    if args.batch and args.mode in ("qld", "lmjm", "pl2", "sdm"):
         ap.error("--batch supports bm25/w1/w2 (LM modes score per query)")
+    if (args.mode == "sdm" or args.phrase or args.span_near) \
+            and not args.positions_dir:
+        ap.error("--mode sdm / --phrase / --span-near need --positions-dir")
+    if args.phrase and args.span_near:
+        ap.error("--phrase and --span-near are exclusive")
     if bool(args.index_dir) == bool(args.shards):
         ap.error("exactly one of --index-dir / --shards is required")
 
@@ -171,6 +188,51 @@ def main(argv: list[str] | None = None) -> int:
             for row in sorted(by_q.get(qid0, []), key=lambda r: r["rank"]):
                 all_rows.append((qid0 + 1, q, int(row["rank"]),
                                  int(row["doc_id"]), float(row["score"])))
+    elif args.phrase or args.span_near:
+        from pyspark.sql import functions as F
+
+        from ir_spark.operators.positions import (phrase_search,
+                                                  read_positional_store,
+                                                  span_near_search)
+        from ir_spark.text import tokenize
+
+        for qid, q in enumerate(queries, start=1):
+            terms = tokenize(q, stem=args.stem)
+            if len(terms) < (1 if args.phrase else 2):
+                continue
+            rel = read_positional_store(spark, args.positions_dir,
+                                        sorted(set(terms)))
+            if args.phrase:
+                hits = (phrase_search(rel, terms)
+                        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+                        .limit(args.k).collect())
+                rows = [(int(r["doc_id"]), float(r["phrase_tf"]))
+                        for r in hits]
+            else:
+                hits = (span_near_search(rel, terms, args.slop,
+                                         ordered=not args.unordered)
+                        .orderBy(F.asc("min_span"), F.asc("doc_id"))
+                        .limit(args.k).collect())
+                rows = [(int(r["doc_id"]), float(r["min_span"]))
+                        for r in hits]
+            for rank, (doc_id, score) in enumerate(rows, start=1):
+                all_rows.append((qid, q, rank, doc_id, score))
+    elif args.mode == "sdm":
+        from ir_spark.operators.positions import read_positional_store
+        from ir_spark.operators.sdm import search_sdm
+        from ir_spark.text import STOPWORDS, tokenize
+
+        for qid, q in enumerate(queries, start=1):
+            terms = sorted(set(t for t in tokenize(q, stem=args.stem)
+                               if t not in STOPWORDS))
+            if not terms:
+                continue
+            rel = read_positional_store(spark, args.positions_dir, terms)
+            hits = search_sdm(spark, sidx, rel, q, k=args.k, mu=args.mu,
+                              stem=args.stem).collect()
+            for rank, row in enumerate(hits, start=1):
+                all_rows.append((qid, q, rank, int(row["doc_id"]),
+                                 float(row["score"])))
     else:
         for qid, q in enumerate(queries, start=1):
             hits = search_segments(

@@ -466,3 +466,83 @@ def test_sharded_query_job(tmp_path, capsys):
             "--local-cpus", "8"])
     with pytest.raises(SystemExit):
         query_index.main(["--queries", str(qfile), "--local-cpus", "8"])
+
+
+def test_positional_serving_cli(tmp_path, capsys):
+    """build_index --positions-dir + query_index --phrase / --span-near /
+    --mode sdm: the CLI serves the positional surface end-to-end, with
+    results equal to the operators run directly."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import build_index
+    import query_index
+
+    pages = generate_pages(120, seed=13)
+    src = str(tmp_path / "pages.parquet")
+    pages_to_parquet(pages, src)
+    idx = str(tmp_path / "idx")
+    pos = str(tmp_path / "pos")
+    assert build_index.main([
+        "--input", src, "--index-dir", idx, "--positions-dir", pos,
+        "--segment-groups", "1", "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+
+    from ir_spark.session import get_spark
+    spark = get_spark("test_jobs_pos")
+
+    # pick a phrase that actually occurs: first two indexable tokens of
+    # some doc
+    from ir_spark.text import STOPWORDS, tokenize
+    toks = [t for t in tokenize(pages[0].text) if t not in STOPWORDS]
+    phrase = " ".join(toks[:2])
+    qfile = tmp_path / "q.txt"
+    qfile.write_text(phrase + "\n")
+
+    out_ph = str(tmp_path / "out_phrase")
+    assert query_index.main([
+        "--index-dir", idx, "--queries", str(qfile), "--k", "5",
+        "--positions-dir", pos, "--phrase",
+        "--output", out_ph, "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+    ph_rows = spark.read.parquet(out_ph).collect()
+    assert len(ph_rows) >= 1
+    from ir_spark.operators.positions import (phrase_search,
+                                              read_positional_store,
+                                              span_near_search)
+    rel = read_positional_store(spark, pos, sorted(set(phrase.split())))
+    want = {r["doc_id"]: r["phrase_tf"]
+            for r in phrase_search(rel, phrase.split()).collect()}
+    for r in ph_rows:
+        assert want[r["doc_id"]] == r["score"]
+
+    out_sp = str(tmp_path / "out_span")
+    assert query_index.main([
+        "--index-dir", idx, "--queries", str(qfile), "--k", "5",
+        "--positions-dir", pos, "--span-near", "--slop", "6",
+        "--unordered", "--output", out_sp, "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+    sp_rows = spark.read.parquet(out_sp).collect()
+    want_sp = {r["doc_id"]: r["min_span"] for r in span_near_search(
+        rel, phrase.split(), 6, ordered=False).collect()}
+    assert len(sp_rows) >= 1
+    for r in sp_rows:
+        assert want_sp[r["doc_id"]] == r["score"]
+
+    # SDM over the segment index + store == SDM over the operators
+    out_sdm = str(tmp_path / "out_sdm")
+    q2 = " ".join(toks[:3])
+    qfile.write_text(q2 + "\n")
+    assert query_index.main([
+        "--index-dir", idx, "--queries", str(qfile), "--k", "5",
+        "--positions-dir", pos, "--mode", "sdm",
+        "--output", out_sdm, "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+    got = [(r["rank"], r["doc_id"], round(r["score"], 9))
+           for r in spark.read.parquet(out_sdm).collect()]
+    from ir_spark.operators.sdm import search_sdm
+    from ir_spark.operators.segment_query import SegmentIndex
+    sidx = SegmentIndex.load(spark, idx)
+    rel2 = read_positional_store(spark, pos, sorted(set(q2.split())))
+    want_sdm = [(i + 1, r["doc_id"], round(r["score"], 9))
+                for i, r in enumerate(
+                    search_sdm(spark, sidx, rel2, q2, k=5).collect())]
+    assert sorted(got) == sorted(want_sdm)
