@@ -269,6 +269,28 @@ def main() -> None:
         extras["ann_ivf_recall_at10"] = recall
         extras["ann_ivf_n_cells"] = n_cells
         shutil.rmtree(ivf_dir, ignore_errors=True)
+
+        # PQ: 32x-compressed codes, ADC top-10 recall vs exact cosine
+        from ir_spark.operators.similarity import (pq_encode,
+                                                   pq_topk,
+                                                   pq_train_kmeans)
+
+        wants = [{r.vec_id for r in cosine_topk(emb, qv, k=10).collect()}
+                 for qv in qvs]
+        pq_curve = {}
+        for m, ksub in ((8, 16), (8, 64), (8, 256), (16, 256)):
+            books = pq_train_kmeans(emb, m=m, ksub=ksub, sample=10_000,
+                                    seed=7)
+            codes = pq_encode(emb, books)
+            tot = 0.0
+            for qv, want in zip(qvs, wants):
+                got = {r["vec_id"]
+                       for r in pq_topk(codes, books, qv, k=10).collect()}
+                tot += len(got & want) / 10
+            pq_curve[f"m={m},ksub={ksub} ({m}B/vec, "
+                     f"{round(m / (4 * 64) * 100, 1)}% of f32)"] = round(
+                tot / len(qvs), 4)
+        extras["ann_pq_recall_at10"] = pq_curve
     except Exception as exc:
         _err(f"ann recall phase failed: {exc}")
 

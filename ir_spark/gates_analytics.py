@@ -1095,6 +1095,70 @@ def sql_ann_ivf_index_topk() -> str:
     return sql_ann_cosine_topk()
 
 
+PQ_M, PQ_KSUB = 8, 16  # 64 dims -> 8 subspaces x 8 comps, 16 centroids
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.py::
+    pq_encode/pq_topk, Jégou et al. 2011): vectors compressed to m=8
+    one-byte codes (32x), ranked by the LUT inner product.  The gate
+    uses the deterministic SAMPLED codebook (sub-vectors of
+    vec_id<16) so the oracle re-derives the exact codes; left-assoc
+    float accumulation keeps argmin assignments engine-identical."""
+    from .operators.similarity import pq_encode, pq_sampled_codebook, pq_topk
+
+    emb = _emb(spark, sf_dir)
+    books = pq_sampled_codebook(emb, m=PQ_M, ksub=PQ_KSUB)
+    codes = pq_encode(emb, books)
+    qv = _query_vec(spark, sf_dir)
+    raw = pq_topk(codes, books, qv, k=ANN_K * 5)
+    return _rerank_vec(raw.select("vec_id", "score"), ANN_K)
+
+
+def sql_ann_pq_topk() -> str:
+    m, ksub = PQ_M, PQ_KSUB
+    dsub = 64 // m
+
+    def el(tbl: str, col: str, j: int, i: int) -> str:
+        return f"CAST({tbl}.{col}[{j * dsub + i + 1}] AS DOUBLE)"
+
+    code_ctes, score_exprs, joins = [], [], []
+    for j in range(m):
+        dist = " + ".join(
+            f"(({el('v', 'embedding', j, i)} - {el('c', 'embedding', j, i)})"
+            f" * ({el('v', 'embedding', j, i)} - {el('c', 'embedding', j, i)}))"
+            for i in range(dsub))
+        code_ctes.append(f"""code{j} AS (
+  SELECT vec_id, c FROM (
+    SELECT v.vec_id, c.vec_id AS c,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist} ASC, c.vec_id ASC) AS rn
+    FROM embeddings v CROSS JOIN cent c) _r{j}
+  WHERE rn = 1)""")
+        dot = " + ".join(
+            f"({el('q', 'qe', j, i)} * {el('c', 'embedding', j, i)})"
+            for i in range(dsub))
+        score_exprs.append(f"({dot})")
+        joins.append(f"JOIN code{j} ON code{j}.vec_id = e.vec_id "
+                     f"JOIN cent c{j} ON c{j}.vec_id = code{j}.c")
+    # rebind each subspace's centroid alias inside its dot expression
+    score = " + ".join(
+        expr.replace("c.embedding", f"c{j}.embedding")
+        for j, expr in enumerate(score_exprs))
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings
+           WHERE vec_id = {ANN_QUERY_VEC_ID}),
+cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {ksub}),
+{",".join(code_ctes)}
+SELECT e.vec_id,
+       CAST(ROUND(({score}) * 1000000) AS BIGINT) AS score_micro
+FROM embeddings e
+CROSS JOIN q
+{" ".join(joins)}
+ORDER BY score_micro DESC, e.vec_id ASC LIMIT {ANN_K}
+"""
+
+
 HYBRID_K = 10
 
 
@@ -3582,6 +3646,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index_topk": q_ann_ivf_index_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_combmnz_topk": q_hybrid_combmnz_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3653,6 +3718,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
         "ann_ivf_index_topk": sql_ann_ivf_index_topk(),
+        "ann_pq_topk": sql_ann_pq_topk(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "hybrid_combmnz_topk": sql_hybrid_combmnz_topk(),
         "embedding_near_dup": sql_embedding_near_dup(),

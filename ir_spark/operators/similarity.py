@@ -274,3 +274,149 @@ def srp_signatures(emb: DataFrame, *, dim: int, n_bits: int = 32,
     sig = " + ".join(bit_terms)
     return emb.select(F.col(id_col).alias("vec_id"),
                       F.expr(sig).alias("simhash"))
+
+
+# --- product quantization (Jégou et al. 2011) --------------------------------
+#
+# The vector-side compression analogue of the posting codecs: a D-dim
+# float32 vector (4D bytes) becomes m uint8 codes (m bytes, e.g. 64
+# dims -> 8 bytes, 32x), and top-k search runs over CODES with an
+# asymmetric-distance LUT (m*ksub floats per query) — the standard
+# billion-vector memory-residency trick (FAISS IndexPQ).  Encoding is
+# a narrow vectorized map; search reads only the code column.
+#
+# Float discipline: per-subspace distances / dot products accumulate
+# LEFT-ASSOCIATIVELY component by component (a Python loop over dsub
+# vectorized numpy ops, NOT np.sum's pairwise tree), matching the
+# unrolled `(..((t1+t2)+t3)..)` expressions a SQL oracle emits — so an
+# argmin code assignment never flips on summation order across
+# engines.  Ties break to the smallest centroid id on both sides.
+
+
+def pq_sampled_codebook(emb: DataFrame, *, m: int, ksub: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> "np.ndarray":
+    """Deterministic data-sampled codebook: the sub-vectors of the
+    ``ksub`` smallest-id vectors.  Crude vs k-means (use
+    ``pq_train_kmeans`` for quality) but exactly re-derivable by any
+    engine from the table alone — the oracle-friendly init."""
+    import numpy as np
+
+    rows = (emb.filter(F.col(id_col) < ksub)
+            .select(id_col, vec_col).collect())
+    if len(rows) < ksub:
+        raise ValueError(f"need >= {ksub} vectors for the sampled codebook")
+    mat = np.array([r[1] for r in sorted(rows, key=lambda r: r[0])],
+                   dtype=np.float64)
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError("dim must divide into m subspaces")
+    return mat.reshape(ksub, m, d // m).transpose(1, 0, 2).copy()
+
+
+def pq_train_kmeans(emb: DataFrame, *, m: int, ksub: int,
+                    sample: int = 10_000, iters: int = 10, seed: int = 7,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> "np.ndarray":
+    """Per-subspace Lloyd k-means on a bounded deterministic sample
+    (hash-ordered smallest ids) -> codebooks (m, ksub, dsub).  Training
+    touches <= ``sample`` driver-side vectors no matter the corpus
+    size; encoding (the corpus-wide pass) stays distributed."""
+    import numpy as np
+
+    rows = (emb.select(id_col, vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(sample).collect())
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    n, d = mat.shape
+    if d % m:
+        raise ValueError("dim must divide into m subspaces")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        x = mat[:, j * dsub:(j + 1) * dsub]
+        cents = x[rng.choice(n, size=ksub, replace=n < ksub)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                pts = x[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def _pq_subspace_dists(sub: "np.ndarray", cents: "np.ndarray") -> "np.ndarray":
+    """(n, dsub) x (ksub, dsub) -> (n, ksub) squared L2, accumulated
+    left-associatively over components (see module note)."""
+    import numpy as np
+
+    n, dsub = sub.shape
+    out = np.zeros((n, cents.shape[0]), dtype=np.float64)
+    for i in range(dsub):
+        diff = sub[:, i:i + 1] - cents[None, :, i]
+        out = out + diff * diff
+    return out
+
+
+def pq_encode(emb: DataFrame, codebooks: "np.ndarray", *,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, vector) -> (vec_id, codes array<int>): per subspace the
+    nearest centroid id.  Arrow-batched vectorized kernel; narrow map,
+    zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    m, ksub, dsub = codebooks.shape
+    books = codebooks.copy()
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                d2 = _pq_subspace_dists(
+                    mat[:, j * dsub:(j + 1) * dsub], books[j])
+                codes[:, j] = d2.argmin(axis=1)  # first min = smallest c
+            yield pd.DataFrame({"vec_id": pdf[id_col].values,
+                                "codes": list(codes)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kernel, schema="vec_id long, codes array<int>")
+
+
+def pq_topk(codes: DataFrame, codebooks: "np.ndarray",
+            query_vec: list, k: int = 10) -> DataFrame:
+    """Asymmetric-distance top-k inner product over PQ codes ->
+    (vec_id, score): score = sum_j <q_j, centroid_{j, code_j}> via an
+    (m, ksub) lookup table — the scan reads ONLY the m-byte codes.
+    With normalized inputs this approximates cosine ranking."""
+    import numpy as np
+    import pandas as pd
+
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError("query dim mismatch")
+    lut = np.zeros((m, ksub), dtype=np.float64)
+    for j in range(m):
+        for i in range(dsub):
+            lut[j] = lut[j] + q[j * dsub + i] * codebooks[j, :, i]
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cd = np.array(list(pdf["codes"]), dtype=np.int64)
+            s = np.zeros(len(pdf), dtype=np.float64)
+            for j in range(m):
+                s = s + lut[j][cd[:, j]]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].values, "score": s})
+
+    scored = codes.mapInPandas(kernel, schema="vec_id long, score double")
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)

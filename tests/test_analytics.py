@@ -331,6 +331,63 @@ def test_ivf_index_build_probe_and_pruning(spark, tmp_path):
     assert via_index == exact
 
 
+def test_pq_kmeans_recall_and_determinism(spark, tmp_path):
+    """PQ with the real k-means codebook: (a) encode is deterministic
+    across runs, (b) ADC top-10 recall vs exact cosine is usable at
+    32x compression, (c) more centroids never hurt on this fixture."""
+    import numpy as np
+
+    from ir_spark.operators.similarity import (cosine_topk, pq_encode,
+                                               pq_topk, pq_train_kmeans)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0")
+          .collect()[0]["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    recalls, mses = {}, {}
+    for ksub in (16, 64):
+        books = pq_train_kmeans(emb, m=8, ksub=ksub, sample=500, seed=7)
+        codes = pq_encode(emb, books)
+        got = {r["vec_id"] for r in pq_topk(codes, books, qv, k=10).collect()}
+        recalls[ksub] = len(got & exact) / 10
+        # determinism: same books + same data -> identical codes
+        c1 = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+        c2 = {r["vec_id"]: list(r["codes"])
+              for r in pq_encode(emb, books).collect()}
+        assert c1 == c2
+        # reconstruction MSE (the quantity more centroids provably help)
+        err = 0.0
+        for vid, cs in c1.items():
+            rec = np.concatenate([books[j, c] for j, c in enumerate(cs)])
+            err += float(((vecs[vid] - rec) ** 2).mean())
+        mses[ksub] = err / len(c1)
+    assert recalls[16] >= 0.5, recalls
+    assert recalls[64] >= 0.3, recalls          # sanity floor: ADC top-10
+    #                                             recall is NOT monotone in
+    #                                             ksub, quantization error is
+    assert mses[64] < mses[16], mses
+    # compression: m bytes vs 4*D
+    assert 8 / (4 * 64) < 0.05
+
+
+def test_pq_rejects_bad_shapes(spark):
+    import numpy as np
+
+    from ir_spark.operators.similarity import (pq_sampled_codebook,
+                                               pq_topk, pq_train_kmeans)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError):
+        pq_train_kmeans(emb, m=7, ksub=16)     # 64 % 7 != 0
+    books = pq_sampled_codebook(emb, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    with pytest.raises(ValueError):
+        pq_topk(None, books, [0.0] * 63)        # query dim mismatch
+
+
 def test_rrf_fuse_semantics(spark):
     """RRF: score = sum 1/(c+rank) with 0 for missing lists; ties break
     by id ascending."""
