@@ -133,12 +133,31 @@ def main() -> None:
         return ids.map(
             lambda a: max(0, len(interpolative_encode(a)) - 12))
 
+    # Simple-9 (word-aligned, Anh & Moffat 2005) on the per-run GAP
+    # streams — same real-encoder treatment, 4-byte count headers
+    # excluded to match the Elias accounting
+    @_pudf("long")
+    def _s9_payload_bytes(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ir_spark.codec import simple9_encode
+
+        def _sz(a):
+            a = np.asarray(a, dtype=np.int64)
+            g = np.diff(a, prepend=a[0] - 1) if len(a) else a
+            return max(0, len(simple9_encode(g)) - 4)
+
+        return ids.map(_sz)
+
     runs = flat.groupBy(
         "term",
         F.floor(F.col("doc_id") / bench_range_width).alias("run")).agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids"))
-    extras["gap_stream_interp_bytes"] = int(
-        runs.agg(F.sum(_interp_payload_bytes("ids"))).collect()[0][0] or 0)
+    interp_b, s9_b = runs.agg(
+        F.sum(_interp_payload_bytes("ids")),
+        F.sum(_s9_payload_bytes("ids"))).collect()[0]
+    extras["gap_stream_interp_bytes"] = int(interp_b or 0)
+    extras["gap_stream_simple9_bytes"] = int(s9_b or 0)
 
     # dictionary compression evidence (C4/C5/C6): fixed-width vs
     # length-prefixed vs blocked front-coding on the real vocabulary —

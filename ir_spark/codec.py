@@ -612,3 +612,93 @@ def dict_size_bytes(terms: list[str], k: int = DICT_BLOCK) -> dict:
         "length_prefixed_bytes": lp,
         "frontcoded_bytes": len(frontcode_encode(terms, k)),
     }
+
+
+# --- Simple-9 word-aligned codec (Anh & Moffat 2005) -------------------------
+#
+# The third classic codec family next to the bit-level Elias codes and
+# the byte-level varbyte store: pack as many gaps as possible into each
+# 32-bit word under a 4-bit selector + 28 payload bits.  Its virtue is
+# DECODE speed — one selector branch per word, then fixed shift/mask —
+# which is why Lucene-era engines shipped it; the decode below is fully
+# vectorized per selector class (numpy shift/mask over all words of a
+# class at once, no per-value loop).  Like gamma/delta/interpolative
+# this is an evidence codec for the size/speed comparison bench.py
+# emits; the production store stays delta+varbyte (D6).  Values must
+# fit in 28 bits (posting GAPS at any corpus size in a doc-range run:
+# run width is 2^param bits; tf values likewise).
+
+# selector -> (count, bits): the 9 ways to fill 28 payload bits.
+SIMPLE9_MODES: tuple[tuple[int, int], ...] = (
+    (28, 1), (14, 2), (9, 3), (7, 4), (5, 5), (4, 7), (3, 9), (2, 14),
+    (1, 28),
+)
+_S9_MAX = (1 << 28) - 1
+
+
+def simple9_encode(values: np.ndarray | list[int]) -> bytes:
+    """Greedy Simple-9: for each word pick the densest mode whose next
+    ``count`` values all fit in ``bits``.  uint32-count header like the
+    Elias codecs (the last word may be partially filled)."""
+    v = np.asarray(values, dtype=np.uint64)
+    header = np.uint32(v.size).tobytes()
+    if v.size == 0:
+        return header
+    if int(v.max()) > _S9_MAX:
+        raise ValueError("Simple-9 payload is 28 bits")
+    bl = _bit_lengths(v)  # bitlen(0) == 1 there: 0 packs fine
+    n = v.size
+    words = np.empty(n, dtype=np.uint32)  # upper bound: 1 value/word
+    w = 0
+    pos = 0
+    while pos < n:
+        for sel, (count, bits) in enumerate(SIMPLE9_MODES):
+            take = min(count, n - pos)
+            if take < count and sel < len(SIMPLE9_MODES) - 1:
+                # a partial word only at the densest mode that fits all
+                # REMAINING values in wider slots; otherwise keep trying
+                # narrower modes
+                if int(bl[pos:pos + take].max()) <= bits:
+                    pass  # candidate: remaining values fit this mode
+                else:
+                    continue
+            elif int(bl[pos:pos + take].max()) > bits:
+                continue
+            word = np.uint32(sel) << np.uint32(28)
+            shift = 0
+            for x in v[pos:pos + take]:
+                word |= np.uint32(x) << np.uint32(shift)
+                shift += bits
+            words[w] = word
+            w += 1
+            pos += take
+            break
+    return header + words[:w].tobytes()
+
+
+def simple9_decode(buf: bytes) -> np.ndarray:
+    """Vectorized per selector class: one shift/mask pass per (sel,
+    slot) pair — at most sum(count per mode) = 70 numpy ops total,
+    independent of stream length."""
+    n = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    words = np.frombuffer(buf[4:], dtype=np.uint32)
+    sels = (words >> np.uint32(28)).astype(np.int64)
+    counts = np.array([c for c, _ in SIMPLE9_MODES], dtype=np.int64)[sels]
+    # output offset of each word's first value; the LAST word may hold
+    # fewer than its mode's count — clamp to n
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    for sel, (count, bits) in enumerate(SIMPLE9_MODES):
+        idx = np.flatnonzero(sels == sel)
+        if idx.size == 0:
+            continue
+        mask = np.uint32((1 << bits) - 1)
+        wsel = words[idx]
+        base = starts[idx]
+        for slot in range(count):
+            pos = base + slot
+            ok = pos < n
+            out[pos[ok]] = (wsel[ok] >> np.uint32(slot * bits)) & mask
+    return out

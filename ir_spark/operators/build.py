@@ -176,5 +176,8 @@ def build_dataframe_index(pages: DataFrame, stem: bool = False,
         docinfo=docinfo,
         dictionary=dictionary,
         n_docs=int(stats["n"]),
-        avg_doc_len=float(stats["avg_dl"]),
+        # empty corpus: avg() is NULL — an index with no docs must
+        # still construct (query paths all return empty cleanly)
+        avg_doc_len=float(stats["avg_dl"]) if stats["avg_dl"] is not None
+        else 0.0,
     )

@@ -331,3 +331,64 @@ class TestInterpolative:
         # gamma codes a unit gap in 1 bit, so dense runs are cheap for
         # both; BIC still wins because aligned dense sub-ranges cost 0
         assert interp < gamma, (interp, gamma)
+
+
+class TestSimple9:
+    """Word-aligned Simple-9 (Anh & Moffat 2005)."""
+
+    def test_empty_and_singleton(self):
+        from ir_spark.codec import simple9_decode, simple9_encode
+
+        assert simple9_decode(simple9_encode([])).size == 0
+        assert simple9_decode(simple9_encode([0])).tolist() == [0]
+        assert simple9_decode(simple9_encode([2**28 - 1])).tolist() == [2**28 - 1]
+
+    def test_mode_table(self):
+        from ir_spark.codec import SIMPLE9_MODES
+
+        # the canonical 9 selectors, every mode fits the 28 payload bits
+        assert len(SIMPLE9_MODES) == 9
+        assert all(c * b <= 28 for c, b in SIMPLE9_MODES)
+        assert (28, 1) in SIMPLE9_MODES and (1, 28) in SIMPLE9_MODES
+
+    def test_dense_packing(self):
+        from ir_spark.codec import simple9_encode
+
+        # 28 one-bit values -> header + exactly ONE 32-bit word
+        assert len(simple9_encode([1] * 28)) == 4 + 4
+        # 29 -> two words (28 + partial 1)
+        assert len(simple9_encode([1] * 29)) == 4 + 8
+
+    def test_rejects_over_28_bits(self):
+        from ir_spark.codec import simple9_encode
+
+        with pytest.raises(ValueError):
+            simple9_encode([1 << 28])
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**28 - 1),
+                    max_size=300))
+    @settings(max_examples=150, deadline=None)
+    def test_roundtrip(self, values):
+        from ir_spark.codec import simple9_decode, simple9_encode
+
+        assert simple9_decode(simple9_encode(values)).tolist() == values
+
+    def test_beats_varbyte_on_small_gaps(self):
+        from ir_spark.codec import simple9_encode, varbyte_encode
+
+        rng = np.random.default_rng(7)
+        gaps = rng.integers(1, 8, size=10_000, dtype=np.uint64)
+        s9 = len(simple9_encode(gaps)) - 4
+        vb = len(varbyte_encode(gaps))
+        assert s9 < vb  # ~3 bits vs 8 bits per gap
+
+    def test_large_roundtrip_mixed_widths(self):
+        from ir_spark.codec import simple9_decode, simple9_encode
+
+        rng = np.random.default_rng(11)
+        # mix widths so every selector class appears
+        parts = [rng.integers(0, 2**b, size=5000, dtype=np.uint64)
+                 for b in (1, 2, 3, 4, 5, 7, 9, 14, 28)]
+        v = np.concatenate(parts)
+        rng.shuffle(v)
+        assert (simple9_decode(simple9_encode(v)) == v).all()
