@@ -437,6 +437,69 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
 """
 
 
+IMPACT_LEVELS = 64
+
+
+def q_impact_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered SAAT retrieval (operators/impact.py, Anh &
+    Moffat 2006): per-posting BM25 micro-quantized, then mapped to
+    IMPACT_LEVELS uniform integer impacts by pure integer arithmetic;
+    query score = qtf-weighted integer impact sum.  Deterministic
+    end-to-end (per-posting micro reproducibility is the same contract
+    score_explain already proves), so the oracle recomputes the whole
+    quantization in SQL."""
+    from .operators.impact import build_impact_index, search_impacts
+
+    idx = _df_index(spark, sf_dir)
+    imp = build_impact_index(idx, levels=IMPACT_LEVELS)
+    return (search_impacts(spark, imp, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP)
+            .select("doc_id", F.col("score").alias("score_micro")))
+
+
+def q_impact_pruned_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRUNED impact path (search_impacts_pruned): candidates from
+    impact >= cutoff postings only, full-list rescore, accepted only
+    under the losslessness certificate — so the oracle is the SAME
+    unpruned SQL; a hash match proves the pruning lost nothing."""
+    from .operators.impact import build_impact_index, search_impacts_pruned
+
+    idx = _df_index(spark, sf_dir)
+    imp = build_impact_index(idx, levels=IMPACT_LEVELS)
+    df, _cutoff = search_impacts_pruned(spark, imp, idx, FLAGSHIP_QUERY,
+                                        k=K_FLAGSHIP)
+    return df.select("doc_id", F.col("score").alias("score_micro"))
+
+
+def sql_impact_bm25_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+scored AS (
+  SELECT p.term, p.doc_id,
+         CAST(ROUND((LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl)))
+           * 1000000) AS BIGINT) AS m
+  FROM postings p
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+mx AS (SELECT MAX(m) AS mm FROM scored),
+imp AS (
+  SELECT term, doc_id, 1 + (m * {IMPACT_LEVELS - 1}) // mx.mm AS impact
+  FROM scored CROSS JOIN mx
+),
+hits AS (
+  SELECT i.doc_id, i.impact * q.qtf AS partial
+  FROM imp i JOIN qterms q USING (term)
+)
+SELECT doc_id, CAST(SUM(partial) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 def q_bm25_topk_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stemmed index + stemmed query, BM25 top-k — the reference's stem
     variant (stats.md:10,22-24) as a full-value gate."""
@@ -2724,6 +2787,8 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_stem": q_bm25_topk_stem,
         "champion_bm25_topk": q_champion_bm25_topk,
         "bm25_two_phase_topk": q_bm25_two_phase_topk,
+        "impact_bm25_topk": q_impact_bm25_topk,
+        "impact_pruned_bm25_topk": q_impact_pruned_bm25_topk,
         "score_explain": q_score_explain,
         "synonym_bm25_topk": q_synonym_bm25_topk,
         "date_histogram": q_date_histogram,
@@ -2789,6 +2854,9 @@ def core_oracle_sql() -> dict[str, str]:
         "bm25_topk_stem": sql_bm25_topk(stem=True),
         "champion_bm25_topk": sql_champion_bm25_topk(),
         "bm25_two_phase_topk": sql_bm25_two_phase_topk(),
+        "impact_bm25_topk": sql_impact_bm25_topk(),
+        # pruning is certified lossless -> the unpruned oracle applies
+        "impact_pruned_bm25_topk": sql_impact_bm25_topk(),
         "score_explain": sql_score_explain(),
         "synonym_bm25_topk": sql_synonym_bm25_topk(),
         "date_histogram": sql_date_histogram(),

@@ -64,6 +64,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "dismax_topk": ["doc_id", "score_micro"],
         "sharded_bm25_topk": ["doc_id", "score_micro"],
         "sharded_pruned_bm25_topk": ["doc_id", "score_micro"],
+        "impact_bm25_topk": ["doc_id", "score_micro"],
+        "impact_pruned_bm25_topk": ["doc_id", "score_micro"],
         "clarity_scores": ["clarity_micro", "n_model_terms", "query_id"],
     },
     "lexicon_suite": {

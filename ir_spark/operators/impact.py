@@ -1,0 +1,152 @@
+"""Impact-ordered index + score-at-a-time retrieval (Anh & Moffat,
+"Pruned query evaluation using pre-computed impacts", SIGIR 2006).
+
+The third classic query-evaluation strategy next to this repo's
+document-at-a-time block-max WAND (``segment_query``) and its
+term-at-a-time MaxScore gate: quantize each posting's FULL scoring
+contribution at INDEX time into a small integer *impact*, store
+postings grouped by (term, impact) in decreasing impact order, and
+evaluate queries by summing impacts — integer adds, no per-posting
+float math, and early termination falls out of the ordering because
+every unprocessed posting of a term is bounded by the last impact
+level seen.
+
+Determinism contract (driver gates): the per-posting BM25 score is
+micro-quantized to int64 FIRST (the repo-wide 1e-6 convention that
+absorbs float summation-order noise), then the impact is pure integer
+arithmetic — ``1 + (micro * (levels-1)) div max_micro`` — so DuckDB
+reproduces the table bit-for-bit.
+
+Scale shape:
+- build: per-posting scoring joins dictionary on ``term`` (the key the
+  build shuffle already produced) and docinfo on ``doc_id`` — a
+  one-time build-side cost identical in shape to the norms sweep (A7);
+  the global ``max_micro`` is ONE scalar aggregate.  At 100 TB the
+  impact relation is written bucketed by term exactly like the posting
+  segments, so a query prunes to its terms' buckets.
+- query: broadcast the query bag, one groupBy(doc_id) over integer
+  impacts — the narrowest possible accumulation (SAAT engines exist
+  because integer adds beat float BM25 in the hot loop).
+- pruned query: candidates come from postings with ``impact >= c``
+  only; candidates are then rescored over their FULL impact lists, and
+  the result is accepted only when the k-th candidate's score clears
+  the certificate ``sum_t qtf_t * (c - 1)`` — an upper bound on any
+  non-candidate's score, since every posting a non-candidate has for a
+  query term sits strictly below ``c``.  Accepted results are
+  therefore IDENTICAL to the unpruned ranking (lossless, like WAND);
+  on certificate failure the cutoff halves (worst case c=1 == the
+  exhaustive plan).
+
+Reference scope note: the reference engine (QueryParser.java) scores
+full posting lists with floats at query time; impact ordering is
+additive surface for the web-scale payload, like champions and WAND.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import DataFrameIndex
+from .query import doc_weight_expr, query_weights
+
+MICRO = 1_000_000
+
+
+@dataclass(frozen=True)
+class ImpactIndex:
+    """(term, doc_id, impact) with impact in [1, levels]."""
+
+    impacts: DataFrame
+    levels: int
+    max_micro: int
+
+
+def build_impact_index(index: DataFrameIndex, levels: int = 64,
+                       mode: str = "bm25", k1: float = 1.2,
+                       b: float = 0.75) -> ImpactIndex:
+    """Score EVERY posting with the exact engine expression, quantize
+    to ``levels`` uniform integer impacts.  ``levels`` is the
+    fidelity/space knob (Anh & Moffat report 5-6 bits suffice; the
+    quality pytest shows overlap@k vs exact BM25 monotone in it)."""
+    w = doc_weight_expr(mode, index.n_docs, index.avg_doc_len, k1, b)
+    scored = (index.postings
+              .join(index.dictionary.select("term", "df"), "term")
+              .join(index.docinfo, "doc_id")
+              .select("term", "doc_id",
+                      F.round(w * MICRO).cast("long").alias("m")))
+    max_micro = scored.agg(F.max("m")).collect()[0][0]
+    if not max_micro or max_micro <= 0:  # empty index
+        return ImpactIndex(
+            scored.select("term", "doc_id",
+                          F.lit(1).cast("long").alias("impact")),
+            levels, 0)
+    # pure INTEGER arithmetic end-to-end (`div`, not float division):
+    # DuckDB's `//` reproduces it bit-for-bit in the gate oracle
+    impacts = scored.select(
+        "term", "doc_id",
+        F.expr(f"1 + (m * {levels - 1}) div {int(max_micro)}")
+        .cast("long").alias("impact"))
+    return ImpactIndex(impacts, levels, int(max_micro))
+
+
+def search_impacts(spark: SparkSession, imp: ImpactIndex,
+                   index: DataFrameIndex, query: str, k: int | None = 5,
+                   stem: bool = False) -> DataFrame:
+    """Unpruned SAAT: integer impact sum per doc, weighted by query
+    term frequency; (score DESC, doc_id ASC) tie-break (D8).  Returns
+    (doc_id, score) with score the integer impact sum."""
+    weights, _ = query_weights(index, query, "bm25", stem=stem)
+    if not weights:
+        return spark.createDataFrame([], "doc_id long, score long")
+    qdf = spark.createDataFrame(
+        [(t, int(round(w))) for t, w in weights.items()],
+        "term string, qtf long")
+    scores = (imp.impacts
+              .join(F.broadcast(qdf), "term")
+              .groupBy("doc_id")
+              .agg(F.sum(F.col("impact") * F.col("qtf")).alias("score")))
+    if k is None:
+        return scores
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_impacts_pruned(spark: SparkSession, imp: ImpactIndex,
+                          index: DataFrameIndex, query: str, k: int = 5,
+                          cutoff: int | None = None,
+                          stem: bool = False) -> tuple[DataFrame, int]:
+    """Certified lossless pruning: only postings with
+    ``impact >= cutoff`` propose candidates; candidates are rescored
+    over their FULL lists; accept iff the k-th candidate's score >=
+    ``sum_t qtf_t * (cutoff - 1)`` (no non-candidate can exceed that),
+    else halve the cutoff and retry — c=1 degenerates to exhaustive.
+
+    Returns (top-k DataFrame, accepted cutoff) — the cutoff is the
+    pruning-effectiveness evidence the caller can log."""
+    weights, _ = query_weights(index, query, "bm25", stem=stem)
+    if not weights:
+        return spark.createDataFrame([], "doc_id long, score long"), 1
+    qdf = spark.createDataFrame(
+        [(t, int(round(w))) for t, w in weights.items()],
+        "term string, qtf long")
+    qtf_total = int(sum(int(round(w)) for w in weights.values()))
+    matched = imp.impacts.join(F.broadcast(qdf), "term")
+
+    c = imp.levels // 2 if cutoff is None else cutoff
+    while True:
+        cands = (matched.filter(F.col("impact") >= c)
+                 .select("doc_id").distinct())
+        rescored = (matched
+                    .join(F.broadcast(cands), "doc_id", "left_semi")
+                    .groupBy("doc_id")
+                    .agg(F.sum(F.col("impact") * F.col("qtf"))
+                         .alias("score")))
+        top = rescored.orderBy(F.desc("score"), F.asc("doc_id")) \
+                      .limit(k).collect()
+        bound = qtf_total * (c - 1)
+        if c <= 1 or (len(top) == k and top[-1]["score"] >= bound):
+            return spark.createDataFrame(
+                top, "doc_id long, score long"), c
+        c = max(1, c // 2)
