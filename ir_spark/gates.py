@@ -2654,6 +2654,29 @@ ORDER BY df DESC, term ASC LIMIT {WILDCARD_K}
 """
 
 
+INFIX_PATTERN, INFIX_K = "ust", 10
+
+
+def q_substring_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Infix term search via the character-trigram index
+    (operators/lexicon.py::substring_terms, the pg_trgm shape):
+    candidates match ALL pattern trigrams in one pruned index probe,
+    then a real contains() verifies; the oracle brute-forces the
+    contains over the vocabulary."""
+    from .operators.lexicon import substring_terms
+
+    idx = _df_index(spark, sf_dir)
+    return substring_terms(idx.dictionary, INFIX_PATTERN, k=INFIX_K)
+
+
+def sql_substring_terms() -> str:
+    return f"""
+WITH {TOKS_CTE}
+SELECT term, df FROM dict WHERE position('{INFIX_PATTERN}' IN term) > 0
+ORDER BY df DESC, term ASC LIMIT {INFIX_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2837,6 +2860,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm_topk": q_bm25_msm_topk,
         "prefix_terms": q_prefix_terms,
         "wildcard_terms": q_wildcard_terms,
+        "substring_terms": q_substring_terms,
         "fuzzy_terms": q_fuzzy_terms,
         "bm25f_topk": q_bm25f_topk,
         "dismax_topk": q_dismax_topk,
@@ -2905,6 +2929,7 @@ def core_oracle_sql() -> dict[str, str]:
         "bm25_msm_topk": sql_bm25_msm_topk(),
         "prefix_terms": sql_prefix_terms(),
         "wildcard_terms": sql_wildcard_terms(),
+        "substring_terms": sql_substring_terms(),
         "fuzzy_terms": sql_fuzzy_terms(),
         "bm25f_topk": sql_bm25f_topk(),
         "dismax_topk": sql_dismax_topk(),

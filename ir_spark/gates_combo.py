@@ -75,6 +75,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "bm25_msm_topk": ["doc_id", "score_micro"],
         "prefix_terms": ["df", "term"],
         "wildcard_terms": ["df", "term"],
+        "substring_terms": ["df", "term"],
         "fuzzy_terms": ["df", "dist", "term"],
         "selective_prf_topk": ["doc_id", "expanded", "query_id",
                                "score_micro"],

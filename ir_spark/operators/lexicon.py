@@ -130,6 +130,40 @@ def trigram_index(dictionary: DataFrame) -> DataFrame:
             .select("trigram", "term", "df"))
 
 
+def substring_terms(dictionary: DataFrame, pattern: str,
+                    k: int = 10) -> DataFrame:
+    """Top-k dictionary terms CONTAINING ``pattern`` anywhere (infix
+    search — the pg_trgm / code-search shape) ranked by df desc, term
+    asc -> (term, df).
+
+    A substring's inner trigrams are a subset of the term's, so the
+    candidate set is the trigram-index terms matching ALL of the
+    pattern's trigrams (one pruned probe of the gram-sorted index +
+    a count-distinct agg), verified by a real ``contains`` — never a
+    LIKE '%..%' scan over the vocabulary.  Patterns shorter than 3
+    chars cannot use the index and fall back to the verified scan
+    (documented: engines bound this with a min-length or an n-gram
+    sidecar at n=2).
+    """
+    q = pattern.strip().lower()
+    if not q:
+        raise ValueError("empty pattern")
+    ranked = (F.desc("df"), F.asc("term"))
+    if len(q) < 3:
+        return (dictionary.filter(F.col("term").contains(q))
+                .select("term", F.col("df").cast("long").alias("df"))
+                .orderBy(*ranked).limit(k))
+    qgrams = sorted({q[i:i + 3] for i in range(len(q) - 2)})
+    tri = trigram_index(dictionary)
+    cand = (tri.filter(F.col("trigram").isin(qgrams))
+            .groupBy("term", "df")
+            .agg(F.countDistinct("trigram").alias("n_hit"))
+            .filter(F.col("n_hit") == len(qgrams)))
+    return (cand.filter(F.col("term").contains(q))
+            .select("term", "df")
+            .orderBy(*ranked).limit(k))
+
+
 def fuzzy_terms(dictionary: DataFrame, query_term: str, k: int = 5,
                 max_dist: int = 2, min_shared: int = 2) -> DataFrame:
     """Trigram-blocked "did you mean": candidates = dictionary terms

@@ -161,6 +161,27 @@ def test_wildcard_terms_permuterm(spark):
         wildcard_terms(d, "noglob")
 
 
+def test_substring_terms_trigram_index(spark):
+    """Infix search over the trigram index equals brute-force contains
+    for mid-string, prefix-position, suffix-position, and whole-term
+    patterns; short (<3) patterns take the verified-scan fallback."""
+    from ir_spark.operators.lexicon import substring_terms
+
+    vocab = [("customer", 9, 9), ("cluster", 8, 8), ("combustion", 7, 7),
+             ("must", 6, 6), ("ust", 5, 5), ("trust", 4, 4),
+             ("sort", 3, 3), ("u", 1, 1)]
+    d = spark.createDataFrame(vocab, "term string, df long, cf long")
+    for pat in ["ust", "usto", "omb", "sort", "customer", "us", "zzz"]:
+        got = [r["term"] for r in substring_terms(d, pat, k=10).collect()]
+        want = [t for t, _, _ in vocab if pat in t]
+        want.sort(key=lambda t: (-dict((v, df) for v, df, _ in vocab)[t], t))
+        assert got == want, pat
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        substring_terms(d, "  ")
+
+
 def test_fuzzy_terms_trigram_blocking(spark):
     """Trigram-blocked fuzzy lookup: candidates sharing >= 2 padded
     trigrams with the query, verified by edit distance; subset of the
