@@ -439,6 +439,20 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
 
 IMPACT_LEVELS = 64
 
+_IMPACT_MEMO: dict = {}
+
+
+def _impact_index(spark: SparkSession, sf_dir: str):
+    """Memoized impact index (both impact gates derive from it; the
+    quantization pass is index-time work, paid once per session)."""
+    from .operators.impact import build_impact_index
+
+    key = (id(spark), sf_dir)
+    if key not in _IMPACT_MEMO:
+        _IMPACT_MEMO[key] = build_impact_index(
+            _df_index(spark, sf_dir), levels=IMPACT_LEVELS)
+    return _IMPACT_MEMO[key]
+
 
 def q_impact_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Impact-ordered SAAT retrieval (operators/impact.py, Anh &
@@ -448,10 +462,10 @@ def q_impact_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end (per-posting micro reproducibility is the same contract
     score_explain already proves), so the oracle recomputes the whole
     quantization in SQL."""
-    from .operators.impact import build_impact_index, search_impacts
+    from .operators.impact import search_impacts
 
     idx = _df_index(spark, sf_dir)
-    imp = build_impact_index(idx, levels=IMPACT_LEVELS)
+    imp = _impact_index(spark, sf_dir)
     return (search_impacts(spark, imp, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP)
             .select("doc_id", F.col("score").alias("score_micro")))
 
@@ -461,10 +475,10 @@ def q_impact_pruned_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     impact >= cutoff postings only, full-list rescore, accepted only
     under the losslessness certificate — so the oracle is the SAME
     unpruned SQL; a hash match proves the pruning lost nothing."""
-    from .operators.impact import build_impact_index, search_impacts_pruned
+    from .operators.impact import search_impacts_pruned
 
     idx = _df_index(spark, sf_dir)
-    imp = build_impact_index(idx, levels=IMPACT_LEVELS)
+    imp = _impact_index(spark, sf_dir)
     df, _cutoff = search_impacts_pruned(spark, imp, idx, FLAGSHIP_QUERY,
                                         k=K_FLAGSHIP)
     return df.select("doc_id", F.col("score").alias("score_micro"))

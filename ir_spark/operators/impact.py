@@ -57,11 +57,15 @@ MICRO = 1_000_000
 
 @dataclass(frozen=True)
 class ImpactIndex:
-    """(term, doc_id, impact) with impact in [1, levels]."""
+    """(term, doc_id, impact) with impact in [1, levels], plus the
+    per-(term, impact) posting-count sidecar ``hist`` — dictionary-
+    sized (<= vocab * levels rows), probed per query to choose the
+    pruning cutoff without touching the postings."""
 
     impacts: DataFrame
     levels: int
     max_micro: int
+    hist: DataFrame | None = None
 
 
 def build_impact_index(index: DataFrameIndex, levels: int = 64,
@@ -89,7 +93,12 @@ def build_impact_index(index: DataFrameIndex, levels: int = 64,
         "term", "doc_id",
         F.expr(f"1 + (m * {levels - 1}) div {int(max_micro)}")
         .cast("long").alias("impact"))
-    return ImpactIndex(impacts, levels, int(max_micro))
+    # per-(term, impact) counts — one extra build-time agg on the key
+    # the quantization pass already grouped by; at scale this sidecar
+    # is stored next to the dictionary and term-pruned per query
+    hist = (impacts.groupBy("term", "impact")
+            .agg(F.count(F.lit(1)).alias("nd")))
+    return ImpactIndex(impacts, levels, int(max_micro), hist)
 
 
 def search_impacts(spark: SparkSession, imp: ImpactIndex,
@@ -134,8 +143,39 @@ def search_impacts_pruned(spark: SparkSession, imp: ImpactIndex,
     qtf_total = int(sum(int(round(w)) for w in weights.values()))
     matched = imp.impacts.join(F.broadcast(qdf), "term")
 
-    c = imp.levels // 2 if cutoff is None else cutoff
+    if cutoff is None:
+        # one-shot cutoff choice from the index-time (term, impact)
+        # sidecar: summed per-level posting counts upper-bound the
+        # candidate count at each cutoff; take the highest cutoff
+        # proposing >= 3k.  The probe is term-pruned against a
+        # dictionary-sized table — it never touches postings (blind
+        # halving from levels/2 cost 4-5 wasted full rounds per query;
+        # a per-query postings histogram cost a full shuffle)
+        if imp.hist is not None:
+            rows = (imp.hist.join(F.broadcast(qdf.select("term")), "term")
+                    .groupBy("impact").agg(F.sum("nd").alias("nd"))
+                    .collect())
+        else:
+            rows = []
+        cum, c = 0, 1
+        for r in sorted(rows, key=lambda r: -r["impact"]):
+            cum += r["nd"]
+            if cum >= 3 * k:
+                c = int(r["impact"])
+                break
+    else:
+        c = cutoff
     while True:
+        if c <= 1:
+            # cutoff 1 admits every matched doc — the "pruned" plan
+            # would be the unpruned one plus a useless semi-join
+            top = (matched.groupBy("doc_id")
+                   .agg(F.sum(F.col("impact") * F.col("qtf"))
+                        .alias("score"))
+                   .orderBy(F.desc("score"), F.asc("doc_id"))
+                   .limit(k).collect())
+            return spark.createDataFrame(
+                top, "doc_id long, score long"), 1
         cands = (matched.filter(F.col("impact") >= c)
                  .select("doc_id").distinct())
         rescored = (matched
