@@ -769,6 +769,31 @@ FROM (SELECT doc_id, text, {_SQL_W} AS w FROM documents)
 """
 
 
+def q_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counts (textstats.py::pretoken_stats):
+    alphabetic / digit / punctuation run counts from ONE
+    regexp_extract_all pass — the subword token-budget estimator.
+    Java regex and DuckDB RE2 agree on the lookahead-free classes
+    (parity probed before the pattern was frozen)."""
+    return X.pretoken_stats(_docs(spark, sf_dir))
+
+
+def sql_pretoken_stats() -> str:
+    from .operators.textstats import BPE_PRETOKEN_RE
+
+    # DuckDB string literals do NOT process backslash escapes — the
+    # raw pattern goes in verbatim (parity-probed)
+    pat = BPE_PRETOKEN_RE
+    return f"""
+SELECT doc_id,
+       CAST(len(p) AS BIGINT) AS n_pretokens,
+       CAST(len(list_filter(p, t -> regexp_full_match(t, '[A-Za-z]+'))) AS BIGINT) AS n_alpha,
+       CAST(len(list_filter(p, t -> regexp_full_match(t, '[0-9]+'))) AS BIGINT) AS n_num,
+       CAST(len(list_filter(p, t -> regexp_full_match(t, '[^A-Za-z0-9\\s]+'))) AS BIGINT) AS n_punct
+FROM (SELECT doc_id, regexp_extract_all(text, '{pat}') AS p FROM documents)
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprints(_docs(spark, sf_dir))
 
@@ -3670,6 +3695,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": q_unicode_nfc,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
+        "pretoken_stats": q_pretoken_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -3742,6 +3768,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "unicode_nfc": sql_unicode_nfc(),
         "quality_score": sql_quality_score(),
         "token_stats": sql_token_stats(),
+        "pretoken_stats": sql_pretoken_stats(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "decontaminate": sql_decontaminate(),
         "decontaminate_bloom": sql_decontaminate_bloom(),

@@ -85,6 +85,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "quality_score": ["doc_id", "keep", "mean_token_len_micro",
                           "n_tokens", "stop_ratio_micro", "ttr_micro"],
         "token_stats": ["doc_id", "n_chars", "n_chunks", "n_ws_tokens"],
+        "pretoken_stats": ["doc_id", "n_alpha", "n_num", "n_pretokens",
+                           "n_punct"],
         "doc_fingerprint": ["doc_id", "min_gram_md5", "n_distinct_grams"],
         "token_quantiles": ["lang", "n_docs", "p25_micro", "p50_micro",
                             "p75_micro", "p95_micro"],

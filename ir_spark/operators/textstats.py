@@ -101,6 +101,38 @@ def token_stats(docs: DataFrame, chunk: int = 4) -> DataFrame:
     )
 
 
+# GPT-2-family pre-tokenizer classes, lookahead-free so Java regex
+# (Spark) and RE2 (DuckDB) agree byte-for-byte: alphabetic runs,
+# digit runs, and non-alnum-non-space runs.  (The real tiktoken
+# pattern adds contraction lookaheads RE2 cannot express; for token
+# BUDGETING the class split is what matters.)
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def pretoken_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, n_pretokens, n_alpha, n_num,
+    n_punct): BPE-style pre-tokenizer counts — the token-budget
+    estimator that tracks what a subword tokenizer will see (a
+    whitespace count under-counts punctuation-heavy web text badly).
+
+    ONE regexp_extract_all pass + three array filters, all
+    whole-stage-codegen; the pattern must be passed as a lit() column
+    (an SQL string literal would eat the backslash classes).
+    """
+    toks = F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0)
+
+    def _n(cls: str):
+        return F.size(F.filter(toks, lambda t: t.rlike(f"^{cls}$")))
+
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_pretokens"),
+        _n("[A-Za-z]+").cast("long").alias("n_alpha"),
+        _n("[0-9]+").cast("long").alias("n_num"),
+        _n("[^A-Za-z0-9\\s]+").cast("long").alias("n_punct"),
+    )
+
+
 def char_grams(docs: DataFrame, k: int = 8) -> DataFrame:
     """(doc_id, gram) — distinct rolling character k-grams."""
     # sequence(1, 0) counts down in Spark — short docs need an

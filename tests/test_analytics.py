@@ -1010,3 +1010,34 @@ def test_srp_signature_hamming_tracks_cosine(spark):
     # cos ~0.7 -> angle ~0.25*pi -> E[dist] ~ 8; unrelated ~ 16
     assert noisy < unrelated - 3, (noisy, unrelated)
     assert noisy < 12, noisy
+
+
+def test_pretoken_stats_matches_python_re(spark):
+    """BPE-style pre-tokenizer counts equal a brute-force Python re
+    pass over strings mixing every class, incl. unicode, empty, and
+    whitespace-only docs."""
+    import re
+
+    from ir_spark.operators.textstats import BPE_PRETOKEN_RE, pretoken_stats
+
+    texts = [
+        "Hello, world!  42x -3.5 test_case",
+        "它是 unicode 2024!!! ...",
+        "",
+        "   \t\n  ",
+        "a1b2c3",
+        "!!!???...",
+        "plain words only here",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: (r.n_pretokens, r.n_alpha, r.n_num, r.n_punct)
+           for r in pretoken_stats(df).collect()}
+    rx = re.compile(BPE_PRETOKEN_RE)
+    for i, t in enumerate(texts):
+        toks = rx.findall(t)
+        want = (len(toks),
+                sum(1 for x in toks if re.fullmatch("[A-Za-z]+", x)),
+                sum(1 for x in toks if re.fullmatch("[0-9]+", x)),
+                sum(1 for x in toks if re.fullmatch(r"[^A-Za-z0-9\s]+", x)))
+        assert got[i] == want, (i, t, got[i], want)
