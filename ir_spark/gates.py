@@ -2539,6 +2539,96 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
 """
 
 
+ROCCHIO_N_FB = 10
+ROCCHIO_N_EXP = 5
+ROCCHIO_ALPHA = 1.0
+ROCCHIO_BETA = 0.75
+
+
+def q_rocchio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-feedback in the reference's W2 vector space
+    (operators/feedback.py::search_rocchio, IIR §9.1.1 with gamma=0):
+    q' = alpha*q + beta*centroid(top-n_fb doc vectors), centroid
+    components micro-quantized before selection/weighting (the RM3
+    determinism contract), final ranking = the ordinary W2 cosine over
+    the expanded bag.  The oracle replays the whole pipeline in SQL."""
+    from .operators.feedback import search_rocchio
+
+    idx = _df_index(spark, sf_dir)
+    raw = search_rocchio(spark, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                         n_fb=ROCCHIO_N_FB, n_exp=ROCCHIO_N_EXP,
+                         alpha=ROCCHIO_ALPHA, beta=ROCCHIO_BETA)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_rocchio_topk() -> str:
+    w_doc = """CASE WHEN p.tf = 0 OR d.doc_len = 0 OR t.df = 0 THEN 0.0
+         ELSE 0.4 + 0.6 * (p.tf / (p.tf + 0.5 + 1.5 * (d.doc_len / s.avg_dl)))
+              * LN(CAST(s.n // t.df AS DOUBLE)) / LN(s.n) END"""
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+qmax AS (SELECT MAX(qtf) AS mq FROM qterms),
+weighted AS (
+  SELECT p.doc_id, p.term, {w_doc} AS w
+  FROM postings p JOIN dict t USING (term) JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS norm FROM weighted GROUP BY doc_id),
+qw AS (
+  SELECT q.term,
+         CASE WHEN q.qtf = 0 OR m.mq = 0 OR COALESCE(t.df, 0) = 0 THEN 0.0
+              ELSE (0.4 + 0.6 * LN(q.qtf + 0.5) / LN(m.mq + 1.0))
+                   * LN(CAST(s.n // t.df AS DOUBLE)) / LN(s.n) END AS w_tq
+  FROM qterms q LEFT JOIN dict t USING (term) CROSS JOIN qmax m CROSS JOIN stats s
+),
+qnorm AS (SELECT SQRT(SUM(w_tq * w_tq)) AS qn FROM qw),
+dots AS (
+  SELECT w.doc_id, SUM(w.w * qw.w_tq) AS dot
+  FROM weighted w JOIN qw USING (term) GROUP BY w.doc_id
+),
+fbs AS (
+  SELECT d.doc_id,
+         CAST(ROUND(CASE WHEN n.norm > 0 AND q.qn > 0
+                         THEN d.dot / n.norm / q.qn ELSE 0.0 END * 1000000)
+              AS BIGINT) AS score_micro
+  FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qnorm q
+),
+fb AS (SELECT doc_id FROM fbs
+       ORDER BY score_micro DESC, doc_id ASC LIMIT {ROCCHIO_N_FB}),
+cent AS (
+  SELECT w.term,
+         CAST(ROUND(1000000.0 * SUM(w.w) / {ROCCHIO_N_FB}) AS BIGINT)
+           AS c_micro
+  FROM weighted w JOIN fb USING (doc_id)
+  GROUP BY w.term
+  HAVING CAST(ROUND(1000000.0 * SUM(w.w) / {ROCCHIO_N_FB}) AS BIGINT) > 0
+),
+expt AS (SELECT term, c_micro FROM cent
+         WHERE term NOT IN (SELECT term FROM qterms)
+         ORDER BY c_micro DESC, term ASC LIMIT {ROCCHIO_N_EXP}),
+allq AS (
+  SELECT q.term,
+         {ROCCHIO_ALPHA} * q.w_tq
+           + {ROCCHIO_BETA} * COALESCE(c.c_micro, 0) / 1000000.0 AS w_tq
+  FROM qw q LEFT JOIN cent c USING (term)
+  UNION ALL
+  SELECT term, {ROCCHIO_BETA} * c_micro / 1000000.0 FROM expt
+),
+qnorm2 AS (SELECT SQRT(SUM(w_tq * w_tq)) AS qn FROM allq),
+dots2 AS (
+  SELECT w.doc_id, SUM(w.w * a.w_tq) AS dot
+  FROM weighted w JOIN allq a USING (term) GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(ROUND(CASE WHEN n.norm > 0 AND q.qn > 0
+                       THEN d.dot / n.norm / q.qn ELSE 0.0 END * 1000000)
+            AS BIGINT) AS score_micro
+FROM dots2 d JOIN norms n USING (doc_id) CROSS JOIN qnorm2 q
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 def q_boolean_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean retrieval: (hash AND join) AND NOT vector AND (fast OR
     scan) -> (doc_id, n_should).  Reference is ranked-only; see
@@ -2847,6 +2937,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_best_window": q_snippet_best_window,
         "span_near_unordered": q_span_near_unordered,
         "rm3_topk": q_rm3_topk,
+        "rocchio_topk": q_rocchio_topk,
         "qld_topk": q_qld_topk,
         "lmjm_topk": q_lmjm_topk,
         "pl2_topk": q_pl2_topk,
@@ -2916,6 +3007,7 @@ def core_oracle_sql() -> dict[str, str]:
         "snippet_best_window": sql_snippet_best_window(),
         "span_near_unordered": sql_span_near_unordered(),
         "rm3_topk": sql_rm3_topk(),
+        "rocchio_topk": sql_rocchio_topk(),
         "qld_topk": sql_qld_topk(),
         "lmjm_topk": sql_lmjm_topk(),
         "pl2_topk": sql_pl2_topk(),

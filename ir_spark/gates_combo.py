@@ -66,6 +66,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "sharded_pruned_bm25_topk": ["doc_id", "score_micro"],
         "impact_bm25_topk": ["doc_id", "score_micro"],
         "impact_pruned_bm25_topk": ["doc_id", "score_micro"],
+        "rocchio_topk": ["doc_id", "score_micro"],
         "clarity_scores": ["clarity_micro", "n_model_terms", "query_id"],
     },
     "lexicon_suite": {

@@ -249,3 +249,72 @@ def search_selective_prf(spark: SparkSession, index: DataFrameIndex,
     else:
         res = search(spark, index, query, k=k, mode="bm25", k1=k1, b=b)
     return res, expand
+
+
+def rocchio_weights(spark: SparkSession, index: DataFrameIndex,
+                    query: str, n_fb: int = 10, n_exp: int = 5,
+                    alpha: float = 1.0, beta: float = 0.75
+                    ) -> dict[str, float]:
+    """Pseudo-feedback Rocchio (IIR §9.1.1, gamma=0) in the reference's
+    W2 vector space — the vector-model complement of the LM-flavored
+    RM3 above: q' = alpha*q + beta*centroid(top-n_fb doc vectors),
+    keeping the top-``n_exp`` NEW terms of the centroid plus every
+    original term's centroid component.
+
+    Same determinism contract as RM3: the feedback-doc selection and
+    the centroid components are micro-quantized before any selection
+    or weighting, so the SQL oracle reproduces the expanded bag and
+    the final cosine ranking bit-for-bit.
+
+    Scale shape: feedback pass = one ordinary cosine top-k; the
+    centroid touches only the n_fb docs' posting rows (broadcast
+    semi-join, no corpus sweep); returned bag is O(|q| + n_exp).
+    """
+    from .query import doc_weight_expr, query_weights
+
+    orig_w, _ = query_weights(index, query, "w2")
+    if not orig_w:
+        return {}
+    orig = sorted(orig_w)
+    raw = search(spark, index, query, k=n_fb * 5, mode="w2")
+    fb = (raw.select(
+            "doc_id",
+            F.round(F.col("score") * 1000000.0).cast("long")
+            .alias("score_micro"))
+          .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+          .limit(n_fb).select("doc_id"))
+    w_td = doc_weight_expr("w2", index.n_docs, index.avg_doc_len)
+    comp = (index.postings
+            .join(F.broadcast(fb), "doc_id")
+            .join(index.dictionary.select("term", "df"), "term")
+            .join(index.docinfo, "doc_id")
+            .groupBy("term")
+            .agg(F.round(F.lit(1000000.0) * F.sum(w_td) / F.lit(n_fb))
+                 .cast("long").alias("c_micro"))
+            .filter(F.col("c_micro") > 0))
+    exp = (comp.filter(~F.col("term").isin(orig))
+           .orderBy(F.desc("c_micro"), F.asc("term"))
+           .limit(n_exp).collect())
+    oc = {r["term"]: r["c_micro"]
+          for r in comp.filter(F.col("term").isin(orig)).collect()}
+    weights = {t: alpha * w + beta * oc.get(t, 0) / 1000000.0
+               for t, w in orig_w.items()}
+    weights.update({r["term"]: beta * r["c_micro"] / 1000000.0
+                    for r in exp})
+    return weights
+
+
+def search_rocchio(spark: SparkSession, index: DataFrameIndex, query: str,
+                   k: int = 5, n_fb: int = 10, n_exp: int = 5,
+                   alpha: float = 1.0, beta: float = 0.75) -> DataFrame:
+    """Rocchio retrieval: expand in W2 space, rescore the expanded bag
+    with the same cosine model -> (doc_id, score), k rows ordered."""
+    import math
+
+    weights = rocchio_weights(spark, index, query, n_fb=n_fb, n_exp=n_exp,
+                              alpha=alpha, beta=beta)
+    if not weights:
+        return spark.createDataFrame([], "doc_id long, score double")
+    q_norm = math.sqrt(sum(w * w for w in weights.values()))
+    return search_weighted(spark, index, weights, q_norm=q_norm, k=k,
+                           mode="w2")

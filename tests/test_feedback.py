@@ -328,3 +328,100 @@ def test_selective_prf_takes_the_predicted_branch(spark, both):
     got, expanded = search_selective_prf(
         spark, idx, "zzzneverseen", clarity_threshold_micro=10**9, k=K)
     assert not expanded and got.count() == 0
+
+
+# --- Rocchio (W2 vector-space pseudo-feedback) ------------------------------
+
+R_N_FB, R_N_EXP, R_ALPHA, R_BETA = 5, 4, 1.0, 0.75
+
+
+def _py_rocchio_weights(oracle, query):
+    """Pure-Python Rocchio with the operator's quantization contract:
+    micro-rounded feedback selection and centroid components."""
+    from ir_spark.oracle import _doc_weight, max_tf_weight
+
+    bag = parse_query(query)
+    if not bag:
+        return {}
+    max_tf_q = max(bag.values())
+    orig_w = {t: max_tf_weight(tf, max_tf_q, oracle.df(t), oracle.n_docs)
+              for t, tf in bag.items()}
+    fb_raw = search(oracle, query, k=oracle.n_docs, mode="w2")
+    fb = [d for d, _ in sorted(((d, round(s * 1e6)) for d, s in fb_raw),
+                               key=lambda r: (-r[1], r[0]))[:R_N_FB]]
+    fbset = set(fb)
+    cent: dict[str, float] = {}
+    for term, plist in oracle.postings.items():
+        acc = sum(_doc_weight(oracle, "w2", term, d, tf, 1.2, 0.75)
+                  for d, tf in plist if d in fbset)
+        c = round(1e6 * acc / R_N_FB)
+        if c > 0:
+            cent[term] = c
+    weights = {t: R_ALPHA * w + R_BETA * cent.get(t, 0) / 1e6
+               for t, w in orig_w.items()}
+    exp = sorted(((t, c) for t, c in cent.items() if t not in orig_w),
+                 key=lambda r: (-r[1], r[0]))[:R_N_EXP]
+    weights.update({t: R_BETA * c / 1e6 for t, c in exp})
+    return weights
+
+
+def _py_weighted_w2(oracle, weights, k):
+    import math
+
+    from ir_spark.oracle import _doc_weight, doc_norms
+
+    q_norm = math.sqrt(sum(w * w for w in weights.values()))
+    norms = doc_norms(oracle, "w2")
+    dots: dict[int, float] = {}
+    for term, w_tq in weights.items():
+        for d, tf in oracle.postings.get(term, []):
+            dots[d] = dots.get(d, 0.0) + _doc_weight(
+                oracle, "w2", term, d, tf, 1.2, 0.75) * w_tq
+    scored = [(d, (s / norms[d] / q_norm) if norms[d] > 0 and q_norm > 0
+               else 0.0) for d, s in dots.items()]
+    return sorted(((d, round(s * 1e6)) for d, s in scored),
+                  key=lambda r: (-r[1], r[0]))[:k]
+
+
+def test_rocchio_weights_match_pure_python(spark, both):
+    from ir_spark.operators.feedback import rocchio_weights
+
+    idx, oracle = both
+    got = rocchio_weights(spark, idx, QUERY, n_fb=R_N_FB, n_exp=R_N_EXP,
+                          alpha=R_ALPHA, beta=R_BETA)
+    want = _py_rocchio_weights(oracle, QUERY)
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t] == pytest.approx(want[t], abs=1e-9), t
+
+
+def test_rocchio_topk_matches_pure_python(spark, both):
+    from ir_spark.operators.feedback import search_rocchio
+
+    idx, oracle = both
+    raw = search_rocchio(spark, idx, QUERY, k=K, n_fb=R_N_FB,
+                         n_exp=R_N_EXP, alpha=R_ALPHA, beta=R_BETA)
+    got = [(r.doc_id, round(r.score * 1e6)) for r in raw.collect()]
+    want = _py_weighted_w2(oracle, _py_rocchio_weights(oracle, QUERY), K)
+    assert got == want
+
+
+def test_rocchio_expansion_actually_expands(spark, both):
+    """The expanded bag strictly contains the original terms plus up
+    to n_exp new ones with positive weights."""
+    from ir_spark.operators.feedback import rocchio_weights
+
+    idx, oracle = both
+    got = rocchio_weights(spark, idx, QUERY, n_fb=R_N_FB, n_exp=R_N_EXP)
+    orig = set(parse_query(QUERY))
+    new = set(got) - orig
+    assert orig <= set(got)
+    assert 0 < len(new) <= R_N_EXP
+    assert all(got[t] > 0 for t in new)
+
+
+def test_rocchio_empty_query(spark, both):
+    from ir_spark.operators.feedback import search_rocchio
+
+    idx, _ = both
+    assert search_rocchio(spark, idx, "the of and", k=5).count() == 0
