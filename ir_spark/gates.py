@@ -2758,6 +2758,29 @@ ORDER BY df DESC, term ASC LIMIT {WILDCARD_K}
 """
 
 
+REGEX_PATTERN, REGEX_K = "s(c|t|p)[a-z]+", 10
+
+
+def q_regex_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex term search (operators/lexicon.py::regex_terms, the
+    Lucene RegexpQuery shape): full-match semantics, with the
+    pattern's literal prefix ('s') pruning the sorted dictionary
+    before the regex kernel; the oracle brute-forces
+    regexp_full_match over the vocabulary."""
+    from .operators.lexicon import regex_terms
+
+    idx = _df_index(spark, sf_dir)
+    return regex_terms(idx.dictionary, REGEX_PATTERN, k=REGEX_K)
+
+
+def sql_regex_terms() -> str:
+    return f"""
+WITH {TOKS_CTE}
+SELECT term, df FROM dict WHERE regexp_full_match(term, '{REGEX_PATTERN}')
+ORDER BY df DESC, term ASC LIMIT {REGEX_K}
+"""
+
+
 INFIX_PATTERN, INFIX_K = "ust", 10
 
 
@@ -2966,6 +2989,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_terms": q_prefix_terms,
         "wildcard_terms": q_wildcard_terms,
         "substring_terms": q_substring_terms,
+        "regex_terms": q_regex_terms,
         "fuzzy_terms": q_fuzzy_terms,
         "bm25f_topk": q_bm25f_topk,
         "dismax_topk": q_dismax_topk,
@@ -3036,6 +3060,7 @@ def core_oracle_sql() -> dict[str, str]:
         "prefix_terms": sql_prefix_terms(),
         "wildcard_terms": sql_wildcard_terms(),
         "substring_terms": sql_substring_terms(),
+        "regex_terms": sql_regex_terms(),
         "fuzzy_terms": sql_fuzzy_terms(),
         "bm25f_topk": sql_bm25f_topk(),
         "dismax_topk": sql_dismax_topk(),

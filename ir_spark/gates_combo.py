@@ -77,6 +77,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "prefix_terms": ["df", "term"],
         "wildcard_terms": ["df", "term"],
         "substring_terms": ["df", "term"],
+        "regex_terms": ["df", "term"],
         "fuzzy_terms": ["df", "dist", "term"],
         "selective_prf_topk": ["doc_id", "expanded", "query_id",
                                "score_micro"],

@@ -164,6 +164,57 @@ def substring_terms(dictionary: DataFrame, pattern: str,
             .orderBy(*ranked).limit(k))
 
 
+# regex metachars; a literal char FOLLOWED by one of "*+?{" is also
+# excluded from the extractable prefix (the quantifier binds to it).
+_REGEX_META = set(".[](){}*+?|^$\\")
+
+
+def _literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of a regex — the dictionary-range prune
+    Lucene's RegexpQuery gets from intersecting the pattern automaton
+    with the term FST (QueryParser.java has no tolerant retrieval at
+    all; this is the standard engine answer)."""
+    out: list[str] = []
+    for i, c in enumerate(pattern):
+        if c in _REGEX_META:
+            break
+        if i + 1 < len(pattern) and pattern[i + 1] in "*+?{":
+            break
+        out.append(c)
+    return "".join(out)
+
+
+def regex_terms(dictionary: DataFrame, pattern: str, k: int = 10) -> DataFrame:
+    """Top-k dictionary terms FULL-matching regex ``pattern``
+    (Lucene/ES RegexpQuery semantics: the whole term must match, not a
+    substring) ranked by df desc, term asc -> (term, df).
+
+    Scale shape: the pattern's literal prefix prunes the sorted/
+    bucketed dictionary to one row-group range (startswith pushes down
+    as term >= p AND term < p+1) BEFORE the regex kernel runs, so a
+    prefixed pattern never regex-scans the vocabulary; a prefix-free
+    pattern degrades to one full dictionary pass — still O(vocabulary),
+    never O(postings).  The full automaton-FST intersection is the
+    further upgrade at 10^12-doc vocabularies.  Supported pattern
+    subset = what Java regex and RE2/DuckDB agree on byte-for-byte
+    (char classes, groups, alternation, greedy quantifiers) — callers
+    must avoid backrefs/lookaround, which RE2 rejects anyway.
+    """
+    p = pattern.strip()
+    if not p:
+        raise ValueError("empty pattern")
+    cand = dictionary
+    prefix = _literal_prefix(p)
+    if prefix:
+        cand = cand.filter(F.col("term").startswith(prefix))
+    return (
+        cand.filter(F.col("term").rlike("^(?:" + p + ")$"))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def fuzzy_terms(dictionary: DataFrame, query_term: str, k: int = 5,
                 max_dist: int = 2, min_shared: int = 2) -> DataFrame:
     """Trigram-blocked "did you mean": candidates = dictionary terms

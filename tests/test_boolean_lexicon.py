@@ -182,6 +182,38 @@ def test_substring_terms_trigram_index(spark):
         substring_terms(d, "  ")
 
 
+def test_regex_terms_full_match(spark):
+    """Regex term search equals brute-force re.fullmatch, for
+    prefixed patterns (literal-prefix prune path) and prefix-free
+    ones (full-scan fallback); rank = df desc, term asc."""
+    import re
+
+    from ir_spark.operators.lexicon import _literal_prefix, regex_terms
+
+    vocab = [("table", 9, 9), ("tale", 5, 5), ("tile", 5, 6),
+             ("stream", 7, 7), ("spark", 6, 6), ("scan", 8, 8),
+             ("sort", 3, 3), ("er", 2, 2)]
+    d = spark.createDataFrame(vocab, "term string, df long, cf long")
+    for pat in ["t(a|i)le", "s(c|t|p)[a-z]+", "ta.*", ".*le",
+                "s[a-z]{3}", "table", "zzz+"]:
+        got = [r["term"] for r in regex_terms(d, pat, k=10).collect()]
+        want = [t for t, _, _ in vocab if re.fullmatch(pat, t)]
+        want.sort(key=lambda t: (-dict((v, df) for v, df, _ in vocab)[t], t))
+        assert got == want, pat
+
+    # the prune never drops a match: every full-matching term starts
+    # with the extracted literal prefix
+    assert _literal_prefix("s(c|t|p)[a-z]+") == "s"
+    assert _literal_prefix("ta.*") == "ta"
+    assert _literal_prefix("ta*") == "t"       # '*' binds to the 'a'
+    assert _literal_prefix(".*le") == ""
+    assert _literal_prefix("table") == "table"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        regex_terms(d, "  ")
+
+
 def test_fuzzy_terms_trigram_blocking(spark):
     """Trigram-blocked fuzzy lookup: candidates sharing >= 2 padded
     trigrams with the query, verified by edit distance; subset of the
