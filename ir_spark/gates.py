@@ -2758,6 +2758,32 @@ ORDER BY df DESC, term ASC LIMIT {WILDCARD_K}
 """
 
 
+TERMVEC_DOC_IDS = (0, 1, 2)
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc term vectors (operators/build.py::term_vectors — the
+    Lucene TermVectors / ES _termvectors document API): doc-pruned
+    postings slice broadcast to the dictionary join; the oracle
+    recomputes tf/doc_len/df relationally."""
+    from .operators.build import term_vectors
+
+    idx = _df_index(spark, sf_dir)
+    return term_vectors(idx, list(TERMVEC_DOC_IDS))
+
+
+def sql_term_vectors() -> str:
+    ids = ", ".join(str(i) for i in TERMVEC_DOC_IDS)
+    return f"""
+WITH {TOKS_CTE}
+SELECT p.doc_id, p.term, p.tf, d.doc_len, t.df
+FROM postings p
+JOIN docinfo d USING (doc_id)
+JOIN dict t USING (term)
+WHERE p.doc_id IN ({ids})
+"""
+
+
 REGEX_PATTERN, REGEX_K = "s(c|t|p)[a-z]+", 10
 
 
@@ -2990,6 +3016,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_terms": q_wildcard_terms,
         "substring_terms": q_substring_terms,
         "regex_terms": q_regex_terms,
+        "term_vectors": q_term_vectors,
         "fuzzy_terms": q_fuzzy_terms,
         "bm25f_topk": q_bm25f_topk,
         "dismax_topk": q_dismax_topk,
@@ -3061,6 +3088,7 @@ def core_oracle_sql() -> dict[str, str]:
         "wildcard_terms": sql_wildcard_terms(),
         "substring_terms": sql_substring_terms(),
         "regex_terms": sql_regex_terms(),
+        "term_vectors": sql_term_vectors(),
         "fuzzy_terms": sql_fuzzy_terms(),
         "bm25f_topk": sql_bm25f_topk(),
         "dismax_topk": sql_dismax_topk(),

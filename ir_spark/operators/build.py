@@ -149,6 +149,36 @@ class DataFrameIndex:
         return {r["term"]: r["df"] for r in rows}
 
 
+def term_vectors(index: DataFrameIndex, doc_ids: list[int]) -> DataFrame:
+    """Per-document term vectors (the Lucene TermVectors / ES
+    ``_termvectors`` document API): every indexed term of each
+    requested doc with its in-doc tf, the doc's length, and the term's
+    collection df -> (doc_id, term, tf, doc_len, df).
+
+    Scale shape: ``doc_ids`` is a request-sized literal, so the
+    ``isin`` prunes the postings scan (doc-bucketed storage turns it
+    into a few row-group reads; a forward-index/docvalues sidecar is
+    the dedicated-store upgrade).  The pruned slice — O(requested
+    docs' vocabulary) rows — is BROADCAST to the dictionary join, so
+    the vocabulary-sized side streams in place and never shuffles.
+    """
+    ids = [int(d) for d in doc_ids]
+    if not ids:
+        raise ValueError("empty doc_ids")
+    sl = index.postings.filter(F.col("doc_id").isin(ids))
+    di = index.docinfo.filter(F.col("doc_id").isin(ids)).select(
+        "doc_id", "doc_len")
+    sl = sl.join(F.broadcast(di), "doc_id")
+    return (
+        index.dictionary.select("term", "df")
+        .join(F.broadcast(sl), "term")
+        .select("doc_id", "term",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("doc_len").cast("long").alias("doc_len"),
+                F.col("df").cast("long").alias("df"))
+    )
+
+
 def build_dataframe_index(pages: DataFrame, stem: bool = False,
                           cache: bool = True) -> DataFrameIndex:
     """E1 end-to-end: pages -> tokens -> postings/docinfo/dictionary.

@@ -182,6 +182,35 @@ def test_substring_terms_trigram_index(spark):
         substring_terms(d, "  ")
 
 
+def test_term_vectors_parity(idx):
+    """term_vectors (the ES _termvectors shape) equals pure-python
+    tf/doc_len/df over the frozen tokenize stream: doc_len counts ALL
+    tokens (D2), tf/df indexed terms only."""
+    from collections import Counter
+
+    from ir_spark.operators.build import term_vectors
+
+    index, texts = idx
+    doc_ids = sorted(texts)[:3]
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["doc_len"], r["df"])
+           for r in term_vectors(index, doc_ids).collect()}
+
+    df_count = Counter()
+    for ts in _doc_terms(texts).values():
+        df_count.update(ts)
+    want = {}
+    for d in doc_ids:
+        toks = tokenize(texts[d])
+        tf = Counter(t for t in toks if t not in STOPWORDS)
+        for t, n in tf.items():
+            want[(d, t)] = (n, len(toks), df_count[t])
+    assert got == want
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        term_vectors(index, [])
+
+
 def test_regex_terms_full_match(spark):
     """Regex term search equals brute-force re.fullmatch, for
     prefixed patterns (literal-prefix prune path) and prefix-free
