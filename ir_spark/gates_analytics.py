@@ -652,6 +652,73 @@ ORDER BY score_micro DESC, vec_id ASC LIMIT {ANN_K}
 """
 
 
+MMR_K, MMR_N = 5, 25
+MMR_LAM_NUM, MMR_LAM_DEN = 7, 10
+
+
+def q_ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k (similarity.py::mmr_rerank, Carbonell &
+    Goldstein 1998) over the exact-cosine top-25 candidates, lam=0.7.
+    The oracle unrolls the greedy integer-objective selection step by
+    step, so a hash match proves the full pick SEQUENCE (ranks and
+    objective values), not just the final set."""
+    qv = _query_vec(spark, sf_dir)
+    return S.mmr_rerank(_emb(spark, sf_dir), qv, k=MMR_K,
+                        n_candidates=MMR_N, lam_num=MMR_LAM_NUM,
+                        lam_den=MMR_LAM_DEN)
+
+
+def sql_ann_mmr_topk() -> str:
+    diff = MMR_LAM_DEN - MMR_LAM_NUM
+    steps = [f"""s1 AS (SELECT vec_id, {MMR_LAM_NUM} * rel_micro AS obj_micro
+  FROM cand ORDER BY rel_micro DESC, vec_id ASC LIMIT 1),
+sel1 AS (SELECT vec_id FROM s1)"""]
+    for i in range(2, MMR_K + 1):
+        steps.append(f"""r{i} AS (
+  SELECT c.vec_id,
+         {MMR_LAM_NUM} * c.rel_micro - {diff} * (
+           SELECT MAX(p.sim_micro) FROM pairs p
+           WHERE p.a = c.vec_id
+             AND p.b IN (SELECT vec_id FROM sel{i - 1})
+         ) AS obj_micro
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})),
+s{i} AS (SELECT vec_id, obj_micro FROM r{i}
+  ORDER BY obj_micro DESC, vec_id ASC LIMIT 1),
+sel{i} AS (SELECT vec_id FROM sel{i - 1}
+  UNION ALL SELECT vec_id FROM s{i})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS sel_rank, vec_id, obj_micro FROM s{i}"
+        for i in range(1, MMR_K + 1))
+    joined_steps = ",\n".join(steps)
+    return f"""
+WITH {_SQL_EMB_COMPS},
+rdots AS (
+  SELECT a.vec_id, SUM(a.e * b.e) AS dot, SQRT(SUM(a.e * a.e)) AS dn
+  FROM comps a JOIN qcomps b USING (pos) GROUP BY a.vec_id),
+cand AS (
+  SELECT vec_id,
+         CAST(ROUND(CASE WHEN dn > 0 AND qn.n > 0 THEN dot / dn / qn.n
+                         ELSE 0.0 END * 1000000) AS BIGINT) AS rel_micro
+  FROM rdots CROSS JOIN qn
+  ORDER BY rel_micro DESC, vec_id ASC LIMIT {MMR_N}),
+ccomps AS (SELECT comps.vec_id, e, pos FROM comps JOIN cand USING (vec_id)),
+norms AS (SELECT vec_id, SQRT(SUM(e * e)) AS n FROM ccomps GROUP BY vec_id),
+pdots AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, SUM(x.e * y.e) AS dot
+  FROM ccomps x JOIN ccomps y ON x.pos = y.pos AND x.vec_id <> y.vec_id
+  GROUP BY x.vec_id, y.vec_id),
+pairs AS (
+  SELECT a, b,
+         CAST(ROUND(CASE WHEN na.n > 0 AND nb.n > 0
+                         THEN dot / na.n / nb.n ELSE 0.0 END * 1000000)
+              AS BIGINT) AS sim_micro
+  FROM pdots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b),
+{joined_steps}
+{union}
+"""
+
+
 # ---------------------------------------------------------------------------
 # text-analysis gates
 # ---------------------------------------------------------------------------
@@ -3709,6 +3776,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_classify": q_nb_lang_classify,
         "passage_bm25_topk": q_passage_bm25_topk,
         "web_anchor_bm25f_topk": q_web_anchor_bm25f_topk,
+        "ann_mmr_topk": q_ann_mmr_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_wav_stats": q_multimodal_wav_stats,
@@ -3782,6 +3850,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "nb_lang_classify": sql_nb_lang_classify(),
         "passage_bm25_topk": sql_passage_bm25_topk(),
         "web_anchor_bm25f_topk": sql_web_anchor_bm25f_topk(),
+        "ann_mmr_topk": sql_ann_mmr_topk(),
         "multimodal_meta": sql_multimodal_meta(),
         "multimodal_image_meta": sql_multimodal_image_meta(),
         "multimodal_wav_stats": sql_multimodal_wav_stats(),

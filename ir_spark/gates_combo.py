@@ -155,6 +155,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "srp_near_dup": ["a", "b", "dist"],
         "hybrid_rrf_topk": ["doc_id", "rank", "rrf_micro"],
         "hybrid_combmnz_topk": ["doc_id", "fused_micro", "rank"],
+        "ann_mmr_topk": ["obj_micro", "sel_rank", "vec_id"],
     },
     "linkgraph_suite": {
         "pagerank_hosts": ["node", "rank_micro"],

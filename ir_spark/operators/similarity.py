@@ -420,3 +420,80 @@ def pq_topk(codes: DataFrame, codebooks: "np.ndarray",
 
     scored = codes.mapInPandas(kernel, schema="vec_id long, score double")
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
+def mmr_rerank(emb: DataFrame, query_vec: list[float], *, k: int = 10,
+               n_candidates: int = 50, lam_num: int = 7,
+               lam_den: int = 10) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) —
+    the embedding-space result diversifier: greedily pick k of the
+    top-``n_candidates`` cosine candidates maximizing
+
+        lam * sim(q, d)  -  (1 - lam) * max_{s in selected} sim(d, s)
+
+    with lam = lam_num / lam_den.  The selection argmax runs on
+    MICRO-QUANTIZED similarities with pure integer arithmetic
+    (``obj = lam_num * rel_micro - (lam_den - lam_num) * max_sim_micro``
+    — a lam_den-scaled, hence order-identical, objective), so the pick
+    sequence is bit-reproducible across engines; ties break on vec_id
+    ASC.  First pick carries an empty selected set (max term = 0), i.e.
+    it is the plain cosine argmax.
+
+    Plan shape (the part that must scale): the corpus-sized work is the
+    ONE distributed cosine scan proposing the candidates (narrow map +
+    TakeOrderedAndProject) plus ONE bounded self-join computing the
+    n_candidates^2 pairwise similarity matrix (candidates broadcast —
+    the corpus is touched exactly once).  The greedy loop itself is
+    O(k * n_candidates) integer ops over that collected matrix — head-
+    node work every production reranker does on the candidate page,
+    independent of corpus size by construction.
+
+    Returns (sel_rank:int, vec_id:long, obj_micro:long), sel_rank 1..k.
+    """
+    spark = emb.sparkSession
+    rel = (
+        cosine_scores(emb, query_vec)
+        .select("vec_id",
+                F.round(F.col("score") * 1e6).cast("long").alias("rel_micro"))
+        .orderBy(F.desc("rel_micro"), F.asc("vec_id"))
+        .limit(n_candidates)
+    )
+    cand = F.broadcast(
+        emb.join(F.broadcast(rel), "vec_id")
+        .select("vec_id", "embedding", "rel_micro"))
+    a = cand.select(F.col("vec_id").alias("a"),
+                    F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("b"),
+                    F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b",
+                F.round(pair_cosine_expr(F.col("ea"), F.col("eb")) * 1e6)
+                .cast("long").alias("sim_micro"))
+    )
+
+    rel_rows = {r["vec_id"]: r["rel_micro"]
+                for r in rel.select("vec_id", "rel_micro").collect()}
+    sim: dict[tuple[int, int], int] = {}
+    for r in pairs.collect():
+        sim[(r["a"], r["b"])] = r["sim_micro"]
+        sim[(r["b"], r["a"])] = r["sim_micro"]
+
+    diff = lam_den - lam_num
+    selected: list[tuple[int, int, int]] = []  # (rank, vec_id, obj)
+    chosen: set[int] = set()
+    while rel_rows and len(selected) < k:
+        best = None
+        for v, rm in rel_rows.items():
+            if v in chosen:
+                continue
+            penalty = max((sim[(v, s)] for s in chosen), default=0)
+            obj = lam_num * rm - diff * penalty
+            if best is None or (obj, -v) > (best[1], -best[0]):
+                best = (v, obj)
+        if best is None:
+            break
+        chosen.add(best[0])
+        selected.append((len(selected) + 1, best[0], best[1]))
+    return spark.createDataFrame(
+        selected, "sel_rank int, vec_id long, obj_micro long")

@@ -1041,3 +1041,62 @@ def test_pretoken_stats_matches_python_re(spark):
                 sum(1 for x in toks if re.fullmatch("[0-9]+", x)),
                 sum(1 for x in toks if re.fullmatch(r"[^A-Za-z0-9\s]+", x)))
         assert got[i] == want, (i, t, got[i], want)
+
+
+def test_mmr_rerank_matches_bruteforce_and_diversifies(spark):
+    """mmr_rerank == an independent pure-python greedy MMR on the same
+    micro-quantized sims, and a planted exact duplicate of the best hit
+    is deferred below a less-relevant-but-diverse vector."""
+    import math
+
+    import pandas as pd
+
+    from ir_spark.operators.similarity import mmr_rerank
+
+    # 8-dim fixture: vec 1 = near-query, vec 2 = EXACT COPY of vec 1,
+    # vec 3 = orthogonal-ish but still relevant, rest = noise.
+    q = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    vecs = {
+        1: [0.71, 0.70, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        2: [0.71, 0.70, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        3: [0.70, -0.70, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        4: [0.5, 0.0, 0.0, 0.85, 0.0, 0.0, 0.0, 0.0],
+        5: [0.1, 0.2, 0.0, 0.0, 0.9, 0.0, 0.0, 0.0],
+        6: [0.05, 0.0, 0.3, 0.0, 0.0, 0.9, 0.0, 0.0],
+    }
+    emb = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": list(vecs),
+            "embedding": [[float(x) for x in v] for v in vecs.values()],
+            "label": [0] * len(vecs),
+        }))
+    got = {r["sel_rank"]: (r["vec_id"], r["obj_micro"])
+           for r in mmr_rerank(emb, q, k=4, n_candidates=6).collect()}
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(a * a for a in v))
+        return d / nu / nv if nu > 0 and nv > 0 else 0.0
+
+    rel = {i: round(cos(v, q) * 1e6) for i, v in vecs.items()}
+    sim = {(i, j): round(cos(vi, vj) * 1e6)
+           for i, vi in vecs.items() for j, vj in vecs.items() if i != j}
+    chosen, expect = [], {}
+    for rank in range(1, 5):
+        best = None
+        for v in vecs:
+            if v in chosen:
+                continue
+            pen = max((sim[(v, s)] for s in chosen), default=0)
+            obj = 7 * rel[v] - 3 * pen
+            if best is None or (obj, -v) > (best[1], -best[0]):
+                best = (v, obj)
+        chosen.append(best[0])
+        expect[rank] = best
+    assert got == expect
+    # first pick is the plain cosine argmax; its exact copy (sim 1.0,
+    # penalty 3e6) must NOT be second — a diverse vector overtakes it.
+    assert got[1][0] == 1
+    assert got[2][0] != 2
+    assert 2 in {v for v, _ in got.values()}  # ...but it still gets in
