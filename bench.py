@@ -159,6 +159,25 @@ def main() -> None:
     extras["gap_stream_interp_bytes"] = int(interp_b or 0)
     extras["gap_stream_simple9_bytes"] = int(s9_b or 0)
 
+    # Elias-Fano (codec.py::elias_fano_encode) on the same per-(term,
+    # run) doc-id lists — EF size is a closed form of (n, last), so
+    # the comparison is pure Spark SQL (no encoder run needed; the
+    # real encoder is round-trip/size-identity property-tested).
+    # 13-byte run headers excluded, matching the accounting above.
+    ef_runs = flat.groupBy(
+        "term",
+        F.floor(F.col("doc_id") / bench_range_width).alias("run")).agg(
+        F.count("*").alias("n"), F.max("doc_id").alias("last"))
+    ef_q = F.floor((F.col("last") + 1) / F.col("n"))
+    ef_l = F.when(ef_q >= 1, F.length(F.bin(ef_q)) - 1).otherwise(0)
+    # last >> l via exact integer division (doc ids << 2^53, and
+    # shiftright() only takes a literal shift)
+    ef_bits = (F.col("n") * ef_l + F.col("n")
+               + F.floor(F.col("last") / F.pow(F.lit(2.0), ef_l)) + 1)
+    ef_b = ef_runs.agg(
+        F.sum(F.floor((ef_bits + 7) / 8))).collect()[0][0]
+    extras["gap_stream_eliasfano_bytes"] = int(ef_b or 0)
+
     # dictionary compression evidence (C4/C5/C6): fixed-width vs
     # length-prefixed vs blocked front-coding on the real vocabulary —
     # the comparison the reference's stats.md makes for its dictionary

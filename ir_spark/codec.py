@@ -702,3 +702,86 @@ def simple9_decode(buf: bytes) -> np.ndarray:
             ok = pos < n
             out[pos[ok]] = (wsel[ok] >> np.uint32(slot * bits)) & mask
     return out
+
+
+# --- Elias-Fano (quasi-succinct, Vigna 2013) --------------------------------
+#
+# THE modern posting-list layout (Lucene 8+ doc-id blocks, PISA, the
+# quasi-succinct successor to PForDelta): a monotone id sequence of n
+# values over universe u splits each value into l = floor(log2(u/n))
+# fixed-width low bits plus a unary-coded high part laid out as a
+# bitmap of n ones among n + (u >> l) bits.  Total n*(l + 2) bits —
+# within 2 bits/posting of the information-theoretic minimum — while
+# supporting O(1) random access (select on the high bitmap) and
+# skipping WITHOUT per-block metadata, which is why it displaced
+# gap+varbyte in engines that intersect lists aggressively.  Like
+# gamma/delta/interpolative/Simple-9 above this is an evidence codec
+# for bench.py's size comparison (the production store stays
+# delta+varbyte per D6 for byte-aligned vectorized decode); both
+# directions here are fully vectorized numpy (no per-value Python in
+# decode, unlike the gamma/delta readers).
+# Layout: uint32 n | uint64 last | uint8 l | high bitmap bytes | low bits.
+
+def _ef_low_bits(u: int, n: int) -> int:
+    """floor(log2(u / n)) for u >= n >= 1 without float log2 (exact:
+    floor(log2(x)) == floor(log2(floor(x))) for x >= 1 because powers
+    of two are integers)."""
+    q = u // n
+    return q.bit_length() - 1 if q >= 1 else 0
+
+
+def elias_fano_encode(doc_ids: np.ndarray | list[int]) -> bytes:
+    """Encode a sorted NON-DECREASING sequence of ids >= 0."""
+    v = np.asarray(doc_ids, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return np.uint32(0).tobytes() + np.uint64(0).tobytes() + b"\x00"
+    if (np.diff(v.astype(np.int64)) < 0).any():
+        raise ValueError("Elias-Fano requires a non-decreasing sequence")
+    last = int(v[-1])
+    l = _ef_low_bits(last + 1, n)
+    header = (np.uint32(n).tobytes() + np.uint64(last).tobytes()
+              + bytes([l]))
+    # high part: unary bitmap — bit ((v[i] >> l) + i) is the i-th one
+    high = (v >> np.uint64(l)).astype(np.int64)
+    hbits = np.zeros(n + high[-1] + 1, dtype=np.uint8)
+    hbits[high + np.arange(n, dtype=np.int64)] = 1
+    out = [header, np.packbits(hbits).tobytes()]
+    # low part: n fixed l-bit slots, MSB first
+    if l > 0:
+        shifts = np.arange(l - 1, -1, -1, dtype=np.uint64)
+        lbits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+            np.uint8).ravel()
+        out.append(np.packbits(lbits).tobytes())
+    return b"".join(out)
+
+
+def elias_fano_decode(buf: bytes) -> np.ndarray:
+    n = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    last = int(np.frombuffer(buf[4:12], dtype=np.uint64)[0])
+    l = buf[12]
+    h_len = n + (last >> l) + 1
+    h_bytes = (h_len + 7) // 8
+    hbits = np.unpackbits(
+        np.frombuffer(buf[13:13 + h_bytes], dtype=np.uint8))[:h_len]
+    high = np.flatnonzero(hbits) - np.arange(n, dtype=np.int64)
+    if l == 0:
+        return high
+    lbits = np.unpackbits(
+        np.frombuffer(buf[13 + h_bytes:], dtype=np.uint8))[:n * l]
+    weights = (np.uint64(1) << np.arange(l - 1, -1, -1,
+                                         dtype=np.uint64))
+    low = lbits.reshape(n, l).astype(np.uint64) @ weights
+    return ((high.astype(np.uint64) << np.uint64(l)) | low).astype(
+        np.int64)
+
+
+def elias_fano_size_bits(n: int, last: int) -> int:
+    """Analytic payload size in bits (header excluded) — EF size
+    depends only on (n, universe), never on the id distribution."""
+    if n == 0:
+        return 0
+    l = _ef_low_bits(last + 1, n)
+    return n * l + n + (last >> l) + 1
