@@ -2324,6 +2324,101 @@ FROM a{k} a JOIN h{k} h USING (node)
 """
 
 
+TR_ITERS = 4
+# seed rule: hosts whose md5 starts 0-7 (a deterministic ~half of the
+# host universe; both engines compute md5 of the same utf-8 string)
+TR_SEED_HEX = ("0", "1", "2", "3", "4", "5", "6", "7")
+
+
+def q_trustrank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the derived host graph (linkgraph.py::trustrank:
+    seed-biased teleport, stationary persisted edge partitioning,
+    per-iteration O(nodes) trust shuffle) with a deterministic
+    md5-prefix seed set."""
+    from .operators.linkgraph import trustrank
+
+    edges = _derived_host_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # the SQL oracle omits the dangling term (dangling mass re-enters
+    # via t(v)); valid only while the derived graph has no dangling
+    # host — same loud guard as the pagerank gate
+    n_dangling = (edges.select(F.col("dst").alias("node")).distinct()
+                  .join(edges.select(F.col("src").alias("node")).distinct(),
+                        "node", "left_anti").count())
+    if n_dangling:
+        raise AssertionError(
+            f"trustrank gate derivation produced {n_dangling} dangling "
+            "host(s); add damped dangling redistribution to the SQL "
+            "oracle before trusting this gate")
+    hosts = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    seeds = hosts.where(
+        F.substring(F.md5(F.col("node")), 1, 1).isin(*TR_SEED_HEX))
+    t = trustrank(edges, seeds, n_iters=TR_ITERS, damping=PR_DAMPING)
+    return t.select(
+        "node",
+        F.round(F.col("trust") * 1e6).cast("long").alias("trust_micro"),
+    )
+
+
+def sql_trustrank_hosts() -> str:
+    """Unrolled TrustRank recurrence over the same perm/edges
+    derivation as the PageRank oracle; teleport vector = 1/|S| on the
+    md5-prefix seed hosts, 0 elsewhere.  (1-d) is emitted as the
+    Python double repr so both engines multiply by the identical
+    constant."""
+    d, base = PR_DAMPING, 1.0 - PR_DAMPING
+    offs = ", ".join(f"({j})" for j in PR_OFFSETS)
+    hexes = ", ".join(f"'{h}'" for h in TR_SEED_HEX)
+    iters = []
+    prev = "r0"
+    for i in range(1, TR_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT t.node,
+         {base} * t.t + {d} * COALESCE(c.contrib, 0) AS trust
+  FROM tvec t
+  LEFT JOIN (SELECT f.dst, SUM(f.frac * r.trust) AS contrib
+             FROM frac f JOIN {prev} r ON r.node = f.src
+             GROUP BY f.dst) c ON c.dst = t.node)""")
+        prev = f"r{i}"
+    return f"""
+WITH perm AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS r
+  FROM documents
+),
+edges AS (
+  SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM perm a
+  CROSS JOIN (VALUES {offs}) offs(j)
+  JOIN perm b
+    ON b.r = (a.r + offs.j) % (SELECT COUNT(*) FROM documents)
+  WHERE a.source <> b.source
+  GROUP BY a.source, b.source
+),
+hosts AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seeds AS (SELECT node FROM hosts WHERE substr(md5(node), 1, 1) IN ({hexes})),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+tvec AS (
+  SELECT h.node,
+         CASE WHEN s.node IS NULL THEN 0.0
+              ELSE 1.0 / (SELECT n FROM ns) END AS t
+  FROM hosts h LEFT JOIN seeds s USING (node)
+),
+frac AS (
+  SELECT e.src, e.dst, CAST(e.weight AS DOUBLE) / o.out_w AS frac
+  FROM edges e
+  JOIN (SELECT src, SUM(CAST(weight AS DOUBLE)) AS out_w
+        FROM edges GROUP BY src) o USING (src)
+),
+r0 AS (SELECT node, t AS trust FROM tvec),{",".join(iters)}
+SELECT node, CAST(ROUND(trust * 1000000) AS BIGINT) AS trust_micro
+FROM {prev}
+"""
+
+
 def _derived_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Url-level outlink rows from the shared md5-partner pairing,
     keeping urls and synthesizing anchor text as the first two words
@@ -3734,6 +3829,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "host_reciprocity": q_host_reciprocity,
         "hits_hosts": q_hits_hosts,
+        "trustrank_hosts": q_trustrank_hosts,
         "url_canonical_dedup": q_url_canonical_dedup,
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
@@ -3808,6 +3904,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "pagerank_hosts": sql_pagerank_hosts(),
         "host_reciprocity": sql_host_reciprocity(),
         "hits_hosts": sql_hits_hosts(),
+        "trustrank_hosts": sql_trustrank_hosts(),
         "url_canonical_dedup": sql_url_canonical_dedup(),
         "robots_rules": sql_robots_rules(),
         "robots_allowed": sql_robots_allowed(),

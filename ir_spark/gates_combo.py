@@ -159,6 +159,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
     },
     "linkgraph_suite": {
         "pagerank_hosts": ["node", "rank_micro"],
+        "trustrank_hosts": ["node", "trust_micro"],
         "host_reciprocity": ["host", "n_out", "n_reciprocal",
                              "recip_frac_micro"],
         "hits_hosts": ["auth_micro", "hub_micro", "node"],

@@ -412,3 +412,118 @@ def host_reciprocity(edges: DataFrame) -> DataFrame:
                     F.round(F.col("n_reciprocal") * F.lit(1000000.0)
                             / F.col("n_out")).cast("long")
                     .alias("recip_frac_micro")))
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    n_iters: int = 5,
+    damping: float = 0.85,
+    weighted: bool = True,
+    checkpoint_every: int = 4,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen 2004, "Combating
+    web spam with TrustRank"): PageRank with the uniform teleport
+    replaced by a trusted-seed distribution — trust flows OUT of a
+    small vetted seed set, so spam farms that merely cite each other
+    accumulate none.  (src, dst[, weight]) x seeds(node) ->
+    (node, trust).
+
+      t(v)    = 1/|S| for seed nodes, 0 otherwise
+      trust_0 = t
+      trust(v) = (1-d)*t(v) + d * (sum_{u->v} trust(u)*w(u,v)/W(u)
+                                   + dangling_mass * t(v))
+
+    Dangling mass re-enters through the seed distribution (the biased
+    analogue of PageRank's uniform redistribution), so total trust is
+    conserved at 1 every iteration.
+
+    Plan shape per iteration is identical to :func:`pagerank`: the
+    edge fractions — the 100-TB side — are shuffled into a stationary
+    persisted partitioning exactly once; each iteration moves only the
+    O(nodes) trust vector plus one optional scalar agg for dangling
+    mass.  The seed set is dimension-sized (hand-vetted lists are
+    thousands of hosts), broadcast-joined onto the node list once.
+    """
+    w = (F.col("weight").cast("double")
+         if weighted and "weight" in edges.columns else F.lit(1.0))
+    e = edges.select(F.col("src").alias("src"), F.col("dst").alias("dst"),
+                     w.alias("w"))
+    n_edges = e.count()
+    nparts = shuffle_partitions or max(
+        1, min(int(e.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32")),
+            (n_edges // 2_000_000) + 1))
+
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .repartition(nparts, "node"))
+    # teleport vector: 1/|S| on seeds present in the graph, 0 elsewhere
+    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    from pyspark.sql.functions import broadcast as _bc
+
+    flagged = (nodes.join(_bc(seed_nodes.withColumn("_s", F.lit(1))),
+                          "node", "left")
+               .select("node",
+                       F.coalesce(F.col("_s"), F.lit(0)).alias("_s")))
+    n_seeds = flagged.agg(F.sum("_s")).collect()[0][0] or 0
+    if n_seeds == 0:
+        raise ValueError("trustrank: no seed appears in the graph")
+    nodes = flagged.select(
+        "node",
+        (F.col("_s") / F.lit(float(n_seeds))).alias("t")).persist()
+
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    frac = (e.join(out_w, "src")
+            .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
+            .repartition(nparts, "src")
+            .persist())
+    has_out = frac.select("src").distinct()
+    n_dangling = nodes.join(
+        has_out, nodes["node"] == has_out["src"], "left_anti").count()
+
+    trust = nodes.select("node", "t", F.col("t").alias("trust"))
+
+    cached: list[DataFrame] = []
+    for it in range(n_iters):
+        if n_dangling:
+            dangling = (
+                trust.join(has_out, trust["node"] == has_out["src"],
+                           "left_anti")
+                .agg(F.coalesce(F.sum("trust"), F.lit(0.0)))
+                .collect()[0][0])
+        else:
+            dangling = 0.0
+        contribs = (
+            frac.join(trust.select(F.col("node").alias("src"), "trust"),
+                      "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("frac") * F.col("trust")).alias("contrib"))
+        )
+        trust = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node", "t",
+                ((1.0 - damping) * F.col("t") + F.lit(damping)
+                 * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(dangling) * F.col("t"))).alias("trust"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_iters:
+            trust = trust.localCheckpoint(eager=True)
+            for c in cached:
+                c.unpersist()
+            cached = []
+        elif n_dangling:
+            trust = trust.persist()
+            cached.append(trust)
+
+    out = trust.select("node", "trust").localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    nodes.unpersist()
+    frac.unpersist()
+    return out

@@ -305,3 +305,71 @@ def test_host_reciprocity(spark):
         "a": (2, 1, 500000),   # b reciprocates, c does not
         "b": (1, 1, 1000000),
     }
+
+
+def _numpy_trustrank(edges, seeds, n_iters, damping):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for s, d, wt in edges:
+        w[idx[s], idx[d]] += wt
+    out = w.sum(axis=1)
+    t = np.zeros(n)
+    live_seeds = [s for s in seeds if s in idx]
+    for s in live_seeds:
+        t[idx[s]] = 1.0 / len(live_seeds)
+    trust = t.copy()
+    for _ in range(n_iters):
+        dangling = trust[out == 0].sum()
+        contrib = np.zeros(n)
+        nz = out > 0
+        contrib += (w[nz].T / out[nz]) @ trust[nz]
+        trust = (1 - damping) * t + damping * (contrib + dangling * t)
+    return dict(zip(nodes, trust))
+
+
+@pytest.mark.parametrize("n_iters", [1, 5, 12])
+def test_trustrank_matches_numpy(spark, n_iters):
+    from ir_spark.operators.linkgraph import trustrank
+
+    edges = [("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 1.0),
+             ("a", "c", 1.0), ("d", "a", 3.0), ("e", "a", 1.0),
+             ("c", "f", 1.0)]  # f dangling
+    seeds = ["a", "d", "zz-not-in-graph"]
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {r.node: r.trust
+           for r in trustrank(df, sdf, n_iters=n_iters,
+                              damping=0.85).collect()}
+    want = _numpy_trustrank(edges, seeds, n_iters, 0.85)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # trust is conserved (dangling re-enters via the seed vector)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_trustrank_starves_unreachable_spam(spark):
+    """The point of TrustRank: a clique unreachable from the seeds
+    holds zero trust, however densely it cites itself."""
+    from ir_spark.operators.linkgraph import trustrank
+
+    edges = [("seed", "good", 1.0), ("good", "seed", 1.0),
+             ("spam1", "spam2", 9.0), ("spam2", "spam1", 9.0),
+             ("spam1", "good", 1.0)]  # spam links OUT, nothing links in
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    sdf = spark.createDataFrame([("seed",)], "node string")
+    got = {r.node: r.trust for r in trustrank(df, sdf, n_iters=8).collect()}
+    assert got["spam1"] == 0.0 and got["spam2"] == 0.0
+    assert got["good"] > 0.0 and got["seed"] > 0.0
+
+
+def test_trustrank_no_live_seed_raises(spark):
+    from ir_spark.operators.linkgraph import trustrank
+
+    df = spark.createDataFrame([("a", "b", 1.0)],
+                               "src string, dst string, weight double")
+    sdf = spark.createDataFrame([("nope",)], "node string")
+    with pytest.raises(ValueError):
+        trustrank(df, sdf, n_iters=2)
