@@ -2224,6 +2224,76 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
 """
 
 
+BM25PLUS_DELTA = 1.0
+BM25L_DELTA = 0.5
+
+
+def q_bm25plus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25+ top-k (operators/query.py::search_bm25plus, Lv & Zhai
+    2011 lower-bounded saturation) — matched-only contributions, plan
+    identical to plain BM25 plus one literal add."""
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search_bm25plus(spark, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                            delta=BM25PLUS_DELTA)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_bm25plus_topk(k1: float = 1.2, b: float = 0.75,
+                      delta: float = BM25PLUS_DELTA) -> str:
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id,
+         q.qtf * LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * (p.tf * ({k1} + 1.0)
+              / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+              + {delta}) AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
+def q_bm25l_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25L top-k (operators/query.py::search_bm25l — the shifted
+    normalized-tf long-doc fix)."""
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search_bm25l(spark, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                         delta=BM25L_DELTA)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_bm25l_topk(k1: float = 1.2, b: float = 0.75,
+                   delta: float = BM25L_DELTA) -> str:
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id,
+         q.qtf * LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * ({k1} + 1.0)
+           * (p.tf / (1.0 - {b} + {b} * d.doc_len / s.avg_dl) + {delta})
+           / ({k1} + (p.tf / (1.0 - {b} + {b} * d.doc_len / s.avg_dl)
+                      + {delta})) AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang facet counts of the flagship query's candidate set
     (operators/boolean.py::facet_counts)."""
@@ -2990,6 +3060,8 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_topk": q_qld_topk,
         "lmjm_topk": q_lmjm_topk,
         "pl2_topk": q_pl2_topk,
+        "bm25plus_topk": q_bm25plus_topk,
+        "bm25l_topk": q_bm25l_topk,
         "sdm_topk": q_sdm_topk,
         "keywords_tfidf": q_keywords_tfidf,
         "qld_segment_topk": q_qld_segment_topk,
@@ -3062,6 +3134,8 @@ def core_oracle_sql() -> dict[str, str]:
         "qld_topk": sql_qld_topk(),
         "lmjm_topk": sql_lmjm_topk(),
         "pl2_topk": sql_pl2_topk(),
+        "bm25plus_topk": sql_bm25plus_topk(),
+        "bm25l_topk": sql_bm25l_topk(),
         "sdm_topk": sql_sdm_topk(),
         "keywords_tfidf": sql_keywords_tfidf(),
         "qld_segment_topk": sql_qld_topk(),

@@ -60,6 +60,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "w2_topk": ["doc_id", "score_micro"],
         "lmjm_topk": ["doc_id", "score_micro"],
         "pl2_topk": ["doc_id", "score_micro"],
+        "bm25plus_topk": ["doc_id", "score_micro"],
+        "bm25l_topk": ["doc_id", "score_micro"],
         "sdm_topk": ["doc_id", "score_micro"],
         "dismax_topk": ["doc_id", "score_micro"],
         "sharded_bm25_topk": ["doc_id", "score_micro"],

@@ -578,6 +578,88 @@ def search_pl2(spark: SparkSession, index: DataFrameIndex, query: str,
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def _bm25_variant_search(spark: SparkSession, index: DataFrameIndex,
+                         query: str, k: int, stem: bool,
+                         partial_of) -> DataFrame:
+    """Shared plan for the matched-only BM25-family variants: pruned
+    postings >< broadcast(qtf) >< broadcast(df) >< docinfo, one hash
+    agg, deterministic (score DESC, doc_id) top-k — identical shape to
+    ``search_weighted`` mode='bm25'.  ``partial_of(tf, dl, df, qtf)``
+    returns the per-(doc, term) contribution Column."""
+    bag = parse_query(query, stem=stem)
+    if not bag:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qdf = spark.createDataFrame(
+        [(t, float(tf)) for t, tf in bag.items()], "term string, qtf double")
+    hits = (
+        index.postings
+        .join(F.broadcast(qdf), "term")
+        .join(F.broadcast(index.dictionary.filter(
+            F.col("term").isin(list(bag)))).select("term", "df"), "term")
+        .join(index.docinfo.select("doc_id", "doc_len"), "doc_id")
+    )
+    partial = partial_of(F.col("tf"), F.col("doc_len"), F.col("df"),
+                         F.col("qtf"))
+    scores = (
+        hits.select("doc_id", partial.alias("partial"))
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_bm25plus(spark: SparkSession, index: DataFrameIndex, query: str,
+                    k: int = 5, k1: float = 1.2, b: float = 0.75,
+                    delta: float = 1.0, stem: bool = False) -> DataFrame:
+    """BM25+ (Lv & Zhai 2011, "Lower-bounding term frequency
+    normalization"): plain BM25 penalizes very long documents past the
+    point where a MATCHED term scores lower than an unmatched one in a
+    short doc; BM25+ restores the lower bound by adding ``delta`` to
+    the saturated tf term,
+
+        score = sum_t qtf * idf(t) *
+                ( (k1+1)*tf / (tf + k1*(1-b+b*dl/avgdl)) + delta )
+
+    over matched terms only (tf > 0) — so the plan is EXACTLY the
+    plain pruned BM25 join + one extra literal add in codegen; zero
+    additional shuffles or stats.  idf is the engine's Lucene-style
+    non-negative form (matches ``_bm25_expr``).
+    """
+    n_docs, avg_dl = float(index.n_docs), float(index.avg_doc_len)
+
+    def partial(tf, dl, df, qtf):
+        idf = F.log(F.lit(1.0)
+                    + (F.lit(n_docs) - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        sat = tf * F.lit(k1 + 1.0) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avg_dl)))
+        return qtf * idf * (sat + F.lit(delta))
+
+    return _bm25_variant_search(spark, index, query, k, stem, partial)
+
+
+def search_bm25l(spark: SparkSession, index: DataFrameIndex, query: str,
+                 k: int = 5, k1: float = 1.2, b: float = 0.75,
+                 delta: float = 0.5, stem: bool = False) -> DataFrame:
+    """BM25L (Lv & Zhai 2011 CIKM): the companion long-doc fix that
+    shifts the NORMALIZED tf instead of the saturated score,
+
+        ctd   = tf / (1 - b + b * dl / avgdl)
+        score = sum_t qtf * idf(t) *
+                (k1 + 1) * (ctd + delta) / (k1 + ctd + delta)
+
+    over matched terms only; same pruned single-join plan as BM25."""
+    n_docs, avg_dl = float(index.n_docs), float(index.avg_doc_len)
+
+    def partial(tf, dl, df, qtf):
+        idf = F.log(F.lit(1.0)
+                    + (F.lit(n_docs) - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        ctd = tf / (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avg_dl))
+        shifted = ctd + F.lit(delta)
+        return qtf * idf * F.lit(k1 + 1.0) * shifted / (F.lit(k1) + shifted)
+
+    return _bm25_variant_search(spark, index, query, k, stem, partial)
+
+
 def collapse_topk(scored: DataFrame, keys: DataFrame, key_col: str,
                   k: int) -> DataFrame:
     """Field collapsing (the Elasticsearch ``collapse`` analogue): keep

@@ -402,3 +402,81 @@ def test_pl2_matches_bruteforce(spark, both, query):
            for r in search_pl2(spark, idx, query, k=K, c=PL2_C).collect()]
     want = _py_pl2(oracle, query)
     assert got == want
+
+
+# --- BM25+ / BM25L long-doc variants ---------------------------------------
+
+BMV_K1, BMV_B = 1.2, 0.75
+
+
+def _bm25_family_brute(oracle, query, partial_of, k=K):
+    """Shared textbook harness: matched terms only, Lucene idf."""
+    bag = parse_query(query)
+    terms = sorted(t for t in bag if oracle.postings.get(t))
+    if not terms:
+        return []
+    n = len(oracle.docinfo)
+    avg_dl = sum(v[0] for v in oracle.docinfo.values()) / n
+    out = {}
+    for t in terms:
+        df = len(oracle.postings[t])
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for d, tf in oracle.postings[t]:
+            dl = oracle.docinfo[d][0]
+            out[d] = out.get(d, 0.0) + bag[t] * idf * partial_of(
+                tf, dl, avg_dl)
+    rows = sorted(out.items(), key=lambda r: (-round(r[1] * 1e6), r[0]))
+    return [(d, round(s * 1e6)) for d, s in rows[:k]]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_bm25plus_matches_bruteforce(spark, both, query):
+    from ir_spark.operators.query import search_bm25plus
+
+    idx, oracle = both
+    delta = 1.0
+
+    def partial(tf, dl, avg_dl):
+        return (tf * (BMV_K1 + 1.0)
+                / (tf + BMV_K1 * (1.0 - BMV_B + BMV_B * dl / avg_dl))
+                + delta)
+
+    got = [(r["doc_id"], round(r["score"] * 1e6))
+           for r in search_bm25plus(spark, idx, query, k=K, k1=BMV_K1,
+                                    b=BMV_B, delta=delta).collect()]
+    assert got == _bm25_family_brute(oracle, query, partial)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_bm25l_matches_bruteforce(spark, both, query):
+    from ir_spark.operators.query import search_bm25l
+
+    idx, oracle = both
+    delta = 0.5
+
+    def partial(tf, dl, avg_dl):
+        ctd = tf / (1.0 - BMV_B + BMV_B * dl / avg_dl)
+        return (BMV_K1 + 1.0) * (ctd + delta) / (BMV_K1 + (ctd + delta))
+
+    got = [(r["doc_id"], round(r["score"] * 1e6))
+           for r in search_bm25l(spark, idx, query, k=K, k1=BMV_K1,
+                                 b=BMV_B, delta=delta).collect()]
+    assert got == _bm25_family_brute(oracle, query, partial)
+
+
+def test_bm25plus_rescues_long_doc_floor(spark, both):
+    """The defining BM25+ property: every matched term contributes at
+    least delta*idf*qtf however long the doc — so a matching long doc
+    can never score below an adding-nothing floor.  With delta=0 the
+    variant degenerates to plain BM25 (rank-identical scores)."""
+    from ir_spark.operators.query import search, search_bm25plus
+
+    idx, _ = both
+    q = QUERIES[0]
+    plain = [(r["doc_id"], round(r["score"] * 1e6))
+             for r in search(spark, idx, q, k=K, mode="bm25",
+                             k1=BMV_K1, b=BMV_B).collect()]
+    degenerate = [(r["doc_id"], round(r["score"] * 1e6))
+                  for r in search_bm25plus(spark, idx, q, k=K, k1=BMV_K1,
+                                           b=BMV_B, delta=0.0).collect()]
+    assert plain == degenerate
