@@ -2294,6 +2294,102 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
 """
 
 
+RBO_P = 0.9
+
+
+def q_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the engine's own BM25 and BM25+
+    top-k for the flagship query (operators/evalir.py::rbo_overlap) —
+    the judgment-free ranker-similarity measure a nightly scoring A/B
+    needs.  Ranks derive from micro-quantized scores on both engines
+    (gate convention), so the compared rankings are identical inputs.
+    """
+    from .operators.evalir import rbo_overlap
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+
+    def run_of(df: DataFrame) -> DataFrame:
+        # K_FLAGSHIP rows — the global window is gate plumbing on an
+        # already-top-k result, not an operator scale path
+        return df.select(
+            F.lit("q0").alias("query_id"),
+            F.row_number().over(rank_w).cast("long").alias("rank"),
+            "doc_id")
+
+    a = run_of(q_bm25_topk(spark, sf_dir))
+    b = run_of(q_bm25plus_topk(spark, sf_dir))
+    return rbo_overlap(a, b, p=RBO_P, k=K_FLAGSHIP)
+
+
+def sql_rank_rbo(k1: float = 1.2, b: float = 0.75, p: float = RBO_P,
+                 delta: float = BM25PLUS_DELTA) -> str:
+    """Both rankings recomputed in SQL (formulas in lockstep with
+    sql_bm25_topk / sql_bm25plus_topk), then the telescoped per-doc
+    RBO weights as nano-quantized VALUES from the SAME Python table
+    the operator broadcasts (evalir.rbo_weights) — integer sums, no
+    float-order exposure."""
+    from .operators.evalir import rbo_weights
+
+    wvals = ", ".join(f"({m}, {w})" for m, w in rbo_weights(p, K_FLAGSHIP))
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+hits_a AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+run_a AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) DESC,
+                    doc_id ASC) AS ra
+  FROM hits_a GROUP BY doc_id
+  ORDER BY CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) DESC, doc_id ASC
+  LIMIT {K_FLAGSHIP}
+),
+hits_b AS (
+  SELECT p.doc_id,
+         q.qtf * LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * (p.tf * ({k1} + 1.0)
+              / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+              + {delta}) AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+run_b AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) DESC,
+                    doc_id ASC) AS rb
+  FROM hits_b GROUP BY doc_id
+  ORDER BY CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) DESC, doc_id ASC
+  LIMIT {K_FLAGSHIP}
+),
+weights AS (SELECT * FROM (VALUES {wvals}) AS w(m, w_nano)),
+joint AS (
+  SELECT GREATEST(a.ra, b.rb) AS m
+  FROM run_a a JOIN run_b b USING (doc_id)
+)
+SELECT 'q0' AS query_id,
+       CAST(ROUND(COALESCE(SUM(w.w_nano), 0) / 1000.0) AS BIGINT)
+         AS rbo_micro,
+       CAST(COUNT(w.m) AS BIGINT) AS overlap_at_k
+FROM joint j LEFT JOIN weights w ON w.m = j.m
+"""
+
+
 def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang facet counts of the flagship query's candidate set
     (operators/boolean.py::facet_counts)."""
@@ -3062,6 +3158,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl2_topk": q_pl2_topk,
         "bm25plus_topk": q_bm25plus_topk,
         "bm25l_topk": q_bm25l_topk,
+        "rank_rbo": q_rank_rbo,
         "sdm_topk": q_sdm_topk,
         "keywords_tfidf": q_keywords_tfidf,
         "qld_segment_topk": q_qld_segment_topk,
@@ -3136,6 +3233,7 @@ def core_oracle_sql() -> dict[str, str]:
         "pl2_topk": sql_pl2_topk(),
         "bm25plus_topk": sql_bm25plus_topk(),
         "bm25l_topk": sql_bm25l_topk(),
+        "rank_rbo": sql_rank_rbo(),
         "sdm_topk": sql_sdm_topk(),
         "keywords_tfidf": sql_keywords_tfidf(),
         "qld_segment_topk": sql_qld_topk(),

@@ -70,6 +70,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "impact_pruned_bm25_topk": ["doc_id", "score_micro"],
         "rocchio_topk": ["doc_id", "score_micro"],
         "clarity_scores": ["clarity_micro", "n_model_terms", "query_id"],
+        "rank_rbo": ["overlap_at_k", "query_id", "rbo_micro"],
     },
     "lexicon_suite": {
         "synonym_bm25_topk": ["doc_id", "score_micro"],

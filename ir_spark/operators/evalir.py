@@ -60,3 +60,63 @@ def ranking_metrics(run: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
         F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
         .otherwise(F.lit(0.0)).alias("ndcg"),
     )
+
+
+def rbo_weights(p: float, k: int) -> list[tuple[int, int]]:
+    """Per-doc RBO weight table: a doc first present in BOTH prefixes
+    at depth m contributes (1-p) * sum_{d=m..k} p^(d-1)/d to RBO@k.
+    Quantized to nano-units so the distributed accumulation is an
+    INTEGER sum (order-free across engines); the Python loop below is
+    the single definition both the operator and the SQL oracles embed
+    as literals."""
+    out = []
+    for m in range(1, k + 1):
+        w = (1.0 - p) * sum(p ** (d - 1) / d for d in range(m, k + 1))
+        out.append((m, int(round(w * 1e9))))
+    return out
+
+
+def rbo_overlap(run_a: DataFrame, run_b: DataFrame, *, p: float = 0.9,
+                k: int = 10) -> DataFrame:
+    """Rank-biased overlap at evaluation depth ``k`` (Webber, Moffat &
+    Zobel 2010, "A similarity measure for indefinite rankings") — the
+    standard top-weighted measure for comparing two rankers' output
+    (e.g. a nightly A/B of scoring functions) without judgments:
+
+        RBO@k = (1-p) * sum_{d=1..k} p^(d-1) * |A_d intersect B_d| / d
+
+    (the RBO_MIN form: prefixes beyond k contribute nothing).  Inputs
+    are run relations (query_id, rank, doc_id); output one row per
+    query_id: (query_id, rbo_micro, overlap_at_k).
+
+    Distribution: X_d telescopes per doc — a doc whose LATER of the
+    two ranks is m adds sum_{d=m..k} p^(d-1)/d — so the whole metric
+    is one equi-join of the two (already top-k-pruned) runs, a
+    broadcast k-row weight lookup, and one integer-sum groupBy; runs
+    x queries can be arbitrarily large, nothing is driver-side.
+    Persistence-grade determinism: weights are nano-quantized longs,
+    so per-query sums are exact integers in any accumulation order.
+    """
+    if not 0.0 < p < 1.0:
+        raise ValueError("rbo requires 0 < p < 1")
+    a = run_a.filter(F.col("rank") <= k).select(
+        "query_id", "doc_id", F.col("rank").alias("ra"))
+    b = run_b.filter(F.col("rank") <= k).select(
+        "query_id", "doc_id", F.col("rank").alias("rb"))
+    joint = a.join(b, ["query_id", "doc_id"]).select(
+        "query_id", F.greatest("ra", "rb").cast("int").alias("m"))
+    wdf = joint.sparkSession.createDataFrame(
+        rbo_weights(p, k), "m int, w_nano long")
+    per_q = (joint.join(F.broadcast(wdf), "m")
+             .groupBy("query_id")
+             .agg(F.sum("w_nano").alias("nano"),
+                  F.count(F.lit(1)).alias("overlap_at_k")))
+    qids = (run_a.select("query_id")
+            .union(run_b.select("query_id")).distinct())
+    return qids.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce(F.col("nano"), F.lit(0)) / F.lit(1000.0))
+        .cast("long").alias("rbo_micro"),
+        F.coalesce(F.col("overlap_at_k"), F.lit(0))
+        .cast("long").alias("overlap_at_k"),
+    )

@@ -480,3 +480,74 @@ def test_bm25plus_rescues_long_doc_floor(spark, both):
                   for r in search_bm25plus(spark, idx, q, k=K, k1=BMV_K1,
                                            b=BMV_B, delta=0.0).collect()]
     assert plain == degenerate
+
+
+# --- Rank-biased overlap ----------------------------------------------------
+
+
+def _py_rbo(list_a, list_b, p, k):
+    """Textbook RBO_MIN@k: explicit prefix intersections."""
+    s = 0.0
+    for d in range(1, k + 1):
+        x = len(set(list_a[:d]) & set(list_b[:d]))
+        s += p ** (d - 1) * x / d
+    return (1 - p) * s
+
+
+def _runs(spark, qid, docs):
+    return spark.createDataFrame(
+        [(qid, r + 1, d) for r, d in enumerate(docs)],
+        "query_id string, rank long, doc_id long")
+
+
+@pytest.mark.parametrize("p", [0.5, 0.9])
+def test_rbo_matches_bruteforce(spark, p):
+    from ir_spark.operators.evalir import rbo_overlap
+
+    k = 10
+    a = [3, 1, 4, 15, 9, 2, 6, 5, 35, 8]
+    b = [3, 4, 1, 9, 99, 2, 35, 7, 8, 100]
+    got = rbo_overlap(_runs(spark, "q", a), _runs(spark, "q", b),
+                      p=p, k=k).collect()[0]
+    want = _py_rbo(a, b, p, k)
+    # nano-quantized per-doc weights: micro result within 1 ulp
+    assert abs(got["rbo_micro"] - round(want * 1e6)) <= 1
+    assert got["overlap_at_k"] == len(set(a) & set(b))
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from ir_spark.operators.evalir import rbo_overlap
+
+    p, k = 0.9, 10
+    a = list(range(1, 11))
+    same = rbo_overlap(_runs(spark, "q", a), _runs(spark, "q", a),
+                       p=p, k=k).collect()[0]
+    # identical prefixes: RBO_MIN@k = 1 - p^k exactly
+    assert abs(same["rbo_micro"] - round((1 - p ** k) * 1e6)) <= 1
+    disj = rbo_overlap(_runs(spark, "q", a),
+                       _runs(spark, "q", list(range(100, 110))),
+                       p=p, k=k).collect()[0]
+    assert disj["rbo_micro"] == 0 and disj["overlap_at_k"] == 0
+
+
+def test_rbo_per_query_and_missing_query(spark):
+    """Multiple queries resolve independently; a query present in only
+    one run yields rbo 0 (not a dropped row)."""
+    from ir_spark.operators.evalir import rbo_overlap
+
+    a = _runs(spark, "q1", [1, 2, 3]).union(_runs(spark, "q2", [7, 8]))
+    b = _runs(spark, "q1", [1, 2, 3])
+    rows = {r["query_id"]: r
+            for r in rbo_overlap(a, b, p=0.9, k=3).collect()}
+    assert set(rows) == {"q1", "q2"}
+    assert rows["q1"]["overlap_at_k"] == 3
+    assert rows["q2"]["rbo_micro"] == 0 and rows["q2"]["overlap_at_k"] == 0
+
+
+def test_rbo_rejects_bad_p(spark):
+    from ir_spark.operators.evalir import rbo_overlap
+
+    a = _runs(spark, "q", [1])
+    for p in (0.0, 1.0, -1.0, 2.0):
+        with pytest.raises(ValueError):
+            rbo_overlap(a, a, p=p, k=5)
