@@ -836,6 +836,43 @@ FROM (SELECT doc_id, text, {_SQL_W} AS w FROM documents)
 """
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth profile at quartile prefixes of
+    the corpus (textstats.py::vocab_growth) over the full index token
+    relation — one pass over tokens for all checkpoints."""
+    from .gates import _read_documents
+    from .operators import build as B
+
+    docs = _read_documents(spark, sf_dir).select("doc_id", "text")
+    n = docs.count()
+    cps = sorted({max(1, (n * i) // 4) for i in (1, 2, 3, 4)})
+    toks = B.token_counts(docs)
+    return X.vocab_growth(toks, cps)
+
+
+def sql_vocab_growth() -> str:
+    return f"""
+WITH {TOKS_CTE},
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+cp AS (SELECT DISTINCT GREATEST(1, (cnt.n * v.i) // 4) AS n_docs
+       FROM cnt, (VALUES (1), (2), (3), (4)) v(i)),
+first_seen AS (SELECT term, MIN(doc_id) AS first_doc FROM toks GROUP BY term),
+vocab AS (
+  SELECT cp.n_docs, CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM first_seen f JOIN cp ON f.first_doc < cp.n_docs
+  GROUP BY cp.n_docs),
+doclens AS (SELECT doc_id, SUM(tf) AS dl FROM toks GROUP BY doc_id),
+mass AS (
+  SELECT cp.n_docs, CAST(SUM(d.dl) AS BIGINT) AS n_tokens
+  FROM doclens d JOIN cp ON d.doc_id < cp.n_docs
+  GROUP BY cp.n_docs)
+SELECT cp.n_docs,
+       COALESCE(m.n_tokens, 0) AS n_tokens,
+       COALESCE(v.vocab_size, 0) AS vocab_size
+FROM cp LEFT JOIN mass m USING (n_docs) LEFT JOIN vocab v USING (n_docs)
+"""
+
+
 def q_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style pre-tokenizer counts (textstats.py::pretoken_stats):
     alphabetic / digit / punctuation run counts from ONE
@@ -3813,6 +3850,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "lm_perplexity": q_lm_perplexity,
         "token_quantiles": q_token_quantiles,
+        "vocab_growth": q_vocab_growth,
         "collocations_pmi": q_collocations_pmi,
         "dup_span_coverage": q_dup_span_coverage,
         "paragraph_dedup": q_paragraph_dedup,
@@ -3888,6 +3926,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "dedup_clusters": sql_dedup_clusters(),
         "lm_perplexity": sql_lm_perplexity(),
         "token_quantiles": sql_token_quantiles(),
+        "vocab_growth": sql_vocab_growth(),
         "collocations_pmi": sql_collocations_pmi(),
         "dup_span_coverage": sql_dup_span_coverage(),
         "paragraph_dedup": sql_paragraph_dedup(),

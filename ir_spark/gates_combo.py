@@ -95,6 +95,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "doc_fingerprint": ["doc_id", "min_gram_md5", "n_distinct_grams"],
         "token_quantiles": ["lang", "n_docs", "p25_micro", "p50_micro",
                             "p75_micro", "p95_micro"],
+        "vocab_growth": ["n_docs", "n_tokens", "vocab_size"],
         "lm_perplexity": ["doc_id", "keep", "n_bigrams", "nll_micro"],
         "pii_scrub": ["doc_id", "n_emails", "n_ips", "n_phones",
                       "scrubbed_md5"],

@@ -410,3 +410,70 @@ def cjk_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+
+
+def vocab_growth(tokens: DataFrame,
+                 checkpoints: list[int]) -> DataFrame:
+    """Vocabulary-growth profile (the Heaps'-law curve): for each
+    prefix checkpoint c — "the first c documents in doc_id order" —
+    the cumulative token mass and the number of DISTINCT terms seen.
+
+    The profile is the standard corpus-health diagnostic for crawl
+    pipelines (vocabulary growing faster than V = k * n^beta with
+    beta ~ 0.5 flags boilerplate explosions, encoding noise, or spam
+    floods mid-ingest) and sizes the term dictionary before an index
+    build.
+
+    Distribution: NO per-prefix rescan.  Each term's contribution to
+    every checkpoint is determined by its FIRST occurrence — one
+    groupBy(term).min(doc_id) over the token relation — and token
+    mass by per-doc sums; both join the tiny broadcast checkpoint
+    list (|checkpoints| rows) and reduce with plain integer aggs, so
+    the cost is one pass over tokens regardless of how many
+    checkpoints are profiled.
+
+    ``tokens``: (doc_id, term, tf) with dense 0-based doc ids.
+    Returns (n_docs, n_tokens, vocab_size), one row per checkpoint.
+    """
+    if not checkpoints or any(c <= 0 for c in checkpoints):
+        raise ValueError("checkpoints must be positive doc counts")
+    spark = tokens.sparkSession
+    cp_plain = spark.createDataFrame(
+        [(int(c),) for c in sorted(set(checkpoints))], "n_docs long")
+    cp = F.broadcast(cp_plain)
+    first = tokens.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    vocab = (first.join(cp, first["first_doc"] < cp["n_docs"])
+             .groupBy("n_docs")
+             .agg(F.count(F.lit(1)).cast("long").alias("vocab_size")))
+    doclens = tokens.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    mass = (doclens.join(cp, doclens["doc_id"] < cp["n_docs"])
+            .groupBy("n_docs")
+            .agg(F.sum("dl").cast("long").alias("n_tokens")))
+    return (cp_plain.join(mass, "n_docs", "left")
+            .join(vocab, "n_docs", "left")
+            .select("n_docs",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("vocab_size", F.lit(0)).alias("vocab_size")))
+
+
+def heaps_fit(rows: list[tuple[int, int]]) -> tuple[float, float]:
+    """Driver-side Heaps'-law fit V = k * n^beta over (n_tokens,
+    vocab_size) checkpoint rows: ordinary least squares on
+    log V = log k + beta * log n.  Pure Python on the handful of
+    checkpoints ``vocab_growth`` returns (the distributed work already
+    happened); returns (k, beta)."""
+    import math as _m
+
+    pts = [(float(n), float(v)) for n, v in rows if n > 0 and v > 0]
+    if len(pts) < 2:
+        raise ValueError("need >= 2 non-empty checkpoints to fit")
+    xs = [_m.log(n) for n, _ in pts]
+    ys = [_m.log(v) for _, v in pts]
+    n = len(pts)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    if sxx == 0.0:
+        raise ValueError("degenerate checkpoints (all same token mass)")
+    beta = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
+    k = _m.exp(my - beta * mx)
+    return k, beta

@@ -1100,3 +1100,36 @@ def test_mmr_rerank_matches_bruteforce_and_diversifies(spark):
     assert got[1][0] == 1
     assert got[2][0] != 2
     assert 2 in {v for v, _ in got.values()}  # ...but it still gets in
+
+
+def test_vocab_growth_matches_python(spark):
+    """vocab_growth equals a per-prefix brute-force recount, and
+    heaps_fit recovers (k, beta) from exact Heaps data."""
+    from ir_spark.operators.textstats import heaps_fit, vocab_growth
+
+    docs = [(0, "aa bb cc"), (1, "aa dd"), (2, "bb ee ff aa"),
+            (3, "gg"), (4, "aa aa hh")]
+    toks = []
+    for d, text in docs:
+        from collections import Counter
+        for t, tf in Counter(text.split()).items():
+            toks.append((d, t, tf))
+    tdf = spark.createDataFrame(toks, "doc_id long, term string, tf long")
+    cps = [1, 3, 5]
+    got = {r["n_docs"]: (r["n_tokens"], r["vocab_size"])
+           for r in vocab_growth(tdf, cps).collect()}
+    for c in cps:
+        prefix = [t for d, text in docs[:c] for t in text.split()]
+        assert got[c] == (len(prefix), len(set(prefix))), c
+
+    # heaps_fit: exact synthetic V = 3 * n^0.55
+    rows = [(n, round(3 * n ** 0.55)) for n in
+            (10_000, 50_000, 200_000, 1_000_000)]
+    k, beta = heaps_fit(rows)
+    assert abs(beta - 0.55) < 0.01 and abs(k - 3) < 0.2
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        vocab_growth(tdf, [])
+    with _pt.raises(ValueError):
+        heaps_fit([(100, 10)])
