@@ -1544,6 +1544,68 @@ def q_sharded_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_quantized(ids, K_FLAGSHIP)
 
 
+def q_cori_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORI resource selection over the two half-corpus shards
+    (operators/shards.py::cori_shard_scores) — dictionary-statistics-
+    only shard ranking, the lossy static complement of the WAND-bound
+    pruning the sharded_pruned gate proves lossless."""
+    from .operators.segment_query import SegmentIndex
+    from .operators.shards import cori_shard_scores
+
+    merged = _merged_index_dir(spark, sf_dir)  # halves live beside it
+    base = os.path.dirname(merged)
+    shards = [SegmentIndex.load(spark, os.path.join(base, h))
+              for h in ("a", "b")]
+    return cori_shard_scores(shards, FLAGSHIP_QUERY)
+
+
+def sql_cori_shards() -> str:
+    from .operators.shards import CORI_B, CORI_DF_BASE, CORI_DF_FACTOR
+
+    b, one_b = CORI_B, 1.0 - CORI_B
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+halfn AS (SELECT COUNT(*) // 2 AS h FROM documents),
+shardmap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < (SELECT h FROM halfn) THEN 0 ELSE 1 END
+           AS shard_id
+  FROM documents),
+sdf AS (
+  SELECT m.shard_id, p.term, CAST(COUNT(*) AS DOUBLE) AS df
+  FROM postings p JOIN shardmap m USING (doc_id)
+  WHERE p.term IN (SELECT term FROM qterms)
+  GROUP BY m.shard_id, p.term),
+cw AS (
+  SELECT m.shard_id, CAST(SUM(p.tf) AS BIGINT) AS cw
+  FROM postings p JOIN shardmap m USING (doc_id)
+  GROUP BY m.shard_id),
+scw AS (SELECT SUM(CAST(cw AS DOUBLE)) / 2.0 AS avg_cw FROM cw),
+live AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS cf
+  FROM sdf WHERE df > 0 GROUP BY term),
+nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms FROM live),
+grid AS (
+  SELECT c.shard_id, c.cw, l.term, l.cf, COALESCE(s.df, 0.0) AS df
+  FROM cw c CROSS JOIN live l
+  LEFT JOIN sdf s ON s.shard_id = c.shard_id AND s.term = l.term),
+belief AS (
+  SELECT shard_id, cw,
+         CAST(ROUND(({b} + {one_b}
+           * (df / ((df + {CORI_DF_BASE})
+                    + {CORI_DF_FACTOR} * cw / (SELECT avg_cw FROM scw)))
+           * (LN((2 + 0.5) / cf) / LN(2 + 1.0))) * 1000000000)
+         AS BIGINT) AS nano
+  FROM grid)
+SELECT CAST(shard_id AS INT) AS shard_id,
+       CAST(SUM(nano) AS BIGINT) AS belief_nano,
+       (SELECT n_terms FROM nl) AS n_terms,
+       cw
+FROM belief GROUP BY shard_id, cw
+"""
+
+
 def q_sharded_pruned_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-pruned federated search (operators/shards.py::
     search_sharded_pruned — distributed WAND at shard granularity:
@@ -3159,6 +3221,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25plus_topk": q_bm25plus_topk,
         "bm25l_topk": q_bm25l_topk,
         "rank_rbo": q_rank_rbo,
+        "cori_shards": q_cori_shards,
         "sdm_topk": q_sdm_topk,
         "keywords_tfidf": q_keywords_tfidf,
         "qld_segment_topk": q_qld_segment_topk,
@@ -3234,6 +3297,7 @@ def core_oracle_sql() -> dict[str, str]:
         "bm25plus_topk": sql_bm25plus_topk(),
         "bm25l_topk": sql_bm25l_topk(),
         "rank_rbo": sql_rank_rbo(),
+        "cori_shards": sql_cori_shards(),
         "sdm_topk": sql_sdm_topk(),
         "keywords_tfidf": sql_keywords_tfidf(),
         "qld_segment_topk": sql_qld_topk(),

@@ -312,3 +312,70 @@ def search_sharded_pruned(spark: SparkSession, shards: list[SegmentIndex],
         return spark.createDataFrame([], out_schema)
     return (spark.createDataFrame(cands, out_schema)
             .orderBy(F.desc("score"), F.asc("url")).limit(k))
+
+
+CORI_B = 0.4
+CORI_DF_BASE = 50.0
+CORI_DF_FACTOR = 150.0
+
+
+def cori_shard_scores(shards: list[SegmentIndex], query: str, *,
+                      b: float = CORI_B, stem: bool = False):
+    """CORI resource selection (Callan, Lu & Croft SIGIR 1995) — rank
+    SHARDS (collections) by how likely they are to hold relevant
+    documents, from dictionary statistics alone:
+
+        T(t, C_i) = df_i / (df_i + 50 + 150 * cw_i / avg_cw)
+        I(t)      = ln((S + 0.5) / cf_t) / ln(S + 1.0)
+        p(t|C_i)  = b + (1 - b) * T * I
+        belief_i  = sum over live query terms of p(t|C_i)
+
+    where cw_i is the shard's token mass (cf_total), cf_t the number
+    of shards containing t, S the shard count.  This is the LOSSY
+    complement of ``search_sharded_pruned``: WAND bounds are exact and
+    per-query, CORI is the classical static selector when even a
+    metadata probe per shard per query is too much — rank shards once
+    from O(|q| x S) dictionary scalars and search only the top-R.
+
+    Cost: per shard ONE bucket-pruned dictionary probe for the query's
+    terms plus the cached cf_total scalar — a few hundred bytes per
+    shard regardless of corpus size, the same exchange shape as
+    phase 1 of ``search_sharded``.
+
+    Determinism contract: per-(shard, term) beliefs are quantized to
+    nano integers BEFORE summation, so the returned ``belief_nano`` is
+    an exact integer reproducible in any accumulation order (the gate
+    oracle recomputes it in SQL).  Returns a driver-built DataFrame
+    (shard_id, belief_nano, n_terms, cw) — S rows, ordered by
+    (belief_nano DESC, shard_id).
+    """
+    import math
+
+    spark = shards[0].spark if shards else None
+    bag = parse_query(query, stem=stem)
+    schema = "shard_id int, belief_nano long, n_terms long, cw long"
+    if not bag or not shards:
+        raise ValueError("cori_shard_scores needs a non-empty query "
+                         "and at least one shard")
+    terms = sorted(bag)
+    S = len(shards)
+    dfs = [s.df_of(terms) for s in shards]
+    cws = [s.cf_total() for s in shards]
+    cf = {t: sum(1 for d in dfs if d.get(t, 0) > 0) for t in terms}
+    live = [t for t in terms if cf[t] > 0]
+    avg_cw = sum(cws) / float(S)
+    rows = []
+    for i in range(S):
+        nano = 0
+        for t in live:
+            df_i = float(dfs[i].get(t, 0))
+            t_belief = df_i / ((df_i + CORI_DF_BASE)
+                               + CORI_DF_FACTOR * cws[i] / avg_cw)
+            idf = math.log((S + 0.5) / cf[t]) / math.log(S + 1.0)
+            p = b + (1.0 - b) * t_belief * idf
+            # half-up like SQL ROUND (p is always positive), not
+            # Python's banker's rounding
+            nano += int(math.floor(p * 1e9 + 0.5))
+        rows.append((i, nano, len(live), cws[i]))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(rows, schema)

@@ -179,3 +179,79 @@ class TestPrunedShardedSearch:
         assert res.count() == 5
         assert 3 in info["skipped"]          # the disjoint shard
         assert info["bounds"][3] == 0.0
+
+
+class TestCori:
+    def test_cori_selects_term_bearing_shards(self, spark, sharded):
+        """CORI ranks the shards holding the query's terms above a
+        shard without them, and beliefs recompute exactly from the
+        formula on the probed statistics."""
+        import math
+
+        from ir_spark.operators.segment_query import SegmentIndex
+        from ir_spark.operators.shards import (CORI_B, CORI_DF_BASE,
+                                               CORI_DF_FACTOR,
+                                               cori_shard_scores)
+        from ir_spark.oracle import parse_query
+
+        dirs, _ = sharded
+        shards = [SegmentIndex.load(spark, d) for d in dirs]
+        q = QUERIES[0]
+        got = cori_shard_scores(shards, q).collect()
+        assert len(got) == len(shards)
+        # ordered by belief desc, shard_id asc
+        beliefs = [r["belief_nano"] for r in got]
+        assert beliefs == sorted(beliefs, reverse=True)
+
+        # independent recompute from the same probes
+        terms = sorted(parse_query(q))
+        dfs = [s.df_of(terms) for s in shards]
+        cws = [s.cf_total() for s in shards]
+        S = len(shards)
+        cf = {t: sum(1 for d in dfs if d.get(t, 0) > 0) for t in terms}
+        live = [t for t in terms if cf[t] > 0]
+        avg_cw = sum(cws) / float(S)
+        for r in got:
+            i = r["shard_id"]
+            want = 0
+            for t in live:
+                df_i = float(dfs[i].get(t, 0))
+                T = df_i / ((df_i + CORI_DF_BASE)
+                            + CORI_DF_FACTOR * cws[i] / avg_cw)
+                idf = math.log((S + 0.5) / cf[t]) / math.log(S + 1.0)
+                want += int(math.floor(
+                    (CORI_B + (1.0 - CORI_B) * T * idf) * 1e9 + 0.5))
+            assert r["belief_nano"] == want
+            assert r["n_terms"] == len(live)
+            assert r["cw"] == cws[i]
+
+    def test_cori_zero_df_shard_gets_floor_belief(self, spark, sharded,
+                                                  tmp_path):
+        """A shard with NONE of the query terms earns exactly the
+        b-floor belief per live term — strictly below any shard that
+        has them."""
+        from ir_spark.operators.segment_query import SegmentIndex
+        from ir_spark.operators.shards import cori_shard_scores
+
+        dirs, _ = sharded
+        # a shard whose vocabulary cannot contain the aero query terms
+        alien = spark.createDataFrame(
+            [(f"doc://x{i}", "zz" + "qq zz ww xx yy " * 20)
+             for i in range(5)], "url string, text string")
+        d = str(tmp_path / "alien")
+        build_segment_index(spark, alien, d, source="alien", norms=False)
+        shards = [SegmentIndex.load(spark, p) for p in [dirs[1], d]]
+        rows = {r["shard_id"]: r for r in
+                cori_shard_scores(shards, QUERIES[0]).collect()}
+        assert rows[0]["belief_nano"] > rows[1]["belief_nano"]
+
+    def test_cori_rejects_empty(self, spark, sharded):
+        from ir_spark.operators.segment_query import SegmentIndex
+        from ir_spark.operators.shards import cori_shard_scores
+
+        dirs, _ = sharded
+        s = [SegmentIndex.load(spark, dirs[0])]
+        with pytest.raises(ValueError):
+            cori_shard_scores(s, "the of")  # all stopwords
+        with pytest.raises(ValueError):
+            cori_shard_scores([], "boundary layer")
