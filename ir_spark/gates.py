@@ -1544,6 +1544,103 @@ def q_sharded_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_quantized(ids, K_FLAGSHIP)
 
 
+UPSERT_MOD = 9  # recrawl every doc with orig_id % UPSERT_MOD == 0
+_UPSERT_SEG_MEMO: dict[tuple, str] = {}
+
+
+def _upsert_seg_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Copy of the memoized segment index with every UPSERT_MOD-th doc
+    RECRAWLED through streaming/incremental.py::upsert_documents: the
+    new version appends ' zzrecrawled zzrecrawled' to the old text, the
+    superseded ids are tombstoned (maxDoc stats until compaction)."""
+    from .streaming.incremental import upsert_documents
+
+    key = (id(spark), sf_dir)
+    if key not in _UPSERT_SEG_MEMO:
+        d = _copy_index(_seg_index_dir(spark, sf_dir),
+                        "ir_spark_gate_upsertseg_")
+        docs = _read_documents(spark, sf_dir).filter(
+            F.col("doc_id") % UPSERT_MOD == 0)
+        victims = docs.select(
+            F.format_string("doc://%012d", "doc_id").alias("url"),
+            F.concat(F.col("text"),
+                     F.lit(" zzrecrawled zzrecrawled")).alias("text"))
+        upsert_documents(spark, victims, d, batch_tag="gate-recrawl")
+        _UPSERT_SEG_MEMO[key] = d
+    return _UPSERT_SEG_MEMO[key]
+
+
+def q_bm25_topk_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k after a recrawl UPSERT (streaming/incremental.py::
+    upsert_documents — last-wins replace-by-url: superseded ids
+    tombstoned, new versions appended under fresh ids): results carry
+    exactly one live version per url, stats follow maxDoc semantics
+    over old+new rows, df/N shifts from the appended versions included.
+    Runs WAND so pruning correctness under upsert is value-checked;
+    results map back to original corpus ids via the doc_map urls."""
+    from .operators.segment_query import SegmentIndex, search_segments
+
+    d = _upsert_seg_dir(spark, sf_dir)
+    sidx = SegmentIndex.load(spark, d)
+    raw = search_segments(spark, sidx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                          mode="bm25", strategy="wand")
+    return _rerank_quantized(_to_original_ids(spark, d, raw), K_FLAGSHIP)
+
+
+def sql_bm25_topk_upsert(k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle corpus = originals (victims tombstoned but still counted
+    in N/avg_dl/df — maxDoc semantics) UNION the recrawled versions;
+    results keyed by the ORIGINAL doc id both sides."""
+    return f"""
+WITH corpus2 AS (
+  SELECT doc_id, doc_id AS result_id, text,
+         doc_id % {UPSERT_MOD} <> 0 AS live
+  FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+         doc_id AS result_id,
+         text || ' zzrecrawled zzrecrawled' AS text,
+         TRUE AS live
+  FROM documents WHERE doc_id % {UPSERT_MOD} = 0
+),
+toks AS (
+  SELECT doc_id, result_id, live, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, result_id, live,
+               UNNEST(string_split(text, ' ')) AS term
+        FROM corpus2) u
+  WHERE LENGTH(term) > 1
+  GROUP BY doc_id, result_id, live, term
+),
+postings AS (SELECT * FROM toks WHERE term NOT IN ({STOP_SQL})),
+docinfo AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len
+  FROM toks GROUP BY doc_id
+),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(doc_len) AS avg_dl
+          FROM docinfo),
+dict AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+         FROM postings GROUP BY term),
+{_sql_query_terms()},
+hits AS (
+  SELECT p.result_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.live
+)
+SELECT result_id AS doc_id,
+       CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY result_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 def q_cori_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORI resource selection over the two half-corpus shards
     (operators/shards.py::cori_shard_scores) — dictionary-statistics-
@@ -3222,6 +3319,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25l_topk": q_bm25l_topk,
         "rank_rbo": q_rank_rbo,
         "cori_shards": q_cori_shards,
+        "bm25_topk_upsert": q_bm25_topk_upsert,
         "sdm_topk": q_sdm_topk,
         "keywords_tfidf": q_keywords_tfidf,
         "qld_segment_topk": q_qld_segment_topk,
@@ -3298,6 +3396,7 @@ def core_oracle_sql() -> dict[str, str]:
         "bm25l_topk": sql_bm25l_topk(),
         "rank_rbo": sql_rank_rbo(),
         "cori_shards": sql_cori_shards(),
+        "bm25_topk_upsert": sql_bm25_topk_upsert(),
         "sdm_topk": sql_sdm_topk(),
         "keywords_tfidf": sql_keywords_tfidf(),
         "qld_segment_topk": sql_qld_topk(),

@@ -72,6 +72,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "clarity_scores": ["clarity_micro", "n_model_terms", "query_id"],
         "rank_rbo": ["overlap_at_k", "query_id", "rbo_micro"],
         "cori_shards": ["belief_nano", "cw", "n_terms", "shard_id"],
+        "bm25_topk_upsert": ["doc_id", "score_micro"],
     },
     "lexicon_suite": {
         "synonym_bm25_topk": ["doc_id", "score_micro"],

@@ -65,12 +65,19 @@ def update_segment_index(
     n_buckets: int | None = None,
     range_width: int | None = None,
     batch_tag: str | None = None,
+    replace_existing: bool = False,
 ) -> dict:
     """Append a batch of pages to an existing (possibly empty) index.
 
     Usable directly for batch appends and from foreachBatch.  Returns
     batch metrics.  Layout parameters are read from the committed stats
     manifest when present so every increment matches the base build.
+
+    ``replace_existing=False`` (default) keeps the first-seen-wins
+    append contract: urls already in the doc_map are dropped.  With
+    ``replace_existing=True`` every batch url is indexed under a FRESH
+    doc id (the recrawl path — see :func:`upsert_documents`, which
+    also tombstones the superseded ids).
     """
     os.makedirs(index_dir, exist_ok=True)
     paths = index_paths(index_dir)
@@ -112,8 +119,9 @@ def update_segment_index(
     if have_doc_map:
         old_map = spark.read.parquet(paths["doc_map"])
         offset = old_map.agg(F.max("doc_id")).collect()[0][0] or 0
-        fresh = new_pages.select("url", "text").join(
-            old_map.select("url"), "url", "left_anti")
+        fresh = (new_pages.select("url", "text") if replace_existing
+                 else new_pages.select("url", "text").join(
+                     old_map.select("url"), "url", "left_anti"))
     else:
         offset = 0
         fresh = new_pages.select("url", "text")
@@ -190,6 +198,61 @@ def update_segment_index(
         {"grp": int(grp), "max_doc_id": int(offset + n_new),
          "n_docs": int(stats["n"]), "avg_doc_len": float(stats["avg"]),
          "batch_tag": batch_tag or ""})
+    return metrics
+
+
+def upsert_documents(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    *,
+    stem: bool = False,
+    batch_tag: str | None = None,
+) -> dict:
+    """Recrawl upsert — LAST-wins replace-by-url, the page-refresh
+    path a living web index needs (the append contract is first-seen-
+    wins, so recrawled pages would otherwise be dropped):
+
+      1. within-batch dedup keeps one row per url (latest warc_ts —
+         done inside update_segment_index);
+      2. urls already LIVE in the index are tombstoned (operators/
+         deletes.py::delete_docs — Lucene's delete-then-add, exactly
+         how IndexWriter.updateDocument works): the superseded doc ids
+         vanish from results instantly, while collection stats keep
+         maxDoc semantics until compaction;
+      3. the whole batch is appended under FRESH doc ids
+         (``replace_existing=True`` skips the first-seen anti-join),
+         committing the usual dictionary/docinfo/segment deltas plus a
+         snapshot manifest — as-of reads of PRE-upsert snapshots still
+         see the old versions (tombstones are current-view only).
+
+    Plan shape: one broadcast semi-join against the (batch-sized) url
+    set for the tombstones — the corpus-sized doc_map never shuffles —
+    then the ordinary append build on batch-sized data.  Repeated
+    upserts of the same url tombstone only the currently-live id
+    (earlier ids are already tombstoned and anti-joined away inside
+    delete_docs).  Recrawl-heavy indexes should compact_segments(
+    purge_deletes=True) periodically: live tombstones are capped by
+    MAX_INLINE_TOMBSTONES (deletes.py).
+
+    Returns the append metrics plus {"n_replaced": <tombstoned ids>}.
+    """
+    from ..operators.deletes import delete_docs
+
+    paths = index_paths(index_dir)
+    n_replaced = 0
+    if os.path.isdir(paths["doc_map"]):
+        batch_urls = pages.select("url").distinct()
+        doc_map = spark.read.parquet(paths["doc_map"])
+        matched = doc_map.join(F.broadcast(batch_urls), "url", "left_semi")
+        if matched.limit(1).count():
+            n_replaced = delete_docs(
+                spark, index_dir,
+                matched.select("url").distinct())["n_new"]
+    metrics = update_segment_index(
+        spark, pages, index_dir, stem=stem, batch_tag=batch_tag,
+        replace_existing=True)
+    metrics["n_replaced"] = int(n_replaced)
     return metrics
 
 

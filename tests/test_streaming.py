@@ -709,3 +709,63 @@ def test_interval_join_stream_batch_parity(spark, tmp_path):
     streamed = {(r.purchase_id, r.click_id)
                 for r in spark.sql("select * from ivj").collect()}
     assert streamed == batch
+
+
+def test_upsert_replaces_by_url(spark, corpus, tmp_path):
+    """Recrawl upsert: the new version of a url is what retrieval
+    sees, the superseded doc id is tombstoned (maxDoc stats until
+    compaction), repeat upserts stay idempotent, and pre-upsert
+    snapshots still serve the old text."""
+    from ir_spark.streaming.incremental import upsert_documents
+
+    idx_dir = str(tmp_path / "upsert_idx")
+    pages = spark.read.parquet(corpus["full"])
+    m = update_segment_index(spark, pages, idx_dir, batch_tag="base")
+    assert m["n_new_docs"] == N_DOCS
+    pre_grp = 0  # first committed batch group
+
+    # recrawl 5 urls: the new text is the old text plus a marker term
+    victims = (pages.orderBy("url").limit(5)
+               .select("url", F.concat(F.col("text"),
+                                       F.lit(" zzrecrawlmark zzrecrawlmark"))
+                       .alias("text")))
+    m1 = upsert_documents(spark, victims, idx_dir, batch_tag="recrawl")
+    assert m1["n_replaced"] == 5 and m1["n_new_docs"] == 5
+    # maxDoc semantics: docinfo keeps the superseded rows
+    assert m1["n_docs"] == N_DOCS + 5
+
+    sidx = SegmentIndex.load(spark, idx_dir)
+    doc_map = spark.read.parquet(os.path.join(idx_dir, "doc_map"))
+    hits = search_segments(spark, sidx, "zzrecrawlmark", k=50, mode="bm25",
+                           strategy="exhaustive")
+    got = {r["url"] for r in hits.join(doc_map, "doc_id").collect()}
+    assert got == {r["url"] for r in victims.select("url").collect()}
+    # each url resolves to exactly ONE live doc (old ids tombstoned)
+    assert hits.count() == 5
+
+    # a non-recrawled query term still ranks, and no url appears twice
+    full = search_segments(spark, sidx, QUERIES[0], k=N_DOCS + 5,
+                           mode="bm25", strategy="exhaustive")
+    urls = [r["url"] for r in full.join(doc_map, "doc_id").collect()]
+    assert len(urls) == len(set(urls))
+
+    # second upsert of the same urls replaces the replacement
+    m2 = upsert_documents(spark, victims, idx_dir, batch_tag="recrawl2")
+    assert m2["n_replaced"] == 5 and m2["n_new_docs"] == 5
+    sidx2 = SegmentIndex.load(spark, idx_dir)
+    assert search_segments(spark, sidx2, "zzrecrawlmark", k=50,
+                           mode="bm25").count() == 5
+
+    # time travel: the pre-upsert snapshot has no marker postings
+    old = SegmentIndex.load(spark, idx_dir, as_of_grp=pre_grp)
+    assert search_segments(spark, old, "zzrecrawlmark", k=50,
+                           mode="bm25").count() == 0
+
+
+def test_upsert_on_fresh_index_is_plain_append(spark, corpus, tmp_path):
+    from ir_spark.streaming.incremental import upsert_documents
+
+    idx_dir = str(tmp_path / "upsert_fresh")
+    pages = spark.read.parquet(corpus["full"]).limit(10)
+    m = upsert_documents(spark, pages, idx_dir, batch_tag="b0")
+    assert m["n_replaced"] == 0 and m["n_new_docs"] == 10
