@@ -1776,6 +1776,58 @@ GROUP BY g.doc_id
 """
 
 
+DRIFT_BUCKETS = 4096
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice distribution drift (operators/corpus.py::corpus_drift):
+    Jensen-Shannon divergence in bits between each lang slice's
+    hashed-unigram distribution and the pooled rest of the corpus —
+    the pre-training telemetry that catches a source whose content
+    mix silently changed between crawls."""
+    from .operators import corpus as C
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d = C.corpus_drift(docs, "lang", n_buckets=DRIFT_BUCKETS)
+    return d.select(
+        "slice", "n_slice_tokens",
+        F.round(F.col("jsd_bits") * 1e6).cast("long").alias(
+            "jsd_bits_micro"))
+
+
+def sql_corpus_drift() -> str:
+    b = DRIFT_BUCKETS
+    return f"""
+WITH toks AS (
+  SELECT lang AS slice,
+         UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+sb AS (
+  SELECT slice, ('0x' || substr(md5(tok), 1, 8))::BIGINT % {b} AS b,
+         CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM toks GROUP BY slice, 2
+),
+gb AS (SELECT b, SUM(cnt) AS gcnt FROM sb GROUP BY b),
+stot AS (SELECT slice, SUM(cnt) AS stot FROM sb GROUP BY slice),
+gtot AS (SELECT SUM(gcnt) AS gtot FROM gb),
+terms AS (
+  SELECT s.slice, s.stot,
+         COALESCE(x.cnt, 0) / s.stot AS p,
+         (g.gcnt - COALESCE(x.cnt, 0)) / (t.gtot - s.stot) AS q
+  FROM stot s CROSS JOIN gb g CROSS JOIN gtot t
+  LEFT JOIN sb x ON x.slice = s.slice AND x.b = g.b
+  WHERE t.gtot - s.stot > 0
+)
+SELECT slice, CAST(MAX(stot) AS BIGINT) AS n_slice_tokens,
+       CAST(ROUND(SUM(
+           CASE WHEN p > 0 THEN p * LN(p / ((p + q) / 2)) ELSE 0 END
+         + CASE WHEN q > 0 THEN q * LN(q / ((p + q) / 2)) ELSE 0 END
+       ) / (2 * LN(2)) * 1000000) AS BIGINT) AS jsd_bits_micro
+FROM terms GROUP BY slice
+"""
+
+
 # --- bigram collocations (PMI) -----------------------------------------------
 
 COLLOC_MIN_N, COLLOC_K = 5, 20
@@ -3907,6 +3959,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cjk_bigrams": q_cjk_bigrams,
         "mix_report": q_mix_report,
         "dsir_weights": q_dsir_weights,
+        "corpus_drift": q_corpus_drift,
         "nb_lang_classify": q_nb_lang_classify,
         "passage_bm25_topk": q_passage_bm25_topk,
         "web_anchor_bm25f_topk": q_web_anchor_bm25f_topk,
@@ -3983,6 +4036,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "cjk_bigrams": sql_cjk_bigrams(),
         "mix_report": sql_mix_report(),
         "dsir_weights": sql_dsir_weights(),
+        "corpus_drift": sql_corpus_drift(),
         "nb_lang_classify": sql_nb_lang_classify(),
         "passage_bm25_topk": sql_passage_bm25_topk(),
         "web_anchor_bm25f_topk": sql_web_anchor_bm25f_topk(),

@@ -144,6 +144,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "sequence_pack": ["bin_id", "bin_offset", "doc_id", "n_tokens",
                           "start"],
         "dsir_weights": ["doc_id", "dsir_logw_micro"],
+        "corpus_drift": ["jsd_bits_micro", "n_slice_tokens", "slice"],
         "nb_lang_classify": ["doc_id", "mean_ll_micro", "pred_lang"],
         "passage_bm25_topk": ["chunk_id", "doc_id", "score_micro",
                               "start"],

@@ -735,3 +735,58 @@ def gopher_quality_filter(docs: DataFrame) -> DataFrame:
         n_stop.alias("n_stop_kinds"),
         keep.cast("int").alias("keep"),
     )
+
+
+def corpus_drift(docs: DataFrame, slice_col: str = "lang", *,
+                 n_buckets: int = 4096) -> DataFrame:
+    """Distribution-drift monitor: Jensen-Shannon divergence (bits)
+    between each corpus slice's hashed-unigram distribution and the
+    pooled REST of the corpus (leave-one-out).
+
+    (doc_id, text, <slice_col>) -> (slice, n_slice_tokens,
+    jsd_bits:double) per distinct slice value; slices that ARE the
+    whole corpus (rest empty) are dropped.  A slice whose language /
+    crawl-batch / host mix silently changes shows up as a JSD step —
+    the standard pre-training telemetry for "did this source drift".
+
+    Scale shape: one partial-agg shuffle to (slice, bucket) counts
+    (bounded by n_slices x n_buckets regardless of corpus size); the
+    per-bucket global totals derive from THAT aggregate, not from a
+    second corpus scan; everything after operates on the tiny bounded
+    table.  No driver state, no UDFs — log/when arithmetic stays in
+    whole-stage codegen.  Hashing is the portable first-8-hex-chars-of-
+    md5 scheme shared with dsir_importance so the DuckDB oracle
+    reproduces the bucketing bit-for-bit.
+    """
+    toks = docs.select(
+        F.col(slice_col).alias("slice"),
+        F.explode(F.filter(F.split("text", " "),
+                           lambda t: t != "")).alias("tok"))
+    b = (F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8),
+                16, 10).cast("long") % F.lit(n_buckets))
+    sb = (toks.select("slice", b.alias("b"))
+          .groupBy("slice", "b").agg(F.count(F.lit(1)).alias("cnt")))
+    gb = sb.groupBy("b").agg(F.sum("cnt").alias("gcnt"))
+    stot = sb.groupBy("slice").agg(F.sum("cnt").alias("stot"))
+    gtot = gb.agg(F.coalesce(F.sum("gcnt"), F.lit(0))).collect()[0][0]
+    # every (slice, bucket) pair that could contribute: slice-present
+    # buckets plus rest-present buckets == all (slice x global-bucket)
+    # pairs with either side non-zero.  Build it from the bounded
+    # aggregates: cross the slice list with the global bucket table,
+    # then left-join the slice counts.
+    grid = (stot.crossJoin(F.broadcast(gb))
+            .join(sb, ["slice", "b"], "left")
+            .select("slice", "b", "stot", "gcnt",
+                    F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")))
+    p = F.col("cnt") / F.col("stot")
+    rest = F.col("gcnt") - F.col("cnt")
+    rest_tot = F.lit(gtot) - F.col("stot")
+    q = rest / rest_tot
+    m = (p + q) / F.lit(2.0)
+    term = (F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+            + F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0)))
+    ln2 = 0.6931471805599453
+    return (grid.filter(rest_tot > 0)
+            .groupBy("slice")
+            .agg(F.max("stot").cast("long").alias("n_slice_tokens"),
+                 (F.sum(term) / F.lit(2.0 * ln2)).alias("jsd_bits")))

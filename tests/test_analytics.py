@@ -1133,3 +1133,36 @@ def test_vocab_growth_matches_python(spark):
         vocab_growth(tdf, [])
     with _pt.raises(ValueError):
         heaps_fit([(100, 10)])
+
+
+class TestCorpusDrift:
+    def test_identical_slices_zero_jsd(self, spark):
+        from ir_spark.operators.corpus import corpus_drift
+
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma delta", "a" if i % 2 else "b")
+             for i in range(20)],
+            "doc_id long, text string, lang string")
+        rows = {r.slice: r for r in corpus_drift(docs).collect()}
+        assert set(rows) == {"a", "b"}
+        for r in rows.values():
+            assert abs(r.jsd_bits) < 1e-12
+            assert r.n_slice_tokens == 40
+
+    def test_disjoint_slices_one_bit(self, spark):
+        from ir_spark.operators.corpus import corpus_drift
+
+        docs = spark.createDataFrame(
+            [(0, "aa bb cc dd", "x"), (1, "ee ff gg hh", "y")],
+            "doc_id long, text string, lang string")
+        rows = {r.slice: r.jsd_bits for r in corpus_drift(docs).collect()}
+        assert rows.keys() == {"x", "y"}
+        for v in rows.values():
+            assert abs(v - 1.0) < 1e-12
+
+    def test_single_slice_empty(self, spark):
+        from ir_spark.operators.corpus import corpus_drift
+
+        docs = spark.createDataFrame(
+            [(0, "aa bb", "only")], "doc_id long, text string, lang string")
+        assert corpus_drift(docs).count() == 0
