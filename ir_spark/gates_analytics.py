@@ -3464,6 +3464,61 @@ FROM tot t LEFT JOIN kept k USING (doc_id)
 """
 
 
+BOILER_MIN_DOCS, BOILER_MIN_FRAC = 3, 0.1
+
+
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-template stripping (operators/corpus.py::host_boilerplate)
+    over the derived line corpus with the real source column: the
+    injected header/footer lines recur across a host's pages and are
+    removed everywhere, unique body lines survive."""
+    from .operators import corpus as C
+
+    full = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    lines = _with_paragraph_lines(full.select("doc_id", "text"))
+    withhost = lines.join(full.select("doc_id", "source"), "doc_id")
+    return C.host_boilerplate(withhost, "source",
+                              min_docs=BOILER_MIN_DOCS,
+                              min_frac=BOILER_MIN_FRAC)
+
+
+def sql_host_boilerplate() -> str:
+    return f"""
+WITH {_SQL_PARA_CORPUS.strip()},
+paras AS (
+  SELECT c.doc_id, d.source AS host, s.idx AS idx, s.para AS para FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        i -> struct_pack(idx := i, para := ls[i]))) AS s
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus)) c
+  JOIN documents d USING (doc_id)
+  WHERE trim(c.s.para) <> ''
+),
+hd AS (SELECT source AS host, COUNT(DISTINCT doc_id) AS hdocs
+       FROM documents GROUP BY source),
+pk AS (
+  SELECT host, md5(para) AS h, COUNT(DISTINCT doc_id) AS ndocs
+  FROM paras GROUP BY host, 2
+),
+boiler AS (
+  SELECT pk.host, pk.h FROM pk JOIN hd USING (host)
+  WHERE pk.ndocs >= {BOILER_MIN_DOCS}
+    AND pk.ndocs >= hd.hdocs * {BOILER_MIN_FRAC}
+),
+tagged AS (
+  SELECT p.doc_id, p.idx, p.para,
+         (b.h IS NULL) AS keep_para
+  FROM paras p LEFT JOIN boiler b
+    ON b.host = p.host AND b.h = md5(p.para)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN keep_para THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_boiler,
+       md5(COALESCE(string_agg(CASE WHEN keep_para THEN para END,
+                               chr(10) ORDER BY idx), '')) AS kept_md5
+FROM tagged GROUP BY doc_id
+"""
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (operators/corpus.py::chunk_documents)
     straight over the documents table."""
@@ -3960,6 +4015,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_report": q_mix_report,
         "dsir_weights": q_dsir_weights,
         "corpus_drift": q_corpus_drift,
+        "host_boilerplate": q_host_boilerplate,
         "nb_lang_classify": q_nb_lang_classify,
         "passage_bm25_topk": q_passage_bm25_topk,
         "web_anchor_bm25f_topk": q_web_anchor_bm25f_topk,
@@ -4037,6 +4093,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "mix_report": sql_mix_report(),
         "dsir_weights": sql_dsir_weights(),
         "corpus_drift": sql_corpus_drift(),
+        "host_boilerplate": sql_host_boilerplate(),
         "nb_lang_classify": sql_nb_lang_classify(),
         "passage_bm25_topk": sql_passage_bm25_topk(),
         "web_anchor_bm25f_topk": sql_web_anchor_bm25f_topk(),

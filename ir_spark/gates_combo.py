@@ -145,6 +145,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
                           "start"],
         "dsir_weights": ["doc_id", "dsir_logw_micro"],
         "corpus_drift": ["jsd_bits_micro", "n_slice_tokens", "slice"],
+        "host_boilerplate": ["doc_id", "kept_md5", "n_boiler", "n_paras"],
         "nb_lang_classify": ["doc_id", "mean_ll_micro", "pred_lang"],
         "passage_bm25_topk": ["chunk_id", "doc_id", "score_micro",
                               "start"],

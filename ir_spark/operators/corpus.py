@@ -790,3 +790,57 @@ def corpus_drift(docs: DataFrame, slice_col: str = "lang", *,
             .groupBy("slice")
             .agg(F.max("stot").cast("long").alias("n_slice_tokens"),
                  (F.sum(term) / F.lit(2.0 * ln2)).alias("jsd_bits")))
+
+
+def host_boilerplate(docs: DataFrame, host_col: str = "source", *,
+                     min_docs: int = 3, min_frac: float = 0.1,
+                     delim: str = "\n") -> DataFrame:
+    """Host-level boilerplate stripping — the CCNet/RefinedWeb template
+    filter: a paragraph that recurs across many pages OF THE SAME HOST
+    (nav bars, cookie banners, footers) is boilerplate and is removed
+    from every page; cross-host repeats are left alone (that is
+    content duplication, ``dedup_paragraphs``'s job, not template
+    noise).
+
+    (doc_id, text, <host_col>) -> (doc_id, n_paras, n_boiler,
+    kept_md5): a paragraph is boilerplate on host h when it appears in
+    >= max(``min_docs``, ``min_frac`` * docs(h)) DISTINCT docs of h.
+    ``kept_md5`` fingerprints the surviving paragraphs re-joined by
+    ``delim`` in original order (md5('') if everything was template).
+
+    Scale shape: paragraphs travel the shuffle as md5 keys + ints,
+    never resident text; the per-(host, para) doc count is a distinct
+    + partial-agg'd groupBy (hot template keys combine map-side); the
+    boilerplate key table is tiny (per-host templates) and joins back
+    equi-keyed on (host, hash) so AQE skew-join covers hot buckets;
+    reassembly is one groupBy(doc_id).  All expressions whole-stage
+    codegen, no Python.
+    """
+    paras = (
+        docs.select(
+            F.col(host_col).alias("host"), "doc_id",
+            F.posexplode(F.split(F.col("text"), delim)).alias("idx", "para"))
+        .filter(F.trim(F.col("para")) != "")
+        .withColumn("h", F.md5(F.col("para").cast("binary")))
+    )
+    host_docs = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct("doc_id").alias("hdocs"))
+    per_key = (paras.select("host", "h", "doc_id").distinct()
+               .groupBy("host", "h").agg(F.count(F.lit(1)).alias("ndocs")))
+    boiler = (per_key.join(host_docs, "host")
+              .filter((F.col("ndocs") >= min_docs)
+                      & (F.col("ndocs") >= F.col("hdocs") * min_frac))
+              .select("host", "h", F.lit(True).alias("is_boiler")))
+    tagged = (paras.join(boiler, ["host", "h"], "left")
+              .withColumn("keep_para", F.col("is_boiler").isNull()))
+    kept_sorted = F.transform(
+        F.array_sort(F.collect_list(
+            F.when(F.col("keep_para"), F.struct("idx", "para")))),
+        lambda s: s["para"])
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum((~F.col("keep_para")).cast("long")).cast("long").alias(
+            "n_boiler"),
+        F.md5(F.concat_ws(delim, kept_sorted).cast("binary")).alias(
+            "kept_md5"),
+    )

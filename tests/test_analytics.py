@@ -1166,3 +1166,36 @@ class TestCorpusDrift:
         docs = spark.createDataFrame(
             [(0, "aa bb", "only")], "doc_id long, text string, lang string")
         assert corpus_drift(docs).count() == 0
+
+
+class TestHostBoilerplate:
+    def test_template_stripped_per_host_only(self, spark):
+        from ir_spark.operators.corpus import host_boilerplate
+
+        # host A: banner on every page; host B: same banner on ONE page
+        rows = [(i, f"banner\nbody {i}", "A") for i in range(5)]
+        rows += [(10, "banner\nunique ten", "B"),
+                 (11, "other\nunique eleven", "B"),
+                 (12, "more\nunique twelve", "B")]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = {r.doc_id: r for r in host_boilerplate(
+            docs, min_docs=3, min_frac=0.5).collect()}
+        for i in range(5):                      # host A: banner stripped
+            assert out[i].n_boiler == 1 and out[i].n_paras == 2
+        for i in (10, 11, 12):                  # host B: nothing recurs
+            assert out[i].n_boiler == 0
+
+    def test_kept_md5_matches_joined_text(self, spark):
+        import hashlib
+
+        from ir_spark.operators.corpus import host_boilerplate
+
+        docs = spark.createDataFrame(
+            [(i, f"nav\nbody {i}\nfooter", "h") for i in range(4)],
+            "doc_id long, text string, source string")
+        out = {r.doc_id: r.kept_md5 for r in host_boilerplate(
+            docs, min_docs=3, min_frac=0.5).collect()}
+        for i in range(4):
+            want = hashlib.md5(f"body {i}".encode()).hexdigest()
+            assert out[i] == want
