@@ -149,15 +149,32 @@ def main() -> None:
 
         return ids.map(_sz)
 
+    # NewPFD (Yan, Ding & Suel 2009) on the same per-run GAP streams —
+    # patched 128-value bit-packing, 4-byte count headers excluded
+    @_pudf("long")
+    def _pfor_payload_bytes(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ir_spark.codec import pfor_encode
+
+        def _sz(a):
+            a = np.asarray(a, dtype=np.int64)
+            g = np.diff(a, prepend=a[0] - 1) if len(a) else a
+            return max(0, len(pfor_encode(g)) - 4)
+
+        return ids.map(_sz)
+
     runs = flat.groupBy(
         "term",
         F.floor(F.col("doc_id") / bench_range_width).alias("run")).agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids"))
-    interp_b, s9_b = runs.agg(
+    interp_b, s9_b, pfor_b = runs.agg(
         F.sum(_interp_payload_bytes("ids")),
-        F.sum(_s9_payload_bytes("ids"))).collect()[0]
+        F.sum(_s9_payload_bytes("ids")),
+        F.sum(_pfor_payload_bytes("ids"))).collect()[0]
     extras["gap_stream_interp_bytes"] = int(interp_b or 0)
     extras["gap_stream_simple9_bytes"] = int(s9_b or 0)
+    extras["gap_stream_pfor_bytes"] = int(pfor_b or 0)
 
     # Elias-Fano (codec.py::elias_fano_encode) on the same per-(term,
     # run) doc-id lists — EF size is a closed form of (n, last), so

@@ -785,3 +785,89 @@ def elias_fano_size_bits(n: int, last: int) -> int:
         return 0
     l = _ef_low_bits(last + 1, n)
     return n * l + n + (last >> l) + 1
+
+
+# --- NewPFD / patched frame-of-reference (Yan, Ding & Suel, WWW 2009) --------
+#
+# The codec that made bit-packing practical for web indexes: each
+# 128-value block packs every value's LOW b bits at a fixed width
+# chosen so outliers stay rare, and the outliers ("exceptions") store
+# their overflow high bits out-of-band — so one huge gap no longer
+# drags the whole block to 32-bit width, the classic frame-of-
+# reference failure.  b is chosen PER BLOCK by exact cost minimization
+# (packed bytes + exception bytes), not a fixed outlier quota, which
+# dominates the 90%-quantile heuristic of the original paper on short
+# runs.  Like gamma/delta/interpolative/Simple-9/Elias-Fano this is an
+# evidence codec for bench.py's size table (the production store stays
+# delta+varbyte per D6); encode and decode are vectorized numpy —
+# pack/unpack are np.packbits/np.unpackbits over (n, b) bit matrices,
+# exceptions ride the existing varbyte kernels.
+#
+# Layout: uint32 n | per block: u8 b | u8 n_exc | ceil(len*b/8) packed
+# low-bit bytes (MSB-first per value) | n_exc u8 slot positions |
+# varbyte(high parts, in slot order).
+
+PFOR_BLOCK = 128
+
+
+def pfor_encode(values: np.ndarray | list[int]) -> bytes:
+    v = np.asarray(values, dtype=np.uint64)
+    out = [np.uint32(v.size).tobytes()]
+    if v.size == 0:
+        return b"".join(out)
+    if int(v.max()) >= (1 << 32):
+        raise ValueError("NewPFD payload is 32 bits")
+    for pos in range(0, v.size, PFOR_BLOCK):
+        blk = v[pos:pos + PFOR_BLOCK]
+        bl = _bit_lengths(blk)          # bitlen with bitlen(0) == 1
+        maxb = int(bl.max())
+        best_b, best_cost = maxb, None
+        for b in range(1, maxb + 1):
+            over = bl[bl > b]
+            # each exception: 1 position byte + varbyte(high) where
+            # high has (bitlen - b) bits -> ceil(bits / 7) bytes
+            exc_cost = over.size + int(np.ceil((over - b) / 7.0).sum())
+            cost = (blk.size * b + 7) // 8 + exc_cost
+            if best_cost is None or cost < best_cost:
+                best_b, best_cost = b, cost
+        b = best_b
+        mask = np.uint64((1 << b) - 1)
+        low = blk & mask
+        shifts = np.arange(b - 1, -1, -1, dtype=np.uint64)
+        bits = ((low[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+            np.uint8)
+        packed = np.packbits(bits.ravel()).tobytes()
+        exc_idx = np.flatnonzero(bl > b)
+        highs = (blk[exc_idx] >> np.uint64(b))
+        out.append(np.uint8(b).tobytes() + np.uint8(exc_idx.size).tobytes()
+                   + packed + exc_idx.astype(np.uint8).tobytes()
+                   + varbyte_encode(highs))
+    return b"".join(out)
+
+
+def pfor_decode(buf: bytes) -> np.ndarray:
+    n = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
+    out = np.empty(n, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    p = 4
+    done = 0
+    while done < n:
+        blen = min(PFOR_BLOCK, n - done)
+        b = int(raw[p]); n_exc = int(raw[p + 1]); p += 2
+        nbytes = (blen * b + 7) // 8
+        bits = np.unpackbits(raw[p:p + nbytes], count=blen * b)
+        p += nbytes
+        weights = (np.uint64(1) << np.arange(b - 1, -1, -1,
+                                             dtype=np.uint64))
+        vals = (bits.reshape(blen, b).astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64)
+        if n_exc:
+            idx = raw[p:p + n_exc].astype(np.int64); p += n_exc
+            # the highs varbyte stream ends at its n_exc-th terminator
+            term = np.flatnonzero((raw[p:] & 0x80) == 0)
+            end = p + int(term[n_exc - 1]) + 1
+            highs = varbyte_decode(raw[p:end].tobytes()); p = end
+            vals[idx] |= highs << np.uint64(b)
+        out[done:done + blen] = vals
+        done += blen
+    return out

@@ -464,3 +464,53 @@ class TestEliasFano:
         vb = len(varbyte_encode(np.diff(np.asarray(ids),
                                         prepend=-2).astype(np.int64)))
         assert ef * 2 < vb, (ef, vb)  # ~3 bits/el vs 8
+
+
+class TestNewPFD:
+    """NewPFD patched bit-packing (codec.py::pfor_encode/pfor_decode)."""
+
+    def test_empty_and_singleton(self):
+        from ir_spark.codec import pfor_decode, pfor_encode
+
+        assert pfor_decode(pfor_encode([])).tolist() == []
+        assert pfor_decode(pfor_encode([0])).tolist() == [0]
+        assert pfor_decode(pfor_encode([2**32 - 1])).tolist() == [2**32 - 1]
+
+    def test_rejects_over_32_bits(self):
+        from ir_spark.codec import pfor_encode
+
+        with pytest.raises(ValueError):
+            pfor_encode([1 << 32])
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**32 - 1),
+                    max_size=300))
+    @settings(max_examples=150, deadline=None)
+    def test_roundtrip(self, values):
+        from ir_spark.codec import pfor_decode, pfor_encode
+
+        assert pfor_decode(pfor_encode(values)).tolist() == values
+
+    def test_outlier_does_not_widen_block(self):
+        """The frame-of-reference failure NewPFD exists to fix: one
+        2^30 gap among small gaps must not force 30-bit slots."""
+        from ir_spark.codec import pfor_encode
+
+        small = [5] * 127
+        plain = len(pfor_encode(small + [5]))
+        patched = len(pfor_encode(small + [2**30]))
+        # exception adds a few bytes, NOT (30-3)*128/8 = 432 bytes
+        assert patched - plain < 16
+
+    def test_beats_varbyte_on_narrow_gaps(self):
+        from ir_spark.codec import pfor_encode, varbyte_encode
+
+        rng = np.random.default_rng(11)
+        gaps = rng.integers(1, 64, size=10_000).astype(np.uint64)
+        gaps[rng.integers(0, gaps.size, 50)] = 2**29  # 0.5% outliers
+        assert len(pfor_encode(gaps)) < len(varbyte_encode(gaps))
+
+    def test_multi_block_partial_tail(self):
+        from ir_spark.codec import pfor_decode, pfor_encode
+
+        v = list(range(128 * 3 + 17))
+        assert pfor_decode(pfor_encode(v)).tolist() == v
