@@ -1811,6 +1811,98 @@ FROM contrib_{qid} HAVING COUNT(*) > 0""")
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
 
 
+# --- WIG / NQC query-performance prediction (feedback.py::qpp_wig_nqc) -------
+
+
+def q_qpp_wig_nqc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-retrieval QPP over the batched BM25 run: WIG (Zhou & Croft
+    2007) and NQC (Shtok et al. 2012) per BATCH_QUERIES entry ->
+    (query_id, k_used, n_terms, corpus_micro, wig_micro, nqc_nano).
+    The all-stopword query drops (no query terms); the unseen-term
+    query keeps its known terms."""
+    from collections import Counter
+
+    from .operators.feedback import qpp_wig_nqc
+
+    idx = _df_index(spark, sf_dir)
+    run = q_bm25_batch_topk(spark, sf_dir).select("query_id", "score_micro")
+    qd = [(qid, t, tf) for qid, q in enumerate(BATCH_QUERIES)
+          for t, tf in sorted(Counter(
+              t for t in tokenize(q) if t not in STOPWORDS).items())]
+    qterms = spark.createDataFrame(qd, "query_id long, term string, qtf long")
+    return qpp_wig_nqc(run, qterms, idx)
+
+
+def sql_qpp_wig_nqc(k1: float = 1.2, b: float = 0.75) -> str:
+    """Same derivation: the batch-run CTE feeds exact BIGINT top-k
+    statistics; the corpus mega-document score is a BIGINT sum of
+    per-term micro partials (length ratio EXACTLY n — see
+    operators/feedback.py::qpp_wig_nqc); the two predictors are single
+    double expressions over those integers."""
+    from collections import Counter
+
+    vals = []
+    for qid, q in enumerate(BATCH_QUERIES):
+        bag = Counter(t for t in tokenize(q) if t not in STOPWORDS)
+        vals.extend(f"({qid}, '{t}', {tf})" for t, tf in sorted(bag.items()))
+    values = ", ".join(vals)
+    return f"""
+WITH {TOKS_CTE},
+qterms AS (SELECT * FROM (VALUES {values}) AS q(query_id, term, qtf)),
+hits AS (
+  SELECT q.query_id, p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+  FROM hits GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, score_micro,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id) AS rnk
+  FROM scored
+),
+runagg AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(SUM(score_micro) AS BIGINT) AS s_sum,
+         CAST(SUM(score_micro * score_micro) AS BIGINT) AS s_sumsq
+  FROM ranked WHERE rnk <= {K_BATCH} GROUP BY query_id
+),
+corpus AS (
+  SELECT q.query_id,
+         CAST(SUM(CAST(ROUND(
+             1000000.0
+             * LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+             * (t.cf * ({k1} + 1.0))
+             / (t.cf + {k1} * (1.0 - {b} + {b} * s.n))
+             * q.qtf) AS BIGINT)) AS BIGINT) AS corpus_micro,
+         CAST(SUM(q.qtf) AS BIGINT) AS n_terms
+  FROM qterms q JOIN dict t USING (term) CROSS JOIN stats s
+  GROUP BY q.query_id
+)
+SELECT CAST(r.query_id AS BIGINT) AS query_id, r.k_used, c.n_terms,
+       c.corpus_micro,
+       CAST(ROUND((CAST(r.s_sum AS DOUBLE) / r.k_used - c.corpus_micro)
+                  / SQRT(CAST(c.n_terms AS DOUBLE))) AS BIGINT)
+         AS wig_micro,
+       CAST(ROUND(1000000000.0
+                  * SQRT(CAST(r.k_used * r.s_sumsq - r.s_sum * r.s_sum
+                              AS DOUBLE))
+                  / (r.k_used * c.corpus_micro)) AS BIGINT) AS nqc_nano
+FROM runagg r JOIN corpus c USING (query_id)
+"""
+
+
 # --- selective PRF (clarity-gated RM3, operators/feedback.py) -----------------
 
 # threshold sits between the two arms' sf0.01 clarities (77,183 and
@@ -3334,6 +3426,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_bm25_topk": q_sharded_bm25_topk,
         "sharded_pruned_bm25_topk": q_sharded_pruned_bm25_topk,
         "clarity_scores": q_clarity_scores,
+        "qpp_wig_nqc": q_qpp_wig_nqc,
         "selective_prf_topk": q_selective_prf_topk,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_compacted": q_bm25_topk_compacted,
@@ -3411,6 +3504,7 @@ def core_oracle_sql() -> dict[str, str]:
         "sharded_bm25_topk": sql_bm25_topk(),
         "sharded_pruned_bm25_topk": sql_bm25_topk(),
         "clarity_scores": sql_clarity_scores(),
+        "qpp_wig_nqc": sql_qpp_wig_nqc(),
         "selective_prf_topk": sql_selective_prf_topk(),
         "bm25_topk_deleted": sql_bm25_topk_deleted(),
         "bm25_topk_compacted": sql_bm25_topk_compacted(),

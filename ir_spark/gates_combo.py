@@ -70,6 +70,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "impact_pruned_bm25_topk": ["doc_id", "score_micro"],
         "rocchio_topk": ["doc_id", "score_micro"],
         "clarity_scores": ["clarity_micro", "n_model_terms", "query_id"],
+        "qpp_wig_nqc": ["corpus_micro", "k_used", "n_terms", "nqc_nano",
+                        "query_id", "wig_micro"],
         "rank_rbo": ["overlap_at_k", "query_id", "rbo_micro"],
         "cori_shards": ["belief_nano", "cw", "n_terms", "shard_id"],
         "bm25_topk_upsert": ["doc_id", "score_micro"],

@@ -318,3 +318,89 @@ def search_rocchio(spark: SparkSession, index: DataFrameIndex, query: str,
     q_norm = math.sqrt(sum(w * w for w in weights.values()))
     return search_weighted(spark, index, weights, q_norm=q_norm, k=k,
                            mode="w2")
+
+
+def qpp_wig_nqc(run: DataFrame, qterms: DataFrame, index: DataFrameIndex,
+                *, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Post-retrieval query-performance prediction: WIG (Zhou & Croft,
+    SIGIR 2007) and NQC (Shtok, Kurland, Carmel & Raiber, TOIS 2012)
+    over a batched run — the standard estimate-before-you-trust signals
+    a production engine attaches to every result page (selective PRF,
+    fusion weighting, fallback triggers).  The reference engine always
+    executes and returns the query unexamined; ``clarity_score`` above
+    is the pre-retrieval member of this family.
+
+        WIG(q) = (mean_{d in top-k} S(d) - S(D|q)) / sqrt(|q|)
+        NQC(q) = std_{d in top-k} S(d) / S(D|q)
+
+    where S(D|q) scores the COLLECTION as one mega-document whose term
+    frequencies are the collection frequencies cf_t and whose length is
+    N * avg_dl — so its BM25 length ratio is EXACTLY N and no float
+    division of corpus totals enters the formula:
+
+        S(D|q) = sum_t qtf_t * idf(t) * cf_t*(k1+1)
+                              / (cf_t + k1*(1 - b + b*N))
+
+    Determinism contract (the module convention): each per-term corpus
+    partial is micro-quantized BEFORE summation, so S(D|q) is a BIGINT
+    sum; the top-k statistics are exact BIGINT sums of the run's
+    ``score_micro`` and its squares (variance via k*sum_sq - sum^2 in
+    integer arithmetic); the two final predictor values are single
+    double expressions over those exact integers, identical on both
+    engines.
+
+    Inputs: ``run`` (query_id, score_micro) already truncated to the
+    top-k rows per query; ``qterms`` (query_id, term, qtf).  Queries
+    none of whose terms appear in the dictionary drop out (no corpus
+    model to compare against), and |q| counts dictionary terms only —
+    unseen terms contribute to neither side of the WIG difference.
+    Returns (query_id, k_used, n_terms, corpus_micro, wig_micro,
+    nqc_nano).
+
+    Scale shape: the corpus model touches |q| dictionary rows per query
+    (broadcast join on term), the run statistics are one partial-agg
+    groupBy over k rows per query — nothing corpus-wide at all; the
+    expensive part is the retrieval that produced ``run``, which the
+    caller already paid for."""
+    n_row = F.broadcast(index.docinfo.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")))
+    corpus = (
+        qterms.join(F.broadcast(index.dictionary.select("term", "df", "cf")),
+                    "term")
+        .crossJoin(n_row)
+        .select(
+            "query_id", "qtf",
+            F.round(
+                F.lit(1000000.0)
+                * F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5))
+                * (F.col("cf") * F.lit(k1 + 1.0))
+                / (F.col("cf") + F.lit(k1) * (F.lit(1.0 - b)
+                                              + F.lit(b) * F.col("n_docs")))
+                * F.col("qtf")).cast("long").alias("partial_micro"))
+        .groupBy("query_id")
+        .agg(F.sum("partial_micro").cast("long").alias("corpus_micro"),
+             F.sum("qtf").cast("long").alias("n_terms"))
+    )
+    runagg = run.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum("score_micro").cast("long").alias("s_sum"),
+        F.sum(F.col("score_micro") * F.col("score_micro")).cast("long")
+        .alias("s_sumsq"),
+    )
+    return (
+        runagg.join(corpus, "query_id")
+        .select(
+            "query_id", "k_used", "n_terms", "corpus_micro",
+            F.round((F.col("s_sum").cast("double") / F.col("k_used")
+                     - F.col("corpus_micro"))
+                    / F.sqrt(F.col("n_terms").cast("double")))
+            .cast("long").alias("wig_micro"),
+            F.round(F.lit(1000000000.0)
+                    * F.sqrt((F.col("k_used") * F.col("s_sumsq")
+                              - F.col("s_sum") * F.col("s_sum"))
+                             .cast("double"))
+                    / (F.col("k_used") * F.col("corpus_micro")))
+            .cast("long").alias("nqc_nano"),
+        )
+    )

@@ -425,3 +425,90 @@ def test_rocchio_empty_query(spark, both):
 
     idx, _ = both
     assert search_rocchio(spark, idx, "the of and", k=5).count() == 0
+
+
+# --- WIG / NQC post-retrieval QPP (feedback.py::qpp_wig_nqc) -----------------
+
+
+def _py_qpp(oracle, queries, k):
+    """Pure-Python WIG/NQC with the operator's integer contract."""
+    import math
+
+    out = {}
+    for qid, q in enumerate(queries):
+        bag = parse_query(q)
+        corpus = 0
+        n_terms = 0
+        any_known = False
+        for t, qtf in bag.items():
+            df_t = oracle.df(t)
+            if df_t == 0:
+                continue  # |q| counts dictionary terms only (join sem.)
+            n_terms += qtf
+            any_known = True
+            cf = sum(tf for _, tf in oracle.postings[t])
+            idf = math.log(1.0 + (oracle.n_docs - df_t + 0.5) / (df_t + 0.5))
+            partial = (1e6 * idf * (cf * 2.2)
+                       / (cf + 1.2 * (0.25 + 0.75 * oracle.n_docs)) * qtf)
+            corpus += int(round(partial))
+        run = sorted(((d, round(s * 1e6)) for d, s in
+                      search(oracle, q, k=oracle.n_docs, mode="bm25")),
+                     key=lambda r: (-r[1], r[0]))[:k]
+        if not run or not any_known:
+            continue
+        ku = len(run)
+        s_sum = sum(s for _, s in run)
+        s_sumsq = sum(s * s for _, s in run)
+        wig = round((s_sum / ku - corpus) / math.sqrt(n_terms))
+        nqc = round(1e9 * math.sqrt(ku * s_sumsq - s_sum * s_sum)
+                    / (ku * corpus))
+        out[qid] = (ku, n_terms, corpus, int(wig), int(nqc))
+    return out
+
+
+def test_qpp_wig_nqc_matches_pure_python(spark, both):
+    from collections import Counter
+
+    from ir_spark.operators.feedback import qpp_wig_nqc
+    from ir_spark.operators.query import search as spark_search
+    from ir_spark.text import STOPWORDS, tokenize
+
+    index, oracle = both
+    queries = [QUERY, "heat", "the of and", "zzznope boundary"]
+    k = 5
+    run_rows = []
+    for qid, q in enumerate(queries):
+        if not parse_query(q):
+            continue
+        raw = spark_search(spark, index, q, k=oracle.n_docs, mode="bm25")
+        top = (raw.selectExpr(
+            "doc_id", "CAST(ROUND(score * 1000000) AS LONG) AS score_micro")
+            .orderBy("score_micro", ascending=False).collect())
+        top = sorted(top, key=lambda r: (-r["score_micro"], r["doc_id"]))[:k]
+        run_rows += [(qid, r["score_micro"]) for r in top]
+    run = spark.createDataFrame(run_rows, "query_id long, score_micro long")
+    qd = [(qid, t, tf) for qid, q in enumerate(queries)
+          for t, tf in sorted(Counter(
+              t for t in tokenize(q) if t not in STOPWORDS).items())]
+    qterms = spark.createDataFrame(qd, "query_id long, term string, qtf long")
+    got = {r["query_id"]: (r["k_used"], r["n_terms"], r["corpus_micro"],
+                           r["wig_micro"], r["nqc_nano"])
+           for r in qpp_wig_nqc(run, qterms, index).collect()}
+    assert got == _py_qpp(oracle, queries, k)
+    # semantic floor: single very-selective term ("heat") should look
+    # BETTER (higher wig) than the partly-unseen query's residual
+    assert 1 in got and 3 in got
+    # all-stopword query emits nothing
+    assert 2 not in got
+
+
+def test_qpp_single_doc_run_has_zero_variance(spark, both):
+    from ir_spark.operators.feedback import qpp_wig_nqc
+
+    index, _ = both
+    run = spark.createDataFrame([(0, 1_000_000)],
+                                "query_id long, score_micro long")
+    qterms = spark.createDataFrame([(0, "boundary", 1)],
+                                   "query_id long, term string, qtf long")
+    rows = qpp_wig_nqc(run, qterms, index).collect()
+    assert len(rows) == 1 and rows[0]["nqc_nano"] == 0
