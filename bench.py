@@ -164,17 +164,34 @@ def main() -> None:
 
         return ids.map(_sz)
 
+    # Roaring (Chambi & Lemire 2016) on the same per-run doc-id SETS —
+    # absolute ids, no gap transform (that's the point), 4-byte
+    # container-count headers excluded like the other codecs
+    @_pudf("long")
+    def _roaring_payload_bytes(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ir_spark.codec import roaring_encode
+
+        def _sz(a):
+            a = np.asarray(a, dtype=np.uint64)
+            return max(0, len(roaring_encode(a)) - 4)
+
+        return ids.map(_sz)
+
     runs = flat.groupBy(
         "term",
         F.floor(F.col("doc_id") / bench_range_width).alias("run")).agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids"))
-    interp_b, s9_b, pfor_b = runs.agg(
+    interp_b, s9_b, pfor_b, roar_b = runs.agg(
         F.sum(_interp_payload_bytes("ids")),
         F.sum(_s9_payload_bytes("ids")),
-        F.sum(_pfor_payload_bytes("ids"))).collect()[0]
+        F.sum(_pfor_payload_bytes("ids")),
+        F.sum(_roaring_payload_bytes("ids"))).collect()[0]
     extras["gap_stream_interp_bytes"] = int(interp_b or 0)
     extras["gap_stream_simple9_bytes"] = int(s9_b or 0)
     extras["gap_stream_pfor_bytes"] = int(pfor_b or 0)
+    extras["docid_set_roaring_bytes"] = int(roar_b or 0)
 
     # Elias-Fano (codec.py::elias_fano_encode) on the same per-(term,
     # run) doc-id lists — EF size is a closed form of (n, last), so

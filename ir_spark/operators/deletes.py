@@ -28,7 +28,12 @@ the run-local top-k selection — masking after the kernels would
 under-fill any run whose local top-k contained a deleted doc and
 silently return fewer than k live results.  ``MAX_INLINE_TOMBSTONES``
 guards the broadcast: past it (≈160 MB of ids) the right move is a
-compaction, and the loader says so instead of degrading.
+compaction, and the loader says so instead of degrading.  (If a
+deployment must carry a larger live delete set between compactions,
+``codec.roaring_encode`` — Lucene's actual liveDocs structure, tested
+in tests/test_codec.py — cuts the broadcast to ≤2 B/id before the
+cap binds; the kernels' sorted-slice masking would then decode per
+executor once.)
 """
 
 from __future__ import annotations

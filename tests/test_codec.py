@@ -514,3 +514,83 @@ class TestNewPFD:
 
         v = list(range(128 * 3 + 17))
         assert pfor_decode(pfor_encode(v)).tolist() == v
+
+
+class TestRoaring:
+    """Roaring bitmaps (codec.py::roaring_encode/decode/contains)."""
+
+    def test_empty_and_extremes(self):
+        from ir_spark.codec import roaring_decode, roaring_encode
+
+        assert roaring_decode(roaring_encode([])).tolist() == []
+        assert roaring_decode(roaring_encode([0])).tolist() == [0]
+        assert roaring_decode(
+            roaring_encode([2**32 - 1])).tolist() == [2**32 - 1]
+
+    def test_rejects_bad_input(self):
+        from ir_spark.codec import roaring_encode
+
+        with pytest.raises(ValueError):
+            roaring_encode([1 << 32])
+        with pytest.raises(ValueError):
+            roaring_encode([5, 5])  # not strictly increasing
+        with pytest.raises(ValueError):
+            roaring_encode([9, 3])
+
+    @given(st.sets(st.integers(min_value=0, max_value=2**18),
+                   max_size=400))
+    @settings(max_examples=100, deadline=None)
+    def test_roundtrip(self, ids):
+        from ir_spark.codec import roaring_decode, roaring_encode
+
+        v = sorted(ids)
+        assert roaring_decode(roaring_encode(v)).tolist() == v
+
+    def test_container_selection(self):
+        """Each chunk independently picks its cheapest container."""
+        from ir_spark.codec import roaring_encode
+
+        # consecutive run -> run container: 4-byte header + 5-byte
+        # container head + 2 + 4 bytes, NOT 2*60000
+        assert len(roaring_encode(np.arange(60000))) < 20
+        # 50% random fill -> bitmap: 8192 + heads, NOT 2*32768
+        rng = np.random.default_rng(5)
+        dense = np.sort(rng.choice(65536, 32768, replace=False))
+        assert len(roaring_encode(dense)) < 8210
+        # sparse -> array: 2 bytes per id
+        sparse = np.sort(rng.choice(65536, 64, replace=False))
+        assert len(roaring_encode(sparse)) <= 4 + 5 + 2 * 64
+
+    def test_multi_chunk_boundary(self):
+        from ir_spark.codec import roaring_decode, roaring_encode
+
+        v = [65534, 65535, 65536, 65537, 131072, 2**31, 2**31 + 1]
+        assert roaring_decode(roaring_encode(v)).tolist() == v
+
+    @given(st.sets(st.integers(min_value=0, max_value=200000),
+                   min_size=1, max_size=300),
+           st.sets(st.integers(min_value=0, max_value=200000),
+                   max_size=100))
+    @settings(max_examples=60, deadline=None)
+    def test_contains_matches_set_semantics(self, members, probes):
+        from ir_spark.codec import roaring_contains, roaring_encode
+
+        buf = roaring_encode(sorted(members))
+        got = roaring_contains(buf, sorted(probes))
+        assert got.tolist() == [p in members for p in sorted(probes)]
+
+    def test_contains_per_container_types(self):
+        """Probe a buffer holding all three container types at once."""
+        from ir_spark.codec import roaring_contains, roaring_encode
+
+        rng = np.random.default_rng(9)
+        run = np.arange(10, 5000)                           # chunk 0: run
+        bmp = np.sort(rng.choice(65536, 30000,
+                                 replace=False)) + 65536    # chunk 1: bitmap
+        arr = np.sort(rng.choice(65536, 50,
+                                 replace=False)) + 131072   # chunk 2: array
+        all_ids = np.concatenate([run, bmp, arr]).astype(np.uint64)
+        buf = roaring_encode(all_ids)
+        assert roaring_contains(buf, all_ids).all()
+        absent = np.array([0, 5001, 9, 400000], dtype=np.uint64)
+        assert not roaring_contains(buf, absent).any()
