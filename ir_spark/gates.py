@@ -2641,6 +2641,178 @@ FROM joint j LEFT JOIN weights w ON w.m = j.m
 """
 
 
+# --- team-draft interleaving (operators/evalir.py) ----------------------------
+
+TDI_SALT = "tdi"
+
+
+def _tdi_runs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+
+    def run_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit("q0").alias("query_id"),
+            F.row_number().over(rank_w).cast("long").alias("rank"),
+            "doc_id")
+
+    return (run_of(q_bm25_topk(spark, sf_dir)),
+            run_of(q_bm25plus_topk(spark, sf_dir)))
+
+
+def q_tdi_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Team-draft interleave of the engine's BM25 and BM25+ flagship
+    rankings (operators/evalir.py::team_draft_interleave) — the online
+    ranker-A/B serving list, with the deterministic md5 draft coin
+    reproduced in SQL."""
+    from .operators.evalir import team_draft_interleave
+
+    a, b = _tdi_runs(spark, sf_dir)
+    return team_draft_interleave(a, b, salt=TDI_SALT)
+
+
+def _tdi_click(col):
+    """Deterministic synthetic click model (~25% CTR): first md5 hex
+    digit of 'q0#<doc_id>' in 0-3.  Same rule in SQL."""
+    return F.substring(
+        F.md5(F.concat(F.col("query_id"), F.lit("#"), col.cast("string"))),
+        1, 1).isin("0", "1", "2", "3")
+
+
+def q_tdi_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-credit over the interleaved list
+    (operators/evalir.py::interleave_credit): clicks from the
+    deterministic md5 click model, per-query team totals + winner."""
+    from .operators.evalir import interleave_credit
+
+    inter = q_tdi_interleave(spark, sf_dir)
+    clicks = inter.filter(_tdi_click(F.col("doc_id"))).select(
+        "query_id", "doc_id")
+    return interleave_credit(inter, clicks)
+
+
+def _sql_tdi_core(k1: float = 1.2, b: float = 0.75,
+                  delta: float = BM25PLUS_DELTA) -> str:
+    """WITH-body reproducing the draft in a recursive CTE: both runs in
+    lockstep with sql_bm25_topk/sql_bm25plus_topk, then one step per
+    recursion level — fewer-picks team drafts, md5(salt||qid||':'||step)
+    low-bit coin on ties, stop when either side has no unpicked doc."""
+    return f"""WITH RECURSIVE {TOKS_CTE},
+{_sql_query_terms()},
+hits_a AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+run_a AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) DESC,
+                    doc_id ASC) AS ra
+  FROM hits_a GROUP BY doc_id
+  ORDER BY CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) DESC, doc_id ASC
+  LIMIT {K_FLAGSHIP}
+),
+hits_b AS (
+  SELECT p.doc_id,
+         q.qtf * LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * (p.tf * ({k1} + 1.0)
+              / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+              + {delta}) AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+run_b AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) DESC,
+                    doc_id ASC) AS rb
+  FROM hits_b GROUP BY doc_id
+  ORDER BY CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) DESC, doc_id ASC
+  LIMIT {K_FLAGSHIP}
+),
+lists AS (
+  SELECT (SELECT list(doc_id ORDER BY ra) FROM run_a) AS la,
+         (SELECT list(doc_id ORDER BY rb) FROM run_b) AS lb
+),
+rec AS (
+  SELECT CAST([] AS BIGINT[]) AS picked, CAST([] AS VARCHAR[]) AS teams,
+         0 AS na, 0 AS nb
+  UNION ALL
+  SELECT list_append(picked, CASE WHEN team = 'a' THEN rem_a[1]
+                                  ELSE rem_b[1] END),
+         list_append(teams, team),
+         na + CASE WHEN team = 'a' THEN 1 ELSE 0 END,
+         nb + CASE WHEN team = 'b' THEN 1 ELSE 0 END
+  FROM (
+    SELECT picked, teams, na, nb, rem_a, rem_b,
+           CASE WHEN na < nb THEN 'a' WHEN na > nb THEN 'b'
+                WHEN strpos('13579bdf',
+                            substr(md5('{TDI_SALT}' || 'q0' || ':'
+                                       || CAST(len(picked) AS VARCHAR)),
+                                   1, 1)) > 0 THEN 'a'
+                ELSE 'b' END AS team
+    FROM (
+      SELECT picked, teams, na, nb,
+             list_filter((SELECT la FROM lists),
+                         x -> NOT list_contains(picked, x)) AS rem_a,
+             list_filter((SELECT lb FROM lists),
+                         x -> NOT list_contains(picked, x)) AS rem_b
+      FROM rec) r
+    WHERE len(rem_a) > 0 AND len(rem_b) > 0) s
+),
+drafted AS (
+  SELECT picked, teams FROM rec ORDER BY len(picked) DESC LIMIT 1
+),
+interleaved AS (
+  SELECT 'q0' AS query_id, CAST(i + 1 AS BIGINT) AS pos,
+         picked[i + 1] AS doc_id, teams[i + 1] AS team
+  FROM drafted, UNNEST(range(len(picked))) AS t(i)
+)"""
+
+
+def sql_tdi_interleave() -> str:
+    return (_sql_tdi_core()
+            + "\nSELECT query_id, pos, doc_id, team FROM interleaved")
+
+
+def sql_tdi_credit() -> str:
+    # every interleaved query emits a row (clicks_a = clicks_b = 0 ->
+    # 'tie'), matching interleave_credit's left-join semantics
+    return _sql_tdi_core() + """,
+flagged AS (
+  SELECT query_id, team,
+         CASE WHEN strpos('0123',
+                          substr(md5(query_id || '#'
+                                     || CAST(doc_id AS VARCHAR)), 1, 1)) > 0
+              THEN 1 ELSE 0 END AS is_click
+  FROM interleaved
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN team = 'a' THEN is_click ELSE 0 END) AS BIGINT)
+         AS clicks_a,
+       CAST(SUM(CASE WHEN team = 'b' THEN is_click ELSE 0 END) AS BIGINT)
+         AS clicks_b,
+       CASE WHEN SUM(CASE WHEN team = 'a' THEN is_click ELSE 0 END)
+               > SUM(CASE WHEN team = 'b' THEN is_click ELSE 0 END) THEN 'a'
+            WHEN SUM(CASE WHEN team = 'b' THEN is_click ELSE 0 END)
+               > SUM(CASE WHEN team = 'a' THEN is_click ELSE 0 END) THEN 'b'
+            ELSE 'tie' END AS winner
+FROM flagged GROUP BY query_id
+"""
+
+
 def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang facet counts of the flagship query's candidate set
     (operators/boolean.py::facet_counts)."""
@@ -3427,6 +3599,8 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_pruned_bm25_topk": q_sharded_pruned_bm25_topk,
         "clarity_scores": q_clarity_scores,
         "qpp_wig_nqc": q_qpp_wig_nqc,
+        "tdi_interleave": q_tdi_interleave,
+        "tdi_credit": q_tdi_credit,
         "selective_prf_topk": q_selective_prf_topk,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_compacted": q_bm25_topk_compacted,
@@ -3505,6 +3679,8 @@ def core_oracle_sql() -> dict[str, str]:
         "sharded_pruned_bm25_topk": sql_bm25_topk(),
         "clarity_scores": sql_clarity_scores(),
         "qpp_wig_nqc": sql_qpp_wig_nqc(),
+        "tdi_interleave": sql_tdi_interleave(),
+        "tdi_credit": sql_tdi_credit(),
         "selective_prf_topk": sql_selective_prf_topk(),
         "bm25_topk_deleted": sql_bm25_topk_deleted(),
         "bm25_topk_compacted": sql_bm25_topk_compacted(),

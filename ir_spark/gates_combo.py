@@ -72,6 +72,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "clarity_scores": ["clarity_micro", "n_model_terms", "query_id"],
         "qpp_wig_nqc": ["corpus_micro", "k_used", "n_terms", "nqc_nano",
                         "query_id", "wig_micro"],
+        "tdi_interleave": ["doc_id", "pos", "query_id", "team"],
+        "tdi_credit": ["clicks_a", "clicks_b", "query_id", "winner"],
         "rank_rbo": ["overlap_at_k", "query_id", "rbo_micro"],
         "cori_shards": ["belief_nano", "cw", "n_terms", "shard_id"],
         "bm25_topk_upsert": ["doc_id", "score_micro"],

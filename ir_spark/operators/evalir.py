@@ -120,3 +120,105 @@ def rbo_overlap(run_a: DataFrame, run_b: DataFrame, *, p: float = 0.9,
         F.coalesce(F.col("overlap_at_k"), F.lit(0))
         .cast("long").alias("overlap_at_k"),
     )
+
+
+def team_draft_interleave(run_a: DataFrame, run_b: DataFrame, *,
+                          salt: str = "tdi") -> DataFrame:
+    """Team-draft interleaving (Radlinski, Kurup & Joachims, CIKM
+    2008) — the ONLINE ranker A/B primitive: merge two rankings for
+    the same query into one result list, alternating picks like
+    schoolyard team captains, then credit user clicks to whichever
+    ranker contributed the clicked doc.  RBO above compares rankings
+    offline; this is what actually ships an experiment to users.
+
+    Per query: while BOTH rankings still have unpicked docs, the team
+    with fewer picks drafts next (ties broken by a deterministic
+    md5 coin keyed on (salt, query_id, step) — reproducible across
+    engines and reruns, the property a logged experiment needs);
+    the drafting team appends its highest-ranked not-yet-picked doc.
+
+    Implementation is ONE JVM-side ``F.aggregate`` fold per query over
+    its two collected top-k arrays — the draft is inherently
+    sequential, but the sequence is k≤tens long while queries are
+    billions, so the parallelism axis is queries, never the draft.
+    No Python in the loop; rows shuffle once per side (groupBy
+    query_id on already-top-k runs).
+
+    Inputs: (query_id, rank, doc_id) per side, rank 1-based dense.
+    Returns (query_id, pos, doc_id, team) with pos 1..len, team
+    'a'|'b'.  A query present in only one input drops (nothing to
+    interleave — standard TDI stops when either side is dry)."""
+    def side(run: DataFrame, name: str):
+        return (run.groupBy("query_id")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("rank", "doc_id"))),
+                    lambda s: s["doc_id"]).alias(name)))
+
+    joined = side(run_a, "la").join(side(run_b, "lb"), "query_id")
+    qid_str = F.col("query_id").cast("string")
+    hexes_a = list("13579bdf")
+
+    def merge(acc, _):
+        rem_a = F.filter(
+            F.col("la"), lambda x: ~F.array_contains(acc["picked"], x))
+        rem_b = F.filter(
+            F.col("lb"), lambda x: ~F.array_contains(acc["picked"], x))
+        dry = (F.size(rem_a) == 0) | (F.size(rem_b) == 0)
+        step = F.size(acc["picked"]).cast("string")
+        coin_a = F.substring(
+            F.md5(F.concat(F.lit(salt), qid_str, F.lit(":"), step)),
+            1, 1).isin(*hexes_a)
+        turn_a = (F.when(acc["na"] < acc["nb"], F.lit(True))
+                  .when(acc["na"] > acc["nb"], F.lit(False))
+                  .otherwise(coin_a))
+        pick = F.when(turn_a, F.element_at(rem_a, 1)) \
+                .otherwise(F.element_at(rem_b, 1))
+        team = F.when(turn_a, F.lit("a")).otherwise(F.lit("b"))
+        stepped = F.struct(
+            F.concat(acc["picked"], F.array(pick)).alias("picked"),
+            F.concat(acc["teams"], F.array(team)).alias("teams"),
+            (acc["na"] + F.when(turn_a, 1).otherwise(0)).alias("na"),
+            (acc["nb"] + F.when(turn_a, 0).otherwise(1)).alias("nb"))
+        return F.when(dry, acc).otherwise(stepped)
+
+    init = F.struct(
+        F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("picked"),
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("teams"),
+        F.lit(0).alias("na"), F.lit(0).alias("nb"))
+    acc = F.aggregate(
+        F.sequence(F.lit(1), F.size("la") + F.size("lb")), init, merge)
+    folded = joined.select("query_id", acc.alias("acc")).select(
+        "query_id", F.col("acc.picked").alias("picked"),
+        F.col("acc.teams").alias("teams"))
+    return (folded
+            .select("query_id",
+                    F.posexplode(F.arrays_zip("picked", "teams")))
+            .select("query_id",
+                    (F.col("pos") + 1).cast("long").alias("pos"),
+                    F.col("col.picked").cast("long").alias("doc_id"),
+                    F.col("col.teams").alias("team")))
+
+
+def interleave_credit(interleaved: DataFrame, clicks: DataFrame
+                      ) -> DataFrame:
+    """Credit assignment over a team-draft interleaved serving log:
+    clicks (query_id, doc_id) join back to the team that contributed
+    the doc; per query the team with more clicked docs wins the
+    impression ('a' / 'b' / 'tie').  One broadcast-or-shuffle equi-join
+    + one partial-agg groupBy — billions of impressions scale on the
+    query_id axis."""
+    hits = interleaved.join(clicks.select("query_id", "doc_id").distinct(),
+                            ["query_id", "doc_id"])
+    per_q = (interleaved.select("query_id").distinct()
+             .join(hits.groupBy("query_id").agg(
+                 F.sum(F.when(F.col("team") == "a", 1).otherwise(0))
+                 .alias("clicks_a"),
+                 F.sum(F.when(F.col("team") == "b", 1).otherwise(0))
+                 .alias("clicks_b")), "query_id", "left"))
+    ca = F.coalesce(F.col("clicks_a"), F.lit(0)).cast("long")
+    cb = F.coalesce(F.col("clicks_b"), F.lit(0)).cast("long")
+    return per_q.select(
+        "query_id", ca.alias("clicks_a"), cb.alias("clicks_b"),
+        F.when(ca > cb, "a").when(cb > ca, "b").otherwise("tie")
+        .alias("winner"))

@@ -551,3 +551,93 @@ def test_rbo_rejects_bad_p(spark):
     for p in (0.0, 1.0, -1.0, 2.0):
         with pytest.raises(ValueError):
             rbo_overlap(a, a, p=p, k=5)
+
+
+# --- team-draft interleaving (evalir.py::team_draft_interleave) --------------
+
+
+def _py_tdi(la, lb, qid, salt="tdi"):
+    """Pure-Python Radlinski team draft with the operator's md5 coin."""
+    import hashlib
+
+    picked, teams, na, nb = [], [], 0, 0
+    while True:
+        rem_a = [d for d in la if d not in picked]
+        rem_b = [d for d in lb if d not in picked]
+        if not rem_a or not rem_b:
+            break
+        if na < nb:
+            turn_a = True
+        elif na > nb:
+            turn_a = False
+        else:
+            h = hashlib.md5(
+                f"{salt}{qid}:{len(picked)}".encode()).hexdigest()
+            turn_a = h[0] in "13579bdf"
+        picked.append(rem_a[0] if turn_a else rem_b[0])
+        teams.append("a" if turn_a else "b")
+        na, nb = na + turn_a, nb + (not turn_a)
+    return list(zip(range(1, len(picked) + 1), picked, teams))
+
+
+def test_tdi_matches_bruteforce(spark):
+    from ir_spark.operators.evalir import team_draft_interleave
+
+    cases = {
+        "q0": ([1, 2, 3, 4], [3, 5, 6, 7]),      # overlap mid-list
+        "q1": ([10, 11], [10, 11]),              # identical
+        "q2": ([1, 2, 3], [4, 5, 6]),            # disjoint
+        "q3": ([1], [2, 3, 4, 5]),               # asymmetric lengths
+    }
+    ra = None
+    rb = None
+    for qid, (la, lb) in sorted(cases.items()):
+        a, b = _runs(spark, qid, la), _runs(spark, qid, lb)
+        ra = a if ra is None else ra.unionByName(a)
+        rb = b if rb is None else rb.unionByName(b)
+    got = {}
+    for r in team_draft_interleave(ra, rb).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["pos"], r["doc_id"], r["team"]))
+    for qid, (la, lb) in cases.items():
+        assert sorted(got.get(qid, [])) == _py_tdi(la, lb, qid), qid
+
+
+def test_tdi_invariants(spark):
+    """No repeats; team sizes differ by <=1; every pick comes from its
+    team's list; order within a team follows that team's ranking."""
+    from ir_spark.operators.evalir import team_draft_interleave
+
+    la = [5, 9, 1, 7, 3, 8]
+    lb = [2, 9, 6, 1, 4, 0]
+    rows = sorted(
+        team_draft_interleave(_runs(spark, "q", la),
+                              _runs(spark, "q", lb)).collect(),
+        key=lambda r: r["pos"])
+    docs = [r["doc_id"] for r in rows]
+    assert len(set(docs)) == len(docs)
+    a_picks = [r["doc_id"] for r in rows if r["team"] == "a"]
+    b_picks = [r["doc_id"] for r in rows if r["team"] == "b"]
+    assert abs(len(a_picks) - len(b_picks)) <= 1
+    assert set(a_picks) <= set(la) and set(b_picks) <= set(lb)
+    assert a_picks == [d for d in la if d in a_picks]
+    assert b_picks == [d for d in lb if d in b_picks]
+
+
+def test_tdi_credit_winner(spark):
+    from ir_spark.operators.evalir import (interleave_credit,
+                                           team_draft_interleave)
+
+    inter = team_draft_interleave(_runs(spark, "q", [1, 2, 3]),
+                                  _runs(spark, "q", [4, 5, 6]))
+    b_docs = [r["doc_id"] for r in inter.collect() if r["team"] == "b"]
+    clicks = spark.createDataFrame([("q", d) for d in b_docs[:2]],
+                                   "query_id string, doc_id long")
+    row = interleave_credit(inter, clicks).collect()[0]
+    assert (row["clicks_a"], row["clicks_b"], row["winner"]) == (0, 2, "b")
+    # clickless impression still reports, as a tie
+    none = interleave_credit(
+        inter, spark.createDataFrame([], "query_id string, doc_id long")
+    ).collect()[0]
+    assert (none["clicks_a"], none["clicks_b"], none["winner"]) == (0, 0,
+                                                                    "tie")
