@@ -2512,6 +2512,40 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
 """
 
 
+PIV_SLOPE = 0.2
+
+
+def q_pivoted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted length normalization top-k (operators/query.py::
+    search_pivoted — Singhal et al. 1996 / Fang-Zhai PIV), the
+    pre-BM25 VSM baseline; matched-only single-join plan."""
+    idx = _df_index(spark, sf_dir)
+    raw = Q.search_pivoted(spark, idx, FLAGSHIP_QUERY, k=K_FLAGSHIP * 5,
+                           slope=PIV_SLOPE)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_pivoted_topk(slope: float = PIV_SLOPE) -> str:
+    return f"""
+WITH {TOKS_CTE},
+{_sql_query_terms()},
+hits AS (
+  SELECT p.doc_id,
+         q.qtf * (1.0 + LN(1.0 + LN(p.tf)))
+           / (1.0 - {slope} + {slope} * d.doc_len / s.avg_dl)
+           * LN((s.n + 1.0) / t.df) AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT) AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 def q_bm25l_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25L top-k (operators/query.py::search_bm25l — the shifted
     normalized-tf long-doc fix)."""
@@ -3599,6 +3633,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_pruned_bm25_topk": q_sharded_pruned_bm25_topk,
         "clarity_scores": q_clarity_scores,
         "qpp_wig_nqc": q_qpp_wig_nqc,
+        "pivoted_topk": q_pivoted_topk,
         "tdi_interleave": q_tdi_interleave,
         "tdi_credit": q_tdi_credit,
         "selective_prf_topk": q_selective_prf_topk,
@@ -3679,6 +3714,7 @@ def core_oracle_sql() -> dict[str, str]:
         "sharded_pruned_bm25_topk": sql_bm25_topk(),
         "clarity_scores": sql_clarity_scores(),
         "qpp_wig_nqc": sql_qpp_wig_nqc(),
+        "pivoted_topk": sql_pivoted_topk(),
         "tdi_interleave": sql_tdi_interleave(),
         "tdi_credit": sql_tdi_credit(),
         "selective_prf_topk": sql_selective_prf_topk(),

@@ -660,6 +660,33 @@ def search_bm25l(spark: SparkSession, index: DataFrameIndex, query: str,
     return _bm25_variant_search(spark, index, query, k, stem, partial)
 
 
+def search_pivoted(spark: SparkSession, index: DataFrameIndex, query: str,
+                   k: int = 5, slope: float = 0.2,
+                   stem: bool = False) -> DataFrame:
+    """Pivoted length normalization VSM (Singhal, Buckley & Mitra,
+    SIGIR 1996 — the formulation axiomatized as PIV in Fang, Tao &
+    Zhai 2004): the pre-BM25 fix for cosine normalization's long-doc
+    bias, still the standard third baseline next to BM25 and Dirichlet:
+
+        score = sum_t qtf * (1 + ln(1 + ln(tf)))
+                          / (1 - slope + slope * dl/avgdl)
+                          * ln((N + 1) / df)
+
+    Matched-only contributions (tf > 0), so the plan is EXACTLY the
+    plain pruned BM25 broadcast-join + one hash agg — zero extra
+    shuffles or statistics."""
+    n_docs, avg_dl = float(index.n_docs), float(index.avg_doc_len)
+
+    def partial(tf, dl, df, qtf):
+        num = F.lit(1.0) + F.log(F.lit(1.0) + F.log(tf))
+        den = (F.lit(1.0 - slope)
+               + F.lit(slope) * dl / F.lit(avg_dl))
+        idf = F.log((F.lit(n_docs) + F.lit(1.0)) / df)
+        return qtf * num / den * idf
+
+    return _bm25_variant_search(spark, index, query, k, stem, partial)
+
+
 def collapse_topk(scored: DataFrame, keys: DataFrame, key_col: str,
                   k: int) -> DataFrame:
     """Field collapsing (the Elasticsearch ``collapse`` analogue): keep

@@ -641,3 +641,55 @@ def test_tdi_credit_winner(spark):
     ).collect()[0]
     assert (none["clicks_a"], none["clicks_b"], none["winner"]) == (0, 0,
                                                                     "tie")
+
+
+# --- pivoted length normalization (query.py::search_pivoted) -----------------
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_pivoted_matches_bruteforce(spark, both, query):
+    from ir_spark.operators.query import search_pivoted
+
+    idx, oracle = both
+    slope = 0.2
+    bag = parse_query(query)
+    n = len(oracle.docinfo)
+    avg_dl = sum(v[0] for v in oracle.docinfo.values()) / n
+    out = {}
+    for t in sorted(t for t in bag if oracle.postings.get(t)):
+        df = len(oracle.postings[t])
+        idf = math.log((n + 1.0) / df)
+        for d, tf in oracle.postings[t]:
+            dl = oracle.docinfo[d][0]
+            num = 1.0 + math.log(1.0 + math.log(tf))
+            den = 1.0 - slope + slope * dl / avg_dl
+            out[d] = out.get(d, 0.0) + bag[t] * num / den * idf
+    want = [(d, round(s * 1e6)) for d, s in
+            sorted(out.items(), key=lambda r: (-round(r[1] * 1e6), r[0]))[:K]]
+    got = [(r["doc_id"], round(r["score"] * 1e6))
+           for r in search_pivoted(spark, idx, query, k=K,
+                                   slope=slope).collect()]
+    assert got == want
+
+
+def test_pivoted_slope_zero_ignores_length(spark, both):
+    """slope=0 removes the length penalty: two docs with identical tf
+    profiles for the query terms score identically regardless of dl."""
+    from ir_spark.operators.query import search_pivoted
+
+    idx, oracle = both
+    rows = search_pivoted(spark, idx, QUERIES[0], k=oracle.n_docs,
+                          slope=0.0).collect()
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    bag = parse_query(QUERIES[0])
+    # group docs by their exact (term -> tf) signature over query terms
+    sig = {}
+    for t in bag:
+        for d, tf in oracle.postings.get(t, ()):
+            sig.setdefault(d, []).append((t, tf))
+    groups = {}
+    for d, pairs in sig.items():
+        groups.setdefault(tuple(sorted(pairs)), []).append(d)
+    for docs in groups.values():
+        vals = {round(scores[d] * 1e9) for d in docs if d in scores}
+        assert len(vals) == 1
