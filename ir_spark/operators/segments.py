@@ -691,3 +691,151 @@ def index_paths(index_dir: str) -> dict[str, str]:
         for name in ("doc_map", "docinfo", "postings", "dictionary",
                      "segments", "norms")
     }
+
+
+# --- tiered merge policy (Lucene TieredMergePolicy analogue) -----------------
+
+
+def select_tiered_merges(group_bytes: dict[int, int], *,
+                         segs_per_tier: int = 4,
+                         max_merge_at_once: int = 8,
+                         floor_bytes: int = 64 * 1024) -> list[list[int]]:
+    """Which segment groups to merge, log-structured: full compaction
+    (``compact_segments``) rewrites the WHOLE index per call — O(index)
+    writes each time, which a continuously-appending web index cannot
+    afford.  Tiered merging (Lucene's TieredMergePolicy shape) instead
+    buckets groups into geometric size tiers (tier i holds groups in
+    [floor·base^i, floor·base^(i+1)), base = ``segs_per_tier``; every
+    group below ``floor_bytes`` shares tier 0) and merges ONLY when a
+    tier overflows ``segs_per_tier`` members — so each posting byte is
+    rewritten O(log N) times over the index's lifetime, and a merge
+    touches only the overflowing tier's smallest ``max_merge_at_once``
+    groups, never the big settled ones.
+
+    Pure, deterministic (ties broken by grp id), unit-testable: takes
+    {grp: bytes}, returns a list of grp-lists to merge (possibly
+    empty).  A returned list always has >= 2 members."""
+    if segs_per_tier < 2 or max_merge_at_once < 2:
+        raise ValueError("segs_per_tier and max_merge_at_once must be >= 2")
+    tiers: dict[int, list[tuple[int, int]]] = {}
+    for grp, nbytes in group_bytes.items():
+        t = 0
+        size = max(int(nbytes), 0)
+        while size >= floor_bytes * (segs_per_tier ** (t + 1)):
+            t += 1
+        tiers.setdefault(t, []).append((max(int(nbytes), 0), grp))
+    merges = []
+    for t in sorted(tiers):
+        members = sorted(tiers[t])
+        if len(members) > segs_per_tier:
+            take = min(max_merge_at_once, len(members))
+            merges.append(sorted(g for _, g in members[:take]))
+    return merges
+
+
+def merge_segment_groups(spark: SparkSession, index_dir: str,
+                         grps: list[int]) -> dict:
+    """Physically merge the given segment groups into one fresh group.
+
+    Decode the chosen groups' rows to the flat relation, re-encode
+    (same bucket/run layout, one row per (term, run) where the merged
+    groups each held a partial), and swap atomically: the FULL new
+    tree — hardlinked surviving groups + the merged group — is built
+    in a .tmp sibling before a single os.replace, so a crash leaves
+    either the old tree or the new one, never a mix (the
+    compact_segments contract).  Side tables (doc_map, docinfo,
+    dictionary deltas, flat postings) are untouched: group membership
+    is invisible to them.
+
+    Snapshot manifests whose grp falls in [min(merged), new) become
+    unreadable as-of views (their groups' rows now live in a HIGHER
+    group id) and are retired loudly, Iceberg expire-snapshots style;
+    snapshots older than every merged group keep working."""
+    import shutil
+
+    if len(grps) < 2:
+        raise ValueError("need >= 2 groups to merge")
+    paths = index_paths(index_dir)
+    manifests = storage.read_manifests(index_dir)
+    lineage = manifests["stats"]["lineage"]
+    n_buckets = int(lineage["n_buckets"])
+    range_width = int(lineage["range_width"])
+    seg_dir = paths["segments"]
+    have = {int(d.split("=", 1)[1]) for d in os.listdir(seg_dir)
+            if d.startswith("grp=")}
+    missing = sorted(set(grps) - have)
+    if missing:
+        raise ValueError(f"segment groups not found: {missing}")
+    t0 = time.time()
+    bytes_before = storage.tree_bytes(seg_dir)
+
+    from ..streaming.incremental import _next_grp
+
+    new_grp = _next_grp(seg_dir)
+    chosen = spark.read.parquet(seg_dir).filter(
+        F.col("grp").isin([int(g) for g in grps]))
+    merged = encode_segments(decode_segments(chosen), n_buckets, range_width)
+    tmp = seg_dir + ".merge.tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    storage.atomic_write_parquet(
+        merged.repartition(max(1, n_buckets // 4), "bucket"),
+        os.path.join(tmp, f"grp={new_grp}"),
+        partition_by=["bucket"], sort_within=["term", "run"])
+    # hardlink the surviving groups into the tmp tree (no data copy)
+    for g in sorted(have - set(grps)):
+        shutil.copytree(os.path.join(seg_dir, f"grp={g}"),
+                        os.path.join(tmp, f"grp={g}"),
+                        copy_function=os.link)
+    old = seg_dir + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(seg_dir, old)
+    os.replace(tmp, seg_dir)
+    shutil.rmtree(old)
+
+    mdir = os.path.join(index_dir, "_manifests")
+    retired = []
+    if os.path.isdir(mdir):
+        for f in sorted(os.listdir(mdir)):
+            if f.startswith("snapshot_grp") and f.endswith(".json"):
+                g = int(f[len("snapshot_grp"):-len(".json")])
+                if min(grps) <= g < new_grp:
+                    os.remove(os.path.join(mdir, f))
+                    retired.append(g)
+    metrics = {
+        "merged_from": [int(g) for g in sorted(grps)],
+        "new_grp": int(new_grp),
+        "n_groups_before": len(have),
+        "n_groups_after": len(have) - len(grps) + 1,
+        "bytes_before": int(bytes_before),
+        "bytes_after": int(storage.tree_bytes(seg_dir)),
+        "snapshots_retired": retired,
+        "wall_sec": time.time() - t0,
+    }
+    storage.commit_stage(index_dir, f"merge_grp{new_grp:06d}", lineage,
+                         metrics)
+    return metrics
+
+
+def maintain_segments(spark: SparkSession, index_dir: str, *,
+                      segs_per_tier: int = 4, max_merge_at_once: int = 8,
+                      floor_bytes: int = 64 * 1024) -> list[dict]:
+    """One maintenance pass: apply :func:`select_tiered_merges` to the
+    on-disk group sizes and execute every selected merge.  Call it
+    from the stream's foreachBatch every N batches (or a cron); each
+    call is bounded by the overflowing tiers, never by index size.
+    Returns the executed merges' metrics (empty = nothing to do)."""
+    seg_dir = index_paths(index_dir)["segments"]
+    if not os.path.isdir(seg_dir):
+        return []
+    sizes = {
+        int(d.split("=", 1)[1]): storage.tree_bytes(
+            os.path.join(seg_dir, d))
+        for d in os.listdir(seg_dir) if d.startswith("grp=")}
+    out = []
+    for grps in select_tiered_merges(
+            sizes, segs_per_tier=segs_per_tier,
+            max_merge_at_once=max_merge_at_once, floor_bytes=floor_bytes):
+        out.append(merge_segment_groups(spark, index_dir, grps))
+    return out

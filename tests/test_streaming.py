@@ -769,3 +769,106 @@ def test_upsert_on_fresh_index_is_plain_append(spark, corpus, tmp_path):
     pages = spark.read.parquet(corpus["full"]).limit(10)
     m = upsert_documents(spark, pages, idx_dir, batch_tag="b0")
     assert m["n_replaced"] == 0 and m["n_new_docs"] == 10
+
+
+# --- tiered merge policy (operators/segments.py::maintain_segments) ----------
+
+
+def test_select_tiered_merges_policy():
+    from ir_spark.operators.segments import select_tiered_merges
+
+    KB = 1024
+    # under segs_per_tier members everywhere -> nothing to do
+    assert select_tiered_merges(
+        {0: 10 * KB, 1: 20 * KB, 2: 500 * KB}, segs_per_tier=4) == []
+    # tier 0 overflows -> merge its smallest members, big group untouched
+    sizes = {g: (g + 1) * KB for g in range(5)}
+    sizes[9] = 100 * 1024 * KB
+    got = select_tiered_merges(sizes, segs_per_tier=4, max_merge_at_once=8)
+    assert got == [[0, 1, 2, 3, 4]]
+    # max_merge_at_once caps a big overflow at the SMALLEST members
+    sizes = {g: (g + 1) * KB for g in range(10)}
+    got = select_tiered_merges(sizes, segs_per_tier=4, max_merge_at_once=4)
+    assert got == [[0, 1, 2, 3]]
+    # geometric tiers: 4 small + 5 big -> only the big tier overflows
+    sizes = {g: 10 * KB for g in range(4)}
+    sizes.update({10 + g: 4 * 1024 * KB for g in range(5)})
+    got = select_tiered_merges(sizes, segs_per_tier=4, max_merge_at_once=8,
+                               floor_bytes=64 * KB)
+    assert got == [[10, 11, 12, 13, 14]]
+    # deterministic under dict-order permutation
+    import random
+
+    sizes = {g: (97 * g) % 7 * KB + KB for g in range(9)}
+    items = list(sizes.items())
+    random.Random(3).shuffle(items)
+    assert (select_tiered_merges(dict(items), segs_per_tier=4)
+            == select_tiered_merges(sizes, segs_per_tier=4))
+    with pytest.raises(ValueError):
+        select_tiered_merges({0: 1, 1: 1}, segs_per_tier=1)
+
+
+def test_tiered_merge_query_identical_and_snapshots(spark, corpus, tmp_path):
+    from ir_spark.operators.segments import (maintain_segments,
+                                             merge_segment_groups)
+
+    stream_dir = str(tmp_path / "tiered_idx")
+    pages = spark.read.parquet(corpus["full"]).orderBy("url")
+    n = pages.count()
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    rows = pages.collect()
+    for i in range(4):
+        batch = spark.createDataFrame(rows[cuts[i]:cuts[i + 1]],
+                                      pages.schema)
+        update_segment_index(spark, batch, stream_dir, batch_tag=f"b{i}")
+    seg_dir = os.path.join(stream_dir, "segments")
+    grps = sorted(int(d.split("=")[1]) for d in os.listdir(seg_dir)
+                  if d.startswith("grp="))
+    assert grps == [0, 1, 2, 3]
+    before = _topk_by_url(spark, stream_dir)
+    as_of0_docs = SegmentIndex.load(spark, stream_dir, as_of_grp=0).n_docs
+
+    # merge groups 1 and 2 -> new grp 4; 0 and 3 survive untouched
+    m = merge_segment_groups(spark, stream_dir, [1, 2])
+    assert m["new_grp"] == 4 and m["n_groups_after"] == 3
+    assert sorted(int(d.split("=")[1]) for d in os.listdir(seg_dir)
+                  if d.startswith("grp=")) == [0, 3, 4]
+    # results value-identical; side tables untouched by construction
+    assert _topk_by_url(spark, stream_dir) == before
+    # snapshot BEFORE the merged range still loads; merged range retired
+    assert SegmentIndex.load(spark, stream_dir,
+                             as_of_grp=0).n_docs == as_of0_docs
+    assert m["snapshots_retired"] == [1, 2, 3]
+    for g in (1, 2, 3):
+        with pytest.raises(ValueError, match="no snapshot"):
+            SegmentIndex.load(spark, stream_dir, as_of_grp=g)
+
+    # a maintenance pass with a high floor collapses the rest into one
+    out = maintain_segments(spark, stream_dir, segs_per_tier=2,
+                            max_merge_at_once=8,
+                            floor_bytes=1 << 30)
+    assert len(out) == 1 and out[0]["n_groups_after"] == 1
+    assert _topk_by_url(spark, stream_dir) == before
+    # appending after a merge keeps working (next grp above the merged)
+    # (fresh URLs: extend the same deterministic page stream past N)
+    extra = generate_pages(n + 30, seed=7)[n:]
+    from ir_spark.fixtures import pages_to_parquet
+
+    p = str(tmp_path / "extra.parquet")
+    pages_to_parquet(extra, p)
+    m2 = update_segment_index(spark, spark.read.parquet(p), stream_dir,
+                              batch_tag="late")
+    assert m2["n_new_docs"] > 0
+    assert _topk_by_url(spark, stream_dir)  # still queryable
+
+
+def test_tiered_merge_rejects_bad_groups(spark, corpus, tmp_path):
+    from ir_spark.operators.segments import merge_segment_groups
+
+    stream_dir = str(tmp_path / "tiny_idx")
+    p0 = spark.read.parquet(os.path.join(corpus["parts"], "part0.parquet"))
+    update_segment_index(spark, p0, stream_dir, batch_tag="b0")
+    with pytest.raises(ValueError, match=">= 2 groups"):
+        merge_segment_groups(spark, stream_dir, [0])
+    with pytest.raises(ValueError, match="not found"):
+        merge_segment_groups(spark, stream_dir, [0, 7])
