@@ -6,6 +6,8 @@ Subcommands (north-rule deployment path, one JSON line per action)::
     spark-submit --py-files dist/ir_spark.zip jobs/admin_index.py \
         delete   --index-dir DIR --urls urls.txt        # tombstone urls
     ... admin_index.py compact  --index-dir DIR [--keep-deletes]
+    ... admin_index.py maintain --index-dir DIR \
+        [--segs-per-tier N] [--max-merge-at-once N] [--floor-kb N]
     ... admin_index.py verify   --index-dir DIR        # integrity fsck
     ... admin_index.py snapshots --index-dir DIR        # time-travel log
     ... admin_index.py stats    --index-dir DIR         # committed stats
@@ -15,8 +17,12 @@ collection stats keep pre-delete values until compaction — Lucene
 maxDoc/numDocs semantics).  ``compact`` rewrites all segment groups
 into one and, unless ``--keep-deletes``, physically purges tombstoned
 docs and rebuilds dictionary/stats/norms from the survivors.
-``snapshots`` lists the per-batch snapshot manifests usable with
-``query_index.py --as-of-grp``.
+``maintain`` runs ONE tiered-merge pass (segments.py::
+maintain_segments — Lucene TieredMergePolicy shape): merges only
+overflowing size tiers, so the cost is bounded by the small fresh
+groups, never the index; the cron-friendly alternative to ``compact``
+for a continuously-appending index.  ``snapshots`` lists the per-batch
+snapshot manifests usable with ``query_index.py --as-of-grp``.
 """
 
 from __future__ import annotations
@@ -41,6 +47,13 @@ def main(argv: list[str] | None = None) -> int:
     p_cmp.add_argument("--keep-deletes", action="store_true",
                        help="consolidate groups but leave tombstones live")
     p_cmp.add_argument("--local-cpus", type=int, default=None)
+
+    p_mnt = sub.add_parser("maintain", help="one tiered-merge pass")
+    p_mnt.add_argument("--index-dir", required=True)
+    p_mnt.add_argument("--segs-per-tier", type=int, default=4)
+    p_mnt.add_argument("--max-merge-at-once", type=int, default=8)
+    p_mnt.add_argument("--floor-kb", type=int, default=64)
+    p_mnt.add_argument("--local-cpus", type=int, default=None)
 
     p_snap = sub.add_parser("snapshots", help="list time-travel snapshots")
     p_snap.add_argument("--index-dir", required=True)
@@ -83,6 +96,16 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.urls) as fh:
             urls = [ln.strip() for ln in fh if ln.strip()]
         print(json.dumps(delete_docs(spark, args.index_dir, urls)))
+        return 0
+
+    if args.cmd == "maintain":
+        from ir_spark.operators.segments import maintain_segments
+
+        merges = maintain_segments(
+            spark, args.index_dir, segs_per_tier=args.segs_per_tier,
+            max_merge_at_once=args.max_merge_at_once,
+            floor_bytes=args.floor_kb * 1024)
+        print(json.dumps({"n_merges": len(merges), "merges": merges}))
         return 0
 
     if args.cmd == "verify":

@@ -546,3 +546,48 @@ def test_positional_serving_cli(tmp_path, capsys):
                 for i, r in enumerate(
                     search_sdm(spark, sidx, rel2, q2, k=5).collect())]
     assert sorted(got) == sorted(want_sdm)
+
+
+def test_admin_job_maintain_tiered(tmp_path, capsys):
+    """admin_index.py maintain: one tiered pass over a streamed index
+    merges the small per-batch groups; queries stay value-identical."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import admin_index
+    import query_index
+
+    from ir_spark.session import get_spark
+    from ir_spark.streaming.incremental import update_segment_index
+
+    spark = get_spark("test_jobs")
+    pages = generate_pages(150, seed=23)
+    idx = str(tmp_path / "idx")
+    for i in range(3):
+        src = str(tmp_path / f"b{i}.parquet")
+        pages_to_parquet(pages[i * 50:(i + 1) * 50], src)
+        update_segment_index(spark, spark.read.parquet(src), idx,
+                             batch_tag=f"b{i}")
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("flow pressure boundary layer\n")
+    out1 = str(tmp_path / "res1")
+    assert query_index.main([
+        "--index-dir", idx, "--queries", str(qfile), "--k", "5",
+        "--output", out1, "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+    before = [(r["rank"], r["doc_id"]) for r in
+              spark.read.parquet(out1).orderBy("rank").collect()]
+
+    assert admin_index.main([
+        "maintain", "--index-dir", idx, "--segs-per-tier", "2",
+        "--floor-kb", str(1 << 20), "--local-cpus", "8"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_merges"] == 1
+    assert rep["merges"][0]["n_groups_after"] == 1
+
+    out2 = str(tmp_path / "res2")
+    assert query_index.main([
+        "--index-dir", idx, "--queries", str(qfile), "--k", "5",
+        "--output", out2, "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+    after = [(r["rank"], r["doc_id"]) for r in
+             spark.read.parquet(out2).orderBy("rank").collect()]
+    assert after == before
