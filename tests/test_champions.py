@@ -216,3 +216,89 @@ def test_two_phase_scores_exact_and_recall_monotone(spark, idx):
         recalls.append(
             len(want_top & {r["doc_id"] for r in got}) / len(want_top))
     assert recalls == sorted(recalls), recalls
+
+
+# --- pairwise LTR training (ltr.py::train_pairwise_ranker) -------------------
+
+
+@pytest.fixture(scope="module")
+def ltr_setup(spark, idx):
+    """Feature/qrel tables for 3 queries: graded rel = min(3, #distinct
+    query terms in doc) — the eval-gate convention."""
+    from ir_spark.operators.ltr import ltr_features
+    from ir_spark.oracle import parse_query
+
+    queries = REFERENCE_QUERIES[:3]
+    feats = None
+    qrels_rows = []
+    for qid, q in enumerate(queries):
+        f = ltr_features(spark, idx, q).withColumn(
+            "query_id", F.lit(qid).cast("long"))
+        feats = f if feats is None else feats.unionByName(f)
+        terms = set(parse_query(q))
+        hits = {}
+        for t in terms:
+            for r in idx.postings.filter(F.col("term") == t).collect():
+                hits[r["doc_id"]] = hits.get(r["doc_id"], 0) + 1
+        qrels_rows += [(qid, d, min(3, c)) for d, c in hits.items()]
+    qrels = spark.createDataFrame(
+        qrels_rows, "query_id long, doc_id long, rel long")
+    feats = feats.persist()
+    feats.count()
+    yield feats, qrels
+    feats.unpersist()
+
+
+def test_ltr_training_deterministic_and_converges(spark, ltr_setup):
+    from ir_spark.operators.ltr import train_pairwise_ranker
+
+    feats, qrels = ltr_setup
+    m1 = train_pairwise_ranker(feats, qrels, epochs=8)
+    m2 = train_pairwise_ranker(
+        feats.repartition(13), qrels.repartition(7), epochs=8)
+    # nano-quantized gradients -> bit-identical weights regardless of
+    # partitioning (the cross-run diffability contract)
+    assert m1["weights"] == m2["weights"]
+    assert m1["n_pairs"] > 0
+    # pairwise log-loss decreases from the zero-weight start
+    assert m1["loss"][-1] < m1["loss"][0]
+    # more matched query terms => higher rel by construction, so the
+    # learned n_matched weight must be positive
+    assert m1["weights"]["n_matched"] > 0
+
+
+def test_ltr_rerank_improves_ndcg(spark, ltr_setup):
+    from ir_spark.operators.evalir import ranking_metrics
+    from ir_spark.operators.ltr import score_linear, train_pairwise_ranker
+    from pyspark.sql import Window
+
+    feats, qrels = ltr_setup
+    model = train_pairwise_ranker(feats, qrels, epochs=20)
+
+    def run_of(scored):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score_micro"), F.asc("doc_id"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 10)
+                .select("query_id", "rank", "doc_id"))
+
+    bm25_run = run_of(feats.select(
+        "query_id", "doc_id",
+        F.round(F.col("bm25") * 1e6).cast("long").alias("score_micro")))
+    ltr_run = run_of(score_linear(feats, model))
+
+    def mean_ndcg(run):
+        rows = ranking_metrics(run, qrels, k=10).collect()
+        return sum(r["ndcg"] for r in rows) / len(rows)
+
+    base, learned = mean_ndcg(bm25_run), mean_ndcg(ltr_run)
+    assert learned >= base - 1e-9, (base, learned)
+
+
+def test_ltr_empty_qrels_yields_zero_model(spark, ltr_setup):
+    from ir_spark.operators.ltr import train_pairwise_ranker
+
+    feats, _ = ltr_setup
+    empty = spark.createDataFrame([], "query_id long, doc_id long, rel long")
+    m = train_pairwise_ranker(feats, empty, epochs=3)
+    assert m["n_pairs"] == 0 and all(v == 0.0 for v in m["weights"].values())
