@@ -110,3 +110,47 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         F.to_timestamp("_ts", "yyyy-MM-dd'T'HH:mm:ssX").alias("warc_ts"),
         "html",
     )
+
+
+def write_warc(df: DataFrame, out_dir: str, *,
+               gzip_files: bool = False) -> dict:
+    """Distributed WARC sink — the inverse of :func:`read_warc`, so a
+    curated corpus can ship back out in the container the crawl world
+    exchanges (takedown-filtered recrawl handoffs, dataset releases).
+
+    One WARC file per partition (mirroring Common Crawl's ~1 GB-file
+    granularity: repartition upstream to set the file size), written
+    executor-side; records within a file follow the partition's row
+    order, so ``df.repartitionByRange('url').sortWithinPartitions(
+    'url')`` gives a deterministic, resumable export.  Timestamps are
+    serialized as UTC ISO-8601 Zulu — exactly what ``read_warc``
+    parses — and the roundtrip is property-tested.
+
+    POSIX/shared-fs path handling (executor ``open()``): correct on
+    local mode and NFS-like stores; an object-store deployment would
+    swap the two ``open`` calls for the Hadoop FileSystem API — noted
+    rather than abstracted, to keep the seam visible.
+
+    Returns {"n_files", "n_records", "bytes"}."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_files else ".warc"
+    cols = df.select("url", "warc_ts", "html")
+
+    def part_writer(pid: int, it):
+        recs = [(r["url"],
+                 r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                 bytes(r["html"])) for r in it]
+        if not recs:
+            return iter(())
+        payload = synth_warc(recs, gzip_file=gzip_files)
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        with open(path, "wb") as fh:
+            fh.write(payload)
+        return iter([(pid, len(recs), len(payload))])
+
+    stats = cols.rdd.mapPartitionsWithIndex(part_writer).collect()
+    return {"n_files": len(stats),
+            "n_records": int(sum(s[1] for s in stats)),
+            "bytes": int(sum(s[2] for s in stats))}

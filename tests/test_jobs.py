@@ -591,3 +591,40 @@ def test_admin_job_maintain_tiered(tmp_path, capsys):
     after = [(r["rank"], r["doc_id"]) for r in
              spark.read.parquet(out2).orderBy("rank").collect()]
     assert after == before
+
+
+def test_warc_write_read_roundtrip(tmp_path):
+    """write_warc is read_warc's inverse: documents -> WARC files ->
+    documents, url/ts/html byte-identical; gzip variant too."""
+    from ir_spark.session import get_spark
+    from ir_spark.sources.warc import read_warc, write_warc
+
+    spark = get_spark("test_jobs")
+    pages = generate_pages(60, seed=31)
+    src = str(tmp_path / "docs.parquet")
+    pages_to_parquet(pages, src)
+    docs = spark.read.parquet(src).select("url", "warc_ts", "html")
+    want = sorted((r["url"], r["warc_ts"], bytes(r["html"]))
+                  for r in docs.collect())
+
+    for gz in (False, True):
+        out = str(tmp_path / ("warc_gz" if gz else "warc_plain"))
+        m = write_warc(docs.repartition(4), out, gzip_files=gz)
+        assert m["n_records"] == 60 and 1 <= m["n_files"] <= 4
+        ext = ".warc.gz" if gz else ".warc"
+        assert all(f.endswith(ext) for f in os.listdir(out))
+        got = sorted((r["url"], r["warc_ts"], bytes(r["html"]))
+                     for r in read_warc(spark, out).collect())
+        assert got == want
+
+    # deterministic export layout: range-partition + sort -> same file
+    # assignment and in-file order across runs
+    part = docs.repartitionByRange(2, "url").sortWithinPartitions("url")
+    o1, o2 = str(tmp_path / "det1"), str(tmp_path / "det2")
+    write_warc(part, o1)
+    write_warc(part, o2)
+    b1 = {f: (tmp_path / "det1" / f).read_bytes()
+          for f in os.listdir(o1)}
+    b2 = {f: (tmp_path / "det2" / f).read_bytes()
+          for f in os.listdir(o2)}
+    assert b1 == b2
