@@ -15,8 +15,8 @@ binary column zero-copy; the UDF yields a metadata frame (never the
 payload back, keeping shuffle width small).
 
 Real decoders (no codec libs needed): container/header formats that
-are pure struct parsing are decoded for REAL — BMP / PNG / GIF / PPM
-/ PGM image geometry and RIFF/WAVE audio (fmt + data chunks, plus
+are pure struct parsing are decoded for REAL — BMP / PNG / GIF / JPEG
+/ PPM / PGM image geometry and RIFF/WAVE audio (fmt + data chunks, plus
 numpy sample statistics over the PCM payload).  Only payloads in none
 of those formats fall back to the clearly-marked ``_fake_decode``
 stand-in (the seam where PIL/ffmpeg plugs in on clusters that ship
@@ -39,8 +39,9 @@ DECODE_SCHEMA = (
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     """Deterministic stand-in for payloads ``decode_image`` does not
     recognize: derives a fake geometry from the byte length.  STUB —
-    the seam where an external codec (PIL / turbojpeg) plugs in for
-    JPEG-class formats on clusters that ship one."""
+    the seam where an external codec (PIL / ffmpeg) plugs in for
+    formats beyond the struct-parseable set (BMP/PNG/GIF/JPEG/netpbm
+    geometry is decoded for REAL above this fallback)."""
     n = len(payload)
     return (n % 640 + 1, (n * 7) % 480 + 1, "fake")
 
@@ -71,12 +72,49 @@ def _parse_netpbm(p: bytes) -> tuple[int, int, str] | None:
     return (toks[0], toks[1], fmt)
 
 
+def _parse_jpeg(p: bytes) -> tuple[int, int, str] | None:
+    """JPEG geometry from the first SOF frame header: walk the marker
+    stream (each non-entropy segment is FF <marker> <u16 len>), stop at
+    SOF0-SOF15 (except the DHT/JPG/DAC markers sharing the range) and
+    read its height/width words.  Pure struct parsing — no pixel
+    decode, no external codec."""
+    if p[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(p)
+    while i + 4 <= n:
+        if p[i] != 0xFF:
+            return None  # lost sync: corrupt or truncated
+        marker = p[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = struct.unpack_from(">H", p, i + 2)[0]
+        if seg_len < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            h, w = struct.unpack_from(">HH", p, i + 5)
+            return (int(w), int(h), "jpeg")
+        i += 2 + seg_len
+    return None
+
+
 def decode_image(payload: bytes) -> tuple[int, int, str] | None:
     """REAL geometry decode for struct-parseable image containers:
     BMP (BITMAPINFOHEADER, signed height = top-down), PNG (IHDR),
-    GIF (logical screen descriptor), PPM/PGM (ASCII header).  Returns
+    GIF (logical screen descriptor), JPEG (marker walk to the SOF
+    frame header), PPM/PGM (ASCII header).  Returns
     None for unrecognized payloads (the external-codec seam)."""
     p = payload
+    if p[:2] == b"\xff\xd8":
+        return _parse_jpeg(p)
     if p[:2] == b"BM" and len(p) >= 26:
         w = struct.unpack_from("<i", p, 18)[0]
         h = struct.unpack_from("<i", p, 22)[0]
@@ -103,6 +141,22 @@ def synth_bmp(width: int, height: int, seed: int = 0) -> bytes:
     idx = np.arange(data_size, dtype=np.int64)
     pixels = ((idx * 31 + seed) % 256).astype(np.uint8)
     return header + pixels.tobytes()
+
+
+def synth_jpeg(width: int, height: int) -> bytes:
+    """Deterministic JPEG marker stream with a real JFIF APP0, a
+    luminance DQT, and an SOF0 baseline frame header carrying the
+    geometry — structurally valid for any marker-walking parser
+    (what ``_parse_jpeg`` and web crawlers' sniffers read; entropy
+    data is not included, exactly like a truncated crawl payload
+    whose headers still parse)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        (i * 7) % 255 + 1 for i in range(64))
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" \
+        + struct.pack(">HH", height, width) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
 
 
 def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:

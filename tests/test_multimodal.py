@@ -192,3 +192,44 @@ def test_png_roundtrip_property_random_arrays():
         assert (out == px).all()
 
     check()
+
+
+def test_jpeg_geometry_decode():
+    """JPEG marker walk: real SOF geometry, progressive SOF2, restart/
+    fill tolerance, and honest None on streams without a frame."""
+    from ir_spark.operators.multimodal import (_parse_jpeg, decode_image,
+                                               synth_jpeg)
+
+    assert decode_image(synth_jpeg(321, 123)) == (321, 123, "jpeg")
+    assert decode_image(synth_jpeg(1, 1)) == (1, 1, "jpeg")
+    assert decode_image(synth_jpeg(65535, 65535)) == (65535, 65535, "jpeg")
+    # progressive (SOF2) carries geometry the same way
+    prog = bytearray(synth_jpeg(40, 30))
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    assert decode_image(bytes(prog)) == (40, 30, "jpeg")
+    # a DHT (0xC4) before the SOF must NOT be mistaken for a frame
+    import struct as st
+
+    dht = b"\xff\xc4" + st.pack(">H", 5) + b"\x00\x01\x02"
+    j = synth_jpeg(7, 9)
+    with_dht = j[:2] + dht + j[2:]
+    assert decode_image(with_dht) == (7, 9, "jpeg")
+    # fill bytes and restart markers are walked over
+    weird = b"\xff\xd8\xff\xff\xff\xd0" + j[2:]
+    assert decode_image(weird) == (7, 9, "jpeg")
+    # no SOF before EOI / truncation / lost sync -> None (fake seam)
+    assert _parse_jpeg(b"\xff\xd8\xff\xd9") is None
+    assert _parse_jpeg(b"\xff\xd8garbage") is None
+    assert _parse_jpeg(j[:10]) is None
+
+
+def test_decode_image_meta_includes_jpeg(spark):
+    from ir_spark.operators.multimodal import decode_image_meta, synth_jpeg
+
+    rows = [(0, bytearray(synth_jpeg(64, 48))),
+            (1, bytearray(b"unknown-bytes"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["width"], r["height"], r["format"])
+           for r in decode_image_meta(df).collect()}
+    assert got[0] == (64, 48, "jpeg")
+    assert got[1][2] == "fake"
