@@ -332,3 +332,29 @@ def stream_index(
     if available_now:
         query.awaitTermination()
     return query
+
+
+def expire_snapshots(index_dir: str, *, keep_last: int = 10) -> dict:
+    """Retention for the per-batch snapshot log (Iceberg
+    expire-snapshots): keep the newest ``keep_last`` snapshot
+    manifests, remove the rest.  Expiring a snapshot only forfeits
+    the ability to time-travel to it (`SegmentIndex.load(as_of_grp=)`
+    then raises loudly); no data files are touched — segment groups
+    remain until a merge/compaction rewrites them.  Pure metadata op,
+    no SparkSession needed."""
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    mdir = os.path.join(index_dir, "_manifests")
+    if not os.path.isdir(mdir):
+        return {"expired": [], "kept": []}
+    snaps = sorted(
+        (int(f[len("snapshot_grp"):-len(".json")]), f)
+        for f in os.listdir(mdir)
+        if f.startswith("snapshot_grp") and f.endswith(".json"))
+    cut = len(snaps) - keep_last
+    expired = []
+    for g, f in snaps[:max(cut, 0)]:
+        os.remove(os.path.join(mdir, f))
+        expired.append(g)
+    return {"expired": expired,
+            "kept": [g for g, _ in snaps[max(cut, 0):]]}

@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
     p_snap = sub.add_parser("snapshots", help="list time-travel snapshots")
     p_snap.add_argument("--index-dir", required=True)
 
+    p_exp = sub.add_parser("expire-snapshots",
+                           help="retention for the time-travel log")
+    p_exp.add_argument("--index-dir", required=True)
+    p_exp.add_argument("--keep-last", type=int, default=10)
+
     p_stat = sub.add_parser("stats", help="committed stats manifest")
     p_stat.add_argument("--index-dir", required=True)
 
@@ -66,6 +71,13 @@ def main(argv: list[str] | None = None) -> int:
     p_ver.add_argument("--local-cpus", type=int, default=None)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "expire-snapshots":
+        from ir_spark.streaming.incremental import expire_snapshots
+
+        print(json.dumps(expire_snapshots(args.index_dir,
+                                          keep_last=args.keep_last)))
+        return 0
 
     if args.cmd in ("snapshots", "stats"):
         # manifest reads need no SparkSession

@@ -628,3 +628,24 @@ def test_warc_write_read_roundtrip(tmp_path):
     b2 = {f: (tmp_path / "det2" / f).read_bytes()
           for f in os.listdir(o2)}
     assert b1 == b2
+
+
+def test_admin_expire_snapshots_cli(tmp_path, capsys):
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import admin_index
+
+    from ir_spark.session import get_spark
+    from ir_spark.streaming.incremental import update_segment_index
+
+    spark = get_spark("test_jobs")
+    pages = generate_pages(60, seed=41)
+    idx = str(tmp_path / "idx")
+    for i in range(2):
+        src = str(tmp_path / f"b{i}.parquet")
+        pages_to_parquet(pages[i * 30:(i + 1) * 30], src)
+        update_segment_index(spark, spark.read.parquet(src), idx,
+                             batch_tag=f"b{i}")
+    assert admin_index.main(["expire-snapshots", "--index-dir", idx,
+                             "--keep-last", "1"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"expired": [0], "kept": [1]}

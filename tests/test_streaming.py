@@ -872,3 +872,31 @@ def test_tiered_merge_rejects_bad_groups(spark, corpus, tmp_path):
         merge_segment_groups(spark, stream_dir, [0])
     with pytest.raises(ValueError, match="not found"):
         merge_segment_groups(spark, stream_dir, [0, 7])
+
+
+def test_expire_snapshots_retention(spark, corpus, tmp_path):
+    from ir_spark.streaming.incremental import expire_snapshots
+
+    idx = str(tmp_path / "exp_idx")
+    pages = spark.read.parquet(corpus["full"]).orderBy("url").limit(90)
+    rows = pages.collect()
+    for i in range(3):
+        batch = spark.createDataFrame(rows[i * 30:(i + 1) * 30],
+                                      pages.schema)
+        update_segment_index(spark, batch, idx, batch_tag=f"b{i}")
+    # all three snapshots load
+    for g in (0, 1, 2):
+        SegmentIndex.load(spark, idx, as_of_grp=g)
+    rep = expire_snapshots(idx, keep_last=1)
+    assert rep["expired"] == [0, 1] and rep["kept"] == [2]
+    SegmentIndex.load(spark, idx, as_of_grp=2)  # survivor still loads
+    for g in (0, 1):
+        with pytest.raises(ValueError, match="no snapshot"):
+            SegmentIndex.load(spark, idx, as_of_grp=g)
+    # current (non-as-of) view unaffected: data files untouched
+    assert _topk_by_url(spark, idx)
+    # idempotent + keep-more-than-exist is a no-op
+    assert expire_snapshots(idx, keep_last=5) == {"expired": [],
+                                                  "kept": [2]}
+    with pytest.raises(ValueError):
+        expire_snapshots(idx, keep_last=-1)
