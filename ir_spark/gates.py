@@ -3281,6 +3281,120 @@ WHERE n_must = {len(BOOL_MUST)} AND n_not = 0 AND n_should >= 1
 """
 
 
+# --- noisy-channel phrase suggestion (lexicon.py::suggest_phrase) -------------
+
+PHRASE_TYPO_QUERY = "fast hasj join"
+PHRASE_M, PHRASE_DIST, PHRASE_SHARED = 3, 2, 2
+PHRASE_PEN = 2_000_000
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-aware "did you mean" over the whole query
+    (operators/lexicon.py::suggest_phrase): Viterbi over per-position
+    fuzzy candidates under the corpus bigram LM with a per-edit
+    channel penalty."""
+    from .operators.lexicon import suggest_phrase
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return suggest_phrase(spark, docs.select("doc_id", "text"),
+                          PHRASE_TYPO_QUERY, m_cands=PHRASE_M,
+                          max_dist=PHRASE_DIST, min_shared=PHRASE_SHARED,
+                          pen_micro=PHRASE_PEN)
+
+
+def sql_phrase_suggest() -> str:
+    """Full-path enumeration of the same integer-quantized lattice:
+    unigram/bigram counts from the identical token stream, trigram-
+    blocked candidates with the identical (dist, c1 DESC, term) top-m,
+    every m^n path summed in BIGINT micros, argmax with the
+    lexicographically-smallest tie-break."""
+    qtoks = [t for t in PHRASE_TYPO_QUERY.split() if len(t) > 1]
+    n = len(qtoks)
+    qg_vals, qt_vals = [], []
+    for pos, t in enumerate(qtoks):
+        p = f"${t}$"
+        qt_vals.append(f"({pos}, '{t}')")
+        qg_vals += [f"({pos}, '{g}')"
+                    for g in sorted({p[i:i + 3] for i in range(len(p) - 2)})]
+    sel_cols = ", ".join(
+        f"p{i}.term AS t{i}, p{i}.dist AS d{i}, p{i}.c1 AS c1_{i}"
+        for i in range(n))
+    froms = " CROSS JOIN ".join(
+        f"(SELECT term, dist, c1 FROM top WHERE pos = {i}) p{i}"
+        for i in range(n))
+    bjoins = "\n".join(
+        f"LEFT JOIN bi b{i} ON b{i}.k = x.t{i - 1} || chr(1) || x.t{i}"
+        for i in range(1, n))
+    score = (f"CAST(ROUND(LN((x.c1_0 + 1.0) / (vt.t + vt.v)) * 1000000) "
+             f"AS BIGINT) - {PHRASE_PEN} * x.d0")
+    for i in range(1, n):
+        score += (f"\n      + CAST(ROUND(LN((COALESCE(b{i}.c2, 0) + 1.0)"
+                  f" / (x.c1_{i - 1} + vt.v)) * 1000000) AS BIGINT)"
+                  f" - {PHRASE_PEN} * x.d{i}")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {i} AS pos, '{qtoks[i]}' AS original, t{i} AS suggested, "
+        f"CAST(d{i} AS INT) AS dist, score AS score_micro FROM best"
+        for i in range(n))
+    order = ", ".join(f"t{i} ASC" for i in range(n))
+    qg_list = ", ".join(qg_vals)
+    qt_list = ", ".join(qt_vals)
+    return f"""
+WITH uni AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS term FROM documents) u
+  WHERE LENGTH(term) > 1 GROUP BY term
+),
+vt AS (SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(c1) AS BIGINT) AS t
+       FROM uni),
+grams AS (
+  SELECT term, c1, g FROM (
+    SELECT term, c1, substr('$' || term || '$', CAST(i AS INT), 3) AS g
+    FROM uni, UNNEST(range(1, length(term) + 1)) r(i)) x
+  GROUP BY term, c1, g
+),
+qg AS (SELECT * FROM (VALUES {qg_list}) AS q(pos, gram)),
+qt AS (SELECT * FROM (VALUES {qt_list}) AS q(pos, qterm)),
+shared AS (
+  SELECT q.pos, g.term, g.c1, COUNT(*) AS n_shared
+  FROM grams g JOIN qg q ON g.g = q.gram
+  GROUP BY q.pos, g.term, g.c1
+  HAVING COUNT(*) >= {PHRASE_SHARED}
+),
+cand AS (
+  SELECT s.pos, s.term, s.c1, levenshtein(s.term, t.qterm) AS dist
+  FROM shared s JOIN qt t USING (pos)
+  WHERE levenshtein(s.term, t.qterm) <= {PHRASE_DIST}
+),
+top AS (
+  SELECT pos, term, c1, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY pos ORDER BY dist, c1 DESC, term) AS rn
+    FROM cand) WHERE rn <= {PHRASE_M}
+),
+bi AS (
+  SELECT w1 || chr(1) || w2 AS k, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+    SELECT l[CAST(i AS INT)] AS w1, l[CAST(i AS INT) + 1] AS w2 FROM (
+      SELECT list_filter(string_split(text, ' '),
+                         x -> length(x) > 1) AS l
+      FROM documents) d, UNNEST(range(1, len(l))) r(i)
+    WHERE len(l) >= 2)
+  GROUP BY k
+),
+paths AS (
+  SELECT {sel_cols} FROM {froms}
+),
+scored AS (
+  SELECT x.*, {score} AS score
+  FROM paths x CROSS JOIN vt
+{bjoins}
+),
+best AS (
+  SELECT * FROM scored ORDER BY score DESC, {order} LIMIT 1
+)
+{arms}
+"""
+
+
 def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Did-you-mean: top-k dictionary terms by (edit distance, df)."""
     from .operators.lexicon import suggest_terms
@@ -3642,6 +3756,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": q_eval_metrics,
         "boolean_match": q_boolean_match,
         "spell_suggest": q_spell_suggest,
+        "phrase_suggest": q_phrase_suggest,
         "spellfix_bm25_topk": q_spellfix_bm25_topk,
         "bm25_msm_topk": q_bm25_msm_topk,
         "prefix_terms": q_prefix_terms,
@@ -3723,6 +3838,7 @@ def core_oracle_sql() -> dict[str, str]:
         "eval_metrics": sql_eval_metrics(),
         "boolean_match": sql_boolean_match(),
         "spell_suggest": sql_spell_suggest(),
+        "phrase_suggest": sql_phrase_suggest(),
         "spellfix_bm25_topk": sql_spellfix_bm25_topk(),
         "bm25_msm_topk": sql_bm25_msm_topk(),
         "prefix_terms": sql_prefix_terms(),

@@ -82,6 +82,8 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
     "lexicon_suite": {
         "synonym_bm25_topk": ["doc_id", "score_micro"],
         "spell_suggest": ["df", "dist", "term"],
+        "phrase_suggest": ["dist", "original", "pos", "score_micro",
+                           "suggested"],
         "spellfix_bm25_topk": ["doc_id", "score_micro"],
         "bm25_msm_topk": ["doc_id", "score_micro"],
         "prefix_terms": ["df", "term"],

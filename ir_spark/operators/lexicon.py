@@ -298,3 +298,151 @@ def search_with_spellfix(spark, index, query: str, *, k: int = 5,
                 corrections)
     return (search(spark, index, fixed, k=k, mode=mode, k1=k1, b=b),
             corrections)
+
+
+def phrase_candidates(docs, qtoks: list[str], *, m_cands: int = 4,
+                      max_dist: int = 2, min_shared: int = 2,
+                      text_col: str = "text"):
+    """Batched per-position fuzzy candidates over the LM vocabulary.
+
+    One distributed job for ALL query positions: the corpus unigram
+    counts (the bigram LM's own token stream: whitespace tokens with
+    len > 1, stopwords KEPT — context words carry the signal) feed one
+    trigram index, every position's padded query trigrams join it at
+    once, and survivors of the shared>=min_shared block run the edit-
+    distance kernel and a per-position (dist ASC, c1 DESC, term ASC)
+    top-m.  Returns ({pos: [(term, dist, c1), ...]}, V, T) with V =
+    unigram vocabulary size and T = total tokens."""
+    from pyspark.sql import Window
+
+    w = F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 1)
+    c1 = (docs.select(F.explode(w).alias("term"))
+          .groupBy("term").agg(F.count("*").cast("long").alias("df"))
+          .persist())
+    vt = c1.agg(F.count("*"), F.sum("df")).collect()[0]
+    v_size, t_total = int(vt[0]), int(vt[1] or 0)
+    spark = docs.sparkSession
+    qg_rows, qt_rows = [], []
+    for pos, t in enumerate(qtoks):
+        p = f"${t}$"
+        qt_rows.append((pos, t))
+        qg_rows += [(pos, g) for g in sorted(
+            {p[i:i + 3] for i in range(len(p) - 2)})]
+    qg = spark.createDataFrame(qg_rows, "pos int, gram string")
+    qt = spark.createDataFrame(qt_rows, "pos int, qterm string")
+    tri = trigram_index(c1)
+    shared = (tri.join(F.broadcast(qg), tri.trigram == qg.gram)
+              .groupBy("pos", "term", "df")
+              .agg(F.count("*").alias("shared"))
+              .filter(F.col("shared") >= min_shared))
+    cand = (shared.join(F.broadcast(qt), "pos")
+            .withColumn("dist", F.levenshtein(F.col("term"),
+                                              F.col("qterm")))
+            .filter(F.col("dist") <= max_dist))
+    rank_w = Window.partitionBy("pos").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term"))
+    top = (cand.withColumn("rn", F.row_number().over(rank_w))
+           .filter(F.col("rn") <= m_cands)
+           .select("pos", "term", "dist", "df").collect())
+    c1.unpersist()
+    out: dict[int, list[tuple[str, int, int]]] = {}
+    for r in sorted(top, key=lambda r: (r["pos"], r["dist"], -r["df"],
+                                        r["term"])):
+        out.setdefault(r["pos"], []).append(
+            (r["term"], int(r["dist"]), int(r["df"])))
+    return out, v_size, t_total
+
+
+PAIR_SEP = "\x01"
+
+
+def suggest_phrase(spark, docs, query: str, *, m_cands: int = 4,
+                   max_dist: int = 2, min_shared: int = 2,
+                   pen_micro: int = 4_000_000,
+                   text_col: str = "text"):
+    """Noisy-channel "did you mean" over the WHOLE query phrase —
+    context-aware where ``spellfix_query`` corrects terms one at a
+    time: the classic power-cord/power-chord case needs bigram
+    evidence.  Viterbi over per-position fuzzy candidates under an
+    add-one-smoothed corpus bigram LM (the bigram_nll model) with a
+    per-edit channel penalty:
+
+        score(c_1..c_n) = ln P(c_1) + sum_i ln P(c_i | c_{i-1})
+                          - pen * sum_i dist(c_i, t_i)
+        P(c_1)          = (c1(c_1) + 1) / (T + V)
+        P(b | a)        = (c2(a, b) + 1) / (c1(a) + V)
+
+    Determinism contract: every edge weight is micro-quantized BEFORE
+    the DP (integer additions thereafter), ties broken by the
+    lexicographically smallest path — so an oracle can enumerate the
+    same integer path sums.
+
+    Scale shape: candidates ride ONE batched trigram join
+    (:func:`phrase_candidates`); bigram counts are aggregated ONLY for
+    the |q|*m^2 candidate pairs (isin pushdown on the pair key before
+    the count agg); the Viterbi itself is driver-side over a |q|*m
+    state lattice — constant work per query, the corpus is touched by
+    exactly two aggregates.
+
+    Returns a DataFrame (pos, original, suggested, dist,
+    score_micro) — one row per query position, ``score_micro`` = the
+    winning path total on every row; empty when some position has no
+    candidate (nothing defensible to suggest)."""
+    import math
+
+    schema = ("pos int, original string, suggested string, dist int, "
+              "score_micro long")
+    qtoks = [t for t in query.strip().lower().split() if len(t) > 1]
+    if not qtoks:
+        return spark.createDataFrame([], schema)
+    cands, v_size, t_total = phrase_candidates(
+        docs, qtoks, m_cands=m_cands, max_dist=max_dist,
+        min_shared=min_shared, text_col=text_col)
+    if any(p not in cands for p in range(len(qtoks))):
+        return spark.createDataFrame([], schema)
+
+    # bigram counts for candidate pairs only
+    pair_keys = sorted({
+        a + PAIR_SEP + b
+        for i in range(1, len(qtoks))
+        for a, _, _ in cands[i - 1] for b, _, _ in cands[i]})
+    c2: dict[str, int] = {}
+    if pair_keys:
+        w = F.filter(F.split(F.col(text_col), " "),
+                     lambda t: F.length(t) > 1)
+        d = docs.select(w.alias("w")).filter(F.size("w") >= 2)
+        bi = d.select(F.explode(F.expr(
+            "transform(sequence(1, size(w) - 1), "
+            "i -> concat(w[i - 1], chr(1), w[i]))")).alias("k"))
+        rows = (bi.filter(F.col("k").isin(pair_keys))
+                .groupBy("k").agg(F.count("*").cast("long").alias("n"))
+                .collect())
+        c2 = {r["k"]: int(r["n"]) for r in rows}
+
+    c1 = {t: df for plist in cands.values() for t, _, df in plist}
+
+    def start_w(term, dist):
+        lp = math.log((c1[term] + 1.0) / (t_total + float(v_size)))
+        return round(lp * 1e6) - pen_micro * dist
+
+    def edge_w(prev, term, dist):
+        n2 = c2.get(prev + PAIR_SEP + term, 0)
+        lp = math.log((n2 + 1.0) / (c1[prev] + float(v_size)))
+        return round(lp * 1e6) - pen_micro * dist
+
+    # Viterbi; an option sorts by (-score, path) so ties pick the
+    # lexicographically smallest path
+    best: dict[str, tuple[int, tuple[str, ...]]] = {
+        t: (start_w(t, d), (t,)) for t, d, _ in cands[0]}
+    for i in range(1, len(qtoks)):
+        nxt: dict[str, tuple[int, tuple[str, ...]]] = {}
+        for t, d, _ in cands[i]:
+            opts = [(s + edge_w(p, t, d), path + (t,))
+                    for p, (s, path) in best.items()]
+            nxt[t] = min(opts, key=lambda o: (-o[0], o[1]))
+        best = nxt
+    score, path = min(best.values(), key=lambda o: (-o[0], o[1]))
+    dists = {(i, t): d for i, plist in cands.items() for t, d, _ in plist}
+    rows = [(i, qtoks[i], path[i], dists[(i, path[i])], int(score))
+            for i in range(len(qtoks))]
+    return spark.createDataFrame(rows, schema)

@@ -403,3 +403,109 @@ class TestCollapseTopk:
         out = collapse_topk(scored, keys, "source", k=10)
         assert out.count() == 3  # one per host, all fit in k
         assert out.select("source").distinct().count() == 3
+
+
+# --- noisy-channel phrase suggestion (lexicon.py::suggest_phrase) ------------
+
+
+@pytest.fixture(scope="module")
+def phrase_docs(spark):
+    texts = ["the power cord is broken please replace the power cord now",
+             "power cord replacement guide for your laptop power cord",
+             "guitar chord chart with every open chord shape drawn",
+             "learn guitar chord progressions chord by chord daily"] * 5
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def _py_suggest(texts, query, *, m, max_dist, min_shared, pen):
+    """Pure-Python mirror of suggest_phrase's integer lattice."""
+    import math
+    from collections import Counter
+
+    toks = [[t for t in x.split() if len(t) > 1] for x in texts]
+    c1 = Counter(t for doc in toks for t in doc)
+    c2 = Counter((doc[i], doc[i + 1]) for doc in toks
+                 for i in range(len(doc) - 1))
+    v, tt = len(c1), sum(c1.values())
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    def grams(t):
+        p = f"${t}$"
+        return {p[i:i + 3] for i in range(len(p) - 2)}
+
+    qtoks = [t for t in query.strip().lower().split() if len(t) > 1]
+    cands = []
+    for t in qtoks:
+        qg = grams(t)
+        cs = [(lev(w, t), -c1[w], w) for w in c1
+              if len(qg & grams(w)) >= min_shared and lev(w, t) <= max_dist]
+        cs.sort()
+        cands.append([(w, d) for d, _, w in cs[:m]])
+    if any(not c for c in cands):
+        return None
+    best = {w: (round(math.log((c1[w] + 1.0) / (tt + float(v))) * 1e6)
+                - pen * d, (w,)) for w, d in cands[0]}
+    for i in range(1, len(qtoks)):
+        nxt = {}
+        for w, d in cands[i]:
+            opts = []
+            for p, (s, path) in best.items():
+                lp = math.log((c2[(p, w)] + 1.0) / (c1[p] + float(v)))
+                opts.append((s + round(lp * 1e6) - pen * d, path + (w,)))
+            nxt[w] = min(opts, key=lambda o: (-o[0], o[1]))
+        best = nxt
+    score, path = min(best.values(), key=lambda o: (-o[0], o[1]))
+    return int(score), path
+
+
+@pytest.mark.parametrize("query", ["power corrd", "guitar corrd",
+                                   "powr cord", "guitar chord",
+                                   "lern guitar chord"])
+def test_phrase_suggest_matches_bruteforce(spark, phrase_docs, query):
+    from ir_spark.operators.lexicon import suggest_phrase
+
+    texts = [r["text"] for r in phrase_docs.collect()]
+    want = _py_suggest(texts, query, m=4, max_dist=2, min_shared=1,
+                       pen=2_000_000)
+    rows = sorted(suggest_phrase(
+        spark, phrase_docs, query, m_cands=4, max_dist=2, min_shared=1,
+        pen_micro=2_000_000).collect(), key=lambda r: r["pos"])
+    assert want is not None and rows
+    assert tuple(r["suggested"] for r in rows) == want[1]
+    assert rows[0]["score_micro"] == want[0]
+
+
+def test_phrase_suggest_context_sensitivity(spark, phrase_docs):
+    """The marquee noisy-channel behavior: the SAME typo corrects to
+    different words depending on the preceding context word."""
+    from ir_spark.operators.lexicon import suggest_phrase
+
+    def fix(q):
+        rows = sorted(suggest_phrase(
+            spark, phrase_docs, q, m_cands=4, max_dist=2, min_shared=1,
+            pen_micro=2_000_000).collect(), key=lambda r: r["pos"])
+        return [r["suggested"] for r in rows]
+
+    assert fix("power corrd") == ["power", "cord"]
+    assert fix("guitar corrd") == ["guitar", "chord"]
+    # clean in-vocabulary queries pass through unchanged
+    assert fix("guitar chord") == ["guitar", "chord"]
+
+
+def test_phrase_suggest_empty_cases(spark, phrase_docs):
+    from ir_spark.operators.lexicon import suggest_phrase
+
+    # no token survives the len>1 filter
+    assert suggest_phrase(spark, phrase_docs, "a b").count() == 0
+    # a position with zero candidates -> honest empty, no wild guess
+    assert suggest_phrase(spark, phrase_docs,
+                          "power zzzzqqqq").count() == 0
