@@ -519,3 +519,36 @@ def best_window_snippets(positions: DataFrame,
             F.col("a")["best"].alias("score_micro"),
             F.col("a")["bcnt"].cast("int").alias("n_terms"))
     )
+
+
+def update_positional_store(spark: SparkSession, pages_with_ids: DataFrame,
+                            store_dir: str, *, stem: bool = False,
+                            n_buckets: int = DEFAULT_BUCKETS) -> dict:
+    """Append a batch to an existing (possibly empty) positional store
+    — the phrase-search counterpart of the tf-segment append
+    (streaming/incremental.py): new docs own fresh doc ids, so their
+    position rows are DISJOINT from every committed row and simply add
+    files to the bucket partitions; the store reader already
+    accumulates any number of rows per (bucket, term), exactly like
+    the segment query kernel accumulates runs.  No rewrite, no merge
+    — a later full rebuild (build_positional_store) plays the
+    compaction role.
+
+    ``pages_with_ids``: (doc_id, text) for the NEW docs only.  Returns
+    {"n_terms": distinct terms appended}."""
+    rel = token_positions(pages_with_ids, stem=stem)
+    per_term = (
+        rel.withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
+        .groupBy("bucket", "term")
+        .agg(F.collect_list("doc_id").alias("doc_ids_arr"),
+             F.collect_list("positions").alias("positions_arr"))
+    )
+    encoded = (
+        per_term.repartition(max(1, n_buckets // 4), "bucket")
+        .mapInPandas(_encode_positional, schema=_STORE_SCHEMA)
+        .sortWithinPartitions("term")
+    )
+    encoded.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(store_dir, "store"))
+    out = spark.read.parquet(os.path.join(store_dir, "store"))
+    return {"n_terms": int(out.select("term").distinct().count())}

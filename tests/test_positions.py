@@ -419,3 +419,37 @@ class TestBestWindowSnippets:
                for r in best_window_snippets(rel, w, 3).collect()}
         # windows of 3: [2,4]=bb+cc=90 beats [5,7]=aa+bb=30
         assert out == {1: (2, 90, 2)}
+
+
+def test_positional_store_incremental_append(spark, docs, tmp_path):
+    """update_positional_store: batch store over the full corpus ==
+    two incremental appends, for decode, phrase, and proximity."""
+    from ir_spark.operators.positions import update_positional_store
+
+    df, texts = docs
+    full_store = str(tmp_path / "pos_full")
+    incr_store = str(tmp_path / "pos_incr")
+    build_positional_store(spark, df, full_store)
+    ids = sorted(texts)
+    cut = ids[len(ids) // 2]
+    m0 = update_positional_store(
+        spark, df.filter(F.col("doc_id") <= cut), incr_store)
+    m1 = update_positional_store(
+        spark, df.filter(F.col("doc_id") > cut), incr_store)
+    assert m0["n_terms"] > 0 and m1["n_terms"] >= m0["n_terms"]
+
+    terms = _pick_phrase(texts, 2)
+    probe = sorted({*terms, "the"})
+
+    def snap(store):
+        return {
+            (r["doc_id"], r["term"]): list(r["positions"])
+            for r in read_positional_store(spark, store, probe).collect()}
+
+    assert snap(incr_store) == snap(full_store)
+
+    def phr(store):
+        return {r["doc_id"]: r["phrase_tf"]
+                for r in phrase_search_store(spark, store, terms).collect()}
+
+    assert phr(incr_store) == phr(full_store) == _py_phrase(texts, terms)
