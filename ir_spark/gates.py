@@ -3281,6 +3281,93 @@ WHERE n_must = {len(BOOL_MUST)} AND n_not = 0 AND n_should >= 1
 """
 
 
+# --- search-box query language (operators/boolean.py::search_querybox) -------
+
+QB_QUERY = 'fast scan +table -join "table hash"'
+
+
+def q_querybox_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing query language executed by composition
+    (operators/boolean.py::search_querybox): BM25 over the positive
+    bag, +term must-filter pushed under the scorer, -term anti-join,
+    quoted phrase semi-join against the compressed positional store."""
+    from .operators.boolean import parse_querybox, search_querybox
+    from .operators.positions import read_positional_store
+
+    idx = _df_index(spark, sf_dir)
+    spec = parse_querybox(QB_QUERY)
+    ph_terms = sorted({t for ph in spec["phrases"] + spec["not_phrases"]
+                       for t in ph})
+    rel = read_positional_store(spark, _pos_store_dir(spark, sf_dir),
+                                ph_terms)
+    raw = search_querybox(spark, idx, rel, QB_QUERY, k=K_FLAGSHIP * 5)
+    return _rerank_quantized(raw, K_FLAGSHIP)
+
+
+def sql_querybox_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    """Same composition in SQL: the scoring bag, must/not EXISTS
+    clauses, and the phrase positional self-joins all derive from the
+    SAME parse_querybox output."""
+    from collections import Counter
+
+    from .operators.boolean import parse_querybox
+    from .text import STOPWORDS
+
+    spec = parse_querybox(QB_QUERY)
+    bag = Counter(spec["must"] + spec["should"]
+                  + [t for ph in spec["phrases"] for t in ph
+                     if t not in STOPWORDS])
+    qvals = ", ".join(f"('{t}', {n})" for t, n in sorted(bag.items()))
+    conds = []
+    for t in sorted(set(spec["must"])):
+        conds.append("s.doc_id IN (SELECT doc_id FROM postings "
+                     f"WHERE term = '{t}')")
+    if spec["must_not"]:
+        bad = ", ".join(f"'{t}'" for t in sorted(set(spec["must_not"])))
+        conds.append("s.doc_id NOT IN (SELECT doc_id FROM postings "
+                     f"WHERE term IN ({bad}))")
+
+    def phrase_sql(ph: list[str]) -> str:
+        joins = " ".join(
+            f"JOIN seq t{i} ON t{i}.doc_id = t0.doc_id"
+            f" AND t{i}.pos = t0.pos + {i}" for i in range(1, len(ph)))
+        where = " AND ".join(
+            f"t{i}.term = '{t}'" for i, t in enumerate(ph))
+        return f"SELECT DISTINCT t0.doc_id FROM seq t0 {joins} WHERE {where}"
+
+    for ph in spec["phrases"]:
+        conds.append(f"s.doc_id IN ({phrase_sql(ph)})")
+    for ph in spec["not_phrases"]:
+        conds.append(f"s.doc_id NOT IN ({phrase_sql(ph)})")
+    where = "WHERE " + "\n  AND ".join(conds) if conds else ""
+    return f"""
+WITH {TOKS_CTE},
+{SEQ_CTE.strip().rstrip()}
+,
+qterms AS (SELECT * FROM (VALUES {qvals}) AS q(term, qtf)),
+hits AS (
+  SELECT p.doc_id,
+         LN(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * p.tf * ({k1} + 1.0)
+           / (p.tf + {k1} * (1.0 - {b} + {b} * d.doc_len / s.avg_dl))
+           * q.qtf AS partial
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dict t USING (term)
+  JOIN docinfo d USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id, CAST(ROUND(SUM(partial) * 1000000) AS BIGINT)
+           AS score_micro
+  FROM hits GROUP BY doc_id
+)
+SELECT s.doc_id, s.score_micro FROM scored s
+{where}
+ORDER BY s.score_micro DESC, s.doc_id ASC LIMIT {K_FLAGSHIP}
+"""
+
+
 # --- noisy-channel phrase suggestion (lexicon.py::suggest_phrase) -------------
 
 PHRASE_TYPO_QUERY = "fast hasj join"
@@ -3747,6 +3834,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_pruned_bm25_topk": q_sharded_pruned_bm25_topk,
         "clarity_scores": q_clarity_scores,
         "qpp_wig_nqc": q_qpp_wig_nqc,
+        "querybox_topk": q_querybox_topk,
         "pivoted_topk": q_pivoted_topk,
         "tdi_interleave": q_tdi_interleave,
         "tdi_credit": q_tdi_credit,
@@ -3829,6 +3917,7 @@ def core_oracle_sql() -> dict[str, str]:
         "sharded_pruned_bm25_topk": sql_bm25_topk(),
         "clarity_scores": sql_clarity_scores(),
         "qpp_wig_nqc": sql_qpp_wig_nqc(),
+        "querybox_topk": sql_querybox_topk(),
         "pivoted_topk": sql_pivoted_topk(),
         "tdi_interleave": sql_tdi_interleave(),
         "tdi_credit": sql_tdi_credit(),

@@ -62,6 +62,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "pl2_topk": ["doc_id", "score_micro"],
         "bm25plus_topk": ["doc_id", "score_micro"],
         "pivoted_topk": ["doc_id", "score_micro"],
+        "querybox_topk": ["doc_id", "score_micro"],
         "bm25l_topk": ["doc_id", "score_micro"],
         "sdm_topk": ["doc_id", "score_micro"],
         "dismax_topk": ["doc_id", "score_micro"],

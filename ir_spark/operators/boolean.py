@@ -171,3 +171,87 @@ def significant_terms(postings, dictionary, n_docs: int,
                     .alias("score_micro"))
             .orderBy(F.desc("score_micro"), F.asc("term"))
             .limit(k))
+
+
+def parse_querybox(query: str) -> dict:
+    """Web search-box query language -> clause lists:
+
+        +term      must appear            -term      must not appear
+        "a b c"    required exact phrase  -"a b c"   forbidden phrase
+        term       scored (should)
+
+    Every segment runs through the engine tokenizer; must/must_not/
+    should drop stopwords (the parse_query convention), phrase
+    segments keep them (phrases match the positional stream, which
+    stores every token).  Returns {"must", "must_not", "should":
+    [terms...], "phrases", "not_phrases": [[terms...], ...]} — pure
+    and driver-side, shared verbatim by the SQL oracle generator."""
+    import re
+
+    from ..text import STOPWORDS, tokenize
+
+    out = {"must": [], "must_not": [], "should": [],
+           "phrases": [], "not_phrases": []}
+    for m in re.finditer(r'([+-]?)"([^"]*)"|([+-]?)(\S+)', query):
+        if m.group(2) is not None:
+            toks = [t for t in tokenize(m.group(2))]
+            if not toks:
+                continue
+            (out["not_phrases"] if m.group(1) == "-"
+             else out["phrases"]).append(toks)
+        else:
+            toks = [t for t in tokenize(m.group(4)) if t not in STOPWORDS]
+            key = {"+": "must", "-": "must_not"}.get(m.group(3), "should")
+            out[key].extend(toks)
+    return out
+
+
+def search_querybox(spark, index, positions_rel: DataFrame, query: str, *,
+                    k: int = 10, k1: float = 1.2, b: float = 0.75
+                    ) -> DataFrame:
+    """Execute a search-box query by COMPOSING the engine's existing
+    operators — the user-facing query language over the same plans:
+
+    - score: BM25 over the bag of all positive terms (should + must +
+      non-stopword phrase words, multiplicity counted), the ordinary
+      pruned broadcast-join plan (``search_weighted``);
+    - ``+`` terms: ``boolean_search`` must-filter pushed in as the
+      scorer's ``doc_filter`` (candidates shrink BEFORE scoring);
+    - ``-`` terms: one anti-join against the term-pruned postings;
+    - phrases: ``phrase_search`` over the positional relation, semi-
+      join per required phrase, anti-join per forbidden one — each
+      phrase decodes only its own terms' position rows.
+
+    Returns (doc_id, score) top-k, (score DESC, doc_id) tie-break —
+    the house contract."""
+    from collections import Counter
+
+    from ..text import STOPWORDS
+    from .positions import phrase_search
+    from .query import search_weighted
+
+    spec = parse_querybox(query)
+    bag = Counter(spec["must"] + spec["should"]
+                  + [t for ph in spec["phrases"] for t in ph
+                     if t not in STOPWORDS])
+    if not bag:
+        return spark.createDataFrame([], "doc_id long, score double")
+    doc_filter = None
+    if spec["must"]:
+        doc_filter = boolean_search(
+            index.postings, must=spec["must"]).select("doc_id")
+    scored = search_weighted(
+        spark, index, {t: float(n) for t, n in bag.items()}, k=None,
+        mode="bm25", k1=k1, b=b, doc_filter=doc_filter)
+    if spec["must_not"]:
+        bad = (index.postings
+               .filter(F.col("term").isin(sorted(set(spec["must_not"]))))
+               .select("doc_id").distinct())
+        scored = scored.join(bad, "doc_id", "left_anti")
+    for ph in spec["phrases"]:
+        hits = phrase_search(positions_rel, ph).select("doc_id")
+        scored = scored.join(hits, "doc_id", "left_semi")
+    for ph in spec["not_phrases"]:
+        hits = phrase_search(positions_rel, ph).select("doc_id")
+        scored = scored.join(hits, "doc_id", "left_anti")
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

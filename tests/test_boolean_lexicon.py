@@ -509,3 +509,90 @@ def test_phrase_suggest_empty_cases(spark, phrase_docs):
     # a position with zero candidates -> honest empty, no wild guess
     assert suggest_phrase(spark, phrase_docs,
                           "power zzzzqqqq").count() == 0
+
+
+# --- search-box query language (boolean.py::search_querybox) -----------------
+
+
+def test_parse_querybox():
+    from ir_spark.operators.boolean import parse_querybox
+
+    spec = parse_querybox('heat flow +layer -shock "boundary layer" '
+                          '-"shock wave"')
+    assert spec["must"] == ["layer"]
+    assert spec["must_not"] == ["shock"]
+    assert spec["should"] == ["heat", "flow"]
+    assert spec["phrases"] == [["boundary", "layer"]]
+    assert spec["not_phrases"] == [["shock", "wave"]]
+    # stopwords drop from scoring clauses, stay in phrases
+    spec2 = parse_querybox('+the "of the boundary"')
+    assert spec2["must"] == [] and spec2["phrases"] == [
+        ["of", "the", "boundary"]]
+    assert parse_querybox('""') == {"must": [], "must_not": [],
+                                    "should": [], "phrases": [],
+                                    "not_phrases": []}
+
+
+def test_querybox_matches_bruteforce(spark, idx):
+    from collections import Counter
+
+    from ir_spark.oracle import bm25_weight
+    from ir_spark.operators.boolean import parse_querybox, search_querybox
+    from ir_spark.operators.positions import token_positions
+
+    index, texts = idx
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    rel = token_positions(df)
+    q = 'heat transfer +flow -wing "boundary layer"'
+    got = [(r["doc_id"], round(r["score"] * 1e6)) for r in
+           search_querybox(spark, index, rel, q, k=10).collect()]
+
+    spec = parse_querybox(q)
+    bag = Counter(spec["must"] + spec["should"]
+                  + [t for ph in spec["phrases"] for t in ph
+                     if t not in STOPWORDS])
+    toks = {d: tokenize(x) for d, x in texts.items()}
+    n = len(texts)
+    avg_dl = sum(len([t for t in v if len(t) > 1]) for v in
+                 toks.values()) / n
+
+    def ok(d):
+        terms = {t for t in toks[d] if t not in STOPWORDS}
+        if any(t not in terms for t in spec["must"]):
+            return False
+        if any(t in terms for t in spec["must_not"]):
+            return False
+        for ph in spec["phrases"]:
+            seq = toks[d]
+            if not any(seq[i:i + len(ph)] == ph
+                       for i in range(len(seq) - len(ph) + 1)):
+                return False
+        return True
+
+    from ir_spark.oracle import build_index, search
+
+    oracle = build_index(sorted(texts.items()))
+    scores = {}
+    for t, qtf in bag.items():
+        dft = oracle.df(t)
+        for d, tf in oracle.postings.get(t, ()):
+            dl = oracle.docinfo[d][0]
+            scores[d] = scores.get(d, 0.0) + qtf * bm25_weight(
+                tf, dl, dft, oracle.n_docs, oracle.avg_doc_len)
+    want = sorted(((d, round(s * 1e6)) for d, s in scores.items() if ok(d)),
+                  key=lambda r: (-r[1], r[0]))[:10]
+    assert got == want
+    assert got  # filters leave a non-empty result for this corpus
+
+
+def test_querybox_empty_and_pure_negative(spark, idx):
+    from ir_spark.operators.boolean import search_querybox
+    from ir_spark.operators.positions import token_positions
+
+    index, texts = idx
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    rel = token_positions(df)
+    assert search_querybox(spark, index, rel, "-wing").count() == 0
+    assert search_querybox(spark, index, rel, "the of").count() == 0
