@@ -112,7 +112,9 @@ def compute_query_weights(bag: dict[str, int], dfs: dict[str, int],
     query weight is the raw query tf (plain BM25 sum)."""
     if not bag:
         return {}, 0.0
-    if mode == "bm25":
+    if mode in ("bm25", "bm25plus", "bm25l", "pivoted"):
+        # the whole probabilistic/pivoted family sums qtf-weighted
+        # per-doc term weights — the query side is just the raw tf
         return {t: float(tf) for t, tf in bag.items()}, 0.0
     max_tf_q = max(bag.values())
     weights = {

@@ -255,8 +255,8 @@ def _mask_deleted_offsets(touched: np.ndarray, deleted, base: int,
         touched[dels[lo:hi] - base] = False
 
 def _np_doc_weight(mode: str, tf: np.ndarray, dl: np.ndarray, mtf: np.ndarray,
-                   df: int, n_docs: int, avg_dl: float, k1: float, b: float
-                   ) -> np.ndarray:
+                   df: int, n_docs: int, avg_dl: float, k1: float, b: float,
+                   delta: float = 0.0) -> np.ndarray:
     tf = tf.astype(np.float64)
     if mode == "w1":
         if df == 0:
@@ -277,12 +277,38 @@ def _np_doc_weight(mode: str, tf: np.ndarray, dl: np.ndarray, mtf: np.ndarray,
         idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
         dlf = dl.astype(np.float64)
         return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dlf / avg_dl))
+    # the BM25-shaped variant family (query.py::search_bm25plus /
+    # search_bm25l / search_pivoted bit-for-bit): per-(term, doc)
+    # weights over the same decoded columns, accumulated identically
+    if mode == "bm25plus":
+        if df == 0:
+            return np.zeros_like(tf)
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        dlf = dl.astype(np.float64)
+        sat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dlf / avg_dl))
+        return idf * (sat + delta)
+    if mode == "bm25l":
+        if df == 0:
+            return np.zeros_like(tf)
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        dlf = dl.astype(np.float64)
+        ctd = tf / (1.0 - b + b * dlf / avg_dl)
+        return idf * (k1 + 1.0) * (ctd + delta) / (k1 + (ctd + delta))
+    if mode == "pivoted":
+        # slope rides the b parameter (Singhal 1996 / Fang-Zhai PIV)
+        if df == 0:
+            return np.zeros_like(tf)
+        idf = math.log((n_docs + 1.0) / df)
+        dlf = dl.astype(np.float64)
+        num = 1.0 + np.log(1.0 + np.log(tf))
+        return num / (1.0 - b + b * dlf / avg_dl) * idf
     raise ValueError(mode)
 
 
 def _make_run_kernel(weights: dict[str, float], dfs: dict[str, int], *,
                      mode: str, n_docs: int, avg_dl: float, k1: float,
-                     b: float, range_width: int, top_k: int, deleted=None):
+                     b: float, range_width: int, top_k: int, deleted=None,
+                     delta: float = 0.0):
     """applyInPandas kernel over one doc-range run: dense-accumulator
     TAAT scoring, emit run-local top-k (or all candidates when top_k=0
     for cosine modes)."""
@@ -308,7 +334,7 @@ def _make_run_kernel(weights: dict[str, float], dfs: dict[str, int], *,
             dls = codec.varbyte_decode(row.doc_lens_vb).astype(np.int64)
             mtfs = codec.varbyte_decode(row.max_tfs_vb).astype(np.int64)
             w_td = _np_doc_weight(mode, tfs, dls, mtfs, df_t, n_docs,
-                                  avg_dl, k1, b)
+                                  avg_dl, k1, b, delta)
             acc[ids - base] += w_td * w_tq
             touched[ids - base] = True
         _mask_deleted_offsets(touched, deleted, base, range_width)
@@ -468,7 +494,8 @@ def _make_wand_partition_kernel(weights: dict[str, float],
                                 mode: str, n_docs: int, avg_dl: float,
                                 k1: float, b: float, range_width: int,
                                 top_k: int, acc_runs_seen=None,
-                                acc_runs_pruned=None, deleted=None):
+                                acc_runs_pruned=None, deleted=None,
+                                delta: float = 0.0):
     """mapInPandas kernel over a run-sorted partition: block-max WAND
     with the top-k heap + threshold theta carried ACROSS runs.
 
@@ -599,7 +626,8 @@ def _make_maxscore_partition_kernel(weights: dict[str, float],
                                     k1: float, b: float, range_width: int,
                                     top_k: int, acc_runs_seen=None,
                                     acc_runs_pruned=None,
-                                    acc_nonessential=None, deleted=None):
+                                    acc_nonessential=None, deleted=None,
+                                    delta: float = 0.0):
     """mapInPandas kernel over a run-sorted partition: MaxScore pruning
     (Turtle & Flood 1995) with the top-k heap + theta carried across
     runs — the classic alternative to block-max WAND, here sharing its
@@ -888,7 +916,7 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
                     b: float = 0.75, stem: bool = False,
                     strategy: str = "exhaustive",
                     mu: float = 1000.0, lam: float = 0.1,
-                    pl2_c: float = 1.0,
+                    pl2_c: float = 1.0, delta: float | None = None,
                     prune_counters: dict | None = None,
                     df_override: dict[str, int] | None = None,
                     cf_override: dict[str, int] | None = None,
@@ -977,10 +1005,23 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
 
+    # BM25-shaped variants (query.py parity): delta defaults per mode;
+    # the WAND/MaxScore skylines are bm25-specific, so the variants run
+    # the exhaustive kernel (still run-local top-k, same plan shape)
+    if delta is None:
+        delta = {"bm25plus": 1.0, "bm25l": 0.5}.get(mode, 0.0)
+    if mode in ("bm25plus", "bm25l", "pivoted") and strategy in (
+            "wand", "maxscore"):
+        raise ValueError(
+            f"strategy={strategy!r} bounds are bm25-specific; "
+            f"mode={mode!r} runs exhaustive")
+
     kernel_args = dict(mode=mode, n_docs=sidx.n_docs, avg_dl=sidx.avg_doc_len,
                        k1=k1, b=b, range_width=sidx.range_width,
-                       deleted=sidx.deleted_bc())
+                       deleted=sidx.deleted_bc(), delta=delta)
 
+    if strategy == "auto" and mode in ("bm25plus", "bm25l", "pivoted"):
+        strategy = "exhaustive"
     if strategy == "auto":
         # wand runs the same single-job plan as exhaustive (one shuffle
         # on run, one Python pass) plus a cheap numpy metadata pass per
@@ -989,7 +1030,7 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
         n_runs_max = sidx.n_docs // sidx.range_width + 1
         strategy = "wand" if n_runs_max > 1 else "exhaustive"
 
-    if mode == "bm25":
+    if mode in ("bm25", "bm25plus", "bm25l", "pivoted"):
         if strategy in ("wand", "maxscore"):
             counters = prune_counters or {}
             make = (_make_wand_partition_kernel if strategy == "wand"

@@ -327,3 +327,48 @@ class TestWandManyRuns:
         # big_index has ~90 runs; every driver collect must stay far
         # below that (1-row argmax + 5-row final top-k)
         assert max(collected) <= 5, collected
+
+
+class TestSegmentVariantModes:
+    """BM25+/BM25L/pivoted served from the compressed segment index:
+    rank-identical and score-equal (<=1e-9) to the DataFrame
+    operators, which are brute-force-verified in test_qld.py."""
+
+    @pytest.mark.parametrize("mode", ("bm25plus", "bm25l", "pivoted"))
+    def test_variant_matches_dataframe_engine(self, spark, sidx,
+                                              pages_small, mode):
+        from ir_spark.operators import build as B
+        from ir_spark.operators import query as Q
+
+        path, _ = pages_small
+        pages = spark.read.parquet(path)
+        raw = B.assign_doc_ids(pages)
+        docs = pages.join(raw, "url").select("doc_id", "text")
+        idx = B.build_dataframe_index(docs)
+        for q in REFERENCE_QUERIES[:5] + EDGE_QUERIES:
+            if mode == "bm25plus":
+                want_df = Q.search_bm25plus(spark, idx, q, k=5, delta=1.0)
+                got_df = SQ.search_segments(spark, sidx, q, k=5,
+                                            mode="bm25plus")
+            elif mode == "bm25l":
+                want_df = Q.search_bm25l(spark, idx, q, k=5, delta=0.5)
+                got_df = SQ.search_segments(spark, sidx, q, k=5,
+                                            mode="bm25l")
+            else:
+                want_df = Q.search_pivoted(spark, idx, q, k=5, slope=0.2)
+                got_df = SQ.search_segments(spark, sidx, q, k=5,
+                                            mode="pivoted", b=0.2)
+            want = [(r["doc_id"], r["score"]) for r in want_df.collect()]
+            got = [(r["doc_id"], r["score"]) for r in got_df.collect()]
+            assert [d for d, _ in got] == [d for d, _ in want], (mode, q)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9, (mode, q)
+
+    def test_variant_rejects_bm25_pruning(self, spark, sidx):
+        with pytest.raises(ValueError, match="bm25-specific"):
+            SQ.search_segments(spark, sidx, REFERENCE_QUERIES[0], k=5,
+                               mode="bm25plus", strategy="wand")
+        # auto degrades to exhaustive instead of raising
+        assert SQ.search_segments(spark, sidx, REFERENCE_QUERIES[0], k=5,
+                                  mode="pivoted", b=0.2,
+                                  strategy="auto").count() == 5
