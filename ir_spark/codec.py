@@ -863,8 +863,11 @@ def pfor_decode(buf: bytes) -> np.ndarray:
             axis=1, dtype=np.uint64)
         if n_exc:
             idx = raw[p:p + n_exc].astype(np.int64); p += n_exc
-            # the highs varbyte stream ends at its n_exc-th terminator
-            term = np.flatnonzero((raw[p:] & 0x80) == 0)
+            # the highs varbyte stream ends at its n_exc-th terminator;
+            # highs are < 2^32 so each takes <= 5 bytes — scan only
+            # that window, not the whole remaining buffer
+            win = raw[p:p + 5 * n_exc]
+            term = np.flatnonzero((win & 0x80) == 0)
             end = p + int(term[n_exc - 1]) + 1
             highs = varbyte_decode(raw[p:end].tobytes()); p = end
             vals[idx] |= highs << np.uint64(b)
