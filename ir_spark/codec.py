@@ -973,8 +973,11 @@ def roaring_decode(buf: bytes) -> np.ndarray:
                                        dtype=np.uint16)[0])
             pairs = np.frombuffer(raw[p + 2:p + 2 + 4 * n_runs].tobytes(),
                                   dtype=np.uint16).reshape(n_runs, 2)
+            # int() the u16 pair first: under NumPy 2 (NEP 50)
+            # uint16(65535) + 1 would WRAP, silently dropping a run
+            # ending at the chunk ceiling
             lo = np.concatenate([
-                np.arange(s, s + l + 1, dtype=np.uint32)
+                np.arange(int(s), int(s) + int(l) + 1, dtype=np.uint32)
                 for s, l in pairs]).astype(np.uint16)
             p += 2 + 4 * n_runs
         else:
@@ -1009,10 +1012,12 @@ def roaring_contains(buf: bytes, ids: np.ndarray | list[int]) -> np.ndarray:
             plen = 2 * card
         elif ctype == ROARING_BITMAP:
             plen = 8192
-        else:
+        elif ctype == ROARING_RUN:
             n_runs = int(np.frombuffer(raw[p:p + 2].tobytes(),
                                        dtype=np.uint16)[0])
             plen = 2 + 4 * n_runs
+        else:
+            raise ValueError(f"bad roaring container type {ctype}")
         sel = np.flatnonzero(pk == key)
         if sel.size:
             lo = pl[sel]

@@ -1900,6 +1900,7 @@ SELECT CAST(r.query_id AS BIGINT) AS query_id, r.k_used, c.n_terms,
                               AS DOUBLE))
                   / (r.k_used * c.corpus_micro)) AS BIGINT) AS nqc_nano
 FROM runagg r JOIN corpus c USING (query_id)
+WHERE c.corpus_micro > 0
 """
 
 

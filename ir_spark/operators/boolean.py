@@ -234,15 +234,31 @@ def search_querybox(spark, index, positions_rel: DataFrame, query: str, *,
     bag = Counter(spec["must"] + spec["should"]
                   + [t for ph in spec["phrases"] for t in ph
                      if t not in STOPWORDS])
-    if not bag:
+    if not bag and not spec["phrases"]:
         return spark.createDataFrame([], "doc_id long, score double")
     doc_filter = None
     if spec["must"]:
         doc_filter = boolean_search(
             index.postings, must=spec["must"]).select("doc_id")
-    scored = search_weighted(
-        spark, index, {t: float(n) for t, n in bag.items()}, k=None,
-        mode="bm25", k1=k1, b=b, doc_filter=doc_filter)
+    if bag:
+        scored = search_weighted(
+            spark, index, {t: float(n) for t, n in bag.items()}, k=None,
+            mode="bm25", k1=k1, b=b, doc_filter=doc_filter)
+    else:
+        # an all-stopword phrase query ('"to be or not to be"') has no
+        # BM25 signal but the positional store matches it by design:
+        # rank by summed phrase_tf instead of returning nothing
+        first = phrase_search(positions_rel, spec["phrases"][0]).select(
+            "doc_id", F.col("phrase_tf").cast("double").alias("score"))
+        for ph in spec["phrases"][1:]:
+            nxt = phrase_search(positions_rel, ph).select(
+                "doc_id", F.col("phrase_tf").cast("double").alias("s2"))
+            first = (first.join(nxt, "doc_id")
+                     .select("doc_id",
+                             (F.col("score") + F.col("s2")).alias("score")))
+        scored = first
+        if doc_filter is not None:
+            scored = scored.join(doc_filter, "doc_id", "left_semi")
     if spec["must_not"]:
         bad = (index.postings
                .filter(F.col("term").isin(sorted(set(spec["must_not"]))))

@@ -352,7 +352,9 @@ def qpp_wig_nqc(run: DataFrame, qterms: DataFrame, index: DataFrameIndex,
     Inputs: ``run`` (query_id, score_micro) already truncated to the
     top-k rows per query; ``qterms`` (query_id, term, qtf).  Queries
     none of whose terms appear in the dictionary drop out (no corpus
-    model to compare against), and |q| counts dictionary terms only —
+    model to compare against), as do queries whose corpus score rounds
+    to zero micro (ultra-rare terms in a huge corpus — a 0 baseline
+    would divide NQC by zero), and |q| counts dictionary terms only —
     unseen terms contribute to neither side of the WIG difference.
     Returns (query_id, k_used, n_terms, corpus_micro, wig_micro,
     nqc_nano).
@@ -389,7 +391,7 @@ def qpp_wig_nqc(run: DataFrame, qterms: DataFrame, index: DataFrameIndex,
         .alias("s_sumsq"),
     )
     return (
-        runagg.join(corpus, "query_id")
+        runagg.join(corpus.filter(F.col("corpus_micro") > 0), "query_id")
         .select(
             "query_id", "k_used", "n_terms", "corpus_micro",
             F.round((F.col("s_sum").cast("double") / F.col("k_used")

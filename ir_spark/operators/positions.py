@@ -535,7 +535,9 @@ def update_positional_store(spark: SparkSession, pages_with_ids: DataFrame,
     compaction role.
 
     ``pages_with_ids``: (doc_id, text) for the NEW docs only.  Returns
-    {"n_terms": distinct terms appended}."""
+    {"n_terms": distinct terms in the APPENDED batch} — counted from
+    the batch relation before the write, so an append never scans the
+    (possibly huge) existing store."""
     rel = token_positions(pages_with_ids, stem=stem)
     per_term = (
         rel.withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
@@ -548,7 +550,7 @@ def update_positional_store(spark: SparkSession, pages_with_ids: DataFrame,
         .mapInPandas(_encode_positional, schema=_STORE_SCHEMA)
         .sortWithinPartitions("term")
     )
+    n_terms = int(rel.select("term").distinct().count())
     encoded.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(store_dir, "store"))
-    out = spark.read.parquet(os.path.join(store_dir, "store"))
-    return {"n_terms": int(out.select("term").distinct().count())}
+    return {"n_terms": n_terms}

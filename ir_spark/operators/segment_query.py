@@ -295,7 +295,8 @@ def _np_doc_weight(mode: str, tf: np.ndarray, dl: np.ndarray, mtf: np.ndarray,
         ctd = tf / (1.0 - b + b * dlf / avg_dl)
         return idf * (k1 + 1.0) * (ctd + delta) / (k1 + (ctd + delta))
     if mode == "pivoted":
-        # slope rides the b parameter (Singhal 1996 / Fang-Zhai PIV)
+        # slope rides the b parameter (search_segments maps slope-> b;
+        # Singhal 1996 / Fang-Zhai PIV)
         if df == 0:
             return np.zeros_like(tf)
         idf = math.log((n_docs + 1.0) / df)
@@ -917,6 +918,7 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
                     strategy: str = "exhaustive",
                     mu: float = 1000.0, lam: float = 0.1,
                     pl2_c: float = 1.0, delta: float | None = None,
+                    slope: float = 0.2,
                     prune_counters: dict | None = None,
                     df_override: dict[str, int] | None = None,
                     cf_override: dict[str, int] | None = None,
@@ -1010,6 +1012,11 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
     # the exhaustive kernel (still run-local top-k, same plan shape)
     if delta is None:
         delta = {"bm25plus": 1.0, "bm25l": 0.5}.get(mode, 0.0)
+    if mode == "pivoted":
+        # pivoted's kernel reads the slope through the b slot; default
+        # here MUST track query.py::search_pivoted (slope=0.2), not
+        # BM25's b=0.75 — parity holds for default calls on both paths
+        b = slope
     if mode in ("bm25plus", "bm25l", "pivoted") and strategy in (
             "wand", "maxscore"):
         raise ValueError(

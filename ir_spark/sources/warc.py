@@ -113,7 +113,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_warc(df: DataFrame, out_dir: str, *,
-               gzip_files: bool = False) -> dict:
+               gzip_files: bool = False, overwrite: bool = False) -> dict:
     """Distributed WARC sink — the inverse of :func:`read_warc`, so a
     curated corpus can ship back out in the container the crawl world
     exchanges (takedown-filtered recrawl handoffs, dataset releases).
@@ -131,17 +131,47 @@ def write_warc(df: DataFrame, out_dir: str, *,
     swap the two ``open`` calls for the Hadoop FileSystem API — noted
     rather than abstracted, to keep the seam visible.
 
+    A record with a NULL ``warc_ts`` fails the export loudly (WARC-Date
+    is mandatory per ISO 28500; silently inventing one would corrupt
+    the crawl record) — filter or repair upstream.  An ``out_dir``
+    already holding .warc files is refused unless ``overwrite=True``
+    (which removes them first): a re-export with fewer partitions must
+    not leave stale part files mixed into the output.
+
     Returns {"n_files", "n_records", "bytes"}."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     ext = ".warc.gz" if gzip_files else ".warc"
+    stale = [f for f in os.listdir(out_dir)
+             if f.endswith((".warc", ".warc.gz"))]
+    if stale:
+        if not overwrite:
+            raise ValueError(
+                f"{out_dir} already holds {len(stale)} WARC file(s); "
+                "pass overwrite=True to replace them")
+        for f in stale:
+            os.remove(os.path.join(out_dir, f))
     cols = df.select("url", "warc_ts", "html")
 
     def part_writer(pid: int, it):
-        recs = [(r["url"],
-                 r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
-                 bytes(r["html"])) for r in it]
+        from datetime import timezone
+
+        def iso_utc(r):
+            ts = r["warc_ts"]
+            if ts is None:
+                raise ValueError(
+                    f"null warc_ts for url={r['url']!r}: WARC-Date is "
+                    "mandatory — filter or repair upstream")
+            # Spark's row conversion yields NAIVE datetimes in the
+            # OS-local zone (TimestampType.fromInternal uses
+            # datetime.fromtimestamp); astimezone(utc) converts the
+            # instant correctly regardless of host TZ, so the 'Z'
+            # suffix is honest
+            return ts.astimezone(timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%SZ")
+
+        recs = [(r["url"], iso_utc(r), bytes(r["html"])) for r in it]
         if not recs:
             return iter(())
         payload = synth_warc(recs, gzip_file=gzip_files)

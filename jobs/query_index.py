@@ -60,8 +60,9 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["bm25", "w1", "w2", "qld", "lmjm", "pl2",
                              "sdm", "bm25plus", "bm25l", "pivoted"])
     ap.add_argument("--delta", type=float, default=None,
-                    help="BM25+/BM25L shift (defaults 1.0 / 0.5); "
-                         "--mode pivoted reads the slope from --b")
+                    help="BM25+/BM25L shift (defaults 1.0 / 0.5)")
+    ap.add_argument("--slope", type=float, default=0.2,
+                    help="pivoted-normalization slope (--mode pivoted)")
     ap.add_argument("--positions-dir", default=None, metavar="DIR",
                     help="positional store (build_index --positions-dir); "
                          "required for --mode sdm / --phrase / --span-near")
@@ -242,7 +243,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark, sidx, q, k=args.k, mode=args.mode, k1=args.k1,
                 b=args.b, stem=args.stem, strategy=args.strategy,
                 mu=args.mu, lam=args.lam, pl2_c=args.pl2_c,
-                delta=args.delta,
+                delta=args.delta, slope=args.slope,
             ).collect()
             for rank, row in enumerate(hits, start=1):
                 all_rows.append((qid, q, rank, int(row["doc_id"]),

@@ -596,3 +596,37 @@ def test_querybox_empty_and_pure_negative(spark, idx):
     rel = token_positions(df)
     assert search_querybox(spark, index, rel, "-wing").count() == 0
     assert search_querybox(spark, index, rel, "the of").count() == 0
+
+
+def test_querybox_stopword_phrase_ranks_by_phrase_tf(spark, idx):
+    """An all-stopword phrase has no BM25 signal but must still match
+    via the positional store, ranked by phrase_tf."""
+    from ir_spark.operators.boolean import search_querybox
+    from ir_spark.operators.positions import token_positions
+
+    index, texts = idx
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    rel = token_positions(df)
+    # find a stopword bigram that actually occurs in the corpus
+    from ir_spark.text import STOPWORDS, tokenize
+
+    pair = None
+    for d, x in sorted(texts.items()):
+        toks = tokenize(x)
+        for a, b2 in zip(toks, toks[1:]):
+            if a in STOPWORDS and b2 in STOPWORDS:
+                pair = (a, b2)
+                break
+        if pair:
+            break
+    assert pair, "corpus has no stopword bigram"
+    q = f'"{pair[0]} {pair[1]}"'
+    rows = search_querybox(spark, index, rel, q, k=5).collect()
+    assert rows, q
+    # every hit really contains the phrase; scores are the phrase tfs
+    for r in rows:
+        toks = tokenize(texts[r["doc_id"]])
+        tf = sum(1 for i in range(len(toks) - 1)
+                 if (toks[i], toks[i + 1]) == pair)
+        assert tf == int(r["score"]) and tf >= 1

@@ -649,3 +649,30 @@ def test_admin_expire_snapshots_cli(tmp_path, capsys):
                              "--keep-last", "1"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep == {"expired": [0], "kept": [1]}
+
+
+def test_warc_write_guards(tmp_path):
+    """Null warc_ts fails loudly; stale files refuse without overwrite."""
+    import pytest
+
+    from ir_spark.session import get_spark
+    from ir_spark.sources.warc import write_warc
+
+    spark = get_spark("test_jobs")
+    pages = generate_pages(10, seed=3)
+    src = str(tmp_path / "docs.parquet")
+    pages_to_parquet(pages, src)
+    docs = spark.read.parquet(src).select("url", "warc_ts", "html")
+    out = str(tmp_path / "warc")
+    write_warc(docs, out)
+    with pytest.raises(ValueError, match="overwrite=True"):
+        write_warc(docs, out)
+    m = write_warc(docs.repartition(1), out, overwrite=True)
+    assert m["n_files"] == 1
+    assert len([f for f in os.listdir(out)
+                if f.endswith(".warc")]) == 1  # stale parts removed
+    from pyspark.sql import functions as F
+
+    nulled = docs.withColumn("warc_ts", F.lit(None).cast("timestamp"))
+    with pytest.raises(Exception, match="warc_ts"):
+        write_warc(nulled, str(tmp_path / "warc2"))

@@ -372,3 +372,23 @@ class TestSegmentVariantModes:
         assert SQ.search_segments(spark, sidx, REFERENCE_QUERIES[0], k=5,
                                   mode="pivoted", b=0.2,
                                   strategy="auto").count() == 5
+
+
+def test_pivoted_default_slope_parity(spark, sidx, pages_small):
+    """Default-argument calls on BOTH engines must agree: the segment
+    path reads slope via its own parameter (0.2), not BM25's b."""
+    from ir_spark.operators import build as B
+    from ir_spark.operators import query as Q
+
+    path, _ = pages_small
+    pages = spark.read.parquet(path)
+    raw = B.assign_doc_ids(pages)
+    docs = pages.join(raw, "url").select("doc_id", "text")
+    idx = B.build_dataframe_index(docs)
+    q = REFERENCE_QUERIES[0]
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in Q.search_pivoted(spark, idx, q, k=5).collect()]
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in SQ.search_segments(spark, sidx, q, k=5,
+                                       mode="pivoted").collect()]
+    assert got == want
