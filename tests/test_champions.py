@@ -302,3 +302,75 @@ def test_ltr_empty_qrels_yields_zero_model(spark, ltr_setup):
     empty = spark.createDataFrame([], "query_id long, doc_id long, rel long")
     m = train_pairwise_ranker(feats, empty, epochs=3)
     assert m["n_pairs"] == 0 and all(v == 0.0 for v in m["weights"].values())
+
+
+# --- result clustering (operators/resultcluster.py) --------------------------
+
+
+def test_result_clustering_invariants_and_determinism(spark, idx):
+    from ir_spark.operators.query import search
+    from ir_spark.operators.resultcluster import cluster_results
+
+    top = search(spark, idx, "boundary layer heat transfer model",
+                 k=30).select("doc_id")
+    a1, l1 = cluster_results(spark, idx, top, k_clusters=3)
+    a2, l2 = cluster_results(spark, idx, top, k_clusters=3)
+    rows1 = sorted((r["doc_id"], r["cluster_id"]) for r in a1.collect())
+    rows2 = sorted((r["doc_id"], r["cluster_id"]) for r in a2.collect())
+    assert rows1 == rows2  # rerun-deterministic
+    docs = [d for d, _ in rows1]
+    assert sorted(docs) == sorted(
+        r["doc_id"] for r in top.distinct().collect())  # partition
+    cids = {c for _, c in rows1}
+    assert cids <= {0, 1, 2} and len(cids) >= 2
+    labels = sorted((r["cluster_id"], r["rank"], r["term"])
+                    for r in l1.collect())
+    assert labels == sorted((r["cluster_id"], r["rank"], r["term"])
+                            for r in l2.collect())
+    # every label term occurs in at least one member doc of its cluster
+    from pyspark.sql import functions as F
+
+    member_terms = {}
+    prows = (idx.postings.join(F.broadcast(a1), "doc_id")
+             .select("cluster_id", "term").distinct().collect())
+    for r in prows:
+        member_terms.setdefault(r["cluster_id"], set()).add(r["term"])
+    for cid, _rank, term in labels:
+        assert term in member_terms[cid], (cid, term)
+
+
+def test_result_clustering_separates_disjoint_vocab(spark):
+    """Two vocabulary-disjoint doc groups must land in two clusters."""
+    from ir_spark.operators.build import build_dataframe_index
+    from ir_spark.operators.resultcluster import cluster_results
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)]
+    rows += [(i + 10, "quark lepton boson hadron gluon photon")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    index = build_dataframe_index(df)
+    cand = df.select("doc_id")
+    assign, labels = cluster_results(spark, index, cand, k_clusters=2)
+    got = {r["doc_id"]: r["cluster_id"] for r in assign.collect()}
+    g1 = {got[i] for i in range(5)}
+    g2 = {got[i + 10] for i in range(5)}
+    assert len(g1) == 1 and len(g2) == 1 and g1 != g2
+    lab = {}
+    for r in labels.collect():
+        lab.setdefault(r["cluster_id"], []).append(r["term"])
+    assert set(lab[g1.pop()]) <= set("alpha beta gamma delta epsilon "
+                                     "zeta".split())
+    assert set(lab[g2.pop()]) <= set("quark lepton boson hadron gluon "
+                                     "photon".split())
+
+
+def test_result_clustering_edge_cases(spark, idx):
+    from ir_spark.operators.resultcluster import cluster_results
+
+    empty = spark.createDataFrame([], "doc_id long")
+    a, lab = cluster_results(spark, idx, empty, k_clusters=3)
+    assert a.count() == 0 and lab.count() == 0
+    one = spark.createDataFrame([(0,)], "doc_id long")
+    a, lab = cluster_results(spark, idx, one, k_clusters=4)
+    rows = a.collect()
+    assert len(rows) == 1 and rows[0]["cluster_id"] == 0
