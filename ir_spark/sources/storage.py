@@ -125,3 +125,42 @@ def atomic_write_parquet(df: DataFrame, dest: str, partition_by: list[str] | Non
     if os.path.exists(dest):
         shutil.rmtree(dest)
     os.replace(tmp, dest)
+
+
+# --- serving aliases (Elasticsearch-alias / atomic-pointer analogue) ---------
+
+
+def set_alias(alias_path: str, index_dir: str) -> dict:
+    """Point a serving alias file at an index directory, atomically
+    (tmp + os.replace): readers resolving the alias see either the old
+    index or the new one, never a torn pointer — the zero-downtime
+    reindex swap (build v2 offline, flip the alias, delete v1 later).
+    ``alias_path`` must end in ``.alias.json`` so a resolver can tell
+    aliases from index dirs."""
+    if not alias_path.endswith(".alias.json"):
+        raise ValueError("alias files must end in .alias.json")
+    target = os.path.abspath(index_dir)
+    if not os.path.isdir(target):
+        raise ValueError(f"alias target is not a directory: {target}")
+    prev = None
+    if os.path.exists(alias_path):
+        with open(alias_path) as fh:
+            prev = json.load(fh).get("index_dir")
+    tmp = alias_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"index_dir": target}, fh)
+    os.replace(tmp, alias_path)
+    return {"index_dir": target, "previous": prev}
+
+
+def resolve_alias(path: str) -> str:
+    """Resolve a path that may be an alias file: ``*.alias.json`` is
+    dereferenced (one level — aliases to aliases are refused to keep
+    resolution O(1) and loop-free); anything else passes through."""
+    if not path.endswith(".alias.json"):
+        return path
+    with open(path) as fh:
+        target = json.load(fh)["index_dir"]
+    if target.endswith(".alias.json"):
+        raise ValueError("alias chains are not allowed")
+    return target

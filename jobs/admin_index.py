@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
     p_snap = sub.add_parser("snapshots", help="list time-travel snapshots")
     p_snap.add_argument("--index-dir", required=True)
 
+    p_al = sub.add_parser("alias", help="atomic serving pointer")
+    p_al.add_argument("--alias", required=True, metavar="FILE.alias.json")
+    p_al.add_argument("--set", default=None, metavar="INDEX_DIR",
+                      help="point the alias here (atomic); omit to read")
+
     p_exp = sub.add_parser("expire-snapshots",
                            help="retention for the time-travel log")
     p_exp.add_argument("--index-dir", required=True)
@@ -71,6 +76,15 @@ def main(argv: list[str] | None = None) -> int:
     p_ver.add_argument("--local-cpus", type=int, default=None)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "alias":
+        from ir_spark.sources.storage import resolve_alias, set_alias
+
+        if args.set:
+            print(json.dumps(set_alias(args.alias, args.set)))
+        else:
+            print(json.dumps({"index_dir": resolve_alias(args.alias)}))
+        return 0
 
     if args.cmd == "expire-snapshots":
         from ir_spark.streaming.incremental import expire_snapshots

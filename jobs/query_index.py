@@ -129,6 +129,12 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--mode sdm / --phrase / --span-near need --positions-dir")
     if args.phrase and args.span_near:
         ap.error("--phrase and --span-near are exclusive")
+    if args.index_dir:
+        from ir_spark.sources.storage import resolve_alias
+
+        # zero-downtime serving: --index-dir may be a *.alias.json
+        # pointer flipped atomically by admin_index.py alias
+        args.index_dir = resolve_alias(args.index_dir)
     if bool(args.index_dir) == bool(args.shards):
         ap.error("exactly one of --index-dir / --shards is required")
 

@@ -676,3 +676,52 @@ def test_warc_write_guards(tmp_path):
     nulled = docs.withColumn("warc_ts", F.lit(None).cast("timestamp"))
     with pytest.raises(Exception, match="warc_ts"):
         write_warc(nulled, str(tmp_path / "warc2"))
+
+
+def test_serving_alias_swap(tmp_path, capsys):
+    """alias: atomic pointer flip between two index versions; query CLI
+    resolves the alias transparently."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import admin_index
+    import build_index
+    import query_index
+
+    import pytest
+
+    pages = generate_pages(80, seed=13)
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    for idx, n in ((v1, 40), (v2, 80)):
+        src = str(tmp_path / f"src{n}.parquet")
+        pages_to_parquet(pages[:n], src)
+        assert build_index.main([
+            "--input", src, "--index-dir", idx, "--segment-groups", "1",
+            "--local-cpus", "8"]) == 0
+    alias = str(tmp_path / "serving.alias.json")
+    assert admin_index.main(["alias", "--alias", alias, "--set", v1]) == 0
+    capsys.readouterr()
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("flow pressure boundary layer\n")
+
+    def n_docs_via(alias_path, out):
+        assert query_index.main([
+            "--index-dir", alias_path, "--queries", str(qfile), "--k",
+            "50", "--output", out, "--local-cpus", "8"]) == 0
+        capsys.readouterr()
+        from ir_spark.session import get_spark
+
+        return get_spark("test_jobs").read.parquet(out).count()
+
+    n1 = n_docs_via(alias, str(tmp_path / "r1"))
+    assert admin_index.main(["alias", "--alias", alias, "--set", v2]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["previous"] == os.path.abspath(v1)
+    n2 = n_docs_via(alias, str(tmp_path / "r2"))
+    assert n2 > n1  # the flip is visible: v2 indexes twice the docs
+
+    from ir_spark.sources.storage import resolve_alias, set_alias
+
+    assert resolve_alias(v1) == v1  # non-alias paths pass through
+    with pytest.raises(ValueError, match="alias files"):
+        set_alias(str(tmp_path / "x.json"), v1)
+    with pytest.raises(ValueError, match="not a directory"):
+        set_alias(str(tmp_path / "y.alias.json"), str(tmp_path / "nope"))
