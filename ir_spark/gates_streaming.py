@@ -51,7 +51,8 @@ SELECT CAST(FLOOR(epoch(ts) / {WINDOW_SEC}) AS BIGINT) * {WINDOW_SEC} * 1000000
          AS window_start_us,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(ROUND(SUM(value) * 1000000.0) AS BIGINT) AS sum_value_micro
+       CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro
 FROM events
 GROUP BY 1, 2
 """

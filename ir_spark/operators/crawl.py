@@ -40,7 +40,13 @@ from pyspark.sql import functions as F
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
 
-_AGENT_RE = r"(?i)^user-agent:\s*(\S+)\s*$"
+# agent values may contain spaces ("Some Bot"); ANY User-agent line is
+# a group line even if its value is empty/odd — otherwise the line gets
+# is_agent=0, creates no boundary, and its rules fold into the PREVIOUS
+# group (e.g. "User-agent: Some Bot\nDisallow: /" would disallow the
+# whole site for * instead of only for that bot).
+_AGENT_LINE_RE = r"(?i)^user-agent:"
+_AGENT_RE = r"(?i)^user-agent:\s*(.*?)\s*$"
 _ALLOW_RE = r"(?i)^allow:\s*(\S*)\s*$"
 _DISALLOW_RE = r"(?i)^disallow:\s*(\S*)\s*$"
 
@@ -58,17 +64,15 @@ def url_path(col) -> F.Column:
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
-def parse_robots(robots: DataFrame, host_col: str = "host",
-                 txt_col: str = "robots_txt") -> DataFrame:
-    """(host, robots_txt) -> one row per ``*``-group rule:
-    (host, rule_path, allow:long 0/1).
-
-    Plan shape: split+posexplode (narrow), per-host window to assign
-    group ids (robots files are small and host-keyed — the window
-    shuffles each host's few dozen lines to one task, exactly the
-    locality a crawler wants), then a group-level semi-join keeps
-    groups naming agent ``*``.
-    """
+def _grouped_lines(robots: DataFrame, host_col: str,
+                   txt_col: str) -> DataFrame:
+    """Shared robots.txt line pipeline: split+posexplode (narrow),
+    comment strip, per-host window to assign agent-group ids (robots
+    files are small and host-keyed — the window shuffles each host's
+    few dozen lines to one task, exactly the locality a crawler
+    wants).  A User-agent line starts a NEW group iff the previous
+    line was not itself a User-agent line (RFC 9309 §2.1: consecutive
+    agent lines stack onto one group)."""
     lines = (
         robots.select(
             F.col(host_col).alias("host"),
@@ -77,18 +81,11 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
         # separators (they end a stacked user-agent run)
         .withColumn("line", F.trim(F.regexp_replace("raw", r"#.*$", "")))
         .withColumn("agent", F.regexp_extract("line", _AGENT_RE, 1))
-        .withColumn("is_agent", (F.col("agent") != "").cast("int"))
-        .withColumn("allow_v", F.regexp_extract("line", _ALLOW_RE, 1))
-        .withColumn("dis_v", F.regexp_extract("line", _DISALLOW_RE, 1))
-        .withColumn("is_allow",
-                    F.col("line").rlike(r"(?i)^allow:").cast("int"))
-        .withColumn("is_dis",
-                    F.col("line").rlike(r"(?i)^disallow:").cast("int"))
+        .withColumn("is_agent",
+                    F.col("line").rlike(_AGENT_LINE_RE).cast("int"))
     )
     w = Window.partitionBy("host").orderBy("idx")
-    # a User-agent line starts a NEW group iff the previous line was
-    # not itself a User-agent line (consecutive agent lines stack)
-    grouped = (
+    return (
         lines
         .withColumn("prev_is_agent",
                     F.coalesce(F.lag("is_agent").over(w), F.lit(0)))
@@ -98,9 +95,29 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
         .withColumn("grp", F.sum("boundary").over(w))
         .where(F.col("grp") > 0)  # rules before any User-agent: invalid
     )
-    star_groups = (
-        grouped.where(F.col("agent") == "*")
-        .select("host", "grp").distinct()
+
+
+def _star_groups(grouped: DataFrame) -> DataFrame:
+    return (grouped.where(F.col("agent") == "*")
+            .select("host", "grp").distinct())
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) -> one row per ``*``-group rule:
+    (host, rule_path, allow:long 0/1).
+
+    Plan shape: the shared :func:`_grouped_lines` window pipeline,
+    then a group-level semi-join keeps groups naming agent ``*``.
+    """
+    grouped = (
+        _grouped_lines(robots, host_col, txt_col)
+        .withColumn("allow_v", F.regexp_extract("line", _ALLOW_RE, 1))
+        .withColumn("dis_v", F.regexp_extract("line", _DISALLOW_RE, 1))
+        .withColumn("is_allow",
+                    F.col("line").rlike(r"(?i)^allow:").cast("int"))
+        .withColumn("is_dis",
+                    F.col("line").rlike(r"(?i)^disallow:").cast("int"))
     )
     rules = (
         grouped
@@ -113,7 +130,7 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
         # empty Disallow: = no restriction; empty Allow: is a no-op too
         .where(F.col("rule_path") != "")
     )
-    return (rules.join(star_groups, ["host", "grp"])
+    return (rules.join(_star_groups(grouped), ["host", "grp"])
             .select("host", "rule_path", "allow")
             .distinct())
 
@@ -122,38 +139,18 @@ _DELAY_RE = r"(?i)^crawl-delay:\s*(\d+(?:\.\d+)?)\s*$"
 
 
 def parse_crawl_delays(robots: DataFrame, host_col: str = "host",
-                       txt_col: str = "robots_txt",
-                       default_delay_sec: float = 1.0) -> DataFrame:
+                       txt_col: str = "robots_txt") -> DataFrame:
     """(host, robots_txt) -> (host, delay_sec): the ``Crawl-delay``
     value of the ``*`` group (non-standard but honored by most polite
     crawlers).  Several ``*``-group values collapse to the MAX (the
-    most conservative); hosts with none are absent — join with a
-    coalesce to ``default_delay_sec``.  Same per-host window shape as
-    :func:`parse_robots`."""
-    lines = (
-        robots.select(
-            F.col(host_col).alias("host"),
-            F.posexplode(F.split(F.col(txt_col), "\n")).alias("idx", "raw"))
-        .withColumn("line", F.trim(F.regexp_replace("raw", r"#.*$", "")))
-        .withColumn("agent", F.regexp_extract("line", _AGENT_RE, 1))
-        .withColumn("is_agent", (F.col("agent") != "").cast("int"))
-        .withColumn("delay", F.regexp_extract("line", _DELAY_RE, 1))
-    )
-    w = Window.partitionBy("host").orderBy("idx")
+    most conservative); hosts with none are absent — downstream joins
+    coalesce to their own default (see :func:`crawl_frontier`).  Same
+    per-host window shape as :func:`parse_robots`."""
     grouped = (
-        lines
-        .withColumn("prev_is_agent",
-                    F.coalesce(F.lag("is_agent").over(w), F.lit(0)))
-        .withColumn("boundary",
-                    ((F.col("is_agent") == 1)
-                     & (F.col("prev_is_agent") == 0)).cast("int"))
-        .withColumn("grp", F.sum("boundary").over(w))
-        .where(F.col("grp") > 0)
-    )
-    star_groups = (grouped.where(F.col("agent") == "*")
-                   .select("host", "grp").distinct())
+        _grouped_lines(robots, host_col, txt_col)
+        .withColumn("delay", F.regexp_extract("line", _DELAY_RE, 1)))
     return (grouped.where(F.col("delay") != "")
-            .join(star_groups, ["host", "grp"])
+            .join(_star_groups(grouped), ["host", "grp"])
             .groupBy("host")
             .agg(F.max(F.col("delay").cast("double")).alias("delay_sec")))
 
@@ -163,35 +160,39 @@ def apply_robots(urls: DataFrame, rules: DataFrame,
     """Attach (allowed:long 0/1, matched_path) to every url row.
 
     Longest matching rule prefix wins; Allow wins length ties; no
-    match -> allowed, matched_path ''.  The join is host-equi (the
-    prefix test is a pushed join filter, not a cartesian residual) and
-    the winner pick is one max_by aggregation — partial-aggregable,
-    no window.  Rules tables are small (one row per host rule) — at
-    crawl scale Spark broadcasts them under AQE; urls never shuffle.
+    match -> allowed, matched_path ''.  Rules aggregate to ONE small
+    array row per host (robots files are bounded), broadcast-join on
+    host, and the winner pick is a narrow ``aggregate`` fold over that
+    array — urls never shuffle, never group, and input cardinality is
+    preserved exactly (a groupBy over the url columns would merge
+    legitimately duplicated frontier rows).
     """
     u = urls.withColumn("_host", url_host(url_col)) \
             .withColumn("_path", url_path(url_col))
-    r = rules.select(F.col("host").alias("_host"), "rule_path", "allow")
-    hits = (
-        u.join(r, ["_host"], "left")
-        .withColumn(
-            "_m",
-            F.when(F.col("rule_path").isNotNull()
-                   & F.col("_path").startswith(F.col("rule_path")),
-                   F.struct(F.length("rule_path").alias("l"),
-                            F.col("allow").alias("a"),
-                            F.col("rule_path").alias("p"))))
-    )
-    best = (
-        hits.groupBy(*urls.columns)
-        .agg(F.max("_m").alias("_best"))
+    per_host = (rules.groupBy(F.col("host").alias("_host"))
+                .agg(F.collect_list(F.struct("rule_path", "allow"))
+                     .alias("_rules")))
+    joined = u.join(F.broadcast(per_host), ["_host"], "left")
+    # best matching rule as struct(l, a, p): longest prefix first,
+    # Allow beats Disallow on length ties, path is the final tiebreak
+    # (struct ordering gives exactly that precedence)
+    best = F.array_max(F.transform(
+        F.filter(F.coalesce("_rules",
+                            F.array().cast(
+                                "array<struct<rule_path:string,"
+                                "allow:bigint>>")),
+                 lambda x: F.col("_path").startswith(x["rule_path"])),
+        lambda x: F.struct(F.length(x["rule_path"]).alias("l"),
+                           x["allow"].alias("a"),
+                           x["rule_path"].alias("p"))))
+    return (
+        joined.withColumn("_best", best)
         .select(
             *urls.columns,
             F.coalesce(F.col("_best.a"), F.lit(1)).cast("long")
             .alias("allowed"),
             F.coalesce(F.col("_best.p"), F.lit("")).alias("matched_path"))
     )
-    return best
 
 
 def crawl_frontier(urls: DataFrame, url_col: str = "url",
@@ -282,8 +283,11 @@ def extract_sitemap_urls(sitemaps: DataFrame, host_col: str = "host",
     entries = sitemaps.select(
         F.col(host_col).alias("host"),
         F.posexplode(
+            # (?s): real sitemaps are pretty-printed, so <url> blocks
+            # span lines — without DOTALL every multi-line sitemap
+            # would extract zero entries
             F.regexp_extract_all(F.col(xml_col),
-                                 F.lit(r"<url>(.*?)</url>"), F.lit(1)))
+                                 F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1)))
         .alias("pos", "entry"))
     return (
         entries.select(

@@ -108,19 +108,29 @@ def cluster_results(spark: SparkSession, index: DataFrameIndex,
     ``(cluster_id, rank, term, weight_micro)`` labels — the cluster
     centroid's top terms, micro-quantized, (weight DESC, term ASC)."""
     cand = candidates.select("doc_id").distinct()
+    cand_ids = sorted(r["doc_id"] for r in cand.collect())
     rows = sorted(
         (r["doc_id"], r["term"], r["tf"], r["df"])
         for r in (index.postings.join(F.broadcast(cand), "doc_id")
                   .join(index.dictionary.select("term", "df"), "term")
                   .select("doc_id", "term", "tf", "df").collect()))
     vecs = _tfidf_vectors(rows, index.n_docs)
+    # every candidate gets an assignment, even one whose every term has
+    # zero idf (df == n_docs) or no indexed terms at all: an empty
+    # vector has cosine 0 to every centroid and lands in cluster 0 by
+    # the cluster-index tie-break — dropping it instead would make the
+    # SERP silently lose result rows on join-back
+    for d in cand_ids:
+        vecs.setdefault(d, {})
     if not vecs:
         return (spark.createDataFrame([], ASSIGN_SCHEMA),
                 spark.createDataFrame([], LABEL_SCHEMA))
     assign, cents = _kmeans(vecs, k_clusters, max_iter)
     label_rows = []
     for i, c in enumerate(cents):
-        top = sorted(((round(w * 1e6), t) for t, w in c.items()),
+        # half-up micro-quantization (house convention; Python round()
+        # is banker's and would disagree with SQL ROUND at exact .5)
+        top = sorted(((math.floor(w * 1e6 + 0.5), t) for t, w in c.items()),
                      key=lambda r: (-r[0], r[1]))[:n_label_terms]
         label_rows += [(i, rank + 1, t, int(w))
                        for rank, (w, t) in enumerate(top)]

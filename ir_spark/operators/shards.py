@@ -57,7 +57,6 @@ from pyspark.sql import functions as F
 
 from ..oracle import parse_query
 from .segment_query import SegmentIndex, search_segments
-from .segments import index_paths
 
 
 def global_term_stats(shards: list[SegmentIndex], terms: list[str],
@@ -141,7 +140,8 @@ def search_sharded(spark: SparkSession, shards: list[SegmentIndex],
             strategy=strategy, mu=mu, lam=lam, pl2_c=pl2_c,
             df_override=g["df"] if mode == "bm25" else None,
             cf_override=g.get("cf"), cf_total_override=g.get("cf_total"))
-        doc_map = spark.read.parquet(index_paths(s.index_dir)["doc_map"])
+        doc_map = s._cached("doc_map")  # handle cached across queries
+        #   (fresh read would re-list the file tree per query)
         # k-row result side broadcast: the shard's doc_map never shuffles
         part = (doc_map.select("doc_id", "url")
                 .join(F.broadcast(local), "doc_id")
@@ -265,7 +265,8 @@ def search_sharded_pruned(spark: SparkSession, shards: list[SegmentIndex],
         if not local:
             return []
         ids = [int(r["doc_id"]) for r in local]
-        doc_map = spark.read.parquet(index_paths(s.index_dir)["doc_map"])
+        doc_map = s._cached("doc_map")  # handle cached across queries
+        #   (fresh read would re-list the file tree per query)
         urls = {int(r["doc_id"]): r["url"] for r in
                 doc_map.filter(F.col("doc_id").isin(ids))
                 .select("doc_id", "url").collect()}

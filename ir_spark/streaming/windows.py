@@ -29,10 +29,14 @@ def tumbling_counts(events: DataFrame, width: str = "5 minutes",
     than ``watermark``; batch mode computes the same windows exactly.
     """
     src = events.withWatermark("ts", watermark) if streaming else events
+    # quantize each element BEFORE the cross-partition sum (house
+    # determinism convention): rounding after a float SUM makes the
+    # last micro depend on accumulation order, i.e. on partitioning
     return (
         src.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value") * 1e6).cast("long").alias("sum_value_micro"))
+             F.sum(F.round(F.col("value") * 1e6).cast("long"))
+             .cast("long").alias("sum_value_micro"))
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n_events", "sum_value_micro")
     )
@@ -119,14 +123,19 @@ def interval_join(left: DataFrame, right: DataFrame, *,
     shuffled hash/SMJ join with the range condition as a residual
     filter — no cartesian.
 
-    Column names (other than ``key``) must be disjoint between the two
-    sides; alias before calling.
+    The timestamp refs are side-qualified (``left[left_ts]``), so the
+    two sides may both carry a plain ``ts`` column; alias the OTHER
+    columns before calling if you need to tell them apart downstream
+    (the joined output keeps both sides' columns as-is).
     """
-    lts, rts = F.col(left_ts), F.col(right_ts)
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
     if right.isStreaming:
         right = right.withWatermark(right_ts, watermark)
+    # qualify against the (post-watermark) frames: unqualified
+    # F.col("ts") would be AMBIGUOUS_REFERENCE whenever both sides use
+    # the default "ts" name — i.e. on every default call
+    lts, rts = left[left_ts], right[right_ts]
     cond = ((rts <= lts)
             & (rts >= lts - F.expr(f"INTERVAL {lookback_sec} SECONDS")))
     return left.join(right, on=[left[key] == right[key], cond],

@@ -364,6 +364,25 @@ def test_result_clustering_separates_disjoint_vocab(spark):
                                      "photon".split())
 
 
+def test_result_clustering_keeps_zero_weight_docs(spark):
+    """A candidate whose every term is corpus-universal (df == n_docs
+    -> tf-idf weight 0) must still receive an assignment — dropping it
+    would lose result rows on the SERP join-back."""
+    from ir_spark.operators.build import build_dataframe_index
+    from ir_spark.operators.resultcluster import cluster_results
+
+    rows = [(i, "common shared universal") for i in range(3)]
+    rows += [(10, "common shared universal distinctive")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    index = build_dataframe_index(df)
+    assign, _labels = cluster_results(spark, index,
+                                      df.select("doc_id"), k_clusters=2)
+    got = {r["doc_id"]: r["cluster_id"] for r in assign.collect()}
+    assert sorted(got) == [0, 1, 2, 10]  # nothing vanished
+    # the zero-vector docs agree on one cluster (tie-broken to index 0)
+    assert got[0] == got[1] == got[2] == 0
+
+
 def test_result_clustering_edge_cases(spark, idx):
     from ir_spark.operators.resultcluster import cluster_results
 

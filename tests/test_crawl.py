@@ -45,6 +45,14 @@ class TestParseRobots:
         got = _rules(spark, "Disallow: /orphan\nUser-agent: *\nAllow: /ok\n")
         assert got == {("/ok", 1)}
 
+    def test_multi_token_agent_starts_its_own_group(self, spark):
+        # "Some Bot" contains a space; the line must still open a new
+        # group, or its Disallow:/ would fold into the open * group and
+        # block the whole site for everyone
+        got = _rules(spark, "User-agent: *\nDisallow: /private\n"
+                            "User-agent: Some Bot\nDisallow: /\n")
+        assert got == {("/private", 0)}
+
     def test_case_insensitive_directives(self, spark):
         got = _rules(spark, "USER-AGENT: *\nDISALLOW: /up\nallow: /up/ok\n")
         assert got == {("/up", 0), ("/up/ok", 1)}
@@ -87,6 +95,24 @@ class TestApplyRobots:
         got = self._apply(spark, ["https://h.example/", "https://h.example/x"],
                           "User-agent: *\nDisallow: /\n")
         assert set(got.values()) == {(0, "/")}
+
+    def test_duplicate_url_rows_preserved(self, spark):
+        # a frontier may carry the same url twice (two discovery
+        # sources, pre-dedup); apply_robots must keep BOTH rows
+        rules = parse_robots(spark.createDataFrame(
+            [("h.example", "User-agent: *\nDisallow: /a\n")],
+            "host string, robots_txt string"))
+        urls = spark.createDataFrame(
+            [("https://h.example/a/x", "seed"),
+             ("https://h.example/a/x", "link"),
+             ("https://h.example/ok", "seed")],
+            "url string, source string")
+        rows = apply_robots(urls, rules).collect()
+        assert len(rows) == 3
+        assert sorted((r.url, r.source, r.allowed) for r in rows) == [
+            ("https://h.example/a/x", "link", 0),
+            ("https://h.example/a/x", "seed", 0),
+            ("https://h.example/ok", "seed", 1)]
 
 
 class TestCrawlDelays:
@@ -164,6 +190,18 @@ class TestSitemap:
                "<lastmod>2024-02-03</lastmod></url>"
                "<url><loc>https://h/p2</loc></url>"
                "<url><lastmod>2024-02-04</lastmod></url></urlset>")
+        df = spark.createDataFrame([("h", xml)], "host string, xml string")
+        rows = {r.url: r.lastmod
+                for r in extract_sitemap_urls(df).collect()}
+        assert rows == {"https://h/p1": "2024-02-03", "https://h/p2": ""}
+
+    def test_pretty_printed_multiline_sitemap(self, spark):
+        # real sitemaps are pretty-printed: <url> blocks span lines,
+        # which needs DOTALL in the block regex
+        xml = ("<urlset>\n  <url>\n    <loc>https://h/p1</loc>\n"
+               "    <lastmod>2024-02-03</lastmod>\n  </url>\n"
+               "  <url>\n    <loc>https://h/p2</loc>\n  </url>\n"
+               "</urlset>\n")
         df = spark.createDataFrame([("h", xml)], "host string, xml string")
         rows = {r.url: r.lastmod
                 for r in extract_sitemap_urls(df).collect()}
