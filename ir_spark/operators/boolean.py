@@ -259,14 +259,29 @@ def search_querybox(spark, index, positions_rel: DataFrame, query: str, *,
         scored = first
         if doc_filter is not None:
             scored = scored.join(doc_filter, "doc_id", "left_semi")
+    if bag and spec["phrases"]:
+        # required phrases are MUST clauses: the result SET is the
+        # phrase intersection; bag terms only rank.  Candidates must
+        # therefore come from the phrase hits, not the scorer — a doc
+        # matching an all-stopword required phrase ('"to be"') but no
+        # scored term is a match with score 0, not a miss (the
+        # bag-empty branch above already got this right).
+        base = None
+        for ph in spec["phrases"]:
+            hits = phrase_search(positions_rel, ph).select("doc_id")
+            base = hits if base is None \
+                else base.join(hits, "doc_id", "left_semi")
+        scored = (base.join(scored, "doc_id", "left")
+                  .select("doc_id",
+                          F.coalesce("score", F.lit(0.0)).alias("score")))
+        if doc_filter is not None:  # scorer-pushed filter: re-apply to
+            scored = scored.join(   # the phrase-only zero-score docs
+                doc_filter, "doc_id", "left_semi")
     if spec["must_not"]:
         bad = (index.postings
                .filter(F.col("term").isin(sorted(set(spec["must_not"]))))
                .select("doc_id").distinct())
         scored = scored.join(bad, "doc_id", "left_anti")
-    for ph in spec["phrases"]:
-        hits = phrase_search(positions_rel, ph).select("doc_id")
-        scored = scored.join(hits, "doc_id", "left_semi")
     for ph in spec["not_phrases"]:
         hits = phrase_search(positions_rel, ph).select("doc_id")
         scored = scored.join(hits, "doc_id", "left_anti")

@@ -97,14 +97,18 @@ def load_tombstone_ids(spark: SparkSession, index_dir: str):
     tomb_dir = tombstones_path(index_dir)
     if not os.path.isdir(tomb_dir):
         return None
-    rows = (spark.read.parquet(tomb_dir)
-            .select("doc_id").limit(MAX_INLINE_TOMBSTONES + 1).collect())
-    if len(rows) > MAX_INLINE_TOMBSTONES:
+    ids_df = spark.read.parquet(tomb_dir).select("doc_id")
+    # cap check via count(), NOT a capped collect(): materializing up
+    # to MAX_INLINE_TOMBSTONES+1 pyspark Row objects is several GB of
+    # Python overhead at the documented cap (vs the ~160 MB of raw
+    # ids), i.e. a driver OOM on a legitimate in-cap delete set
+    n = ids_df.count()
+    if n > MAX_INLINE_TOMBSTONES:
         raise RuntimeError(
-            f"{len(rows)}+ tombstones exceed the inline-broadcast cap "
+            f"{n} tombstones exceed the inline-broadcast cap "
             f"({MAX_INLINE_TOMBSTONES}); run compact_segments("
             "purge_deletes=True) to apply them physically")
-    if not rows:
+    if n == 0:
         return None
-    return np.sort(np.fromiter((r["doc_id"] for r in rows),
-                               dtype=np.int64, count=len(rows)))
+    # Arrow path: one int64 column straight into numpy, no Row objects
+    return np.sort(ids_df.toPandas()["doc_id"].to_numpy(np.int64))

@@ -7,9 +7,12 @@ D7 — the reference's intent (`Compression.java:151-174`,
 (dropped k-th term, unflushed final block) fixed, plus C6 fixed-width
 as the size baseline (`Compression.java:71-77`).
 
-Layout: the dictionary is hashed into ``n_buckets`` buckets (the same
-xxhash64-on-term bucketing as the posting segments, so a query term
-prunes to one dictionary bucket too), terms SORTED within each bucket
+Layout: the dictionary is hashed into ``n_buckets`` buckets with the
+SAME md5-derived rule as the posting segments
+(``storage.term_bucket_col`` — so a query term prunes to one
+dictionary bucket with the same arithmetic that prunes its posting
+bucket, and the bucket id is computable driver-side with hashlib,
+no Spark job per probe), terms SORTED within each bucket
 (blocks need sorted input for long LCPs), then one row per bucket:
 (bucket, n_terms, terms_fc:binary, dfs_vb:binary, cfs_vb:binary).
 
@@ -27,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources import storage
 from ..codec import (
     DICT_BLOCK,
     frontcode_decode,
@@ -55,7 +59,7 @@ def encode_dictionary(dictionary: DataFrame, n_buckets: int = 32,
         })
 
     bucketed = dictionary.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        "bucket", storage.term_bucket_col(F.col("term"), n_buckets))
     return bucketed.groupBy("bucket").applyInPandas(kernel, _STORE_SCHEMA)
 
 
@@ -83,19 +87,19 @@ def lookup_terms(blocks: DataFrame, terms: list[str],
     """Query-side probe: (term, df, cf) for a small term set, reading
     ONLY the buckets those terms hash to.
 
-    The bucket ids are computed driver-side with the same
-    xxhash64-mod rule the writer used, pushed down as
-    ``bucket IN (...)`` (partition/row-group pruning when the block
-    table is stored partitioned by bucket), and only the matching
-    buckets' blobs are decoded.  A |query|-term probe therefore
-    touches <= |query| buckets regardless of vocabulary size.
+    The bucket ids are computed DRIVER-SIDE with hashlib (the md5
+    rule ``storage.term_bucket_py`` — bit-identical to the writer's
+    column expression), pushed down as ``bucket IN (...)``
+    (partition/row-group pruning when the block table is stored
+    partitioned by bucket), and only the matching buckets' blobs are
+    decoded.  A |query|-term probe therefore touches <= |query|
+    buckets regardless of vocabulary size, and costs ZERO Spark jobs
+    beyond the pruned read itself.
     """
     spark = blocks.sparkSession
     if not terms:
         return spark.createDataFrame([], "term string, df long, cf long")
     uniq = sorted(set(terms))
-    bdf = spark.createDataFrame([(t,) for t in uniq], "term string").select(
-        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
-    wanted = sorted({r["b"] for r in bdf.collect()})
+    wanted = sorted({storage.term_bucket_py(t, n_buckets) for t in uniq})
     pruned = blocks.filter(F.col("bucket").isin(wanted))
     return decode_dictionary(pruned).filter(F.col("term").isin(uniq))

@@ -70,17 +70,28 @@ class ImpactIndex:
 
 def build_impact_index(index: DataFrameIndex, levels: int = 64,
                        mode: str = "bm25", k1: float = 1.2,
-                       b: float = 0.75) -> ImpactIndex:
+                       b: float = 0.75,
+                       caches: list | None = None) -> ImpactIndex:
     """Score EVERY posting with the exact engine expression, quantize
     to ``levels`` uniform integer impacts.  ``levels`` is the
     fidelity/space knob (Anh & Moffat report 5-6 bits suffice; the
-    quality pytest shows overlap@k vs exact BM25 monotone in it)."""
+    quality pytest shows overlap@k vs exact BM25 monotone in it).
+
+    The per-posting scoring join is the dominant build cost, and THREE
+    consumers need it (the max_micro scalar, the quantization pass,
+    the hist sidecar) — so it is persisted for the build.  Pass
+    ``caches`` (a list) to receive the cached frame and release it
+    once the returned impacts/hist are materialized; without it the
+    cache lives for the session (same contract as ``dedup.curate``)."""
     w = doc_weight_expr(mode, index.n_docs, index.avg_doc_len, k1, b)
     scored = (index.postings
               .join(index.dictionary.select("term", "df"), "term")
               .join(index.docinfo, "doc_id")
               .select("term", "doc_id",
-                      F.round(w * MICRO).cast("long").alias("m")))
+                      F.round(w * MICRO).cast("long").alias("m"))
+              .persist())
+    if caches is not None:
+        caches.append(scored)
     max_micro = scored.agg(F.max("m")).collect()[0][0]
     if not max_micro or max_micro <= 0:  # empty index
         return ImpactIndex(
@@ -185,8 +196,13 @@ def search_impacts_pruned(spark: SparkSession, imp: ImpactIndex,
                          .alias("score")))
         top = rescored.orderBy(F.desc("score"), F.asc("doc_id")) \
                       .limit(k).collect()
+        # a non-candidate's best possible score is exactly bound (every
+        # matched term at impact c-1), and impact scores are integers,
+        # so ties are REAL: at top[-1].score == bound a non-candidate
+        # could still enter the top-k via the doc_id ASC tie-break.
+        # Lossless acceptance therefore needs STRICTLY greater.
         bound = qtf_total * (c - 1)
-        if c <= 1 or (len(top) == k and top[-1]["score"] >= bound):
+        if c <= 1 or (len(top) == k and top[-1]["score"] > bound):
             return spark.createDataFrame(
                 top, "doc_id long, score long"), c
         c = max(1, c // 2)

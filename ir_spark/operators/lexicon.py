@@ -174,6 +174,28 @@ def _literal_prefix(pattern: str) -> str:
     Lucene's RegexpQuery gets from intersecting the pattern automaton
     with the term FST (QueryParser.java has no tolerant retrieval at
     all; this is the standard engine answer)."""
+    # a TOP-LEVEL alternation means the pattern's head literals are the
+    # head of the FIRST branch only, not a common prefix — 'cat|dog'
+    # must not prune to startswith('cat') or every 'dog' match is
+    # silently dropped.  ('cat(x|y)' is fine: the loop below stops at
+    # '(' before any branch-local literal leaks into the prefix.)
+    depth, i = 0, 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "[":  # char class: '|' inside is literal
+            j = pattern.find("]", i + 1)
+            i = len(pattern) if j < 0 else j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return ""
+        i += 1
     out: list[str] = []
     for i, c in enumerate(pattern):
         if c in _REGEX_META:
@@ -233,6 +255,9 @@ def fuzzy_terms(dictionary: DataFrame, query_term: str, k: int = 5,
         raise ValueError("empty query term")
     p = f"${q}$"
     qgrams = sorted({p[i:i + 3] for i in range(len(p) - 2)})
+    # a 1-char query has exactly one padded trigram, so an uncapped
+    # min_shared=2 would return nothing — not even the exact match
+    min_shared = min(min_shared, len(qgrams))
     tri = trigram_index(dictionary)
     cand = (tri.filter(F.col("trigram").isin(qgrams))
             .groupBy("term", "df")

@@ -110,9 +110,18 @@ def tree_bytes(path: str) -> int:
 
 def atomic_write_parquet(df: DataFrame, dest: str, partition_by: list[str] | None = None,
                          sort_within: list[str] | None = None) -> None:
-    """Write parquet to ``dest.tmp`` then atomically rename to ``dest``.
+    """Write parquet to ``dest.tmp`` then rename to ``dest``.
     ``sort_within`` orders rows inside each file so Parquet row-group
-    min/max stats prune term lookups."""
+    min/max stats prune term lookups.
+
+    When ``dest`` already exists it is renamed ASIDE first and deleted
+    only after the swap: the not-exists window for a concurrent reader
+    is two rename syscalls, not a whole rmtree of the old tree (POSIX
+    rename cannot replace a non-empty directory, so some window is
+    unavoidable without renameat2-EXCHANGE; readers holding open file
+    handles keep working either way).  TRUE zero-downtime swaps go
+    through the ``set_alias`` pointer below, which flips one file
+    atomically."""
     tmp = dest + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -122,9 +131,15 @@ def atomic_write_parquet(df: DataFrame, dest: str, partition_by: list[str] | Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    if os.path.exists(dest):
-        shutil.rmtree(dest)
+    old = dest + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    had_old = os.path.exists(dest)
+    if had_old:
+        os.replace(dest, old)
     os.replace(tmp, dest)
+    if had_old:
+        shutil.rmtree(old)
 
 
 # --- serving aliases (Elasticsearch-alias / atomic-pointer analogue) ---------

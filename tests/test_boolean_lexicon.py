@@ -243,6 +243,37 @@ def test_regex_terms_full_match(spark):
         regex_terms(d, "  ")
 
 
+def test_regex_terms_top_level_alternation_not_pruned(spark):
+    """'cat|dog' must match BOTH branches: the literal head of the
+    first branch is not a common prefix, so the prune must disable
+    itself for top-level alternations (while 'cat(x|y)' keeps its
+    correct 'cat' prefix)."""
+    from ir_spark.operators.lexicon import _literal_prefix, regex_terms
+
+    assert _literal_prefix("cat|dog") == ""
+    assert _literal_prefix("color|colour") == ""
+    assert _literal_prefix("cat(x|y)") == "cat"
+    assert _literal_prefix(r"a\|b") == "a"  # escaped '|' is literal
+    assert _literal_prefix("[a|b]x") == ""
+
+    vocab = [("cat", 4, 4), ("dog", 6, 6), ("dogma", 2, 2), ("cow", 1, 1)]
+    d = spark.createDataFrame(vocab, "term string, df long, cf long")
+    got = [r["term"] for r in regex_terms(d, "cat|dog.*", k=10).collect()]
+    assert got == ["dog", "cat", "dogma"]  # df desc, term asc
+
+
+def test_fuzzy_terms_single_char_query(spark):
+    """A 1-char query has exactly one padded trigram; min_shared must
+    clamp or even the exact dictionary match is unreachable."""
+    from ir_spark.operators.lexicon import fuzzy_terms
+
+    vocab = [("a", 9, 9), ("at", 5, 5), ("zzz", 1, 1)]
+    d = spark.createDataFrame(vocab, "term string, df long, cf long")
+    got = [(r["term"], r["dist"]) for r in
+           fuzzy_terms(d, "a", k=5, max_dist=1).collect()]
+    assert got[0] == ("a", 0)
+
+
 def test_fuzzy_terms_trigram_blocking(spark):
     """Trigram-blocked fuzzy lookup: candidates sharing >= 2 padded
     trigrams with the query, verified by edit distance; subset of the
@@ -596,6 +627,31 @@ def test_querybox_empty_and_pure_negative(spark, idx):
     rel = token_positions(df)
     assert search_querybox(spark, index, rel, "-wing").count() == 0
     assert search_querybox(spark, index, rel, "the of").count() == 0
+
+
+def test_querybox_stopword_phrase_with_scored_terms(spark):
+    """A required all-stopword phrase is a MUST clause; loose terms
+    only rank.  A doc containing the phrase but none of the scored
+    terms is a match with score 0 — not a miss."""
+    from ir_spark.operators.build import build_dataframe_index
+    from ir_spark.operators.boolean import search_querybox
+    from ir_spark.operators.positions import token_positions
+
+    texts = {0: "zebra runs fast across plains",
+             1: "songs of the old country echo softly",
+             2: "zebra herds of the northern plains roam"}
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    index = build_dataframe_index(df)
+    rel = token_positions(df)
+    rows = search_querybox(spark, index, rel, 'zebra "of the"',
+                           k=10).collect()
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert set(got) == {1, 2}          # doc 0 lacks the phrase
+    assert got[2] > 0.0                # ranked by the zebra hit
+    assert got[1] == 0.0               # phrase-only doc kept, score 0
+    order = [r["doc_id"] for r in rows]
+    assert order == [2, 1]
 
 
 def test_querybox_stopword_phrase_ranks_by_phrase_tf(spark, idx):
