@@ -20,29 +20,13 @@ _MAX_BYTES = 10  # ceil(64 / 7)
 
 
 def varbyte_encode(values: np.ndarray | list[int]) -> bytes:
-    """Encode non-negative ints (< 2^63) to a varbyte stream."""
+    """Encode non-negative ints (< 2^63) to a varbyte stream.
+
+    One-run delegate to :func:`varbyte_encode_batch` — a single shared
+    kernel keeps the scalar and batch paths byte-identical by
+    construction."""
     v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # bytes needed per value: 1 + floor(bit_length-1 / 7)
-    nb = np.ones(v.size, dtype=np.int64)
-    rest = v >> np.uint64(7)
-    while rest.any():
-        nb += (rest > 0)
-        rest >>= np.uint64(7)
-    offsets = np.empty(v.size + 1, dtype=np.int64)
-    offsets[0] = 0
-    np.cumsum(nb, out=offsets[1:])
-    out = np.zeros(offsets[-1], dtype=np.uint8)
-    for k in range(_MAX_BYTES):
-        mask = nb > k
-        if not mask.any():
-            break
-        idx = offsets[:-1][mask] + k
-        byte = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
-        cont = (nb[mask] - 1 > k).astype(np.uint8) << 7
-        out[idx] = byte | cont
-    return out.tobytes()
+    return varbyte_encode_batch(v, np.array([v.size], dtype=np.int64))[0]
 
 
 def varbyte_encode_batch(values: np.ndarray,
@@ -96,6 +80,11 @@ def delta_encode_batch(doc_ids: np.ndarray,
     if ids.size == 0:
         return [b""] * splits.size
     starts = np.concatenate(([np.int64(0)], splits[:-1]))
+    # EMPTY runs make start positions repeat (mid-array) or point one
+    # past the data (trailing) — only in-range starts index the arrays;
+    # the repeated-assignment case is idempotent and lands on the run
+    # that actually owns the position
+    starts = starts[starts < ids.size]
     gaps = np.empty(ids.size, dtype=np.uint64)
     if ids.size > 1:
         d = np.diff(ids)
@@ -128,18 +117,10 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
 
 def delta_encode(doc_ids: np.ndarray | list[int]) -> bytes:
     """Gap-encode an ascending doc-id list (first id absolute, then
-    gaps — reference intent, Utils.java:117-138) and varbyte it."""
+    gaps — reference intent, Utils.java:117-138) and varbyte it.
+    One-run delegate to :func:`delta_encode_batch` (shared kernel)."""
     ids = np.asarray(doc_ids, dtype=np.int64)
-    if ids.size == 0:
-        return b""
-    gaps = np.empty(ids.size, dtype=np.uint64)
-    gaps[0] = np.uint64(ids[0])
-    if ids.size > 1:
-        d = np.diff(ids)
-        if (d <= 0).any():
-            raise ValueError("doc_ids must be strictly increasing")
-        gaps[1:] = d.astype(np.uint64)
-    return varbyte_encode(gaps)
+    return delta_encode_batch(ids, np.array([ids.size], dtype=np.int64))[0]
 
 
 def delta_decode(buf: bytes) -> np.ndarray:

@@ -1629,11 +1629,13 @@ hits AS (
   FROM cg JOIN bg USING (g) GROUP BY cg.doc_id
 ),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM cg GROUP BY doc_id)
-SELECT s.doc_id,
+SELECT c.doc_id,
        CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated_grams,
-       s.n_grams,
+       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
        CAST(COALESCE(h.n_hit, 0) > 0 AS INT) AS contaminated
-FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+FROM (SELECT DISTINCT doc_id FROM corpus) c
+LEFT JOIN sizes s ON s.doc_id = c.doc_id
+LEFT JOIN hits h ON h.doc_id = c.doc_id
 """
 
 

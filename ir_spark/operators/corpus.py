@@ -42,7 +42,10 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5) -> DataFrame:
     """Flag corpus docs sharing any word n-gram with a benchmark set.
 
     (doc_id, text) x (doc_id, text) -> (doc_id, n_contaminated_grams,
-    n_grams, contaminated) for every corpus doc.
+    n_grams, contaminated) for EVERY corpus doc — a doc too short to
+    form one n-gram gets (0, 0, 0), it is trivially uncontaminated
+    (dropping it instead would lose the doc from any downstream kept
+    set keyed on contaminated = 0).
 
     The benchmark side is tiny relative to the corpus (eval suites are
     KBs, corpora are TBs) — its distinct grams are broadcast, so the
@@ -59,12 +62,14 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5) -> DataFrame:
     )
     sizes = corpus_grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     return (
-        sizes.join(hits, "doc_id", "left")
+        docs.select("doc_id").distinct()
+        .join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_contaminated_grams", F.lit(0)).cast("long").alias(
                 "n_contaminated_grams"),
-            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
             (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).cast("int").alias(
                 "contaminated"),
         )

@@ -523,7 +523,8 @@ def best_window_snippets(positions: DataFrame,
 
 def update_positional_store(spark: SparkSession, pages_with_ids: DataFrame,
                             store_dir: str, *, stem: bool = False,
-                            n_buckets: int = DEFAULT_BUCKETS) -> dict:
+                            n_buckets: int = DEFAULT_BUCKETS,
+                            batch_id: str | None = None) -> dict:
     """Append a batch to an existing (possibly empty) positional store
     — the phrase-search counterpart of the tf-segment append
     (streaming/incremental.py): new docs own fresh doc ids, so their
@@ -534,23 +535,64 @@ def update_positional_store(spark: SparkSession, pages_with_ids: DataFrame,
     — a later full rebuild (build_positional_store) plays the
     compaction role.
 
+    Crash/retry safety: the batch stages to a tmp dir, then its part
+    files publish into the bucket dirs under DETERMINISTIC
+    ``append-<batch_id>-*`` names, with any partial files of the same
+    batch cleared first — so a crashed append re-run can never leave
+    duplicate (term, doc) rows (which would make the phrase reader's
+    map_from_entries throw on every query over that term).
+    ``batch_id`` defaults to the batch's doc-id span, which a
+    fixed-input retry reproduces.
+
     ``pages_with_ids``: (doc_id, text) for the NEW docs only.  Returns
-    {"n_terms": distinct terms in the APPENDED batch} — counted from
-    the batch relation before the write, so an append never scans the
-    (possibly huge) existing store."""
-    rel = token_positions(pages_with_ids, stem=stem)
-    per_term = (
-        rel.withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
-        .groupBy("bucket", "term")
-        .agg(F.collect_list("doc_id").alias("doc_ids_arr"),
-             F.collect_list("positions").alias("positions_arr"))
-    )
-    encoded = (
-        per_term.repartition(max(1, n_buckets // 4), "bucket")
-        .mapInPandas(_encode_positional, schema=_STORE_SCHEMA)
-        .sortWithinPartitions("term")
-    )
-    n_terms = int(rel.select("term").distinct().count())
-    encoded.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(store_dir, "store"))
-    return {"n_terms": n_terms}
+    {"n_terms", "batch_id"} — stats counted from the batch relation
+    (persisted across the two actions so the tokenize pass runs once),
+    never by scanning the (possibly huge) existing store."""
+    import shutil
+
+    rel = token_positions(pages_with_ids, stem=stem).persist()
+    try:
+        per_term = (
+            rel.withColumn("bucket",
+                           term_bucket_col(F.col("term"), n_buckets))
+            .groupBy("bucket", "term")
+            .agg(F.collect_list("doc_id").alias("doc_ids_arr"),
+                 F.collect_list("positions").alias("positions_arr"))
+        )
+        encoded = (
+            per_term.repartition(max(1, n_buckets // 4), "bucket")
+            .mapInPandas(_encode_positional, schema=_STORE_SCHEMA)
+            .sortWithinPartitions("term")
+        )
+        row = rel.agg(F.countDistinct("term").alias("nt"),
+                      F.min("doc_id").alias("lo"),
+                      F.max("doc_id").alias("hi")).collect()[0]
+        n_terms = int(row["nt"] or 0)
+        if n_terms == 0:
+            return {"n_terms": 0, "batch_id": batch_id or ""}
+        bid = batch_id or f"b{int(row['lo'])}-{int(row['hi'])}"
+        store_root = os.path.join(store_dir, "store")
+        stage = os.path.join(store_dir, f".append-{bid}.tmp")
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        encoded.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+        for bdir in sorted(os.listdir(stage)):
+            if not bdir.startswith("bucket="):
+                continue
+            dst_dir = os.path.join(store_root, bdir)
+            os.makedirs(dst_dir, exist_ok=True)
+            for old in os.listdir(dst_dir):  # clear a crashed attempt
+                if old.startswith(f"append-{bid}-"):
+                    os.remove(os.path.join(dst_dir, old))
+            parts = sorted(
+                f for f in os.listdir(os.path.join(stage, bdir))
+                if f.endswith(".parquet"))
+            for i, f in enumerate(parts):
+                os.replace(
+                    os.path.join(stage, bdir, f),
+                    os.path.join(dst_dir,
+                                 f"append-{bid}-{i:05d}.parquet"))
+        shutil.rmtree(stage)
+        return {"n_terms": n_terms, "batch_id": bid}
+    finally:
+        rel.unpersist()

@@ -860,9 +860,20 @@ def search_segments_batch(spark: SparkSession, sidx: SegmentIndex,
     sf0.1 — bench.py ``bm25_query_set_20_batch``).
 
     Queries whose tokens are all stopwords (empty bag) yield no rows.
+
+    Supported modes: bm25 / w1 / w2 (the batch kernel computes W1/W2
+    cosine normalization; the LM family and the BM25 variants carry
+    per-mode kernel_args the batch path does not thread).  Anything
+    else raises loudly — silently mis-normalizing (bm25plus would
+    all-zero, qld would crash executor-side) is worse than refusing.
     """
     from pyspark.sql import Window
 
+    if mode not in ("bm25", "w1", "w2"):
+        raise ValueError(
+            f"search_segments_batch supports bm25/w1/w2, not {mode!r}; "
+            "run the single-query path per query for the LM/variant "
+            "families")
     bags = {qid: parse_query(q, stem=stem) for qid, q in enumerate(queries)}
     terms = sorted({t for bag in bags.values() for t in bag})
     if not terms:
@@ -1028,6 +1039,12 @@ def search_segments(spark: SparkSession, sidx: SegmentIndex, query: str,
                        deleted=sidx.deleted_bc(), delta=delta)
 
     if strategy == "auto" and mode in ("bm25plus", "bm25l", "pivoted"):
+        strategy = "exhaustive"
+    if not k and strategy in ("auto", "wand", "maxscore"):
+        # k=0 is the emit-all mode: there is no k-th score, hence no
+        # pruning threshold — the WAND/MaxScore kernels would deref an
+        # empty heap.  Degrade to the semantically identical exhaustive
+        # scan instead of crashing executor-side.
         strategy = "exhaustive"
     if strategy == "auto":
         # wand runs the same single-job plan as exhaustive (one shuffle

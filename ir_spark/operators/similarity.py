@@ -186,7 +186,12 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_cells: int = 16,
     if os.path.exists(manifest_path):
         with open(manifest_path) as fh:
             manifest = json.load(fh)
-        if manifest.get("n_cells") == n_cells and manifest.get("seed") == seed:
+        if (manifest.get("n_cells") == n_cells
+                and manifest.get("seed") == seed
+                and manifest.get("max_iter") == max_iter):
+            # max_iter is part of the build shape too: a re-run asking
+            # for better-trained centroids must NOT silently return
+            # the stale coarser codebook
             return manifest
 
     spark = emb.sparkSession
@@ -205,7 +210,7 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_cells: int = 16,
         F.count(F.lit(1)).alias("n"),
         F.max(F.size("embedding")).alias("dim")).head()
     manifest = {"n_cells": n_cells, "n_vectors": int(row["n"]),
-                "dim": int(row["dim"]), "seed": seed}
+                "dim": int(row["dim"]), "seed": seed, "max_iter": max_iter}
     with open(os.path.join(index_dir, "ivf_manifest.json"), "w") as fh:
         json.dump(manifest, fh)
     return manifest
@@ -451,33 +456,40 @@ def mmr_rerank(emb: DataFrame, query_vec: list[float], *, k: int = 10,
     Returns (sel_rank:int, vec_id:long, obj_micro:long), sel_rank 1..k.
     """
     spark = emb.sparkSession
+    # persist the candidate page: it feeds the pairwise join AND the
+    # rel_rows collect, and without the cache each consumer re-runs
+    # the corpus-sized cosine scan — "touched exactly once" must hold
+    # in the plan, not just the docstring
     rel = (
         cosine_scores(emb, query_vec)
         .select("vec_id",
                 F.round(F.col("score") * 1e6).cast("long").alias("rel_micro"))
         .orderBy(F.desc("rel_micro"), F.asc("vec_id"))
         .limit(n_candidates)
-    )
-    cand = F.broadcast(
-        emb.join(F.broadcast(rel), "vec_id")
-        .select("vec_id", "embedding", "rel_micro"))
-    a = cand.select(F.col("vec_id").alias("a"),
-                    F.col("embedding").alias("ea"))
-    b = cand.select(F.col("vec_id").alias("b"),
-                    F.col("embedding").alias("eb"))
-    pairs = (
-        a.join(b, F.col("a") < F.col("b"))
-        .select("a", "b",
-                F.round(pair_cosine_expr(F.col("ea"), F.col("eb")) * 1e6)
-                .cast("long").alias("sim_micro"))
-    )
+    ).persist()
+    try:
+        cand = F.broadcast(
+            emb.join(F.broadcast(rel), "vec_id")
+            .select("vec_id", "embedding", "rel_micro"))
+        a = cand.select(F.col("vec_id").alias("a"),
+                        F.col("embedding").alias("ea"))
+        b = cand.select(F.col("vec_id").alias("b"),
+                        F.col("embedding").alias("eb"))
+        pairs = (
+            a.join(b, F.col("a") < F.col("b"))
+            .select("a", "b",
+                    F.round(pair_cosine_expr(F.col("ea"), F.col("eb")) * 1e6)
+                    .cast("long").alias("sim_micro"))
+        )
 
-    rel_rows = {r["vec_id"]: r["rel_micro"]
-                for r in rel.select("vec_id", "rel_micro").collect()}
-    sim: dict[tuple[int, int], int] = {}
-    for r in pairs.collect():
-        sim[(r["a"], r["b"])] = r["sim_micro"]
-        sim[(r["b"], r["a"])] = r["sim_micro"]
+        rel_rows = {r["vec_id"]: r["rel_micro"]
+                    for r in rel.select("vec_id", "rel_micro").collect()}
+        sim: dict[tuple[int, int], int] = {}
+        for r in pairs.collect():
+            sim[(r["a"], r["b"])] = r["sim_micro"]
+            sim[(r["b"], r["a"])] = r["sim_micro"]
+    finally:
+        rel.unpersist()
 
     diff = lam_den - lam_num
     selected: list[tuple[int, int, int]] = []  # (rank, vec_id, obj)

@@ -122,8 +122,9 @@ def main(argv: list[str] | None = None) -> int:
             .getOrCreate()
         )
 
-    if args.batch and args.mode in ("qld", "lmjm", "pl2", "sdm"):
-        ap.error("--batch supports bm25/w1/w2 (LM modes score per query)")
+    if args.batch and args.mode not in ("bm25", "w1", "w2"):
+        ap.error("--batch supports bm25/w1/w2 (other modes score "
+                 "per query)")
     if (args.mode == "sdm" or args.phrase or args.span_near) \
             and not args.positions_dir:
         ap.error("--mode sdm / --phrase / --span-near need --positions-dir")

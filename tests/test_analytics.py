@@ -81,7 +81,9 @@ def test_decontaminate_flags_copied_ngram(spark):
     out = {r.doc_id: r for r in C.decontaminate(corpus, bench, n=4).collect()}
     assert out[1].contaminated == 1 and out[1].n_contaminated_grams == 1
     assert out[2].contaminated == 0 and out[2].n_grams > 0
-    assert 3 not in out  # too short for any 4-gram -> no gram rows
+    # too short for any 4-gram: trivially uncontaminated, but the row
+    # must EXIST — a missing row falls out of contaminated=0 keep sets
+    assert out[3].contaminated == 0 and out[3].n_grams == 0
 
 
 def test_host_profile_and_blocklist(spark):

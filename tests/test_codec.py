@@ -594,3 +594,24 @@ class TestRoaring:
         assert roaring_contains(buf, all_ids).all()
         absent = np.array([0, 5001, 9, 400000], dtype=np.uint64)
         assert not roaring_contains(buf, absent).any()
+
+
+def test_batch_codecs_empty_runs():
+    """Empty runs anywhere in the batch (incl. trailing) must yield
+    b'' — run-start positions of empty runs repeat or point one past
+    the data and previously crashed the trailing case."""
+    import numpy as np
+
+    from ir_spark.codec import (delta_encode, delta_encode_batch,
+                                varbyte_encode, varbyte_encode_batch)
+
+    assert delta_encode_batch(np.array([5, 9]), np.array([2, 2])) == \
+        [delta_encode([5, 9]), b""]
+    assert delta_encode_batch(np.array([5, 9, 3, 4]),
+                              np.array([2, 2, 4])) == \
+        [delta_encode([5, 9]), b"", delta_encode([3, 4])]
+    assert delta_encode_batch(np.array([], dtype=np.int64),
+                              np.array([0, 0])) == [b"", b""]
+    assert varbyte_encode_batch(np.array([7], dtype=np.uint64),
+                                np.array([0, 1])) == \
+        [b"", varbyte_encode([7])]

@@ -453,3 +453,13 @@ def test_positional_store_incremental_append(spark, docs, tmp_path):
                 for r in phrase_search_store(spark, store, terms).collect()}
 
     assert phr(incr_store) == phr(full_store) == _py_phrase(texts, terms)
+
+    # crashed-append retry: re-running the SAME batch must be
+    # idempotent (deterministic per-batch file names replace any
+    # partial attempt) — duplicates would make the phrase reader's
+    # map_from_entries throw on every query over the term
+    m1b = update_positional_store(
+        spark, df.filter(F.col("doc_id") > cut), incr_store)
+    assert m1b["batch_id"] == m1["batch_id"]
+    assert snap(incr_store) == snap(full_store)
+    assert phr(incr_store) == phr(full_store)
