@@ -3220,13 +3220,14 @@ fbs AS (
 ),
 fb AS (SELECT doc_id FROM fbs
        ORDER BY score_micro DESC, doc_id ASC LIMIT {ROCCHIO_N_FB}),
+fbn AS (SELECT COUNT(*) AS n_dr FROM fb),
 cent AS (
   SELECT w.term,
-         CAST(ROUND(1000000.0 * SUM(w.w) / {ROCCHIO_N_FB}) AS BIGINT)
+         CAST(ROUND(1000000.0 * SUM(w.w) / ANY_VALUE(f.n_dr)) AS BIGINT)
            AS c_micro
-  FROM weighted w JOIN fb USING (doc_id)
+  FROM weighted w JOIN fb USING (doc_id) CROSS JOIN fbn f
   GROUP BY w.term
-  HAVING CAST(ROUND(1000000.0 * SUM(w.w) / {ROCCHIO_N_FB}) AS BIGINT) > 0
+  HAVING CAST(ROUND(1000000.0 * SUM(w.w) / ANY_VALUE(f.n_dr)) AS BIGINT) > 0
 ),
 expt AS (SELECT term, c_micro FROM cent
          WHERE term NOT IN (SELECT term FROM qterms)

@@ -1026,11 +1026,16 @@ WITH geo AS (
   FROM documents
 ),
 px AS (
-  -- c ranges 0..3 so the RGBA alpha channel reaches min/max;
-  -- least(c, ch-1) makes duplicates harmless (min/max idempotent)
+  -- c ranges 0..3 so the RGBA alpha channel reaches min/max
+  -- (v_all); the mean column maps onto COLOR channels only —
+  -- gray/gray-alpha repeat channel 0 across r/g/b (alpha must not
+  -- leak into mean_g/mean_b for 2-channel images)
   SELECT g.doc_id, g.w, g.h, g.ch, c.c,
+         (g.doc_id * 7
+          + least(c.c, CASE WHEN g.ch <= 2 THEN 0 ELSE 2 END) * 11
+          + x.x * 3 + y.y * 5) % 256 AS v_mean,
          (g.doc_id * 7 + least(c.c, g.ch - 1) * 11 + x.x * 3 + y.y * 5)
-           % 256 AS v
+           % 256 AS v_all
   FROM geo g
   CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c
   JOIN LATERAL (SELECT unnest(range(0, g.w)) AS x) x ON true
@@ -1038,9 +1043,9 @@ px AS (
 ),
 chan AS (
   SELECT doc_id, w, h, ch, c,
-         CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / (w * h) * 1000000 + 0.5)
+         CAST(FLOOR(CAST(SUM(v_mean) AS DOUBLE) / (w * h) * 1000000 + 0.5)
               AS BIGINT) AS mean_micro,
-         MIN(v) AS mn, MAX(v) AS mx
+         MIN(v_all) AS mn, MAX(v_all) AS mx
   FROM px GROUP BY doc_id, w, h, ch, c
 )
 SELECT doc_id,

@@ -277,19 +277,27 @@ def rocchio_weights(spark: SparkSession, index: DataFrameIndex,
         return {}
     orig = sorted(orig_w)
     raw = search(spark, index, query, k=n_fb * 5, mode="w2")
-    fb = (raw.select(
-            "doc_id",
-            F.round(F.col("score") * 1000000.0).cast("long")
-            .alias("score_micro"))
-          .orderBy(F.desc("score_micro"), F.asc("doc_id"))
-          .limit(n_fb).select("doc_id"))
+    # collect the (tiny) feedback set: the centroid is the mean over
+    # the docs ACTUALLY retrieved |Dr|, not the requested n_fb — a
+    # sparse query matching 3 docs must not scale its centroid by 3/10
+    fb_ids = [r["doc_id"] for r in
+              (raw.select(
+                  "doc_id",
+                  F.round(F.col("score") * 1000000.0).cast("long")
+                  .alias("score_micro"))
+               .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+               .limit(n_fb).select("doc_id").collect())]
+    if not fb_ids:
+        return {t: alpha * w for t, w in orig_w.items()}
+    n_dr = len(fb_ids)
+    fb = spark.createDataFrame([(int(i),) for i in fb_ids], "doc_id long")
     w_td = doc_weight_expr("w2", index.n_docs, index.avg_doc_len)
     comp = (index.postings
             .join(F.broadcast(fb), "doc_id")
             .join(index.dictionary.select("term", "df"), "term")
             .join(index.docinfo, "doc_id")
             .groupBy("term")
-            .agg(F.round(F.lit(1000000.0) * F.sum(w_td) / F.lit(n_fb))
+            .agg(F.round(F.lit(1000000.0) * F.sum(w_td) / F.lit(n_dr))
                  .cast("long").alias("c_micro"))
             .filter(F.col("c_micro") > 0))
     exp = (comp.filter(~F.col("term").isin(orig))
@@ -364,12 +372,13 @@ def qpp_wig_nqc(run: DataFrame, qterms: DataFrame, index: DataFrameIndex,
     groupBy over k rows per query — nothing corpus-wide at all; the
     expensive part is the retrieval that produced ``run``, which the
     caller already paid for."""
-    n_row = F.broadcast(index.docinfo.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs")))
+    # N is already a driver scalar on the index — re-deriving it with
+    # a docinfo count-aggregate would add a corpus-wide job per call
+    n_docs = F.lit(float(index.n_docs))
     corpus = (
         qterms.join(F.broadcast(index.dictionary.select("term", "df", "cf")),
                     "term")
-        .crossJoin(n_row)
+        .withColumn("n_docs", n_docs)
         .select(
             "query_id", "qtf",
             F.round(

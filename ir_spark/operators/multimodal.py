@@ -212,7 +212,16 @@ def synth_wav(n_samples: int, amplitude: int,
 def decode_wav(payload: bytes) -> dict | None:
     """REAL RIFF/WAVE decode: walk the chunk list for fmt + data, then
     numpy statistics over the PCM16 samples (RMS, peak, zero
-    crossings).  Returns None for non-WAV payloads."""
+    crossings).  Returns None for non-WAV payloads AND for malformed/
+    truncated ones (a corrupt crawl capture must yield the documented
+    zeros row, not a struct.error that kills the whole Spark task)."""
+    try:
+        return _decode_wav_unsafe(payload)
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def _decode_wav_unsafe(payload: bytes) -> dict | None:
     p = payload
     if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         return None
@@ -418,7 +427,20 @@ def decode_png_pixels(payload: bytes) -> np.ndarray | None:
     8-bit gray/RGB/gray-alpha/RGBA, all five scanline filters
     (None/Sub/Up/Average/Paeth per RFC 2083).  Returns (height, width,
     channels) uint8, or None for signatures/variants this pure-python
-    path does not cover (the seam where a codec lib plugs in)."""
+    path does not cover (the seam where a codec lib plugs in), and for
+    MALFORMED payloads (truncated IHDR, garbage IDAT) — a corrupt PNG
+    must produce the caller\'s NULL-stats row, not a zlib/struct error
+    that kills the whole Spark task."""
+    import struct as _s
+    import zlib
+
+    try:
+        return _decode_png_pixels_unsafe(payload)
+    except (_s.error, zlib.error, ValueError, IndexError):
+        return None
+
+
+def _decode_png_pixels_unsafe(payload: bytes) -> np.ndarray | None:
     import struct as _s
     import zlib
 
@@ -515,9 +537,14 @@ def image_pixel_stats(df: DataFrame,
                 h, w, ch = px.shape
                 n = h * w
                 sums = px.reshape(-1, ch).astype(np.int64).sum(axis=0)
+                # color channels only: gray (1ch) and gray+alpha (2ch)
+                # repeat channel 0 across r/g/b — min(c, ch-1) would
+                # leak the ALPHA plane into mean_g/mean_b for 2-channel
+                # images; min/max below still cover every channel
+                ncolor = 1 if ch <= 2 else 3
                 # explicit half-up (not Python banker's round), matching
                 # the SQL oracle's FLOOR(x*1e6 + 0.5)
-                means = [int(int(sums[min(c, ch - 1)]) / n * 1e6 + 0.5)
+                means = [int(int(sums[min(c, ncolor - 1)]) / n * 1e6 + 0.5)
                          for c in range(3)]
                 rows.append((doc_id, w, h, ch, *means,
                              int(px.min()), int(px.max())))

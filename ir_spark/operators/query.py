@@ -279,14 +279,19 @@ def boost_by_recency(scores: DataFrame, doc_ts: DataFrame,
     ``now``: 'YYYY-MM-DD' reference date (a parameter, never a wall
     clock — keeps results reproducible).  Scale shape: the k-row (or
     candidate-set) scores side joins a broadcast-or-colocated doc_ts
-    projection; no corpus shuffle."""
+    projection; no corpus shuffle.
+
+    A scored doc with no ``doc_ts`` row (NULL/absent capture time)
+    ranks UNBOOSTED (age 0) — an inner join would silently drop it
+    from the ranking."""
     decayed = (
-        scores.join(doc_ts.select("doc_id", "ts"), "doc_id")
+        scores.join(doc_ts.select("doc_id", "ts"), "doc_id", "left")
         .select(
             "doc_id",
             (F.col("score") / (F.lit(1.0)
-             + F.greatest(F.lit(0), F.datediff(F.lit(now), F.col("ts")))
-               .cast("double") / F.lit(float(half_life_days))))
+             + F.coalesce(
+                 F.greatest(F.lit(0), F.datediff(F.lit(now), F.col("ts")))
+                 .cast("double"), F.lit(0.0)) / F.lit(float(half_life_days))))
             .alias("score"))
     )
     return decayed.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -307,9 +312,17 @@ def search_with_synonyms(spark: SparkSession, index: DataFrameIndex,
 
     The synonym table is query-bag-sized driver state — the expansion
     never touches the corpus; the scoring plan is the ordinary
-    weighted search."""
+    weighted search.
+
+    BM25 only: the cosine modes need a query-side W1 weighting +
+    query norm that a fractional expanded bag does not define — refuse
+    loudly rather than cosine-normalize with q_norm=0 (which zeroes
+    every score)."""
     from ..oracle import parse_query
 
+    if mode != "bm25":
+        raise ValueError(
+            f"search_with_synonyms supports mode='bm25', not {mode!r}")
     bag = parse_query(query, stem=stem)
     weights: dict[str, float] = {t: float(tf) for t, tf in bag.items()}
     for t, tf in bag.items():

@@ -56,6 +56,67 @@ def _next_grp(segments_dir: str) -> int:
     return max(grps, default=-1) + 1
 
 
+def _publish_append(df: DataFrame, dest: str, marker: str) -> None:
+    """Append ``df``'s rows to the parquet table at ``dest`` with
+    DETERMINISTIC per-batch file names (``<marker>-N.parquet``): the
+    batch stages to a tmp sibling, any files of the SAME marker (a
+    crashed earlier attempt) are cleared, then the parts publish via
+    os.replace.  Re-running the same batch is therefore idempotent —
+    plain ``mode('append')`` writes random part names, so a replayed
+    half-written batch would duplicate rows."""
+    import shutil
+
+    stage = dest.rstrip("/") + f".{marker}.tmp"
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    df.write.mode("overwrite").parquet(stage)
+    os.makedirs(dest, exist_ok=True)
+    for old in os.listdir(dest):
+        if old.startswith(marker + "-"):
+            os.remove(os.path.join(dest, old))
+    parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    for i, f in enumerate(parts):
+        os.replace(os.path.join(stage, f),
+                   os.path.join(dest, f"{marker}-{i:05d}.parquet"))
+    shutil.rmtree(stage)
+
+
+def _repair_crashed_batch(paths: dict, manifests: dict) -> None:
+    """Heal a batch that crashed mid-append: the ``batch_intent``
+    manifest (written before any table write) without its matching
+    snapshot manifest means the last attempt died with partial
+    appends — remove every file the attempt published (deterministic
+    ``b<offset>-*`` names + its segment group dir) so the replay sees
+    exactly the committed state.  Without this, a crash after the
+    doc_map append made the replay's first-seen anti-join drop the
+    batch urls forever: doc ids with no postings, silently
+    unsearchable."""
+    import shutil
+
+    intent = manifests.get("batch_intent")
+    if not intent:
+        return
+    im = intent.get("metrics", {})
+    grp = int(im.get("grp", -1))
+    # the intent is re-committed with done=True right after the
+    # snapshot commit; the snapshot check covers only the crash window
+    # between those two writes (the snapshot manifest itself can be
+    # legitimately retired later by compaction/expiry, so done is the
+    # durable signal)
+    if grp < 0 or im.get("done") or f"snapshot_grp{grp:06d}" in manifests:
+        return  # no intent or the batch committed — nothing to heal
+    marker = f"b{int(im['offset'])}"
+    for tbl in ("doc_map", "docinfo", "dictionary", "postings"):
+        d = paths[tbl]
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.startswith(marker + "-"):
+                    os.remove(os.path.join(d, f))
+    gdir = os.path.join(paths["segments"], f"grp={grp}")
+    if os.path.isdir(gdir):
+        shutil.rmtree(gdir)
+
+
 def update_segment_index(
     spark: SparkSession,
     new_pages: DataFrame,
@@ -82,10 +143,16 @@ def update_segment_index(
     os.makedirs(index_dir, exist_ok=True)
     paths = index_paths(index_dir)
     manifests = storage.read_manifests(index_dir)
+    _repair_crashed_batch(paths, manifests)
     if "stats" in manifests:
         lineage = manifests["stats"]["lineage"]
         n_buckets = int(lineage["n_buckets"])
         range_width = int(lineage["range_width"])
+        # the tokenizer variant is index lineage too: an increment
+        # defaulting to stem=False on a stemmed base would append
+        # unstemmed terms next to stemmed ones — df/cf split across
+        # variants and queries silently match half the corpus
+        stem = bool(lineage.get("stem", stem))
     else:
         from ..operators.segments import DEFAULT_RANGE_WIDTH
 
@@ -138,7 +205,17 @@ def update_segment_index(
         for c in caches:
             c.unpersist()
         return {"n_new_docs": 0, "wall_sec": time.time() - t0}
-    batch_map.write.mode("append").parquet(paths["doc_map"])
+    # batch intent BEFORE any table write + deterministic per-batch
+    # file names afterwards: a crash anywhere in the append sequence
+    # leaves an intent without its snapshot, and the next call's
+    # _repair_crashed_batch removes the partial files — the
+    # exactly-once foreachBatch contract holds through mid-batch
+    # crashes, not just between batches
+    grp = _next_grp(paths["segments"])
+    marker = f"b{int(offset)}"
+    storage.commit_stage(index_dir, "batch_intent", lineage,
+                         {"offset": int(offset), "grp": int(grp)})
+    _publish_append(batch_map, paths["doc_map"], marker)
     # release per-batch caches: foreachBatch calls this once per
     # micro-batch and a leaked persist per batch accumulates unbounded
     for c in caches:
@@ -154,9 +231,9 @@ def update_segment_index(
 
     # -- tokenize once; docinfo + postings + dictionary deltas ------------
     tokens = token_counts(pages_ids, stem=stem).persist()
-    build_docinfo(tokens).write.mode("append").parquet(paths["docinfo"])
+    _publish_append(build_docinfo(tokens), paths["docinfo"], marker)
     flat = build_postings(tokens)
-    build_dictionary(flat).write.mode("append").parquet(paths["dictionary"])
+    _publish_append(build_dictionary(flat), paths["dictionary"], marker)
 
     # -- segment rows for the new docs (append-only: disjoint doc ids) ---
     docinfo_new = spark.read.parquet(paths["docinfo"]).filter(
@@ -165,11 +242,10 @@ def update_segment_index(
     # keep the flat postings checkpoint complete too (norm refresh +
     # re-derivations read it), then encode from the written parquet so
     # the tokenize->join pipeline runs once
-    flat_full.write.mode("append").parquet(paths["postings"])
+    _publish_append(flat_full, paths["postings"], marker)
     flat_written = spark.read.parquet(paths["postings"]).filter(
         F.col("doc_id") > offset)
     seg = encode_segments(flat_written, n_buckets, range_width)
-    grp = _next_grp(paths["segments"])
     seg = seg.repartition(max(1, n_buckets // 4), "bucket")
     (seg.sortWithinPartitions("term", "run")
         .write.mode("append").partitionBy("bucket")
@@ -198,6 +274,12 @@ def update_segment_index(
         {"grp": int(grp), "max_doc_id": int(offset + n_new),
          "n_docs": int(stats["n"]), "avg_doc_len": float(stats["avg"]),
          "batch_tag": batch_tag or ""})
+    # seal the intent: the durable committed signal (snapshots can be
+    # retired later by compaction/expiry; the repair pass must never
+    # mistake that for a crash)
+    storage.commit_stage(index_dir, "batch_intent", lineage,
+                         {"offset": int(offset), "grp": int(grp),
+                          "done": True})
     return metrics
 
 

@@ -66,6 +66,15 @@ def _make_session_fn(gap_us: int):
             if last_us is not None and t - last_us <= gap_us:
                 n += 1
                 last_us = max(last_us, t)
+                # an in-watermark out-of-order event can predate the
+                # current session start: batch sessionize would begin
+                # the session at that earlier instant, so move the
+                # start back too.  (An event older than start - gap —
+                # extreme lateness — still folds in here: streaming
+                # cannot retroactively split an open session; the
+                # watermark bounds how far that approximation reaches.)
+                if start_us is not None:
+                    start_us = min(start_us, t)
                 continue
             if last_us is not None:
                 out.append(_closed_row(user_id, sid, start_us, last_us, n))

@@ -900,3 +900,108 @@ def test_expire_snapshots_retention(spark, corpus, tmp_path):
                                                   "kept": [2]}
     with pytest.raises(ValueError):
         expire_snapshots(idx, keep_last=-1)
+
+
+def test_crashed_batch_repair_reindexes_urls(spark, corpus, tmp_path):
+    """A crash right after the doc_map publish (intent written, no
+    snapshot/done) must NOT strand the batch: the replay's repair pass
+    removes the partial files so the first-seen anti-join passes and
+    the docs get indexed.  Without repair, the urls sat in doc_map
+    with no postings — permanently unsearchable."""
+    from ir_spark.operators.build import assign_doc_ids
+    from ir_spark.operators.segments import index_paths
+    from ir_spark.sources import storage
+    from ir_spark.streaming.incremental import (_next_grp,
+                                                _publish_append)
+
+    batch_dir = str(tmp_path / "batch_idx")
+    stream_dir = str(tmp_path / "incr_idx")
+    pages = spark.read.parquet(corpus["full"])
+    build_segment_index(spark, pages, batch_dir, source="full")
+    p0 = spark.read.parquet(os.path.join(corpus["parts"], "part0.parquet"))
+    p1 = spark.read.parquet(os.path.join(corpus["parts"], "part1.parquet"))
+    update_segment_index(spark, p0, stream_dir, batch_tag="b0")
+
+    # simulate batch b1 dying right after its doc_map publish
+    paths = index_paths(stream_dir)
+    old_map = spark.read.parquet(paths["doc_map"])
+    offset = old_map.agg(F.max("doc_id")).collect()[0][0]
+    fresh = p1.select("url", "text").join(
+        old_map.select("url"), "url", "left_anti")
+    crashed_map = assign_doc_ids(fresh).withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(offset)).cast("long"))
+    grp = _next_grp(paths["segments"])
+    storage.commit_stage(stream_dir, "batch_intent", {"source": "test"},
+                         {"offset": int(offset), "grp": int(grp)})
+    _publish_append(crashed_map, paths["doc_map"], f"b{int(offset)}")
+
+    # replay of the same batch must heal and fully index it
+    m = update_segment_index(spark, p1, stream_dir, batch_tag="b1-replay")
+    assert m["n_new_docs"] == p1.count()
+    assert m["n_docs"] == N_DOCS
+    assert _topk_by_url(spark, stream_dir) == _topk_by_url(spark, batch_dir)
+
+
+def test_incremental_restores_stem_from_lineage(spark, corpus, tmp_path):
+    """An increment on a stemmed base must tokenize stemmed even when
+    the caller forgets stem=True — otherwise unstemmed terms land next
+    to stemmed ones and df/cf split across variants."""
+    a_dir = str(tmp_path / "stem_explicit")
+    b_dir = str(tmp_path / "stem_lineage")
+    p0 = spark.read.parquet(os.path.join(corpus["parts"], "part0.parquet"))
+    p1 = spark.read.parquet(os.path.join(corpus["parts"], "part1.parquet"))
+    for d in (a_dir, b_dir):
+        update_segment_index(spark, p0, d, stem=True, batch_tag="base")
+    update_segment_index(spark, p1, a_dir, stem=True, batch_tag="b1")
+    update_segment_index(spark, p1, b_dir, batch_tag="b1")  # default stem
+    da = {(r["term"], r["df"]) for r in spark.read.parquet(
+        os.path.join(a_dir, "dictionary")).collect()}
+    db = {(r["term"], r["df"]) for r in spark.read.parquet(
+        os.path.join(b_dir, "dictionary")).collect()}
+    assert da == db
+
+
+def test_sessionize_stream_out_of_order_start(spark, tmp_path):
+    """An in-watermark late event that predates the open session's
+    start must move session_start back — batch/stream parity for
+    out-of-order arrivals."""
+    import pandas as pd
+
+    from ir_spark.streaming.stateful import sessionize_stream
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),
+        (1, "2024-01-01 09:50:00", 2),   # late, within 30-min watermark
+        (1, "2024-01-01 11:00:00", 3),   # sentinel: closes the session
+    ]
+    src = str(tmp_path / "ooo_src")
+    os.makedirs(src)
+    for i, (u, ts, eid) in enumerate(rows):
+        pdf = pd.DataFrame({"user_id": [u],
+                            "ts": pd.to_datetime([ts]),
+                            "event_id": [eid]})
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(src, f"part{i}.parquet"), index=False)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.format("memory").queryName("ooo_sessions")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ooo_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["session_id"]):
+           (r["session_start_us"], r["session_end_us"], r["n_events"])
+           for r in spark.sql("select * from ooo_sessions").collect()}
+    import datetime as _dt
+
+    def us(s):
+        return int(_dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+                   .replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+
+    # first closed session covers 09:50-10:00 with 2 events
+    assert got[(1, 1)] == (us("2024-01-01 09:50:00"),
+                           us("2024-01-01 10:00:00"), 2)
