@@ -59,7 +59,8 @@ toks AS (
 postings AS (SELECT * FROM toks WHERE term NOT IN ({STOP_SQL})),
 docinfo AS (
   SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len,
-         MAX(CASE WHEN term NOT IN ({STOP_SQL}) THEN tf END) AS max_tf
+         COALESCE(MAX(CASE WHEN term NOT IN ({STOP_SQL}) THEN tf END), 0)
+           AS max_tf
   FROM toks GROUP BY doc_id
 ),
 stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(doc_len) AS avg_dl FROM docinfo),
@@ -126,7 +127,8 @@ toks AS (
 postings AS (SELECT * FROM toks WHERE term NOT IN ({STOP_SQL})),
 docinfo AS (
   SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len,
-         MAX(CASE WHEN term NOT IN ({STOP_SQL}) THEN tf END) AS max_tf
+         COALESCE(MAX(CASE WHEN term NOT IN ({STOP_SQL}) THEN tf END), 0)
+           AS max_tf
   FROM toks GROUP BY doc_id
 ),
 stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(doc_len) AS avg_dl FROM docinfo),

@@ -2913,7 +2913,7 @@ parts AS (
     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\d+)', 1) AS port,
     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
-    regexp_extract(url, '\?([^#]*)', 1) AS query
+    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS query
   FROM messy
 ),
 canon AS (

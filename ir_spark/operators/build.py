@@ -112,7 +112,11 @@ def build_docinfo(tokens: DataFrame) -> DataFrame:
     stop = F.col("term").isin(*STOPWORDS)
     return tokens.groupBy("doc_id").agg(
         F.sum("tf").alias("doc_len"),
-        F.max(F.when(~stop, F.col("tf"))).alias("max_tf"),
+        # all-stopword docs aggregate max() over all-NULL -> coalesce
+        # to 0, matching the Python oracle (oracle.py stores max_tf=0)
+        # and sparing consumers an int(None) crash
+        F.coalesce(F.max(F.when(~stop, F.col("tf"))), F.lit(0))
+        .alias("max_tf"),
     )
 
 

@@ -52,14 +52,18 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
     The n-gram array is built with JVM higher-order functions
     (transform/slice over the split array) — no Python worker, no
-    shuffle until the consumer aggregates.
+    shuffle until the consumer aggregates.  Empty tokens from
+    consecutive spaces are dropped (matching the SQL oracle's
+    list_filter and duplicate_span_coverage) so a page and its
+    whitespace-renormalized copy produce identical shingles.
     """
     # guard: Spark's sequence(1, 0) counts DOWN — short docs must map
     # to an empty gram array, not a descending index range
+    words = "filter(split(text, ' '), w -> w != '')"
     grams = F.expr(
-        f"CASE WHEN size(split(text, ' ')) < {n} THEN array()"
-        f" ELSE transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
-        f" i -> array_join(slice(split(text, ' '), i, {n}), ' ')) END"
+        f"CASE WHEN size({words}) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size({words}) - {n - 1}),"
+        f" i -> array_join(slice({words}, i, {n}), ' ')) END"
     )
     return (
         docs.select("doc_id", F.explode(grams).alias("shingle"))
@@ -199,7 +203,11 @@ def curate(docs: DataFrame, *, jaccard_threshold: float = 0.3,
     drop_near = verified.select(F.col("b").alias("doc_id")).distinct()
     stage2 = stage1.join(drop_near, "doc_id", "left_anti")
 
-    # 3. quality floor: at least min_words whitespace words
+    # 3. quality floor: at least min_words SPACE-separated words (the
+    # repo-wide word convention shared with every oracle's _SQL_W;
+    # note '\n'-joined words count as one under it — acceptable for a
+    # floor filter, and changing it would have to move ~10 oracles in
+    # lockstep)
     n_words = F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0))
     return stage2.filter(n_words >= min_words).select("doc_id", "text")
 

@@ -30,7 +30,9 @@ from pyspark.sql import functions as F
 
 # href + anchor text of well-formed <a> tags.  Group 1 = href target,
 # group 2 = anchor text (minimal-match, single-line anchors).
-_A_TAG = r'<a\s+[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+# (?i): '<A HREF=...>' is valid HTML and common in older crawl pages —
+# a case-sensitive scan silently drops every edge of all-caps markup
+_A_TAG = r'(?i)<a\s+[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
 
 # scheme://host[:port] prefix of an absolute url
 _ABS_URL = r"^(https?)://([^/:?#]+)(?::(\d+))?"
@@ -55,10 +57,17 @@ def extract_outlinks(pages: DataFrame,
     html_str = F.decode(F.col(html_col), "UTF-8")
     hrefs = F.regexp_extract_all(html_str, F.lit(_A_TAG), 1)
     anchors = F.regexp_extract_all(html_str, F.lit(_A_TAG), 2)
+    # origin = scheme://host[:port] — dropping the port would resolve
+    # root-relative hrefs on 'http://h:8080/...' pages to the wrong
+    # origin (and inconsistently with path-relative ones, which keep
+    # the port via the raw-url-derived directory)
+    src_port = F.regexp_extract(F.col(url_col), _ABS_URL, 3)
     src_base = F.concat(
         F.regexp_extract(F.col(url_col), _ABS_URL, 1),
         F.lit("://"),
         F.regexp_extract(F.col(url_col), _ABS_URL, 2),
+        F.when(src_port != "", F.concat(F.lit(":"), src_port))
+        .otherwise(F.lit("")),
     )
     # directory of the source url: strip query/fragment, then the last
     # path segment (trailing slash kept); a path-less url's directory
@@ -101,6 +110,13 @@ def extract_outlinks(pages: DataFrame,
                            F.lit(":"), F.col("_href")))
             .when(F.col("_href").startswith("/"),
                   F.concat(F.col("_base"), F.col("_href")))
+            # query-only hrefs ('?page=2', ubiquitous pagination)
+            # resolve against the full RESOURCE path, not its
+            # directory (RFC 3986: same path, new query)
+            .when(F.col("_href").startswith("?"),
+                  F.concat(F.regexp_replace(F.col("src_url"),
+                                            r"[?#].*$", ""),
+                           F.col("_href")))
             .otherwise(F.concat(F.col("_dir"), F.col("_href")))
             .alias("dst_url"),
             "anchor",
@@ -341,7 +357,6 @@ def hits(
 
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = nodes.select("node", F.lit(0.0).alias("auth"))
-    cached: list[DataFrame] = []
     for it in range(n_iters):
         a_contrib = (
             by_dst.join(hub.withColumnRenamed("node", "src"), "src")
@@ -360,9 +375,6 @@ def hits(
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iters:
             auth = auth.localCheckpoint(eager=True)
             hub = hub.localCheckpoint(eager=True)
-            for c in cached:
-                c.unpersist()
-            cached = []
 
     scores = (auth.join(hub, "node")
               .localCheckpoint(eager=True))  # truncate before the scalar aggs
@@ -375,8 +387,6 @@ def hits(
          else F.lit(0.0)).alias("auth"),
         (F.col("hub") / F.lit(max_h) if max_h > 0
          else F.lit(0.0)).alias("hub"))
-    for c in cached:
-        c.unpersist()
     nodes.unpersist()
     by_dst.unpersist()
     by_src.unpersist()

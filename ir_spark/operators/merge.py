@@ -94,11 +94,22 @@ def merge_indexes(spark: SparkSession, src_dirs: list[str],
     t0 = time.time()
 
     lineages = []
+    kept: list[str] = []
     for d in src_dirs:
         m = storage.read_manifests(d)
         if "stats" not in m:
             raise ValueError(f"{d}: not a completed index (no stats manifest)")
+        # an empty source (a shard that ingested 0 pages is still a
+        # completed index) has nothing to contribute — and its table
+        # dirs may hold no schema-bearing files, so reading them would
+        # crash with UNABLE_TO_INFER_SCHEMA.  Skip it.
+        if int(m["stats"]["metrics"].get("n_docs", 0) or 0) == 0:
+            continue
+        kept.append(d)
         lineages.append(m["stats"]["lineage"])
+    if not kept:
+        raise ValueError("every source index is empty")
+    src_dirs = kept
     base = lineages[0]
     for key in ("n_buckets", "range_width", "stem"):
         vals = {ln.get(key) for ln in lineages}
@@ -116,9 +127,14 @@ def merge_indexes(spark: SparkSession, src_dirs: list[str],
     off = 0
     for p in paths:
         offsets.append(off)
-        max_id = int(spark.read.parquet(p["docinfo"])
-                     .agg(F.max("doc_id")).collect()[0][0])
-        off += (max_id // range_width + 1) * range_width
+        raw_max = spark.read.parquet(p["docinfo"]) \
+            .agg(F.max("doc_id")).collect()[0][0]
+        # an empty source (a shard that ingested 0 pages is still a
+        # completed index) aggregates max() to NULL — contribute no
+        # id range rather than crash on int(None)
+        if raw_max is None:
+            continue
+        off += (int(raw_max) // range_width + 1) * range_width
 
     lineage = {
         "source": "merge:" + ";".join(src_dirs),
@@ -191,26 +207,16 @@ def merge_indexes(spark: SparkSession, src_dirs: list[str],
         "bytes": storage.tree_bytes(out["segments"]),
     })
 
-    # norms: global stats changed -> recompute from merged flat postings
+    # global stats changed -> commit them, then recompute norms via
+    # the ONE canonical implementation (refresh_norms reads the stats
+    # manifest, handles the n_docs<=1 degenerate case and the
+    # segment-only fallback — this used to be a third hand-maintained
+    # copy of the dictionary-join + sqrt-sum-of-squares pipeline)
     docinfo = spark.read.parquet(out["docinfo"])
     stats = docinfo.agg(F.count("*").alias("n"),
                         F.avg("doc_len").alias("avg")).collect()[0]
-    n_docs, avg_dl = int(stats["n"]), float(stats["avg"])
-    from .query import doc_weight_expr
-
-    flat = spark.read.parquet(out["postings"])
-    dict_df = spark.read.parquet(out["dictionary"])
-    joined = flat.join(dict_df.select("term", "df"), "term")
-    w1 = doc_weight_expr("w1", n_docs, avg_dl)
-    w2 = doc_weight_expr("w2", n_docs, avg_dl)
-    norms = joined.groupBy("doc_id").agg(
-        F.sqrt(F.sum(w1 * w1)).alias("norm_w1"),
-        F.sqrt(F.sum(w2 * w2)).alias("norm_w2"),
-    )
-    storage.atomic_write_parquet(norms, out["norms"])
-    storage.commit_stage(out_dir, "norms", lineage,
-                         {"n_docs": n_docs, "avg_doc_len": avg_dl,
-                          "bytes": storage.tree_bytes(out["norms"])})
+    n_docs = int(stats["n"])
+    avg_dl = float(stats["avg"]) if stats["avg"] is not None else 0.0
 
     metrics = {
         "n_sources": len(src_dirs),
@@ -224,4 +230,11 @@ def merge_indexes(spark: SparkSession, src_dirs: list[str],
         "wall_sec": time.time() - t0,
     }
     storage.commit_stage(out_dir, "stats", lineage, metrics)
+
+    from ..streaming.incremental import refresh_norms
+
+    refresh_norms(spark, out_dir)
+    storage.commit_stage(out_dir, "norms", lineage,
+                         {"n_docs": n_docs, "avg_doc_len": avg_dl,
+                          "bytes": storage.tree_bytes(out["norms"])})
     return metrics

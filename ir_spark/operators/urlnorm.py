@@ -27,7 +27,10 @@ _HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
 _PORT = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\d+)"
 # path incl. leading '/', excluding query and fragment
 _PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
-_QUERY = r"\?([^#]*)"
+# anchored pre-fragment scan: [^#] can't cross a '#', so a '?' INSIDE
+# the fragment ('...#sec?b=1', hash-bang SPA routes) never reads as a
+# query string — unanchored \?([^#]*) did exactly that
+_QUERY = r"^[^#]*?\?([^#]*)"
 
 
 def canonicalize_url(col) -> F.Column:

@@ -1201,3 +1201,18 @@ class TestHostBoilerplate:
         for i in range(4):
             want = hashlib.md5(f"body {i}".encode()).hexdigest()
             assert out[i] == want
+
+
+def test_word_shingles_whitespace_renormalization(spark):
+    """A page and its double-spaced copy must produce IDENTICAL
+    shingles (empty split tokens dropped, matching the SQL oracle) —
+    otherwise near-dup Jaccard between them is deflated."""
+    from ir_spark.operators.dedup import word_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha  beta gamma  delta")],
+        "doc_id long, text string")
+    sh = {d: set() for d in (1, 2)}
+    for r in word_shingles(docs, n=3).collect():
+        sh[r["doc_id"]].add(r["shingle"])
+    assert sh[1] == sh[2] == {"alpha beta gamma", "beta gamma delta"}

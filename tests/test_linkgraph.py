@@ -164,6 +164,10 @@ def test_pagerank_unweighted_flag(spark):
     ("https://x.example/a//", "https://x.example/a"),
     ("https://x.example/?z=1&a=2", "https://x.example/?a=2&z=1"),
     ("https://x.example", "https://x.example/"),
+    # a '?' INSIDE the fragment is not a query string — hash-bang SPA
+    # routes must canonicalize to the fragment-free page
+    ("http://a.example/p#sec?b=1", "http://a.example/p"),
+    ("http://h.example/#!/route?tab=1", "http://h.example/"),
 ])
 def test_canonicalize_url(spark, raw, canon):
     df = spark.createDataFrame([(raw,)], "url string")
@@ -373,3 +377,24 @@ def test_trustrank_no_live_seed_raises(spark):
     sdf = spark.createDataFrame([("nope",)], "node string")
     with pytest.raises(ValueError):
         trustrank(df, sdf, n_iters=2)
+
+
+def test_extract_outlinks_port_case_and_query_hrefs(spark):
+    """Non-default ports survive root-relative resolution, uppercase
+    <A HREF> anchors still extract, and query-only hrefs resolve
+    against the full resource path (RFC 3986)."""
+    pages = spark.createDataFrame([
+        ("http://h.example:8080/a/index.html",
+         bytearray(b'<a href="/about">About</a>'
+                   b'<A HREF="http://x.example/">Caps</A>')),
+        ("https://h.example/dir/list.html",
+         bytearray(b'<a href="?page=2">Next</a>')),
+    ], "url string, html binary")
+    got = {(r.src_url, r.dst_url) for r in extract_outlinks(pages).collect()}
+    assert got == {
+        ("http://h.example:8080/a/index.html",
+         "http://h.example:8080/about"),
+        ("http://h.example:8080/a/index.html", "http://x.example/"),
+        ("https://h.example/dir/list.html",
+         "https://h.example/dir/list.html?page=2"),
+    }

@@ -147,3 +147,35 @@ def test_merge_streamed_with_batch_index(spark, pages_small,
     for q in QUERIES:
         assert (_results_by_url(spark, dirs["m"], q, "bm25")
                 == _results_by_url(spark, dirs["full"], q, "bm25"))
+
+
+def test_merge_tolerates_empty_source(spark, tmp_path):
+    """A source index with zero documents (e.g. every doc deleted and
+    compacted away) is skipped — previously the offset pass crashed on
+    int(None) / UNABLE_TO_INFER_SCHEMA reading its empty tables."""
+    import os
+
+    import pytest
+
+    from ir_spark.fixtures import generate_pages
+    from ir_spark.operators.merge import merge_indexes
+    from ir_spark.operators.segments import build_segment_index
+    from ir_spark.sources import storage
+
+    full = str(tmp_path / "full")
+    empty = str(tmp_path / "empty")
+    outd = str(tmp_path / "merged")
+    pages = spark.createDataFrame(
+        [(p.url, p.text) for p in generate_pages(30, seed=3)],
+        "url string, text string")
+    build_segment_index(spark, pages, full, source="t")
+    # a completed-but-empty index: stats manifest with n_docs=0 and
+    # matching layout lineage, no table files
+    base_lineage = storage.read_manifests(full)["stats"]["lineage"]
+    os.makedirs(empty)
+    storage.commit_stage(empty, "stats", dict(base_lineage),
+                         {"n_docs": 0, "avg_doc_len": 0.0})
+    m = merge_indexes(spark, [full, empty], outd)
+    assert m["n_docs"] == 30
+    with pytest.raises(ValueError, match="every source index is empty"):
+        merge_indexes(spark, [empty, empty], str(tmp_path / "m2"))
