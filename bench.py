@@ -144,7 +144,11 @@ def main() -> None:
 
         def _sz(a):
             a = np.asarray(a, dtype=np.int64)
-            g = np.diff(a, prepend=a[0] - 1) if len(a) else a
+            # first value = doc_id + 1, the SAME stream the analytic
+            # gamma/delta accounting measures (line 'first doc id + 1,
+            # then gaps') — a first-gap-of-1 stream understated s9
+            # bytes vs every other codec
+            g = np.diff(a, prepend=-1) if len(a) else a
             return max(0, len(simple9_encode(g)) - 4)
 
         return ids.map(_sz)
@@ -159,7 +163,8 @@ def main() -> None:
 
         def _sz(a):
             a = np.asarray(a, dtype=np.int64)
-            g = np.diff(a, prepend=a[0] - 1) if len(a) else a
+            g = np.diff(a, prepend=-1) if len(a) else a  # id+1 first,
+            #                       matching the gamma/delta stream
             return max(0, len(pfor_encode(g)) - 4)
 
         return ids.map(_sz)

@@ -263,10 +263,22 @@ def _norm_sql(name: str, cols: list[str], sql: str) -> str:
 def combine(qreg: dict[str, Callable],
             sqlreg: dict[str, str]) -> tuple[dict, dict]:
     """Replace every COMBO_SPECS component in (queries, oracle_sql) with
-    its combo entry.  Components missing from the registries are a hard
-    error — the specs and the gate modules must move in lockstep."""
+    its combo entry.  A combo whose components are ALL missing from the
+    registries is skipped wholesale — component_registries() degrades
+    by dropping whole modules on ImportError, and a bare del/KeyError
+    here would turn that graceful degradation into a total registry
+    failure.  A PARTIALLY-present combo is still a hard error: specs
+    and gate modules must move in lockstep."""
     q2, s2 = dict(qreg), dict(sqlreg)
     for combo, spec in COMBO_SPECS.items():
+        present = [c for c in spec if c in qreg]
+        if not present:
+            continue  # whole module absent (graceful degradation)
+        if len(present) != len(spec):
+            missing = sorted(set(spec) - set(present))
+            raise KeyError(
+                f"combo {combo!r}: components missing from the "
+                f"registry: {missing}")
         for c in spec:
             del q2[c]
             del s2[c]

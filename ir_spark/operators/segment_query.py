@@ -874,6 +874,13 @@ def search_segments_batch(spark: SparkSession, sidx: SegmentIndex,
             f"search_segments_batch supports bm25/w1/w2, not {mode!r}; "
             "run the single-query path per query for the LM/variant "
             "families")
+    if sidx.as_of_grp is not None and mode in ("w1", "w2"):
+        # same contract as search_segments: the norms table is
+        # current-view, so snapshot-era cosine scores would silently
+        # normalize against post-snapshot corpus statistics
+        raise ValueError(
+            "cosine modes need the CURRENT norms table; an as-of "
+            "snapshot view supports bm25/qld only")
     bags = {qid: parse_query(q, stem=stem) for qid, q in enumerate(queries)}
     terms = sorted({t for bag in bags.values() for t in bag})
     if not terms:

@@ -619,7 +619,10 @@ def verify_index(spark: SparkSession, index_dir: str) -> dict:
     checked: dict = {}
 
     seg = spark.read.parquet(paths["segments"])
-    dec = decode_segments(seg)
+    # the O(index) distributed decode feeds TWO consumers (checksum
+    # aggregate + dictionary recompute) — persist or fsck pays the
+    # dominant cost twice
+    dec = decode_segments(seg).persist()
     dec_agg = dec.agg(
         F.count("*").alias("rows"),
         F.sum(F.crc32(F.concat_ws("|", "term", "doc_id", "tf"))).alias("crc"),
@@ -649,6 +652,7 @@ def verify_index(spark: SparkSession, index_dir: str) -> dict:
                     | (F.coalesce(dict_sum["cf"], F.lit(-1))
                        != F.coalesce(dict_re["cf"], F.lit(-2)))).count())
     checked["dictionary_terms"] = int(dict_sum.count())
+    dec.unpersist()
     if diff:
         errors.append(f"dictionary drift on {diff} term(s) vs decode")
 
@@ -717,6 +721,9 @@ def select_tiered_merges(group_bytes: dict[int, int], *,
     empty).  A returned list always has >= 2 members."""
     if segs_per_tier < 2 or max_merge_at_once < 2:
         raise ValueError("segs_per_tier and max_merge_at_once must be >= 2")
+    if floor_bytes <= 0:
+        # floor 0 would make the tier loop below non-terminating
+        raise ValueError("floor_bytes must be > 0")
     tiers: dict[int, list[tuple[int, int]]] = {}
     for grp, nbytes in group_bytes.items():
         t = 0

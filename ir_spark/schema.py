@@ -54,18 +54,34 @@ DICTIONARY = T.StructType(
     ]
 )
 
-# compressed index segment rows (SURVEY §1.3 Spark mapping):
-# one row per term; postings delta-encoded + varbyte-compressed;
-# per-block skip metadata for block-max WAND
+# compressed index segment rows (SURVEY §1.3 Spark mapping): one row
+# per (term, run) with four varbyte streams (postings + denormalized
+# doc stats), block metadata and the (tf, doc_len) Pareto skylines for
+# block-max WAND.  Kept in sync with the writer's Arrow schema
+# (segments.py::_ENCODED + the term/run/run_df/run_cf/bucket columns
+# added around the kernel) — the writer schema is authoritative.
 SEGMENTS = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
+        T.StructField("run", T.LongType(), False),
         T.StructField("bucket", T.IntegerType(), False),
-        T.StructField("df", T.LongType(), False),
-        T.StructField("cf", T.LongType(), False),
+        # directory partition columns (bucket=N/ under grp=G/): grp is
+        # the append-batch segment group (snapshots/tiered merges key
+        # on it); partition discovery infers both as int
+        T.StructField("grp", T.IntegerType(), False),
+        T.StructField("run_df", T.LongType(), False),
+        T.StructField("run_cf", T.LongType(), False),
+        T.StructField("first_doc_id", T.LongType(), False),
+        T.StructField("last_doc_id", T.LongType(), False),
         T.StructField("doc_gaps_vb", T.BinaryType(), False),
         T.StructField("tfs_vb", T.BinaryType(), False),
+        T.StructField("doc_lens_vb", T.BinaryType(), False),
+        T.StructField("max_tfs_vb", T.BinaryType(), False),
         T.StructField("block_last_doc_id", T.ArrayType(T.LongType()), False),
         T.StructField("block_max_tf", T.ArrayType(T.IntegerType()), False),
+        T.StructField("block_min_doc_len", T.ArrayType(T.LongType()), False),
+        T.StructField("block_sky_idx", T.ArrayType(T.IntegerType()), False),
+        T.StructField("block_sky_tf", T.ArrayType(T.IntegerType()), False),
+        T.StructField("block_sky_dl", T.ArrayType(T.LongType()), False),
     ]
 )

@@ -111,10 +111,27 @@ def main(argv: list[str] | None = None) -> int:
                               "tombstones": tomb}))
         return 0
 
-    from ir_spark.session import get_spark
+    # session discipline shared with build_index/query_index: only an
+    # explicit --local-cpus pins a local master; under spark-submit the
+    # ambient conf (--master yarn etc.) must win, or the O(index)
+    # compact/verify/maintain work silently runs on the driver box
+    local_cpus = getattr(args, "local_cpus", None)
+    if local_cpus is not None:
+        from ir_spark.session import get_spark
 
-    spark = get_spark("ir_spark_admin_index",
-                      cpus=getattr(args, "local_cpus", None) or 8)
+        spark = get_spark("ir_spark_admin_index", cpus=local_cpus)
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("ir_spark_admin_index")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .getOrCreate())
+        spark.sparkContext.setLogLevel("WARN")
 
     if args.cmd == "delete":
         from ir_spark.operators.deletes import delete_docs

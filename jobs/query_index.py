@@ -125,6 +125,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.batch and args.mode not in ("bm25", "w1", "w2"):
         ap.error("--batch supports bm25/w1/w2 (other modes score "
                  "per query)")
+    if args.batch and (args.phrase or args.span_near):
+        ap.error("--batch is exclusive with --phrase/--span-near "
+                 "(the fused scan has no positional path)")
+    if args.batch and args.as_of_grp is not None \
+            and args.mode in ("w1", "w2"):
+        ap.error("--batch cosine modes are unavailable on --as-of-grp "
+                 "views (the norms table is current-view only)")
+    if args.render_vectors and args.mode not in ("bm25", "w1", "w2"):
+        ap.error("--render-vectors supports bm25/w1/w2 (the render "
+                 "path threads no LM/variant parameters)")
     if (args.mode == "sdm" or args.phrase or args.span_near) \
             and not args.positions_dir:
         ap.error("--mode sdm / --phrase / --span-near need --positions-dir")
@@ -281,7 +291,11 @@ def main(argv: list[str] | None = None) -> int:
             index_paths(args.index_dir)["doc_map"])
         lines = []
         for qid, q in enumerate(queries, start=1):
-            qrows = [(r[3], r[4]) for r in all_rows if r[0] == qid]
+            # span-near scores are minimal window widths (lower is
+            # better); TREC evaluators re-sort by score DESC, so emit
+            # the negated span to keep the intended order
+            qrows = [(r[3], -r[4] if args.span_near else r[4])
+                     for r in all_rows if r[0] == qid]
             qdf = spark.createDataFrame(qrows, "doc_id long, score double")
             lines.extend(render_trec_run(qdf, query_id=str(qid),
                                          run_tag=args.run_tag,

@@ -392,3 +392,22 @@ def test_pivoted_default_slope_parity(spark, sidx, pages_small):
            for r in SQ.search_segments(spark, sidx, q, k=5,
                                        mode="pivoted").collect()]
     assert got == want
+
+
+def test_schema_segments_matches_writer(spark, tmp_path):
+    """schema.SEGMENTS documents the REAL on-disk segment row shape —
+    keep it welded to what encode_segments actually writes."""
+    from ir_spark import schema as S
+    from ir_spark.fixtures import generate_pages
+    from ir_spark.operators.segments import build_segment_index
+
+    d = str(tmp_path / "schema_idx")
+    pages = spark.createDataFrame(
+        [(p.url, p.text) for p in generate_pages(20, seed=11)],
+        "url string, text string")
+    build_segment_index(spark, pages, d, source="t")
+    import os as _os
+    written = spark.read.parquet(_os.path.join(d, "segments"))
+    assert sorted(f.name for f in S.SEGMENTS.fields) == \
+        sorted(written.columns), (
+        "schema.SEGMENTS drifted from the writer's real columns")
