@@ -34,6 +34,14 @@ def _run(cmd: list[str], cwd: str) -> str:
     proc = subprocess.run(
         cmd, cwd=cwd, env=env, capture_output=True, text=True, timeout=600
     )
+    if proc.returncode != 0:
+        # spawning a fresh multi-GB JVM under a long-lived test
+        # session occasionally fails on host memory pressure; one
+        # retry distinguishes that infra flake from a real failure
+        # (a deterministic bug fails twice identically)
+        proc = subprocess.run(
+            cmd, cwd=cwd, env=env, capture_output=True, text=True,
+            timeout=600)
     assert proc.returncode == 0, f"{cmd}\n--- stdout\n{proc.stdout}\n--- stderr\n{proc.stderr[-4000:]}"
     return proc.stdout
 
