@@ -271,14 +271,19 @@ def combine(qreg: dict[str, Callable],
     and gate modules must move in lockstep."""
     q2, s2 = dict(qreg), dict(sqlreg)
     for combo, spec in COMBO_SPECS.items():
-        present = [c for c in spec if c in qreg]
-        if not present:
+        # presence requires BOTH registries: a component in qreg but
+        # not sqlreg (or vice versa) must hit the descriptive lockstep
+        # error below, not a bare KeyError from the del
+        present = [c for c in spec if c in qreg and c in sqlreg]
+        if not present and not any(c in qreg or c in sqlreg for c in spec):
             continue  # whole module absent (graceful degradation)
         if len(present) != len(spec):
-            missing = sorted(set(spec) - set(present))
+            missing = sorted(c for c in spec
+                             if c not in qreg or c not in sqlreg)
             raise KeyError(
-                f"combo {combo!r}: components missing from the "
-                f"registry: {missing}")
+                f"combo {combo!r}: components missing from the queries "
+                f"and/or oracle-SQL registry (specs and gate modules "
+                f"must move in lockstep): {missing}")
         for c in spec:
             del q2[c]
             del s2[c]

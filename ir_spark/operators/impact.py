@@ -80,9 +80,11 @@ def build_impact_index(index: DataFrameIndex, levels: int = 64,
     The per-posting scoring join is the dominant build cost, and THREE
     consumers need it (the max_micro scalar, the quantization pass,
     the hist sidecar) — so it is persisted for the build.  Pass
-    ``caches`` (a list) to receive the cached frame and release it
-    once the returned impacts/hist are materialized; without it the
-    cache lives for the session (same contract as ``dedup.curate``)."""
+    ``caches`` (a list) to take ownership of the cached frame and
+    release it yourself once the returned impacts/hist are
+    materialized; without it the impacts are eagerly materialized
+    (localCheckpoint) and the scored cache is released before
+    returning, so nothing leaks for the session."""
     w = doc_weight_expr(mode, index.n_docs, index.avg_doc_len, k1, b)
     scored = (index.postings
               .join(index.dictionary.select("term", "df"), "term")
@@ -94,21 +96,31 @@ def build_impact_index(index: DataFrameIndex, levels: int = 64,
         caches.append(scored)
     max_micro = scored.agg(F.max("m")).collect()[0][0]
     if not max_micro or max_micro <= 0:  # empty index
-        return ImpactIndex(
-            scored.select("term", "doc_id",
-                          F.lit(1).cast("long").alias("impact")),
-            levels, 0)
+        empty = scored.select("term", "doc_id",
+                              F.lit(1).cast("long").alias("impact"))
+        if caches is None:
+            empty = empty.localCheckpoint(eager=True)
+            scored.unpersist()
+        return ImpactIndex(empty, levels, 0)
     # pure INTEGER arithmetic end-to-end (`div`, not float division):
     # DuckDB's `//` reproduces it bit-for-bit in the gate oracle
     impacts = scored.select(
         "term", "doc_id",
         F.expr(f"1 + (m * {levels - 1}) div {int(max_micro)}")
         .cast("long").alias("impact"))
+    if caches is None:
+        # no cache hand-off from the caller: materialize the quantized
+        # impacts once (localCheckpoint cuts lineage back through the
+        # scoring join) so the per-posting scored cache can be released
+        # HERE instead of leaking for the session
+        impacts = impacts.localCheckpoint(eager=True)
     # per-(term, impact) counts — one extra build-time agg on the key
     # the quantization pass already grouped by; at scale this sidecar
     # is stored next to the dictionary and term-pruned per query
     hist = (impacts.groupBy("term", "impact")
             .agg(F.count(F.lit(1)).alias("nd")))
+    if caches is None:
+        scored.unpersist()
     return ImpactIndex(impacts, levels, int(max_micro), hist)
 
 

@@ -566,11 +566,20 @@ def update_positional_store(spark: SparkSession, pages_with_ids: DataFrame,
         )
         row = rel.agg(F.countDistinct("term").alias("nt"),
                       F.min("doc_id").alias("lo"),
-                      F.max("doc_id").alias("hi")).collect()[0]
+                      F.max("doc_id").alias("hi"),
+                      F.expr("bit_xor(xxhash64(doc_id, term))")
+                      .alias("h")).collect()[0]
         n_terms = int(row["nt"] or 0)
         if n_terms == 0:
             return {"n_terms": 0, "batch_id": batch_id or ""}
-        bid = batch_id or f"b{int(row['lo'])}-{int(row['hi'])}"
+        # default bid = span + order-independent content hash (bit_xor
+        # of per-row xxhash64): a fixed-input retry reproduces it
+        # exactly (idempotent crash repair), but a DIFFERENT batch that
+        # happens to reuse an overlapping doc-id span gets a different
+        # bid, so the clear-crashed-attempt pass below can never
+        # silently delete an earlier batch's published files
+        bid = batch_id or (f"b{int(row['lo'])}-{int(row['hi'])}"
+                           f"-{int(row['h']) & 0xffffffff:08x}")
         store_root = os.path.join(store_dir, "store")
         stage = os.path.join(store_dir, f".append-{bid}.tmp")
         if os.path.exists(stage):

@@ -123,6 +123,14 @@ def atomic_write_parquet(df: DataFrame, dest: str, partition_by: list[str] | Non
     through the ``set_alias`` pointer below, which flips one file
     atomically."""
     tmp = dest + ".tmp"
+    old = dest + ".old"
+    # crash recovery: a previous call that died between
+    # os.replace(dest, old) and os.replace(tmp, dest) leaves ``dest``
+    # absent with the only committed copy stranded in ``.old`` —
+    # restore it before anything else, or the rmtree below would
+    # delete the sole surviving copy instead of a stale one
+    if not os.path.exists(dest) and os.path.exists(old):
+        os.replace(old, dest)
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     if sort_within:
@@ -131,7 +139,6 @@ def atomic_write_parquet(df: DataFrame, dest: str, partition_by: list[str] | Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    old = dest + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
     had_old = os.path.exists(dest)

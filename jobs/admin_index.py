@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -40,20 +41,20 @@ def main(argv: list[str] | None = None) -> int:
     p_del.add_argument("--index-dir", required=True)
     p_del.add_argument("--urls", required=True,
                        help="text file, one url per line")
-    p_del.add_argument("--local-cpus", type=int, default=None)
+    p_del.add_argument("--local-cpus", type=int, default=None, help="pin a local[N] master; omitted: uses the ambient spark-submit conf, or local[8] when none is set")
 
     p_cmp = sub.add_parser("compact", help="merge groups / apply deletes")
     p_cmp.add_argument("--index-dir", required=True)
     p_cmp.add_argument("--keep-deletes", action="store_true",
                        help="consolidate groups but leave tombstones live")
-    p_cmp.add_argument("--local-cpus", type=int, default=None)
+    p_cmp.add_argument("--local-cpus", type=int, default=None, help="pin a local[N] master; omitted: uses the ambient spark-submit conf, or local[8] when none is set")
 
     p_mnt = sub.add_parser("maintain", help="one tiered-merge pass")
     p_mnt.add_argument("--index-dir", required=True)
     p_mnt.add_argument("--segs-per-tier", type=int, default=4)
     p_mnt.add_argument("--max-merge-at-once", type=int, default=8)
     p_mnt.add_argument("--floor-kb", type=int, default=64)
-    p_mnt.add_argument("--local-cpus", type=int, default=None)
+    p_mnt.add_argument("--local-cpus", type=int, default=None, help="pin a local[N] master; omitted: uses the ambient spark-submit conf, or local[8] when none is set")
 
     p_snap = sub.add_parser("snapshots", help="list time-travel snapshots")
     p_snap.add_argument("--index-dir", required=True)
@@ -73,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
 
     p_ver = sub.add_parser("verify", help="integrity check (fsck)")
     p_ver.add_argument("--index-dir", required=True)
-    p_ver.add_argument("--local-cpus", type=int, default=None)
+    p_ver.add_argument("--local-cpus", type=int, default=None, help="pin a local[N] master; omitted: uses the ambient spark-submit conf, or local[8] when none is set")
 
     args = ap.parse_args(argv)
 
@@ -116,6 +117,18 @@ def main(argv: list[str] | None = None) -> int:
     # ambient conf (--master yarn etc.) must win, or the O(index)
     # compact/verify/maintain work silently runs on the driver box
     local_cpus = getattr(args, "local_cpus", None)
+    if local_cpus is None and "PYSPARK_GATEWAY_PORT" not in os.environ \
+            and "MASTER" not in os.environ:
+        # plain `python jobs/admin_index.py` (no spark-submit, no
+        # ambient conf) has no master — getOrCreate would fail with a
+        # master-not-set error.  spark-submit launches the driver
+        # python against an already-running JVM gateway and exports
+        # PYSPARK_GATEWAY_PORT, so its absence is the reliable "bare
+        # invocation" signal (SparkConf() can't be probed here: the
+        # submit conf lives in JVM system properties the gateway
+        # hasn't exposed yet).  Fall back to local[8], matching the
+        # pre-r3 behavior for bare invocations.
+        local_cpus = 8
     if local_cpus is not None:
         from ir_spark.session import get_spark
 
