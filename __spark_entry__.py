@@ -37,7 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _PRIORITY: tuple[str, ...] = (
     # -- components never driver-checked in r2, now riding combos --------
     "positions_suite",     # incl. new r3 span_near_ordered / span_near_unordered
-    "scoring_suite",       # incl. late-r3 sharded_bm25_topk / clarity_scores / selective_prf_topk
+    "scoring_suite",       # retrieval models (r4: split, 12 components)
+    "retrieval_ops_suite",  # r4: serving/eval half of the old scoring_suite
     "events_suite",        # incl. events_json_props: FAILED r1, fixed, needs a green row
     "ann_suite",           # incl. never-checked ann_ivf_index_topk + hybrid_rrf_topk
     "corpus_suite",        # incl. never-checked decontaminate/repetition/stratified/mix + dsir

@@ -55,6 +55,12 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "span_near_unordered": ["doc_id", "min_span"],
         "bm25_phrase_boost_topk": ["doc_id", "score_micro"],
     },
+    # r3's 22-component scoring_suite is split in two (VERDICT r4 item
+    # 5): one flaky component no longer voids 21 others' evidence for a
+    # round, and each half benches independently.  scoring_suite keeps
+    # the retrieval-MODEL family (one weighting formula per component);
+    # retrieval_ops_suite carries the serving/eval machinery (shards,
+    # impact SAAT, QPP, interleaving, rank metrics).
     "scoring_suite": {
         "w1_topk": ["doc_id", "score_micro"],
         "w2_topk": ["doc_id", "score_micro"],
@@ -66,11 +72,14 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "bm25l_topk": ["doc_id", "score_micro"],
         "sdm_topk": ["doc_id", "score_micro"],
         "dismax_topk": ["doc_id", "score_micro"],
+        "rocchio_topk": ["doc_id", "score_micro"],
+        "bm25_topk_upsert": ["doc_id", "score_micro"],
+    },
+    "retrieval_ops_suite": {
         "sharded_bm25_topk": ["doc_id", "score_micro"],
         "sharded_pruned_bm25_topk": ["doc_id", "score_micro"],
         "impact_bm25_topk": ["doc_id", "score_micro"],
         "impact_pruned_bm25_topk": ["doc_id", "score_micro"],
-        "rocchio_topk": ["doc_id", "score_micro"],
         "clarity_scores": ["clarity_micro", "n_model_terms", "query_id"],
         "qpp_wig_nqc": ["corpus_micro", "k_used", "n_terms", "nqc_nano",
                         "query_id", "wig_micro"],
@@ -78,7 +87,6 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "tdi_credit": ["clicks_a", "clicks_b", "query_id", "winner"],
         "rank_rbo": ["overlap_at_k", "query_id", "rbo_micro"],
         "cori_shards": ["belief_nano", "cw", "n_terms", "shard_id"],
-        "bm25_topk_upsert": ["doc_id", "score_micro"],
     },
     "lexicon_suite": {
         "synonym_bm25_topk": ["doc_id", "score_micro"],
