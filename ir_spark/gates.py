@@ -844,18 +844,28 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded, derivable identically in SQL)."""
     from .operators.evalir import ranking_metrics
 
+    # Both inputs are tiny (k rows/query; qrels ~ judged pairs) but
+    # their SUBTREES are not: the run re-executes the whole batched
+    # segment search and qrels re-scans postings, and ranking_metrics
+    # references qrels twice (hits + ideal DCG).  Materialize each
+    # once (localCheckpoint) so the metric plan is joins over k-row
+    # inputs — this was the r3 bench regression on this gate (the
+    # batch-search subtree re-ran inside the metrics action).
     run = q_bm25_batch_topk(spark, sf_dir).select(
-        "query_id", "rank", "doc_id")
+        "query_id", "rank", "doc_id").localCheckpoint(eager=True)
     idx = _df_index(spark, sf_dir)
     qd = [(qid, t) for qid, q in enumerate(BATCH_QUERIES)
           for t in sorted(set(tokenize(q)) - STOPWORDS)]
     qterms = spark.createDataFrame(qd, "query_id long, term string")
+    # postings is unique on (term, doc_id) and qterms on (query_id,
+    # term), so count(*) IS countDistinct(term) — a map-side-combined
+    # sum instead of a two-phase hash distinct
     qrels = (
         idx.postings.join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
-        .agg(F.least(F.lit(3), F.countDistinct("term")).cast("int")
+        .agg(F.least(F.lit(3), F.count(F.lit(1))).cast("int")
              .alias("rel"))
-    )
+    ).localCheckpoint(eager=True)
     m = ranking_metrics(run, qrels, k=K_BATCH)
     return m.select(
         "query_id", "n_rel",
