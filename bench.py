@@ -347,14 +347,67 @@ def main() -> None:
         extras["ann_ivf_n_cells"] = n_cells
         shutil.rmtree(ivf_dir, ignore_errors=True)
 
+        # multi-assignment IVF (replicas=5): the recall-at-fixed-probe
+        # knob.  These embeddings are uniform random (no cluster
+        # structure — measured: mean pairwise cosine ~0), the
+        # hardest case for IVF, so high recall at n_probe=4 costs a
+        # high rows-read fraction; the fraction is reported alongside
+        # so the trade is explicit.  On clusterable real embeddings
+        # the same machinery prunes far harder.
+        ivf_replicas = 5
+        mdir = tempfile.mkdtemp(prefix="ir_spark_bench_ivfm_")
+        t0 = time.time()
+        build_ivf_index(emb, mdir, n_cells=n_cells, max_iter=5, seed=42,
+                        replicas=ivf_replicas)
+        queries["ivf_multi_index_build"] = round(time.time() - t0, 4)
+        store = spark.read.parquet(os.path.join(mdir, "vectors"))
+        n_vec = emb.count()
+        mrecall: dict[str, float] = {}
+        frac = 0.0
+        for n_probe in (2, 4):
+            tot = 0.0
+            for qv in qvs:
+                truth = {r.vec_id
+                         for r in cosine_topk(emb, qv, k=10).collect()}
+                got = {r.vec_id for r in ivf_index_topk(
+                    spark, mdir, qv, k=10, n_probe=n_probe).collect()}
+                tot += len(truth & got) / 10.0
+            mrecall[f"n_probe={n_probe}"] = round(tot / len(qvs), 4)
+            if n_probe == 4:
+                # distinct vectors reachable by a 4-cell probe = rows
+                # the exact scorer reads (post-dedupe), as a fraction
+                import numpy as np
+
+                cents = (spark.read.parquet(
+                    os.path.join(mdir, "centroids")).orderBy("cell")
+                    .collect())
+                cmat = np.array([r["centroid"] for r in cents])
+                fr = 0.0
+                for qv in qvs:
+                    q = np.asarray(qv)
+                    probes = [int(cents[i]["cell"]) for i in
+                              np.argsort(((cmat - q) ** 2).sum(1))[:4]]
+                    fr += (store.filter(F.col("cell").isin(
+                        [int(p) for p in probes]))
+                        .select("vec_id").distinct().count() / n_vec)
+                frac = round(fr / len(qvs), 4)
+        extras["ann_ivf_multi"] = {
+            "replicas": ivf_replicas, "n_cells": n_cells,
+            "recall_at10": mrecall, "probe4_rows_read_frac": frac,
+            "storage_x": ivf_replicas}
+        shutil.rmtree(mdir, ignore_errors=True)
+
         # PQ: 32x-compressed codes, ADC top-10 recall vs exact cosine
         from ir_spark.operators.similarity import (pq_encode,
                                                    pq_topk,
                                                    pq_train_kmeans)
 
+        from ir_spark.operators.similarity import pq_topk_refined
+
         wants = [{r.vec_id for r in cosine_topk(emb, qv, k=10).collect()}
                  for qv in qvs]
         pq_curve = {}
+        pq_refined_curve = {}
         for m, ksub in ((8, 16), (8, 64), (8, 256), (16, 256)):
             books = pq_train_kmeans(emb, m=m, ksub=ksub, sample=10_000,
                                     seed=7)
@@ -367,7 +420,21 @@ def main() -> None:
             pq_curve[f"m={m},ksub={ksub} ({m}B/vec, "
                      f"{round(m / (4 * 64) * 100, 1)}% of f32)"] = round(
                 tot / len(qvs), 4)
+            # two-phase refine (Faiss IndexRefineFlat shape): exact
+            # rerank reads ONLY k*overfetch full rows per query
+            for of in (3, 5):
+                tot = 0.0
+                for qv, want in zip(qvs, wants):
+                    got = {r["vec_id"] for r in pq_topk_refined(
+                        codes, books, emb, qv, k=10,
+                        overfetch=of).collect()}
+                    tot += len(got & want) / 10
+                pq_refined_curve[
+                    f"m={m},ksub={ksub},overfetch={of} "
+                    f"({m}B/vec, rerank reads {10 * of} rows)"] = round(
+                    tot / len(qvs), 4)
         extras["ann_pq_recall_at10"] = pq_curve
+        extras["ann_pq_refined_recall_at10"] = pq_refined_curve
     except Exception as exc:
         _err(f"ann recall phase failed: {exc}")
 
@@ -468,6 +535,16 @@ def main() -> None:
     ivf = extras.get("ann_ivf_recall_at10") or {}
     if ivf:
         slim_extras["ann_ivf_recall_at10_probe4"] = ivf.get("n_probe=4")
+    ivfm = extras.get("ann_ivf_multi") or {}
+    if ivfm:
+        slim_extras["ann_ivf_multi_recall_at10_probe4"] = (
+            (ivfm.get("recall_at10") or {}).get("n_probe=4"))
+        slim_extras["ann_ivf_multi_probe4_rows_read_frac"] = ivfm.get(
+            "probe4_rows_read_frac")
+    pqr = extras.get("ann_pq_refined_recall_at10") or {}
+    for key, val in pqr.items():
+        if key.startswith("m=16,ksub=256,overfetch=5"):
+            slim_extras["ann_pq_refined_recall_at10_16B"] = val
     lsh = extras.get("lsh_dedup_quality") or {}
     if lsh:
         slim_extras["lsh_dedup_recall"] = lsh.get("recall_of_injected")

@@ -1264,7 +1264,75 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_vec(raw.select("vec_id", "score"), ANN_K)
 
 
-def sql_ann_pq_topk() -> str:
+PQ_REFINE_OVERFETCH = 3
+
+
+def q_ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase PQ retrieval (similarity.py::pq_topk_refined, the
+    Faiss IndexRefineFlat shape): ADC over the 8-byte codes keeps the
+    top k*overfetch candidate ids, then ONLY those rows' full vectors
+    are read back (broadcast semi-join) and reranked by exact cosine.
+    Candidate selection is micro-quantized on BOTH engines so the
+    candidate boundary is engine-deterministic; the returned scores
+    are the exact cosine (not ADC), so this gate value-proves the
+    refine join + rerank, not just the candidate sweep."""
+    from .operators.similarity import (cosine_topk, pq_encode,
+                                       pq_sampled_codebook, pq_scores)
+
+    emb = _emb(spark, sf_dir)
+    books = pq_sampled_codebook(emb, m=PQ_M, ksub=PQ_KSUB)
+    codes = pq_encode(emb, books)
+    qv = _query_vec(spark, sf_dir)
+    cands = (
+        pq_scores(codes, books, qv)
+        .select("vec_id",
+                F.round(F.col("score") * 1e6).cast("long").alias("adc_micro"))
+        .orderBy(F.desc("adc_micro"), F.asc("vec_id"))
+        .limit(ANN_K * PQ_REFINE_OVERFETCH)
+        .select("vec_id"))
+    pruned = emb.join(F.broadcast(cands), "vec_id")
+    raw = cosine_topk(pruned, qv, k=ANN_K)
+    return _rerank_vec(raw.select("vec_id", "score"), ANN_K)
+
+
+def sql_ann_pq_refined_topk() -> str:
+    ctes, score, joins = _sql_pq_parts()
+    return f"""
+WITH {ctes},
+adc AS (
+  SELECT e.vec_id,
+         CAST(ROUND(({score}) * 1000000) AS BIGINT) AS adc_micro
+  FROM embeddings e
+  CROSS JOIN q
+  {joins}
+),
+cand AS (SELECT vec_id FROM adc
+         ORDER BY adc_micro DESC, vec_id ASC
+         LIMIT {ANN_K * PQ_REFINE_OVERFETCH}),
+rq AS (SELECT embedding AS qe FROM embeddings
+       WHERE vec_id = {ANN_QUERY_VEC_ID}),
+rqcomps AS (SELECT CAST(unnest(qe) AS DOUBLE) AS e,
+                   generate_subscripts(qe, 1) AS pos FROM rq),
+rqn AS (SELECT SQRT(SUM(e * e)) AS n FROM rqcomps),
+rcomps AS (SELECT v.vec_id, CAST(unnest(v.embedding) AS DOUBLE) AS e,
+                  generate_subscripts(v.embedding, 1) AS pos
+           FROM embeddings v JOIN cand USING (vec_id)),
+rdots AS (
+  SELECT a.vec_id, SUM(a.e * b.e) AS dot, SQRT(SUM(a.e * a.e)) AS dn
+  FROM rcomps a JOIN rqcomps b USING (pos) GROUP BY a.vec_id
+)
+SELECT vec_id,
+       CAST(ROUND(CASE WHEN dn > 0 AND rqn.n > 0 THEN dot / dn / rqn.n
+                       ELSE 0.0 END * 1000000) AS BIGINT) AS score_micro
+FROM rdots CROSS JOIN rqn
+ORDER BY score_micro DESC, vec_id ASC LIMIT {ANN_K}
+"""
+
+
+def _sql_pq_parts() -> tuple[str, str, str]:
+    """Shared SQL machinery for the PQ oracles: (ctes, adc_score_expr,
+    joins) replaying pq_sampled_codebook assignment + the ADC score for
+    every vector, exactly as the Arrow kernels compute them."""
     m, ksub = PQ_M, PQ_KSUB
     dsub = 64 // m
 
@@ -1294,16 +1362,22 @@ def sql_ann_pq_topk() -> str:
     score = " + ".join(
         expr.replace("c.embedding", f"c{j}.embedding")
         for j, expr in enumerate(score_exprs))
-    return f"""
-WITH q AS (SELECT embedding AS qe FROM embeddings
+    ctes = f"""q AS (SELECT embedding AS qe FROM embeddings
            WHERE vec_id = {ANN_QUERY_VEC_ID}),
 cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {ksub}),
-{",".join(code_ctes)}
+{",".join(code_ctes)}"""
+    return ctes, score, " ".join(joins)
+
+
+def sql_ann_pq_topk() -> str:
+    ctes, score, joins = _sql_pq_parts()
+    return f"""
+WITH {ctes}
 SELECT e.vec_id,
        CAST(ROUND(({score}) * 1000000) AS BIGINT) AS score_micro
 FROM embeddings e
 CROSS JOIN q
-{" ".join(joins)}
+{joins}
 ORDER BY score_micro DESC, e.vec_id ASC LIMIT {ANN_K}
 """
 
@@ -4002,6 +4076,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index_topk": q_ann_ivf_index_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_pq_refined_topk": q_ann_pq_refined_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_combmnz_topk": q_hybrid_combmnz_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -4080,6 +4155,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": sql_ann_ivf_topk(),
         "ann_ivf_index_topk": sql_ann_ivf_index_topk(),
         "ann_pq_topk": sql_ann_pq_topk(),
+        "ann_pq_refined_topk": sql_ann_pq_refined_topk(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "hybrid_combmnz_topk": sql_hybrid_combmnz_topk(),
         "embedding_near_dup": sql_embedding_near_dup(),

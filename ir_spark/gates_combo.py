@@ -175,6 +175,7 @@ COMBO_SPECS: dict[str, dict[str, list[str]]] = {
         "ann_ivf_topk": ["score_micro", "vec_id"],
         "ann_ivf_index_topk": ["score_micro", "vec_id"],
         "ann_pq_topk": ["score_micro", "vec_id"],
+        "ann_pq_refined_topk": ["score_micro", "vec_id"],
         "embedding_near_dup": ["a", "b", "cosine_micro"],
         "srp_near_dup": ["a", "b", "dist"],
         "hybrid_rrf_topk": ["doc_id", "rank", "rrf_micro"],

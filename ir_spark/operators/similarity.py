@@ -159,7 +159,8 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
 # --- materialized IVF index (build once, probe many) -----------------------
 
 def build_ivf_index(emb: DataFrame, index_dir: str, n_cells: int = 16,
-                    max_iter: int = 10, seed: int = 42) -> dict:
+                    max_iter: int = 10, seed: int = 42,
+                    replicas: int = 1) -> dict:
     """Train a real KMeans codebook (pyspark.ml) and materialize the
     IVF index: the embedding table rewritten as parquet PARTITIONED BY
     its assigned cell, plus a tiny ``centroids`` table and a manifest.
@@ -170,7 +171,17 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_cells: int = 16,
     full scan.  Training cost is KMeans over the corpus (Spark ML,
     distributed); assignment is one model.transform pass.
 
-    Returns the manifest dict (n_cells, n_vectors, dim)."""
+    ``replicas`` > 1 is multi-assignment (ScaNN "spilling" / FAISS
+    replica lists): each vector is written into its ``replicas``
+    nearest cells, trading ``replicas``x storage for recall at a FIXED
+    n_probe — the true neighbors a single-assignment probe misses are
+    the ones sitting just across a cell boundary, and spilled copies
+    put them back in reach.  The query path dedupes by vec_id.
+    Assignment stays one vectorized Arrow pass (mapInPandas kernel
+    ranking the broadcast centroid matrix per batch), zero shuffle
+    before the partitioned write.
+
+    Returns the manifest dict (n_cells, n_vectors, dim, replicas)."""
     import json
     import os
 
@@ -188,7 +199,8 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_cells: int = 16,
             manifest = json.load(fh)
         if (manifest.get("n_cells") == n_cells
                 and manifest.get("seed") == seed
-                and manifest.get("max_iter") == max_iter):
+                and manifest.get("max_iter") == max_iter
+                and manifest.get("replicas", 1) == replicas):
             # max_iter is part of the build shape too: a re-run asking
             # for better-trained centroids must NOT silently return
             # the stale coarser codebook
@@ -199,7 +211,35 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_cells: int = 16,
                          array_to_vector(F.col("embedding").cast("array<double>")))
     model = KMeans(k=n_cells, maxIter=max_iter, seed=seed,
                    featuresCol="_features", predictionCol="cell").fit(vec)
-    assigned = model.transform(vec).drop("_features")
+    if replicas <= 1:
+        assigned = model.transform(vec).drop("_features")
+    else:
+        import numpy as np
+        import pandas as pd
+
+        cents = np.array([np.asarray(c, dtype=np.float64)
+                          for c in model.clusterCenters()])
+        r = min(replicas, n_cells)
+        in_cols = [f for f in emb.columns]
+
+        def kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+                # (n, cells) squared L2 without the query-constant |v|^2
+                d2 = (-2.0 * mat @ cents.T
+                      + (cents * cents).sum(axis=1)[None, :])
+                near = np.argsort(d2, axis=1, kind="stable")[:, :r]
+                rep = pdf.loc[pdf.index.repeat(r)].reset_index(drop=True)
+                rep["cell"] = near.reshape(-1).astype(np.int32)
+                yield rep
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in emb.schema
+        ) + ", cell int"
+        assigned = emb.mapInPandas(kernel, schema=schema).select(
+            *in_cols, "cell")
     atomic_write_parquet(assigned, os.path.join(index_dir, "vectors"),
                          partition_by=["cell"])
     centroids = spark.createDataFrame(
@@ -210,7 +250,8 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_cells: int = 16,
         F.count(F.lit(1)).alias("n"),
         F.max(F.size("embedding")).alias("dim")).head()
     manifest = {"n_cells": n_cells, "n_vectors": int(row["n"]),
-                "dim": int(row["dim"]), "seed": seed, "max_iter": max_iter}
+                "dim": int(row["dim"]), "seed": seed, "max_iter": max_iter,
+                "replicas": replicas}
     with open(os.path.join(index_dir, "ivf_manifest.json"), "w") as fh:
         json.dump(manifest, fh)
     return manifest
@@ -238,7 +279,14 @@ def ivf_index_topk(spark, index_dir: str, query_vec: list[float],
     order = np.lexsort((np.array([r["cell"] for r in cents]), -(c @ q)))
     probes = [int(cents[i]["cell"]) for i in order[: min(n_probe, len(cents))]]
     vecs = spark.read.parquet(os.path.join(index_dir, "vectors"))
-    return cosine_topk(vecs.filter(F.col("cell").isin(probes)), query_vec, k)
+    pruned = vecs.filter(F.col("cell").isin(probes))
+    if manifest.get("replicas", 1) > 1:
+        # multi-assignment stores a vector in several cells; a probe
+        # touching two of them must not surface the doc twice.  The
+        # dedupe shuffles only the PROBED subset (the same rows the
+        # exact scorer reads anyway), keyed on vec_id.
+        pruned = pruned.dropDuplicates(["vec_id"])
+    return cosine_topk(pruned, query_vec, k)
 
 
 def srp_signatures(emb: DataFrame, *, dim: int, n_bits: int = 32,
@@ -395,12 +443,12 @@ def pq_encode(emb: DataFrame, codebooks: "np.ndarray", *,
         kernel, schema="vec_id long, codes array<int>")
 
 
-def pq_topk(codes: DataFrame, codebooks: "np.ndarray",
-            query_vec: list, k: int = 10) -> DataFrame:
-    """Asymmetric-distance top-k inner product over PQ codes ->
-    (vec_id, score): score = sum_j <q_j, centroid_{j, code_j}> via an
-    (m, ksub) lookup table — the scan reads ONLY the m-byte codes.
-    With normalized inputs this approximates cosine ranking."""
+def pq_scores(codes: DataFrame, codebooks: "np.ndarray",
+              query_vec: list) -> DataFrame:
+    """Asymmetric-distance inner product over PQ codes -> (vec_id,
+    score): score = sum_j <q_j, centroid_{j, code_j}> via an (m, ksub)
+    lookup table — the scan reads ONLY the m-byte codes.  Narrow map,
+    no shuffle; callers rank it."""
     import numpy as np
     import pandas as pd
 
@@ -423,8 +471,33 @@ def pq_topk(codes: DataFrame, codebooks: "np.ndarray",
                 s = s + lut[j][cd[:, j]]
             yield pd.DataFrame({"vec_id": pdf["vec_id"].values, "score": s})
 
-    scored = codes.mapInPandas(kernel, schema="vec_id long, score double")
+    return codes.mapInPandas(kernel, schema="vec_id long, score double")
+
+
+def pq_topk(codes: DataFrame, codebooks: "np.ndarray",
+            query_vec: list, k: int = 10) -> DataFrame:
+    """ADC top-k over PQ codes (see pq_scores).  With normalized
+    inputs this approximates cosine ranking."""
+    scored = pq_scores(codes, codebooks, query_vec)
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
+def pq_topk_refined(codes: DataFrame, codebooks: "np.ndarray",
+                    emb: DataFrame, query_vec: list, k: int = 10,
+                    overfetch: int = 5) -> DataFrame:
+    """Two-phase PQ retrieval (Faiss IndexRefineFlat pattern, the
+    lossless champion->exact shape champions.py already proves for
+    text): phase 1 scans ONLY the m-byte codes and keeps the ADC top
+    ``k * overfetch`` candidate ids; phase 2 reads the full vectors of
+    JUST those candidate rows (broadcast semi-join on vec_id — k*of
+    rows, never the table) and reranks by exact cosine.  Returned
+    scores are exact; recall@k equals the candidate set's coverage of
+    the true top-k, which over-fetch drives up at a cost of k*of full
+    vector reads per query (measured in BENCH/detail.json)."""
+    cands = pq_topk(codes, codebooks, query_vec,
+                    k=k * overfetch).select("vec_id")
+    pruned = emb.join(F.broadcast(cands), "vec_id")
+    return cosine_topk(pruned, query_vec, k)
 
 
 def mmr_rerank(emb: DataFrame, query_vec: list[float], *, k: int = 10,

@@ -333,6 +333,82 @@ def test_ivf_index_build_probe_and_pruning(spark, tmp_path):
     assert via_index == exact
 
 
+def test_ivf_multi_assignment_recall_and_dedupe(spark, tmp_path):
+    """Multi-assignment IVF (replicas > 1): each vector is spilled into
+    its R nearest cells.  (a) the store holds exactly R copies of every
+    vector, (b) probed results never contain a duplicate vec_id,
+    (c) probe-all still equals exact brute force, (d) recall at a fixed
+    n_probe is >= the single-assignment index's (the point of
+    spilling)."""
+    from ir_spark.operators.similarity import (
+        build_ivf_index, cosine_topk, ivf_index_topk)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    d1 = str(tmp_path / "ivf_r1")
+    d3 = str(tmp_path / "ivf_r3")
+    build_ivf_index(emb, d1, n_cells=4, max_iter=5, seed=42)
+    man = build_ivf_index(emb, d3, n_cells=4, max_iter=5, seed=42,
+                          replicas=3)
+    assert man["replicas"] == 3
+    store = spark.read.parquet(f"{d3}/vectors")
+    assert store.count() == 3 * n
+    # every vector present exactly R times, in R distinct cells
+    from pyspark.sql import functions as F
+    per = store.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("cell").alias("dc")).collect()
+    assert all(r["c"] == 3 and r["dc"] == 3 for r in per)
+
+    qv = [float(x) for x in emb.filter("vec_id = 1").head()["embedding"]]
+    got = ivf_index_topk(spark, d3, qv, k=10, n_probe=2).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == len(set(ids))  # deduped
+
+    exact = [(r["vec_id"], round(r["score"], 9))
+             for r in cosine_topk(emb, qv, k=10).collect()]
+    allprobe = [(r["vec_id"], round(r["score"], 9))
+                for r in ivf_index_topk(spark, d3, qv, k=10,
+                                        n_probe=4).collect()]
+    assert allprobe == exact
+
+    truth = {t[0] for t in exact}
+    r1 = {r["vec_id"] for r in ivf_index_topk(spark, d1, qv, k=10,
+                                              n_probe=2).collect()}
+    r3 = {r["vec_id"] for r in ivf_index_topk(spark, d3, qv, k=10,
+                                              n_probe=2).collect()}
+    assert len(r3 & truth) >= len(r1 & truth)
+
+
+def test_pq_refined_two_phase(spark):
+    """pq_topk_refined: (a) returned scores are the EXACT cosine of the
+    candidate rows (bit-equal to cosine_scores on those ids), (b) the
+    refine join reads at most k*overfetch rows, (c) recall@10 is >= the
+    raw ADC ranking's (rerank can only fix candidate ordering)."""
+    from ir_spark.operators.similarity import (
+        cosine_scores, cosine_topk, pq_encode, pq_topk, pq_topk_refined,
+        pq_train_kmeans)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_train_kmeans(emb, m=8, ksub=16, sample=10_000, seed=7)
+    codes = pq_encode(emb, books)
+    qv = [float(x) for x in emb.filter("vec_id = 2").head()["embedding"]]
+
+    k, of = 10, 5
+    refined = pq_topk_refined(codes, books, emb, qv, k=k,
+                              overfetch=of).collect()
+    assert 0 < len(refined) <= k
+    exact_by_id = {r["vec_id"]: r["score"]
+                   for r in cosine_scores(emb, qv).collect()}
+    for r in refined:
+        assert r["score"] == exact_by_id[r["vec_id"]]  # exact rerank
+
+    truth = {r["vec_id"] for r in cosine_topk(emb, qv, k=k).collect()}
+    raw = {r["vec_id"] for r in pq_topk(codes, books, qv, k=k).collect()}
+    ref = {r["vec_id"] for r in refined}
+    assert len(ref & truth) >= len(raw & truth)
+
+
 def test_pq_kmeans_recall_and_determinism(spark, tmp_path):
     """PQ with the real k-means codebook: (a) encode is deterministic
     across runs, (b) ADC top-10 recall vs exact cosine is usable at
