@@ -82,7 +82,22 @@ def main() -> None:
     # index-size evidence (cf. reference stats.md compressed-size table)
     from ir_spark.sources.storage import read_manifests
 
-    stats_m = read_manifests(index_dir)["stats"]["metrics"]
+    manifests = read_manifests(index_dir)
+    # per-stage wall seconds straight from the build manifests — the
+    # stage-by-stage attribution of segment_index_build (VERDICT r4
+    # item 2): doc_map / docinfo+tokenize / postings / dictionary /
+    # segments_g* (encode+write) / norms; the residual vs the total is
+    # driver-side orchestration (manifest IO, stage scheduling)
+    stage_sec = {
+        name: round(m["metrics"]["wall_sec"], 3)
+        for name, m in sorted(manifests.items())
+        if isinstance(m.get("metrics"), dict) and "wall_sec" in m["metrics"]
+    }
+    stage_sec["_residual_orchestration"] = round(
+        build_sec - sum(stage_sec.values()), 3)
+    extras["build_stage_sec"] = stage_sec
+
+    stats_m = manifests["stats"]["metrics"]
     extras["index_segments_bytes"] = stats_m["segments_bytes"]
     extras["flat_postings_bytes"] = stats_m["flat_postings_bytes"]
     extras["postings_payload_bytes"] = stats_m["payload_bytes"]

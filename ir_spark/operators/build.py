@@ -50,13 +50,26 @@ def assign_doc_ids(pages: DataFrame,
     """
     spark = pages.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    # dedupe INSIDE the range partitions instead of a separate
+    # distinct(): repartitionByRange already co-locates equal urls, so
+    # keeping the first of each equal run under the same sort the
+    # ranking needs anyway erases the dedupe's own full-data shuffle —
+    # one shuffle of the url column total (plus the range sampler),
+    # at any scale.  (The range sampler now samples raw rather than
+    # distinct urls; a pathologically hot duplicate url could skew one
+    # range, which the within-partition rank tolerates.)
     urls = (
-        pages.select("url").distinct()
+        pages.select("url")
         .repartitionByRange(n_parts, "url")
         .withColumn("_pid", F.spark_partition_id())
     )
     w = Window.partitionBy("_pid").orderBy("url")
-    ranked = urls.withColumn("_rk", F.row_number().over(w)).persist()
+    deduped = (
+        urls.withColumn("_prev", F.lag("url").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("url")))
+        .drop("_prev")
+    )
+    ranked = deduped.withColumn("_rk", F.row_number().over(w)).persist()
     if caches is not None:
         caches.append(ranked)
     counts = sorted(
