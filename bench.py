@@ -307,9 +307,21 @@ def main() -> None:
     # SparkSession (fair task scheduling across jobs) — the serving-
     # side number batch scoring can't show (independent queries, not
     # one fused job)
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
+    from ir_spark.session import use_query_pool
+
+    _pool_done = threading.local()
+
     def _one(q: str) -> None:
+        # one fair-scheduler pool per client thread: concurrent
+        # queries share executor slots instead of queueing whole-job
+        # FIFO (set once per thread; local properties are thread-
+        # scoped under pinned-thread mode)
+        if not getattr(_pool_done, "set", False):
+            use_query_pool(spark, f"client-{threading.get_ident()}")
+            _pool_done.set = True
         search_segments(spark, sidx, q, k=10, mode="bm25",
                         strategy="wand").collect()
 
@@ -320,6 +332,37 @@ def main() -> None:
     queries["bm25_query_set_20_concurrent8"] = round(conc_sec, 4)
     extras["concurrent8_queries_per_sec"] = round(
         len(REFERENCE_QUERIES) / conc_sec, 2)
+
+    # micro-batching server (operators/serving.py): the serving-side
+    # answer to the per-query driver ceiling (~260 py4j round-trips of
+    # GIL-bound plan building per search_segments call — PLANS.md
+    # §"concurrent serving").  Clients get Futures; a worker drains
+    # the queue into ONE fused batch job.  Closed-loop throughput =
+    # in-flight / batch-job latency, so it scales with offered load:
+    # measured at 8 and 32 concurrent clients.
+    import itertools
+
+    from ir_spark.operators.serving import MicroBatchServer
+
+    srv = MicroBatchServer(spark, sidx, k=10, mode="bm25",
+                           max_wait_ms=15)
+    srv.submit(REFERENCE_QUERIES[0]).result()  # warm
+
+    def _srv_one(q: str) -> None:
+        srv.submit(q).result()
+
+    t0 = time.time()
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(_srv_one, REFERENCE_QUERIES))
+    extras["served_concurrent8_queries_per_sec"] = round(
+        len(REFERENCE_QUERIES) / (time.time() - t0), 2)
+    q60 = list(itertools.islice(itertools.cycle(REFERENCE_QUERIES), 60))
+    t0 = time.time()
+    with ThreadPoolExecutor(32) as ex:
+        list(ex.map(_srv_one, q60))
+    extras["served_concurrent32_queries_per_sec"] = round(
+        len(q60) / (time.time() - t0), 2)
+    srv.close()
 
     # --- phase 4: driver-contract gates -----------------------------------
     import __spark_entry__ as entrymod
@@ -544,6 +587,8 @@ def main() -> None:
                   "gap_stream_gamma_bytes", "query_cold_start_sec",
                   "query_p50_sec", "query_p95_sec",
                   "batch_queries_per_sec", "concurrent8_queries_per_sec",
+                  "served_concurrent8_queries_per_sec",
+                  "served_concurrent32_queries_per_sec",
                   "gates_total_sec", "n_gates")
         if k in extras
     }

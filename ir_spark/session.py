@@ -32,7 +32,24 @@ def get_spark(app_name: str = "ir_spark", cpus: int | None = None,
         .config("spark.driver.memory", os.environ.get("IR_SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # FAIR lets concurrent query jobs share executor slots instead
+        # of queueing whole-job FIFO — the concurrent-serving path puts
+        # each client thread in its own pool (see use_query_pool; pools
+        # are fair-shared against each other).  Sequential workloads
+        # see FIFO-identical behavior (single default pool).
+        .config("spark.scheduler.mode",
+                os.environ.get("IR_SPARK_SCHEDULER", "FAIR"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def use_query_pool(spark: SparkSession, pool: str) -> None:
+    """Assign THIS thread's subsequent jobs to a named fair-scheduler
+    pool.  Concurrent serving calls this once per client thread (each
+    client in its own pool -> queries fair-share the executors instead
+    of head-of-line blocking).  PySpark pins Python threads to JVM
+    threads (PYSPARK_PIN_THREAD, default on), so the local property is
+    correctly thread-scoped."""
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)

@@ -255,3 +255,48 @@ class TestCori:
             cori_shard_scores(s, "the of")  # all stopwords
         with pytest.raises(ValueError):
             cori_shard_scores([], "boundary layer")
+
+
+class TestMicroBatchServer:
+    """Dynamic-batching serving front-end (operators/serving.py)."""
+
+    def test_parity_and_batching(self, spark, sharded):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ir_spark.operators.serving import MicroBatchServer
+
+        _, full = sharded
+        sidx = SegmentIndex.load(spark, full)
+        srv = MicroBatchServer(spark, sidx, k=5, mode="bm25",
+                               max_wait_ms=25)
+        try:
+            queries = QUERIES + ["zzzunseenterm", "the of and",
+                                 "boundary layer"]
+            # concurrent submission through 4 client threads
+            with ThreadPoolExecutor(4) as ex:
+                got = list(ex.map(lambda q: srv.submit(q).result(),
+                                  queries))
+            for q, res in zip(queries, got):
+                want = [(i + 1, int(r["doc_id"]),
+                         round(float(r["score"]), 9))
+                        for i, r in enumerate(
+                            search_segments(spark, sidx, q, k=5,
+                                            mode="bm25").collect())]
+                have = [(rk, d, round(s, 9)) for rk, d, s in res]
+                assert have == want, q
+            # the real-vocabulary queries must actually match docs
+            assert all(len(r) > 0 for r in got[:len(QUERIES)])
+            assert got[len(QUERIES)] == []  # unseen term -> empty
+        finally:
+            srv.close()
+
+    def test_close_rejects_new_work(self, spark, sharded):
+        from ir_spark.operators.serving import MicroBatchServer
+
+        _, full = sharded
+        sidx = SegmentIndex.load(spark, full)
+        srv = MicroBatchServer(spark, sidx, k=3)
+        srv.submit("boundary layer").result()
+        srv.close()
+        with pytest.raises(RuntimeError):
+            srv.submit("boundary layer")
