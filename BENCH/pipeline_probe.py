@@ -268,7 +268,10 @@ def main() -> int:
                 b["stages"][name]["wall_sec"]
             r = round(wb / wa, 2) if wa > 0 else None
             ratios[name] = r
-            if r is not None and r > data_ratio * 1.5:
+            # stages under 30s at the LARGE size are fixed-overhead /
+            # host-noise dominated; a ratio there says nothing about
+            # algorithmic scaling
+            if r is not None and wb >= 30 and r > data_ratio * 1.5:
                 flagged.append(name)
         out["data_ratio"] = data_ratio
         out["stage_wall_ratios"] = ratios

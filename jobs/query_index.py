@@ -91,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="score ALL queries in one fused pass "
                          "(search_segments_batch) instead of per-query "
                          "jobs — the offline/bulk path")
+    ap.add_argument("--serve", type=int, default=None, metavar="N",
+                    help="serving mode: feed the query file through N "
+                         "concurrent client threads into the micro-"
+                         "batching server (operators/serving.py) — "
+                         "per-query results identical to the default "
+                         "path, throughput summary on stderr; "
+                         "bm25/w1/w2 only")
     ap.add_argument("--stem", action="store_true")
     ap.add_argument("--output", default=None, help="parquet output path")
     ap.add_argument("--trec-run", default=None, metavar="FILE",
@@ -122,6 +129,16 @@ def main(argv: list[str] | None = None) -> int:
             .getOrCreate()
         )
 
+    if args.serve is not None:
+        if args.mode not in ("bm25", "w1", "w2"):
+            ap.error("--serve supports bm25/w1/w2 (the fused batch "
+                     "scorer's modes)")
+        if args.batch or args.phrase or args.span_near \
+                or args.render_vectors or args.shards:
+            ap.error("--serve is exclusive with --batch/--phrase/"
+                     "--span-near/--render-vectors/--shards")
+        if args.serve < 1:
+            ap.error("--serve needs at least one client thread")
     if args.batch and args.mode not in ("bm25", "w1", "w2"):
         ap.error("--batch supports bm25/w1/w2 (other modes score "
                  "per query)")
@@ -209,6 +226,34 @@ def main(argv: list[str] | None = None) -> int:
             for row in sorted(by_q.get(qid0, []), key=lambda r: r["rank"]):
                 all_rows.append((qid0 + 1, q, int(row["rank"]),
                                  int(row["doc_id"]), float(row["score"])))
+    elif args.serve is not None:
+        # serving mode: N closed-loop client threads through the
+        # dynamic-batching server; results identical to the per-query
+        # path (PLANS.md §53), q/s summary on stderr
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ir_spark.operators.serving import MicroBatchServer
+
+        srv = MicroBatchServer(spark, sidx, k=args.k, mode=args.mode,
+                               k1=args.k1, b=args.b, stem=args.stem)
+        try:
+            srv.submit(queries[0]).result()  # warm (untimed)
+            t0 = time.time()
+            with ThreadPoolExecutor(args.serve) as ex:
+                per_query = list(ex.map(
+                    lambda q: srv.submit(q).result(), queries))
+            wall = time.time() - t0
+        finally:
+            srv.close()
+        for qid, (q, rows) in enumerate(zip(queries, per_query), start=1):
+            for rank, doc_id, score in rows:
+                all_rows.append((qid, q, rank, doc_id, score))
+        print(json.dumps({"serve_clients": args.serve,
+                          "n_queries": len(queries),
+                          "wall_sec": round(wall, 3),
+                          "queries_per_sec": round(len(queries) / wall, 2)}),
+              file=sys.stderr)
     elif args.phrase or args.span_near:
         from pyspark.sql import functions as F
 

@@ -166,6 +166,18 @@ def test_query_job_batch_maxscore_qld_agree(tmp_path, capsys):
     rows = spark.read.parquet(out_qld).collect()
     assert len(rows) == 10
 
+    # --serve (micro-batching server, 4 client threads) must write the
+    # identical result set to the per-query path
+    out_srv = str(tmp_path / "res_serve")
+    assert query_index.main([
+        "--index-dir", idx, "--queries", str(qfile), "--k", "5",
+        "--serve", "4", "--output", out_srv, "--local-cpus", "8"]) == 0
+    capsys.readouterr()
+    got_srv = sorted((r["query_id"], r["rank"], r["doc_id"],
+                      round(r["score"], 9))
+                     for r in spark.read.parquet(out_srv).collect())
+    assert got_srv == got["plain"]
+
 
 def test_admin_job_delete_compact_snapshots(tmp_path, capsys):
     """admin_index.py lifecycle: delete tombstones -> queries drop the
