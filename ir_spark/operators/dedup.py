@@ -47,8 +47,19 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+def word_shingles(docs: DataFrame, n: int = 3,
+                  num_partitions: int | None = None) -> DataFrame:
     """(doc_id, text) -> (doc_id, shingle) — distinct word n-grams.
+
+    ``num_partitions`` pins the dedupe shuffle's width (the explicit
+    repartition satisfies distinct's clustering requirement, so there
+    is still exactly ONE exchange).  Callers who go on to CACHE the
+    result should set it: a cached plan freezes whatever partition
+    count it was built with AND blocks AQE coalescing beneath it, so
+    inheriting an oversized spark.sql.shuffle.partitions (e.g. the
+    ambient 200 under bare spark-submit) taxes every later stage that
+    reads the cache — measured 4-5x on the curate+DSIR job at
+    local[4].
 
     The n-gram array is built with JVM higher-order functions
     (transform/slice over the split array) — no Python worker, no
@@ -65,10 +76,10 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         f" ELSE transform(sequence(1, size({words}) - {n - 1}),"
         f" i -> array_join(slice({words}, i, {n}), ' ')) END"
     )
-    return (
-        docs.select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    ex = docs.select("doc_id", F.explode(grams).alias("shingle"))
+    if num_partitions:
+        ex = ex.repartition(num_partitions, "doc_id", "shingle")
+    return ex.distinct()
 
 
 def minhash_signatures(
@@ -200,9 +211,14 @@ def curate(docs: DataFrame, *, jaccard_threshold: float = 0.3,
     # shuffle over the whole corpus — persist it once (measured 2.6x
     # on the 1M pipeline-probe dedup stage: 442s -> 169s; DISK_ONLY
     # was also tried and measured ~2x slower than the columnar
-    # memory-and-disk default at 1M).  Joins the release to the same
-    # ``caches`` hand-off as stage1.
-    sh = word_shingles(stage1, n=shingle_n).persist()
+    # memory-and-disk default at 1M).  The cache pins its partition
+    # count, so size it to the cluster, not to ambient
+    # shuffle.partitions (see word_shingles docstring).  Joins the
+    # release to the same ``caches`` hand-off as stage1.
+    sc = docs.sparkSession.sparkContext
+    sh = word_shingles(
+        stage1, n=shingle_n,
+        num_partitions=max(2 * sc.defaultParallelism, 8)).persist()
     if caches is not None:
         caches.append(sh)
     bands_df = lsh_bands(minhash_signatures(sh, n_hashes), bands, rows)

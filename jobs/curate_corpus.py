@@ -106,6 +106,12 @@ def main(argv: list[str] | None = None) -> int:
     # 2. repetition filter
     rep = C.repetition_profile(kept)
     kept = kept.join(rep.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
+    # several downstream ACTIONS consume this relation (decontamination
+    # / DSIR totals + quantile / host profile / the final write) — one
+    # persist here stops each of them re-running the whole
+    # dedup+repetition chain from the source
+    kept = kept.persist()
+    caches.append(kept)
 
     # 3. decontamination vs the benchmark set
     if args.bench:

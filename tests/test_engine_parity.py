@@ -112,7 +112,10 @@ def test_curate_cache_release(spark, pages_small):
     caches: list = []
     out = curate(docs, caches=caches)
     assert out.count() > 0
-    assert len(caches) == 1 and caches[0].storageLevel.useMemory
+    # r4: curate hands back TWO persists — stage1 and the shared
+    # shingle relation (4 consumers)
+    assert len(caches) == 2
+    assert all(c.storageLevel.useMemory for c in caches)
     for c in caches:
         c.unpersist()
-    assert not caches[0].storageLevel.useMemory
+    assert not any(c.storageLevel.useMemory for c in caches)
