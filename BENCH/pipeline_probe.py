@@ -256,28 +256,34 @@ def main() -> int:
         print(json.dumps({"run_done": n, **{k: v for k, v in res.items()
                                             if k != "stages"}}), flush=True)
 
-    # stage-wise scaling ratios between the two sizes: 4x data should
-    # cost ~4x wall; flag anything above ratio * 1.5 as superlinear
-    if len(out["runs"]) == 2:
-        a, b = out["runs"]
-        data_ratio = b["n_docs"] / a["n_docs"]
-        ratios = {}
-        flagged = []
-        for name in a["stages"]:
-            wa, wb = a["stages"][name]["wall_sec"], \
-                b["stages"][name]["wall_sec"]
-            r = round(wb / wa, 2) if wa > 0 else None
-            ratios[name] = r
-            # stages under 30s at the LARGE size are fixed-overhead /
-            # host-noise dominated; a ratio there says nothing about
-            # algorithmic scaling
-            if r is not None and wb >= 30 and r > data_ratio * 1.5:
-                flagged.append(name)
-        out["data_ratio"] = data_ratio
-        out["stage_wall_ratios"] = ratios
-        out["superlinear_stages"] = flagged
-        print(json.dumps({"stage_wall_ratios": ratios,
-                          "superlinear_stages": flagged}), flush=True)
+    # stage-wise scaling ratios between consecutive sizes: Kx data
+    # should cost ~Kx wall; flag anything above ratio * 1.5 as
+    # superlinear
+    if len(out["runs"]) >= 2:
+        out["pairs"] = []
+        flagged_all = []
+        for a, b in zip(out["runs"], out["runs"][1:]):
+            data_ratio = b["n_docs"] / a["n_docs"]
+            ratios = {}
+            flagged = []
+            for name in a["stages"]:
+                wa, wb = a["stages"][name]["wall_sec"], \
+                    b["stages"][name]["wall_sec"]
+                r = round(wb / wa, 2) if wa > 0 else None
+                ratios[name] = r
+                # stages under 30s at the LARGE size are fixed-
+                # overhead / host-noise dominated; a ratio there says
+                # nothing about algorithmic scaling
+                if r is not None and wb >= 30 and r > data_ratio * 1.5:
+                    flagged.append(name)
+            pair = {"sizes": [a["n_docs"], b["n_docs"]],
+                    "data_ratio": data_ratio,
+                    "stage_wall_ratios": ratios,
+                    "superlinear_stages": flagged}
+            out["pairs"].append(pair)
+            flagged_all.extend(flagged)
+            print(json.dumps(pair), flush=True)
+        out["superlinear_stages"] = sorted(set(flagged_all))
 
     if not args.keep_corpus:
         shutil.rmtree(CORPUS_CACHE, ignore_errors=True)

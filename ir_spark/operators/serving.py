@@ -87,6 +87,16 @@ class MicroBatchServer:
         greedily pulling whatever else has queued (dynamic batching)."""
         first = self._q.get()
         if first is None:
+            # a submit() racing close() can slip an item in AFTER the
+            # sentinel — fail those futures loudly instead of leaving
+            # their result() calls hanging forever
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    item[1].set_exception(RuntimeError("server closed"))
             return None
         batch = [first]
         deadline = self._max_wait
