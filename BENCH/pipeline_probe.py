@@ -166,6 +166,35 @@ def run_pipeline(spark, src_parquet: str, n_docs: int, work: str) -> dict:
           docs_per_sec=round(n_final / build_sec, 1),
           bytes=tree_bytes(os.path.join(idx_dir, "segments")))
 
+    return stages
+
+
+def run_serve(spark, n_docs: int, work: str) -> dict:
+    """Stages 7-8 — run in their OWN process (production shape: the
+    ingest job and the serving job are separate JVMs; measured, a
+    session that just chewed through the WARC/dedup pipeline serves
+    queries with multi-second GC outliers that a fresh serving JVM
+    never shows on the identical index)."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from ir_spark.fixtures import REFERENCE_QUERIES
+    from ir_spark.operators.segment_query import (SegmentIndex,
+                                                  search_segments,
+                                                  search_segments_batch)
+    from ir_spark.operators.segments import build_segment_index
+
+    stages: dict[str, dict] = {}
+
+    def stage(name: str, t0: float, **kw) -> None:
+        stages[name] = {"wall_sec": round(time.time() - t0, 2), **kw}
+        print(json.dumps({"stage": name, **stages[name]}), flush=True)
+
+    idx_dir = os.path.join(work, "index")
+    final = spark.read.parquet(os.path.join(work, "curated.parquet"))
+    n_final = final.count()
+
     # -- 7. the 20-query reference set ------------------------------------
     sidx = SegmentIndex.load(spark, idx_dir)
     search_segments(spark, sidx, REFERENCE_QUERIES[0], k=10,
@@ -222,13 +251,7 @@ def run_pipeline(spark, src_parquet: str, n_docs: int, work: str) -> dict:
           queries_matched=matched, queries_total=len(REFERENCE_QUERIES))
     assert matched == len(REFERENCE_QUERIES), stages
 
-    pipeline_sec = sum(
-        s["wall_sec"] for name, s in stages.items()
-        if name in ("warc_export", "warc_read_extract", "robots_filter",
-                    "quality_filter", "dedup", "index_build"))
-    return {"n_docs": n_docs, "stages": stages,
-            "ingest_to_index_sec": round(pipeline_sec, 2),
-            "ingest_to_index_docs_per_sec": round(n_docs / pipeline_sec, 1)}
+    return stages
 
 
 def main() -> int:
@@ -237,21 +260,72 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--keep-corpus", action="store_true",
                     help="keep /tmp corpus parquets for re-runs")
+    ap.add_argument("--single-run-output", default=None,
+                    help=argparse.SUPPRESS)  # child-mode result file
+    ap.add_argument("--phase", default=None, choices=["build", "serve"],
+                    help=argparse.SUPPRESS)  # child-mode phase
+    ap.add_argument("--work", default=None,
+                    help=argparse.SUPPRESS)  # child-mode work dir
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
-    from ir_spark.session import get_spark
+    if args.single_run_output:
+        # child mode: ONE size, ONE phase, own JVM, stages to the file
+        from ir_spark.session import get_spark
 
-    spark = get_spark("pipeline_probe", cpus=args.cpus)
+        spark = get_spark(f"pipeline_probe_{args.phase}", cpus=args.cpus)
+        assert len(sizes) == 1 and args.phase and args.work
+        if args.phase == "build":
+            src, gen_sec = ensure_corpus(sizes[0])
+            stages = run_pipeline(spark, src, sizes[0], args.work)
+            stages["_fixture_gen_sec"] = gen_sec
+        else:
+            stages = run_serve(spark, sizes[0], args.work)
+        with open(args.single_run_output, "w") as fh:
+            json.dump(stages, fh)
+        return 0
+
+    # parent mode: TWO FRESH JVMs PER SIZE — one for the ingest
+    # pipeline (stages 1-6), one for serving (stages 7-8), matching
+    # production (ingest job and query serving are separate
+    # processes).  A shared session poisons later measurements:
+    # broadcasts, python-worker pools and heap history from the heavy
+    # WARC/dedup stages survive catalog.clearCache() and tax the query
+    # legs with multi-second GC outliers (measured: query p50 7.8s
+    # in-session vs 0.97s in a fresh JVM on the identical index).
+    import subprocess
+
+    def child(n: int, phase: str, work: str) -> dict:
+        res_file = tempfile.mktemp(prefix=f"ir_spark_pipe_res_{n}_")
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--sizes", str(n), "--cpus", str(args.cpus),
+               "--keep-corpus", "--phase", phase, "--work", work,
+               "--single-run-output", res_file]
+        subprocess.run(cmd, check=True)
+        with open(res_file) as fh:
+            res = json.load(fh)
+        os.unlink(res_file)
+        return res
+
     out: dict = {"cpus": args.cpus, "runs": []}
     for n in sizes:
-        src, gen_sec = ensure_corpus(n)
+        ensure_corpus(n)  # generate once here; the children reuse it
         work = tempfile.mkdtemp(prefix=f"ir_spark_pipe_{n}_")
         try:
-            res = run_pipeline(spark, src, n, work)
+            stages = child(n, "build", work)
+            gen_sec = stages.pop("_fixture_gen_sec", 0.0)
+            stages.update(child(n, "serve", work))
         finally:
             shutil.rmtree(work, ignore_errors=True)
-        res["fixture_gen_sec"] = gen_sec
+        pipeline_sec = sum(
+            s["wall_sec"] for name, s in stages.items()
+            if name in ("warc_export", "warc_read_extract",
+                        "robots_filter", "quality_filter", "dedup",
+                        "index_build"))
+        res = {"n_docs": n, "stages": stages,
+               "ingest_to_index_sec": round(pipeline_sec, 2),
+               "ingest_to_index_docs_per_sec": round(n / pipeline_sec, 1),
+               "fixture_gen_sec": gen_sec}
         out["runs"].append(res)
         print(json.dumps({"run_done": n, **{k: v for k, v in res.items()
                                             if k != "stages"}}), flush=True)
