@@ -215,6 +215,46 @@ def run_serve(spark, n_docs: int, work: str) -> dict:
           batch_rows=int(nb),
           batch_qps=round(len(REFERENCE_QUERIES) / batch_sec, 2))
 
+    # -- 7b. compaction + post-compaction query leg (r4 verdict #6) -------
+    # the batch build writes multiple segment groups; compaction
+    # rewrites them into one sorted file per bucket (fewer files, one
+    # dictionary row per term).  Queries must be result-identical;
+    # the point of measuring here is the query-latency delta at the
+    # as-built group/file count vs the compacted one.
+    from ir_spark.operators.segments import compact_segments
+
+    pre = {}
+    for q in REFERENCE_QUERIES:
+        pre[q] = [(int(r["doc_id"]), round(float(r["score"]), 9))
+                  for r in search_segments(spark, sidx, q, k=10,
+                                           mode="bm25").collect()]
+    t0 = time.time()
+    cm = compact_segments(spark, idx_dir)
+    compact_sec = time.time() - t0
+    sidx2 = SegmentIndex.load(spark, idx_dir)
+    search_segments(spark, sidx2, REFERENCE_QUERIES[0], k=10,
+                    mode="bm25").collect()  # cold start, untimed
+    lat2 = []
+    identical = 0
+    t0 = time.time()
+    for q in REFERENCE_QUERIES:
+        tq = time.time()
+        rows = [(int(r["doc_id"]), round(float(r["score"]), 9))
+                for r in search_segments(spark, sidx2, q, k=10,
+                                         mode="bm25").collect()]
+        lat2.append(time.time() - tq)
+        identical += int(rows == pre[q])
+    lat2.sort()
+    stage("query_set_compacted", t0,
+          compact_sec=round(compact_sec, 2),
+          files_before=cm.get("files_before"),
+          files_after=cm.get("files_after"),
+          p50_sec=round(statistics.median(lat2), 4),
+          p95_sec=round(lat2[int(len(lat2) * 0.95)], 4),
+          queries_identical=identical,
+          queries_total=len(REFERENCE_QUERIES))
+    assert identical == len(REFERENCE_QUERIES), stages
+
     # -- 8. oracle rank-identity on a sampled shard -----------------------
     # a hash-sampled shard of the CURATED corpus, indexed BOTH by the
     # engine and the pure-python executable spec; top-10 must be
@@ -325,7 +365,8 @@ def main() -> int:
         res = {"n_docs": n, "stages": stages,
                "ingest_to_index_sec": round(pipeline_sec, 2),
                "ingest_to_index_docs_per_sec": round(n / pipeline_sec, 1),
-               "fixture_gen_sec": gen_sec}
+               "fixture_gen_sec": gen_sec,
+               "date": time.strftime("%Y-%m-%d")}
         out["runs"].append(res)
         print(json.dumps({"run_done": n, **{k: v for k, v in res.items()
                                             if k != "stages"}}), flush=True)
@@ -362,8 +403,46 @@ def main() -> int:
     if not args.keep_corpus:
         shutil.rmtree(CORPUS_CACHE, ignore_errors=True)
     dest = os.path.join(REPO, "BENCH", "pipeline_probe.json")
+    # APPEND, keyed by n_docs (r4 verdict #1: a smoke run at one size
+    # must never clobber the committed evidence at other sizes) —
+    # same-size runs are replaced by the newer run, other sizes kept,
+    # and the scaling pairs are recomputed over the merged set
+    merged = out
+    if os.path.exists(dest):
+        try:
+            with open(dest) as fh:
+                prev = json.load(fh)
+            by_n = {r["n_docs"]: r for r in prev.get("runs", [])}
+            by_n.update({r["n_docs"]: r for r in out["runs"]})
+            merged_runs = [by_n[k] for k in sorted(by_n)]
+            merged = {"cpus": out["cpus"], "runs": merged_runs}
+            if len(merged_runs) >= 2:
+                merged["pairs"] = []
+                flagged_all = []
+                for a, b in zip(merged_runs, merged_runs[1:]):
+                    data_ratio = b["n_docs"] / a["n_docs"]
+                    ratios, flagged = {}, []
+                    for name in a["stages"]:
+                        if name not in b["stages"]:
+                            continue
+                        wa = a["stages"][name]["wall_sec"]
+                        wb = b["stages"][name]["wall_sec"]
+                        r = round(wb / wa, 2) if wa > 0 else None
+                        ratios[name] = r
+                        if (r is not None and wb >= 30
+                                and r > data_ratio * 1.5):
+                            flagged.append(name)
+                    merged["pairs"].append(
+                        {"sizes": [a["n_docs"], b["n_docs"]],
+                         "data_ratio": data_ratio,
+                         "stage_wall_ratios": ratios,
+                         "superlinear_stages": flagged})
+                    flagged_all.extend(flagged)
+                merged["superlinear_stages"] = sorted(set(flagged_all))
+        except (OSError, json.JSONDecodeError, KeyError):
+            merged = out
     with open(dest, "w") as fh:
-        json.dump(out, fh, indent=1)
+        json.dump(merged, fh, indent=1)
     print(json.dumps({"wrote": dest}))
     return 0
 

@@ -348,20 +348,31 @@ def main() -> None:
                            max_wait_ms=15)
     srv.submit(REFERENCE_QUERIES[0]).result()  # warm
 
-    def _srv_one(q: str) -> None:
+    def _srv_timed(q: str) -> float:
+        t = time.time()
         srv.submit(q).result()
+        return time.time() - t
 
-    t0 = time.time()
-    with ThreadPoolExecutor(8) as ex:
-        list(ex.map(_srv_one, REFERENCE_QUERIES))
-    extras["served_concurrent8_queries_per_sec"] = round(
-        len(REFERENCE_QUERIES) / (time.time() - t0), 2)
-    q60 = list(itertools.islice(itertools.cycle(REFERENCE_QUERIES), 60))
-    t0 = time.time()
-    with ThreadPoolExecutor(32) as ex:
-        list(ex.map(_srv_one, q60))
-    extras["served_concurrent32_queries_per_sec"] = round(
-        len(q60) / (time.time() - t0), 2)
+    # sustained load (4-5 waves per client) so the latency tail
+    # reflects queueing under saturation, not a single cold batch;
+    # per-query latency = submit -> Future resolution, client-observed
+    for n_clients, n_q in ((8, 80), (32, 128)):
+        qs = list(itertools.islice(itertools.cycle(REFERENCE_QUERIES), n_q))
+        t0 = time.time()
+        with ThreadPoolExecutor(n_clients) as ex:
+            lats = sorted(ex.map(_srv_timed, qs))
+        wall = time.time() - t0
+        extras[f"served_concurrent{n_clients}_queries_per_sec"] = round(
+            n_q / wall, 2)
+        extras[f"served{n_clients}_latency_sec"] = {
+            "p50": round(lats[len(lats) // 2], 4),
+            "p95": round(lats[int(len(lats) * 0.95)], 4),
+            "p99": round(lats[min(int(len(lats) * 0.99), len(lats) - 1)], 4),
+        }
+    extras["served_concurrent8_p95_sec"] = (
+        extras["served8_latency_sec"]["p95"])
+    extras["served_concurrent32_p95_sec"] = (
+        extras["served32_latency_sec"]["p95"])
     srv.close()
 
     # --- phase 4: driver-contract gates -----------------------------------
@@ -647,6 +658,29 @@ def main() -> None:
     except Exception as exc:
         _err(f"pipeline probe merge failed: {exc}")
 
+    # IVF cells x replicas frontier on the clustered fixture
+    # (BENCH/ann_frontier.py — the bench's own IVF numbers above are
+    # the uniform-random worst case; the frontier shows the same
+    # machinery where there is structure to prune on)
+    try:
+        af = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH", "ann_frontier.json")
+        if os.path.exists(af):
+            with open(af) as fh:
+                frontier = json.load(fh)
+            extras["ann_ivf_frontier"] = frontier
+            best = None
+            for run in frontier.values():
+                for p in run.get("points", []):
+                    if p.get("recall_at10", 0) >= 0.9 and (
+                            best is None
+                            or p["rows_read_frac"] < best["rows_read_frac"]):
+                        best = p
+            if best:
+                extras["ann_frontier_best"] = best
+    except Exception as exc:
+        _err(f"ann frontier merge failed: {exc}")
+
     shutil.rmtree(index_dir, ignore_errors=True)
 
     # headline value = what the metric name says: index build + the
@@ -696,6 +730,8 @@ def main() -> None:
                   "batch_queries_per_sec", "concurrent8_queries_per_sec",
                   "served_concurrent8_queries_per_sec",
                   "served_concurrent32_queries_per_sec",
+                  "served_concurrent8_p95_sec",
+                  "served_concurrent32_p95_sec",
                   "stream_docs_per_sec", "stream_rate_over_batch_rate",
                   "streamed_equals_batch",
                   "gates_total_sec", "n_gates")
@@ -717,6 +753,11 @@ def main() -> None:
     lsh = extras.get("lsh_dedup_quality") or {}
     if lsh:
         slim_extras["lsh_dedup_recall"] = lsh.get("recall_of_injected")
+    fb = extras.get("ann_frontier_best") or {}
+    if fb:
+        slim_extras["ann_frontier_recall_at10"] = fb.get("recall_at10")
+        slim_extras["ann_frontier_rows_read_frac"] = fb.get(
+            "rows_read_frac")
     out = {
         "metric": "e2e_index_build_plus_query_sec",
         "value": total,

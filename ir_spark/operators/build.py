@@ -24,7 +24,9 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.tokenize import TOKEN_COUNTS_SCHEMA, make_tokenize_counts
+from ..functions.tokenize import (TOKEN_COUNTS_DOCINFO_SCHEMA,
+                                  TOKEN_COUNTS_SCHEMA, make_tokenize_counts,
+                                  make_tokenize_counts_docinfo)
 from ..text import STOPWORDS
 
 
@@ -99,6 +101,14 @@ def token_counts(pages: DataFrame, stem: bool = False) -> DataFrame:
     (partitions >= cores) keep their scan partitioning — no shuffle on
     the 100 TB path.
     """
+    return _kernel_input(pages).mapInPandas(
+        make_tokenize_counts(stem=stem), schema=TOKEN_COUNTS_SCHEMA
+    )
+
+
+def _kernel_input(pages: DataFrame) -> DataFrame:
+    """The (doc_id, text) projection, widened for the CPU-bound kernel
+    when the scan can't parallelize (shared by both kernel variants)."""
     sel = pages.select("doc_id", "text")
     sc = sel.sparkSession.sparkContext
     target = sc.defaultParallelism
@@ -114,9 +124,35 @@ def token_counts(pages: DataFrame, stem: bool = False) -> DataFrame:
         n_inputs = 0
     if n_inputs < target:
         sel = sel.repartition(2 * target)
-    return sel.mapInPandas(
-        make_tokenize_counts(stem=stem), schema=TOKEN_COUNTS_SCHEMA
+    return sel
+
+
+def token_counts_fused(pages: DataFrame, stem: bool = False) -> DataFrame:
+    """(doc_id, text) -> token counts + per-doc docinfo sentinels
+    (term NULL rows carrying doc_len/max_tf) in ONE kernel pass — the
+    build-path variant of ``token_counts``: split with
+    ``docinfo_from_fused`` / ``postings_from_fused``, both narrow
+    filters over this relation (persist it once), so docinfo costs no
+    second aggregation over the token stream."""
+    return _kernel_input(pages).mapInPandas(
+        make_tokenize_counts_docinfo(stem=stem),
+        schema=TOKEN_COUNTS_DOCINFO_SCHEMA,
     )
+
+
+def docinfo_from_fused(tokens: DataFrame) -> DataFrame:
+    """A3/A4 from the fused relation: the sentinel rows, verbatim —
+    bit-identical to ``build_docinfo(token_counts(...))`` (same D2/D3
+    arithmetic, computed in the kernel)."""
+    return tokens.filter(F.col("term").isNull()).select(
+        "doc_id", "doc_len", "max_tf")
+
+
+def postings_from_fused(tokens: DataFrame) -> DataFrame:
+    """A1 from the fused relation: real token rows minus stopwords."""
+    return tokens.filter(
+        F.col("term").isNotNull() & ~F.col("term").isin(*STOPWORDS)
+    ).select("doc_id", "term", "tf")
 
 
 def build_docinfo(tokens: DataFrame) -> DataFrame:

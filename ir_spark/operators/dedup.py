@@ -48,7 +48,8 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 
 
 def word_shingles(docs: DataFrame, n: int = 3,
-                  num_partitions: int | None = None) -> DataFrame:
+                  num_partitions: int | None = None,
+                  distinct: bool = True) -> DataFrame:
     """(doc_id, text) -> (doc_id, shingle) — distinct word n-grams.
 
     ``num_partitions`` pins the dedupe shuffle's width (the explicit
@@ -60,6 +61,12 @@ def word_shingles(docs: DataFrame, n: int = 3,
     ambient 200 under bare spark-submit) taxes every later stage that
     reads the cache — measured 4-5x on the curate+DSIR job at
     local[4].
+
+    ``distinct=False`` returns the raw exploded grams with NO shuffle
+    at all — for consumers whose aggregation is duplicate-insensitive
+    (MinHash: min over a multiset == min over its support set), where
+    paying a corpus-wide distinct of shingle STRINGS first is pure
+    waste.
 
     The n-gram array is built with JVM higher-order functions
     (transform/slice over the split array) — no Python worker, no
@@ -77,6 +84,8 @@ def word_shingles(docs: DataFrame, n: int = 3,
         f" i -> array_join(slice({words}, i, {n}), ' ')) END"
     )
     ex = docs.select("doc_id", F.explode(grams).alias("shingle"))
+    if not distinct:
+        return ex
     if num_partitions:
         ex = ex.repartition(num_partitions, "doc_id", "shingle")
     return ex.distinct()
@@ -90,6 +99,10 @@ def minhash_signatures(
     h_i(doc) = min over shingles of md5(i || ':' || shingle), minimized
     as a hex string.  All n_hashes minima come out of ONE aggregation
     pass (map-side combine), so the shuffle carries one row per doc.
+    Accepts the raw (non-distinct) exploded grams unchanged: min over
+    a multiset equals min over its support set, so feeding
+    ``word_shingles(..., distinct=False)`` skips the corpus-wide
+    distinct shuffle entirely.
     """
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(f"h{i}")
@@ -193,8 +206,9 @@ def curate(docs: DataFrame, *, jaccard_threshold: float = 0.3,
         docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
         .groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     )
-    # persisted: stage1 fans out into 5 consumers (shingles x4 + the
-    # final anti-join) behind a groupBy+join; measured ~1.5x faster
+    # persisted: stage1 fans out into 3 consumers (the raw-shingle
+    # explode for MinHash, the hashed-shingle distinct, the final
+    # anti-join) behind a groupBy+join; measured ~1.5x faster
     # than recompute here (unlike shallow pipelines, where exchange
     # reuse suffices).  Pass ``caches`` (a list) to receive the cached
     # DataFrame and unpersist() it once the result is materialized;
@@ -205,23 +219,40 @@ def curate(docs: DataFrame, *, jaccard_threshold: float = 0.3,
     if caches is not None:
         caches.append(stage1)
 
-    # 2. near-dup drop over the exact-deduped corpus.  The shingle
-    # relation feeds FOUR consumers (minhash, the two verify joins,
-    # set sizes), each otherwise re-paying the split+explode+distinct
-    # shuffle over the whole corpus — persist it once (measured 2.6x
-    # on the 1M pipeline-probe dedup stage: 442s -> 169s; DISK_ONLY
-    # was also tried and measured ~2x slower than the columnar
-    # memory-and-disk default at 1M).  The cache pins its partition
-    # count, so size it to the cluster, not to ambient
-    # shuffle.partitions (see word_shingles docstring).  Joins the
-    # release to the same ``caches`` hand-off as stage1.
+    # 2. near-dup drop over the exact-deduped corpus.  Two shapes, one
+    # spec (candidate set + true Jaccard identical to the md5 text
+    # oracle):
+    #
+    # - MinHash path: min over a MULTISET equals min over its support
+    #   set, so the signatures read the RAW exploded grams — no
+    #   corpus-wide distinct-of-strings shuffle at all; the only
+    #   exchange is groupBy(doc_id) whose payload is n_hashes partial
+    #   mins per doc per input partition (map-side combine).
+    # - Jaccard path: set sizes / intersections only need shingle
+    #   EQUALITY, not text — hash each gram to int64 (xxhash64) before
+    #   the distinct, so the dedupe shuffle, the cache, and both
+    #   verify joins carry (long, long) rows instead of ~40-byte
+    #   strings (the r4 1M-probe bottleneck).  True-Jaccard values
+    #   are representation-independent; a 64-bit collision would
+    #   perturb one pair's value with probability ~(grams/doc)^2/2^64
+    #   — negligible against the LSH false-negative rate.
+    #
+    # The hashed relation feeds THREE consumers (two verify joins, set
+    # sizes) — persist it once (the string ancestor of this cache
+    # measured 2.6x on the 1M pipeline-probe dedup stage: 442s ->
+    # 169s).  The cache pins its partition count, so size it to the
+    # cluster, not to ambient shuffle.partitions (see word_shingles
+    # docstring).  Joins the release to the same ``caches`` hand-off
+    # as stage1.
     sc = docs.sparkSession.sparkContext
-    sh = word_shingles(
-        stage1, n=shingle_n,
-        num_partitions=max(2 * sc.defaultParallelism, 8)).persist()
+    raw = word_shingles(stage1, n=shingle_n, distinct=False)
+    sh = (raw.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+          .repartition(max(2 * sc.defaultParallelism, 8),
+                       "doc_id", "shingle")
+          .distinct().persist())
     if caches is not None:
         caches.append(sh)
-    bands_df = lsh_bands(minhash_signatures(sh, n_hashes), bands, rows)
+    bands_df = lsh_bands(minhash_signatures(raw, n_hashes), bands, rows)
     cand = lsh_candidate_pairs(bands_df)
     verified = jaccard_for_pairs(cand, sh).filter(
         F.col("jaccard_micro") >= int(round(jaccard_threshold * 1e6)))
@@ -234,7 +265,19 @@ def curate(docs: DataFrame, *, jaccard_threshold: float = 0.3,
     # floor filter, and changing it would have to move ~10 oracles in
     # lockstep)
     n_words = F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0))
-    return stage2.filter(n_words >= min_words).select("doc_id", "text")
+    out = stage2.filter(n_words >= min_words).select("doc_id", "text")
+    if caches is None:
+        # no cache hand-off from the caller: materialize just the kept
+        # ID set (longs — tiny) so both caches can be released HERE
+        # instead of leaking for the session, then rebuild the result
+        # from ``docs`` via one semi-join (one extra scan, no leak —
+        # the impact.py pattern)
+        keep_ids = out.select("doc_id").localCheckpoint(eager=True)
+        sh.unpersist()
+        stage1.unpersist()
+        out = docs.join(keep_ids, "doc_id", "left_semi").select(
+            "doc_id", "text")
+    return out
 
 
 def simhash32(tokens: DataFrame) -> DataFrame:

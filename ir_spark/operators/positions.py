@@ -35,6 +35,7 @@ candidate documents.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Iterator
 from typing import Sequence
 
@@ -580,6 +581,15 @@ def update_positional_store(spark: SparkSession, pages_with_ids: DataFrame,
         # silently delete an earlier batch's published files
         bid = batch_id or (f"b{int(row['lo'])}-{int(row['hi'])}"
                            f"-{int(row['h']) & 0xffffffff:08x}")
+        # a crashed append published by PRE-content-hash code left files
+        # named append-b{lo}-{hi}-{i:05d}.parquet (no hash segment); a
+        # post-upgrade retry of that same batch must clear them too or
+        # the store keeps duplicate (term, doc) rows.  Match the legacy
+        # shape exactly (5-digit part index) so a different batch's
+        # new-style files — same span, different hash — are never touched.
+        legacy_re = (re.compile(
+            rf"^append-b{int(row['lo'])}-{int(row['hi'])}-\d{{5}}\.parquet$")
+            if batch_id is None else None)
         store_root = os.path.join(store_dir, "store")
         stage = os.path.join(store_dir, f".append-{bid}.tmp")
         if os.path.exists(stage):
@@ -591,7 +601,9 @@ def update_positional_store(spark: SparkSession, pages_with_ids: DataFrame,
             dst_dir = os.path.join(store_root, bdir)
             os.makedirs(dst_dir, exist_ok=True)
             for old in os.listdir(dst_dir):  # clear a crashed attempt
-                if old.startswith(f"append-{bid}-"):
+                if (old.startswith(f"append-{bid}-")
+                        or (legacy_re is not None
+                            and legacy_re.match(old))):
                     os.remove(os.path.join(dst_dir, old))
             parts = sorted(
                 f for f in os.listdir(os.path.join(stage, bdir))

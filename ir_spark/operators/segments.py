@@ -46,9 +46,9 @@ from ..sources import storage
 from .build import (
     assign_doc_ids,
     build_dictionary,
-    build_docinfo,
-    build_postings,
-    token_counts,
+    docinfo_from_fused,
+    postings_from_fused,
+    token_counts_fused,
 )
 
 # Docs per posting run.  Smaller runs = more (term, run) groups = finer
@@ -252,10 +252,15 @@ def build_segment_index(
     )
     if need_docinfo or need_postings:
         t0 = time.time()
-        tokens = token_counts(pages_ids, stem=stem).persist()
+        # fused kernel: docinfo rides the tokenize pass as sentinel
+        # rows, so the docinfo stage is a narrow filter over the cached
+        # relation, not a second aggregation (r4 itemization: 4.2s of
+        # the 21.6s sf0.1 build was that re-aggregation)
+        tokens = token_counts_fused(pages_ids, stem=stem).persist()
         if need_docinfo:
             run_stages.append("docinfo")
-            storage.atomic_write_parquet(build_docinfo(tokens), paths["docinfo"])
+            storage.atomic_write_parquet(
+                docinfo_from_fused(tokens), paths["docinfo"])
             _commit("docinfo", {"wall_sec": time.time() - t0,
                                 "bytes": storage.tree_bytes(paths["docinfo"])})
         else:
@@ -265,7 +270,7 @@ def build_segment_index(
             t1 = time.time()
             docinfo = spark.read.parquet(paths["docinfo"])
             obs = Observation()
-            flat = build_postings(tokens).join(docinfo, "doc_id").observe(
+            flat = postings_from_fused(tokens).join(docinfo, "doc_id").observe(
                 obs, F.count(F.lit(1)).alias("n"))
             storage.atomic_write_parquet(flat, paths["postings"])
             _commit("postings", {"n_postings": int(obs.get["n"]),

@@ -23,6 +23,14 @@ the futures.  Per-query results are rank-identical to
 ``bm25_batch_topk``); the price is up to ``max_wait_ms`` of added
 latency under low load.
 
+Backpressure: the inbound queue is bounded (``max_queue``).  When it
+is full, ``submit`` either blocks the client (``block=True``, the
+default — load shedding by latency) or raises ``queue.Full``
+(``block=False`` — load shedding by rejection).  An unbounded queue
+under sustained overload just converts overload into unbounded memory
+and unbounded tail latency; a bound keeps the tail finite and makes
+the overload visible to clients.
+
 At cluster scale the same class works unchanged: the worker thread
 issues one Spark job per drained batch, so executor-side concurrency
 is governed by batch size, not client-thread count.
@@ -32,11 +40,31 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 
 from pyspark.sql import SparkSession
 
 from .segment_query import SegmentIndex, search_segments_batch
+
+
+def _complete(fut: Future, result=None, exc: Exception | None = None) -> None:
+    """Resolve a future, tolerating client-side cancellation.
+
+    A client that times out on ``result(timeout=...)`` may ``cancel()``
+    the future; ``set_result`` on a cancelled future raises
+    ``InvalidStateError``, which — unguarded — would kill the worker
+    thread and hang every later submit.  A cancelled future simply
+    drops its (already computed) result.
+    """
+    if fut.cancelled():
+        return
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except InvalidStateError:
+        pass  # lost the race with a concurrent cancel()
 
 
 class MicroBatchServer:
@@ -53,32 +81,59 @@ class MicroBatchServer:
     def __init__(self, spark: SparkSession, sidx: SegmentIndex, *,
                  k: int = 10, mode: str = "bm25", k1: float = 1.2,
                  b: float = 0.75, stem: bool = False,
-                 max_batch: int = 64, max_wait_ms: int = 10):
+                 max_batch: int = 64, max_wait_ms: int = 10,
+                 max_queue: int = 1024):
         self._spark = spark
         self._sidx = sidx
         self._kw = dict(k=k, mode=mode, k1=k1, b=b, stem=stem)
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1000.0
-        self._q: queue.Queue = queue.Queue()
+        # close()'s sentinel may briefly block on a full queue — fine:
+        # the worker is still draining, so a slot always frees up
+        self._q: queue.Queue = queue.Queue(maxsize=max_queue)
         self._closed = False
+        self._lock = threading.Lock()  # makes submit/close atomic
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def submit(self, query: str) -> Future:
+    def submit(self, query: str, *, block: bool = True,
+               timeout: float | None = None) -> Future:
         """Enqueue one query; the Future resolves to the per-query
         top-k as a list of (rank, doc_id, score) tuples (possibly
-        empty — all-stopword queries match nothing)."""
-        if self._closed:
-            raise RuntimeError("server closed")
+        empty — all-stopword queries match nothing).
+
+        When the bounded queue is full: blocks up to ``timeout``
+        seconds if ``block`` (then raises ``queue.Full``), or raises
+        ``queue.Full`` immediately if not.
+        """
         fut: Future = Future()
-        self._q.put((query, fut))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server closed")
+            # under the lock the sentinel cannot be enqueued concurrently,
+            # so this item is strictly before it in FIFO order and the
+            # worker is guaranteed to batch it
+            self._q.put((query, fut), block=block, timeout=timeout)
         return fut
 
     def close(self) -> None:
         """Drain outstanding work, then stop the worker."""
-        self._closed = True
-        self._q.put(None)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._worker.join()
+        # belt-and-braces: nothing can be enqueued after the sentinel
+        # (submit holds the lock), but fail anything unexpectedly left
+        # rather than let a result() call hang forever
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                _complete(item[1], exc=RuntimeError("server closed"))
 
     # -- worker ----------------------------------------------------------
 
@@ -87,16 +142,6 @@ class MicroBatchServer:
         greedily pulling whatever else has queued (dynamic batching)."""
         first = self._q.get()
         if first is None:
-            # a submit() racing close() can slip an item in AFTER the
-            # sentinel — fail those futures loudly instead of leaving
-            # their result() calls hanging forever
-            while True:
-                try:
-                    item = self._q.get_nowait()
-                except queue.Empty:
-                    break
-                if item is not None:
-                    item[1].set_exception(RuntimeError("server closed"))
             return None
         batch = [first]
         deadline = self._max_wait
@@ -125,11 +170,11 @@ class MicroBatchServer:
                     **self._kw).collect()
             except Exception as exc:  # fan the failure out, keep serving
                 for f in futures:
-                    f.set_exception(exc)
+                    _complete(f, exc=exc)
                 continue
             per: dict[int, list] = {}
             for r in rows:
                 per.setdefault(int(r["query_id"]), []).append(
                     (int(r["rank"]), int(r["doc_id"]), float(r["score"])))
             for qid, fut in enumerate(futures):
-                fut.set_result(sorted(per.get(qid, [])))
+                _complete(fut, result=sorted(per.get(qid, [])))

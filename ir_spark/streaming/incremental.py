@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import storage
-from ..operators.build import build_dictionary, build_docinfo, build_postings, token_counts
+from ..operators.build import (build_dictionary, docinfo_from_fused,
+                               postings_from_fused, token_counts_fused)
 from ..operators.segments import encode_segments, index_paths
 from ..operators.query import doc_weight_expr
 
@@ -230,9 +231,9 @@ def update_segment_index(
         "url")
 
     # -- tokenize once; docinfo + postings + dictionary deltas ------------
-    tokens = token_counts(pages_ids, stem=stem).persist()
-    _publish_append(build_docinfo(tokens), paths["docinfo"], marker)
-    flat = build_postings(tokens)
+    tokens = token_counts_fused(pages_ids, stem=stem).persist()
+    _publish_append(docinfo_from_fused(tokens), paths["docinfo"], marker)
+    flat = postings_from_fused(tokens)
     _publish_append(build_dictionary(flat), paths["dictionary"], marker)
 
     # -- segment rows for the new docs (append-only: disjoint doc ids) ---

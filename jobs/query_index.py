@@ -168,6 +168,9 @@ def main(argv: list[str] | None = None) -> int:
 
     with open(args.queries) as fh:
         queries = [ln.strip() for ln in fh if ln.strip()]
+    if not queries:
+        ap.error(f"--queries {args.queries} holds no queries "
+                 "(empty or whitespace-only)")
 
     if args.shards:
         if (args.batch or args.as_of_grp is not None

@@ -119,3 +119,59 @@ def test_curate_cache_release(spark, pages_small):
     for c in caches:
         c.unpersist()
     assert not any(c.storageLevel.useMemory for c in caches)
+
+
+def test_curate_no_caches_does_not_leak(spark, pages_small):
+    """curate(caches=None) must release its internal persists before
+    returning (r5 ADVICE: the leaked-session-cache pattern), and the
+    rebuilt result must equal the cache-hand-off result."""
+    from pyspark.sql import functions as F
+
+    from ir_spark.operators.dedup import curate
+
+    path, _ = pages_small
+    docs = (spark.read.parquet(path).select("url", "text")
+            .withColumn("doc_id", F.xxhash64("url"))
+            .select("doc_id", "text"))
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = curate(docs)
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # only the eager keep-id localCheckpoint may remain registered;
+    # the stage1/shingle persists must be gone
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before + 1
+    caches: list = []
+    want = sorted(r["doc_id"] for r in
+                  curate(docs, caches=caches).select("doc_id").collect())
+    for c in caches:
+        c.unpersist()
+    assert got == want
+
+
+def test_fused_tokenize_kernel_matches_two_pass(spark, pages_small):
+    """token_counts_fused sentinel rows == build_docinfo over
+    token_counts, and its token rows == build_postings (r5: the
+    docinfo stage became a filter over the fused relation)."""
+    from pyspark.sql import functions as F
+
+    from ir_spark.operators import build as B
+
+    path, _ = pages_small
+    docs = (spark.read.parquet(path).select("url", "text")
+            .withColumn("doc_id", F.xxhash64("url"))
+            .select("doc_id", "text"))
+    fused = B.token_counts_fused(docs).persist()
+    try:
+        di_new = {(r["doc_id"], r["doc_len"], r["max_tf"])
+                  for r in B.docinfo_from_fused(fused).collect()}
+        di_old = {(r["doc_id"], r["doc_len"], r["max_tf"])
+                  for r in B.build_docinfo(B.token_counts(docs)).collect()}
+        assert di_new == di_old
+        po_new = {(r["doc_id"], r["term"], r["tf"])
+                  for r in B.postings_from_fused(fused).collect()}
+        po_old = {(r["doc_id"], r["term"], r["tf"])
+                  for r in B.build_postings(B.token_counts(docs)).collect()}
+        assert po_new == po_old
+    finally:
+        fused.unpersist()

@@ -59,6 +59,22 @@ def test_build_from_html_and_query(tmp_path, capsys):
     assert len(rows_html) == 5
 
 
+def test_query_job_empty_queries_file_errors(tmp_path):
+    """An empty --queries file must die with a clean argparse error,
+    not an IndexError in --serve warm-up (r5 ADVICE)."""
+    import pytest
+
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import query_index
+
+    qfile = tmp_path / "empty.txt"
+    qfile.write_text("  \n\n")
+    with pytest.raises(SystemExit):
+        query_index.main([
+            "--index-dir", str(tmp_path / "nonexistent"),
+            "--queries", str(qfile)])
+
+
 def test_package_pyfiles_deterministic(tmp_path):
     script = os.path.join(REPO, "jobs", "package_pyfiles.py")
     z1, z2 = str(tmp_path / "a.zip"), str(tmp_path / "b.zip")

@@ -463,3 +463,36 @@ def test_positional_store_incremental_append(spark, docs, tmp_path):
     assert m1b["batch_id"] == m1["batch_id"]
     assert snap(incr_store) == snap(full_store)
     assert phr(incr_store) == phr(full_store)
+
+    # upgrade repair (r5 ADVICE): a crashed append published by
+    # PRE-content-hash code left files named append-b{lo}-{hi}-{i:05d}
+    # (no hash segment).  Simulate one by copying batch-1's published
+    # files under the legacy name; the retry must clear them (else the
+    # store holds duplicate (term, doc) rows and the phrase reader
+    # throws) while leaving other batches' files alone.
+    import os
+    import shutil
+
+    span = "-".join(m1["batch_id"].split("-")[:2])  # "b{lo}-{hi}"
+    store_root = os.path.join(incr_store, "store")
+    planted = 0
+    for bdir in os.listdir(store_root):
+        for f in os.listdir(os.path.join(store_root, bdir)):
+            if f.startswith(f"append-{m1['batch_id']}-"):
+                i = int(f.rsplit("-", 1)[1].split(".")[0])
+                shutil.copy(
+                    os.path.join(store_root, bdir, f),
+                    os.path.join(store_root, bdir,
+                                 f"append-{span}-{i:05d}.parquet"))
+                planted += 1
+    assert planted > 0
+    m1c = update_positional_store(
+        spark, df.filter(F.col("doc_id") > cut), incr_store)
+    assert m1c["batch_id"] == m1["batch_id"]
+    leftovers = [
+        f for bdir in os.listdir(store_root)
+        for f in os.listdir(os.path.join(store_root, bdir))
+        if f.startswith(f"append-{span}-") and f.count("-") == 3]
+    assert leftovers == []  # legacy partials cleared
+    assert snap(incr_store) == snap(full_store)
+    assert phr(incr_store) == phr(full_store)

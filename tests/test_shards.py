@@ -300,3 +300,75 @@ class TestMicroBatchServer:
         srv.close()
         with pytest.raises(RuntimeError):
             srv.submit("boundary layer")
+
+    def test_bounded_queue_backpressure(self, monkeypatch):
+        """A full inbound queue rejects (block=False) instead of
+        growing without bound; queued work still completes."""
+        import queue as _queue
+        import threading
+        import time
+
+        import ir_spark.operators.serving as sv
+
+        gate = threading.Event()
+
+        class _FakeDF:
+            def collect(self):
+                return []
+
+        def slow_batch(spark_, sidx_, queries, **kw):
+            gate.wait(10)
+            return _FakeDF()
+
+        monkeypatch.setattr(sv, "search_segments_batch", slow_batch)
+        srv = sv.MicroBatchServer(None, None, max_batch=1,
+                                  max_wait_ms=1, max_queue=2)
+        try:
+            first = srv.submit("q0")          # worker takes it, stalls
+            time.sleep(0.3)                   # let the worker dequeue q0
+            queued = [srv.submit("q1"), srv.submit("q2")]  # fills queue
+            with pytest.raises(_queue.Full):
+                srv.submit("q3", block=False)
+            with pytest.raises(_queue.Full):
+                srv.submit("q3", timeout=0.05)
+            gate.set()                        # release the worker
+            assert first.result(5) == []
+            assert [f.result(5) for f in queued] == [[], []]
+        finally:
+            gate.set()
+            srv.close()
+
+    def test_cancelled_future_does_not_kill_worker(self, monkeypatch):
+        """A client cancel() after timeout must not raise
+        InvalidStateError inside the worker (which would hang every
+        later submit)."""
+        import threading
+        import time
+
+        import ir_spark.operators.serving as sv
+
+        gate = threading.Event()
+
+        class _FakeDF:
+            def collect(self):
+                return []
+
+        def slow_batch(spark_, sidx_, queries, **kw):
+            gate.wait(10)
+            return _FakeDF()
+
+        monkeypatch.setattr(sv, "search_segments_batch", slow_batch)
+        srv = sv.MicroBatchServer(None, None, max_batch=4, max_wait_ms=1)
+        try:
+            stalled = srv.submit("q0")        # worker stalls on this one
+            time.sleep(0.2)
+            doomed = srv.submit("q1")         # queued behind the stall
+            assert doomed.cancel()            # client gives up
+            gate.set()
+            assert stalled.result(5) == []
+            # the worker survived the cancelled future: it still serves
+            assert srv.submit("q2").result(5) == []
+            assert doomed.cancelled()
+        finally:
+            gate.set()
+            srv.close()
