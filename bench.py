@@ -93,6 +93,12 @@ def main() -> None:
         for name, m in sorted(manifests.items())
         if isinstance(m.get("metrics"), dict) and "wall_sec" in m["metrics"]
     }
+    # the fused kernel's materialization is timed separately inside the
+    # docinfo commit (r5): surface it as its own line so docinfo/
+    # postings read as the narrow filters they are
+    di = (manifests.get("docinfo") or {}).get("metrics") or {}
+    if "tokenize_sec" in di:
+        stage_sec["tokenize"] = round(di["tokenize_sec"], 3)
     stage_sec["_residual_orchestration"] = round(
         build_sec - sum(stage_sec.values()), 3)
     extras["build_stage_sec"] = stage_sec

@@ -205,10 +205,13 @@ def decontaminate_bloom(docs: DataFrame, bench: DataFrame, *,
     bitmap = "array(" + ",".join(
         f"{_as_long(w)}L" for w in words) + ")"
 
+    # _sw is projected once per row first: a split inlined in the
+    # transform lambda is re-evaluated per gram position — O(words^2)
+    # per doc (same fix as dedup.word_shingles)
     grams = (
-        f"array_distinct(CASE WHEN size(split(text, ' ')) < {n} THEN "
-        f"array() ELSE transform(sequence(1, size(split(text, ' ')) - "
-        f"{n - 1}), i -> array_join(slice(split(text, ' '), i, {n}), ' ')) "
+        f"array_distinct(CASE WHEN size(_sw) < {n} THEN "
+        f"array() ELSE transform(sequence(1, size(_sw) - "
+        f"{n - 1}), i -> array_join(slice(_sw, i, {n}), ' ')) "
         f"END)")
     # k md5 bucket positions per gram (lockstep with sketch._bucket)
     positions = (
@@ -220,6 +223,7 @@ def decontaminate_bloom(docs: DataFrame, bench: DataFrame, *,
         f"CAST(p % 64 AS INT)) & 1) = 0")
     member = f"size(filter({positions}, p -> {bit_clear})) = 0"
     out = docs.select(
+        "doc_id", F.expr("split(text, ' ')").alias("_sw")).select(
         "doc_id",
         F.expr(grams).alias("_dg")).select(
         "doc_id",
@@ -234,14 +238,19 @@ def decontaminate_bloom(docs: DataFrame, bench: DataFrame, *,
 
 
 def _gram_counts(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, gram, cnt) — NON-distinct word n-gram counts per doc."""
+    """(doc_id, gram, cnt) — NON-distinct word n-gram counts per doc.
+
+    The split array is projected once per row (_sw): inlined in the
+    transform lambda it re-evaluates per gram position — O(words^2)
+    per doc (same fix as dedup.word_shingles)."""
     grams = F.expr(
-        f"CASE WHEN size(split(text, ' ')) < {n} THEN array()"
-        f" ELSE transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
-        f" i -> array_join(slice(split(text, ' '), i, {n}), ' ')) END"
+        f"CASE WHEN size(_sw) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(_sw) - {n - 1}),"
+        f" i -> array_join(slice(_sw, i, {n}), ' ')) END"
     )
     return (
-        docs.select("doc_id", F.explode(grams).alias("gram"))
+        docs.select("doc_id", F.expr("split(text, ' ')").alias("_sw"))
+        .select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("cnt"))
     )

@@ -76,14 +76,20 @@ def word_shingles(docs: DataFrame, n: int = 3,
     whitespace-renormalized copy produce identical shingles.
     """
     # guard: Spark's sequence(1, 0) counts DOWN — short docs must map
-    # to an empty gram array, not a descending index range
-    words = "filter(split(text, ' '), w -> w != '')"
+    # to an empty gram array, not a descending index range.
+    # The word array is projected ONCE per row (_w) before the gram
+    # transform: inlining the split inside the transform lambda makes
+    # Catalyst re-split the text for EVERY gram position — O(words^2)
+    # per doc, measured 40+ s for a 20k-doc explode that runs in ~2 s
+    # with the projection (same trick as duplicate_span_coverage).
+    words = F.expr("filter(split(text, ' '), w -> w != '')")
     grams = F.expr(
-        f"CASE WHEN size({words}) < {n} THEN array()"
-        f" ELSE transform(sequence(1, size({words}) - {n - 1}),"
-        f" i -> array_join(slice({words}, i, {n}), ' ')) END"
+        f"CASE WHEN size(_w) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(_w) - {n - 1}),"
+        f" i -> array_join(slice(_w, i, {n}), ' ')) END"
     )
-    ex = docs.select("doc_id", F.explode(grams).alias("shingle"))
+    ex = (docs.select("doc_id", words.alias("_w"))
+          .select("doc_id", F.explode(grams).alias("shingle")))
     if not distinct:
         return ex
     if num_partitions:
@@ -253,7 +259,14 @@ def curate(docs: DataFrame, *, jaccard_threshold: float = 0.3,
     if caches is not None:
         caches.append(sh)
     bands_df = lsh_bands(minhash_signatures(raw, n_hashes), bands, rows)
-    cand = lsh_candidate_pairs(bands_df)
+    # the candidate-pair relation is consumed twice inside
+    # jaccard_for_pairs (intersection build + final join) — persist it,
+    # or the WHOLE explode+minhash+banding lineage above runs once per
+    # consumer (measured 1.7x on the 20k probe dedup stage).  It is
+    # tiny (LSH-pruned, bucket-capped), so the cache is a few MB.
+    cand = lsh_candidate_pairs(bands_df).persist()
+    if caches is not None:
+        caches.append(cand)
     verified = jaccard_for_pairs(cand, sh).filter(
         F.col("jaccard_micro") >= int(round(jaccard_threshold * 1e6)))
     drop_near = verified.select(F.col("b").alias("doc_id")).distinct()
@@ -273,6 +286,7 @@ def curate(docs: DataFrame, *, jaccard_threshold: float = 0.3,
         # from ``docs`` via one semi-join (one extra scan, no leak —
         # the impact.py pattern)
         keep_ids = out.select("doc_id").localCheckpoint(eager=True)
+        cand.unpersist()
         sh.unpersist()
         stage1.unpersist()
         out = docs.join(keep_ids, "doc_id", "left_semi").select(

@@ -112,9 +112,9 @@ def test_curate_cache_release(spark, pages_small):
     caches: list = []
     out = curate(docs, caches=caches)
     assert out.count() > 0
-    # r4: curate hands back TWO persists — stage1 and the shared
-    # shingle relation (4 consumers)
-    assert len(caches) == 2
+    # r5: curate hands back THREE persists — stage1, the hashed
+    # shingle relation, and the candidate-pair relation
+    assert len(caches) == 3
     assert all(c.storageLevel.useMemory for c in caches)
     for c in caches:
         c.unpersist()
