@@ -228,8 +228,13 @@ def run_serve(spark, n_docs: int, work: str) -> dict:
         pre[q] = [(int(r["doc_id"]), round(float(r["score"]), 9))
                   for r in search_segments(spark, sidx, q, k=10,
                                            mode="bm25").collect()]
+    # retier run geometry to the corpus size while compacting: the
+    # build's default range_width (2048) leaves ~n/2048 (term, run)
+    # rows per posting list; ~32 runs keeps per-run fixed cost (row
+    # decode, kernel dispatch, k-row output) off the latency path
+    new_rw = max(2048, n_final // 32 + 1)
     t0 = time.time()
-    cm = compact_segments(spark, idx_dir)
+    cm = compact_segments(spark, idx_dir, range_width=new_rw)
     compact_sec = time.time() - t0
     sidx2 = SegmentIndex.load(spark, idx_dir)
     search_segments(spark, sidx2, REFERENCE_QUERIES[0], k=10,
@@ -247,6 +252,9 @@ def run_serve(spark, n_docs: int, work: str) -> dict:
     lat2.sort()
     stage("query_set_compacted", t0,
           compact_sec=round(compact_sec, 2),
+          range_width=new_rw,
+          rows_before=cm.get("rows_before"),
+          rows_after=cm.get("rows_after"),
           files_before=cm.get("files_before"),
           files_after=cm.get("files_after"),
           p50_sec=round(statistics.median(lat2), 4),

@@ -446,7 +446,8 @@ def decode_segments(segments: DataFrame) -> DataFrame:
 
 
 def compact_segments(spark: SparkSession, index_dir: str,
-                     purge_deletes: bool = True) -> dict:
+                     purge_deletes: bool = True,
+                     range_width: int | None = None) -> dict:
     """Rewrite all segment groups into one consolidated group (grp=0)
     and consolidate dictionary delta rows — the Lucene-merge / Iceberg-
     compaction analogue for the append-only streamed index.
@@ -478,7 +479,18 @@ def compact_segments(spark: SparkSession, index_dir: str,
     manifests = storage.read_manifests(index_dir)
     lineage = manifests["stats"]["lineage"]
     n_buckets = int(lineage["n_buckets"])
-    range_width = int(lineage["range_width"])
+    # compaction is the natural point to RE-TIER run geometry: a corpus
+    # that grew 100x since the build carries 100x the (term, run) rows
+    # per posting list, and per-run fixed cost (row decode, kernel
+    # dispatch, k-row output) starts to dominate query latency.  Pass
+    # ``range_width`` to re-encode with wider runs; queries only read
+    # the width from the stats lineage, which is re-committed below.
+    retier = range_width is not None and int(range_width) != int(
+        lineage["range_width"])
+    range_width = (int(range_width) if range_width
+                   else int(lineage["range_width"]))
+    if retier:
+        lineage = {**lineage, "range_width": range_width}
     t0 = time.time()
 
     seg_before = spark.read.parquet(paths["segments"])
@@ -541,6 +553,11 @@ def compact_segments(spark: SparkSession, index_dir: str,
                       .agg(F.sum("df").cast("long").alias("df"),
                            F.sum("cf").cast("long").alias("cf")))
         storage.atomic_write_parquet(dictionary, paths["dictionary"])
+        if retier:
+            # queries read range_width from the stats lineage — publish
+            # the re-tiered width (metrics unchanged)
+            storage.commit_stage(index_dir, "stats", lineage,
+                                 dict(manifests["stats"]["metrics"]))
     else:
         # apply the deletes to every side table.  Fresh read handles
         # after the segment swap (a pre-swap DataFrame's file listing

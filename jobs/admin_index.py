@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> int:
     p_cmp.add_argument("--index-dir", required=True)
     p_cmp.add_argument("--keep-deletes", action="store_true",
                        help="consolidate groups but leave tombstones live")
+    p_cmp.add_argument("--range-width", type=int, default=None,
+                       help="re-tier run geometry while compacting "
+                            "(wider runs for a corpus that outgrew its "
+                            "build-time width)")
     p_cmp.add_argument("--local-cpus", type=int, default=None, help="pin a local[N] master; omitted: uses the ambient spark-submit conf, or local[8] when none is set")
 
     p_mnt = sub.add_parser("maintain", help="one tiered-merge pass")
@@ -174,7 +178,8 @@ def main(argv: list[str] | None = None) -> int:
     from ir_spark.operators.segments import compact_segments
 
     metrics = compact_segments(spark, args.index_dir,
-                               purge_deletes=not args.keep_deletes)
+                               purge_deletes=not args.keep_deletes,
+                               range_width=args.range_width)
     print(json.dumps(metrics))
     return 0
 

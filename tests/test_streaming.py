@@ -200,6 +200,27 @@ def test_compaction_preserves_results(spark, corpus, tmp_path):
     assert _topk_by_url(spark, stream_dir) == _topk_by_url(spark, full_dir)
 
 
+def test_compaction_retiers_range_width(spark, corpus, tmp_path):
+    """compact_segments(range_width=W) re-encodes with wider runs —
+    fewer (term, run) rows, the new width published through the stats
+    lineage, identical query results (r5: the run-geometry knob for a
+    corpus that outgrew its build-time width)."""
+    from ir_spark.operators.segments import compact_segments
+
+    d = str(tmp_path / "retier_idx")
+    pages = spark.read.parquet(corpus["full"])
+    # deliberately narrow runs at build time so the corpus spans many
+    # (term, run) rows — the "outgrown" state retiering exists for
+    build_segment_index(spark, pages, d, source="full", range_width=8)
+    before = _topk_by_url(spark, d)
+    assert SegmentIndex.load(spark, d).range_width == 8
+    m = compact_segments(spark, d, range_width=64)
+    assert m["rows_after"] < m["rows_before"]
+    sidx = SegmentIndex.load(spark, d)
+    assert sidx.range_width == 64
+    assert _topk_by_url(spark, d) == before
+
+
 def test_stream_index_readstream(spark, corpus, tmp_path):
     """True Structured Streaming path: two files, availableNow, then a
     replay with the same checkpoint is a no-op."""
