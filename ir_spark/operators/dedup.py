@@ -219,9 +219,19 @@ def curate(docs: DataFrame, *, jaccard_threshold: float = 0.3,
     # reuse suffices).  Pass ``caches`` (a list) to receive the cached
     # DataFrame and unpersist() it once the result is materialized;
     # otherwise the cache lives until the session drops it.
+    #
+    # The explicit repartition pins the cache's width: AQE coalesces
+    # the join output by COMPRESSED shuffle size, and highly
+    # compressible text can collapse it to one partition — persist()
+    # then freezes that, serializing every downstream consumer of the
+    # CPU-heaviest relation in the pipeline (measured: the 320k-doc
+    # minhash leg ran 305 s on a frozen 1-partition cache vs ~14 s
+    # repartitioned).  Size-based planning cannot see per-row CPU
+    # cost; the operator must.
+    sc = docs.sparkSession.sparkContext
     stage1 = docs.join(
         keep_exact.select(F.col("keep_id").alias("doc_id")), "doc_id"
-    ).persist()
+    ).repartition(max(2 * sc.defaultParallelism, 8), "doc_id").persist()
     if caches is not None:
         caches.append(stage1)
 
@@ -250,7 +260,6 @@ def curate(docs: DataFrame, *, jaccard_threshold: float = 0.3,
     # cluster, not to ambient shuffle.partitions (see word_shingles
     # docstring).  Joins the release to the same ``caches`` hand-off
     # as stage1.
-    sc = docs.sparkSession.sparkContext
     raw = word_shingles(stage1, n=shingle_n, distinct=False)
     sh = (raw.select("doc_id", F.xxhash64("shingle").alias("shingle"))
           .repartition(max(2 * sc.defaultParallelism, 8),
