@@ -77,7 +77,8 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from ir_spark.operators.similarity import (build_ivf_index, cosine_topk,
-                                               ivf_index_topk)
+                                               ivf_index_topk,
+                                               ivf_probe_cells)
 
     spark = (SparkSession.builder.master(f"local[{args.cpus}]")
              .appName("ann_frontier")
@@ -118,7 +119,6 @@ def main() -> int:
         store = spark.read.parquet(os.path.join(d, "vectors"))
         cents = (spark.read.parquet(os.path.join(d, "centroids"))
                  .orderBy("cell").collect())
-        cmat = np.array([r["centroid"] for r in cents])
         tot_recall = 0.0
         tot_rows = 0.0
         tot_distinct = 0.0
@@ -127,9 +127,10 @@ def main() -> int:
                 spark, d, [float(x) for x in q], k=K,
                 n_probe=n_probe).collect()}
             tot_recall += len(truth & got) / K
-            order = np.lexsort((np.arange(len(cents)),
-                                -(cmat @ q)))[:n_probe]
-            probes = [int(cents[i]["cell"]) for i in order]
+            # the SAME selection the query path uses — measured cost
+            # and measured recall stay coupled by sharing it
+            probes = ivf_probe_cells(cents, [float(x) for x in q],
+                                     n_probe)
             sl = store.filter(F.col("cell").isin(probes))
             counts = sl.agg(
                 F.count(F.lit(1)).alias("rows"),

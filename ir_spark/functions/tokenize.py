@@ -70,11 +70,15 @@ def tokenize_counts_docinfo_kernel(
     turns the build's docinfo stage from a second aggregation pass
     over the token relation into a narrow ``term IS NULL`` filter
     (r4 stage itemization: docinfo was 4.2s of the 21.6s sf0.1 build).
-    Docs whose tokenization is empty emit NO sentinel, matching the
-    groupBy formulation (no docinfo row).  The padding values on the
-    "other" side of each row (doc_len/max_tf on token rows, tf on
-    sentinels) are never read — both consumers filter on ``term``
-    nullness first.
+    Stopword token rows are DROPPED in the kernel: their only reader
+    was the docinfo doc_len sum, which is folded into the sentinel
+    here, so emitting them would only inflate the persisted relation
+    for the postings filter to discard (T11 exclusion, applied one
+    step earlier than ``build_postings``).  Docs whose tokenization is
+    empty emit NO sentinel, matching the groupBy formulation (no
+    docinfo row).  The padding values on the "other" side of each row
+    (doc_len/max_tf on token rows, tf on sentinels) are never read —
+    both consumers filter on ``term`` nullness first.
     """
     from ..text import STOPWORDS
 
@@ -94,11 +98,13 @@ def tokenize_counts_docinfo_kernel(
             dl = 0
             mt = 0
             for term, tf in counts.items():
+                dl += tf
+                if term in STOPWORDS:
+                    continue
                 doc_ids.append(doc_id)
                 terms.append(term)
                 tfs.append(tf)
-                dl += tf
-                if tf > mt and term not in STOPWORDS:
+                if tf > mt:
                     mt = tf
             s_ids.append(doc_id)
             s_len.append(dl)

@@ -149,10 +149,11 @@ def docinfo_from_fused(tokens: DataFrame) -> DataFrame:
 
 
 def postings_from_fused(tokens: DataFrame) -> DataFrame:
-    """A1 from the fused relation: real token rows minus stopwords."""
-    return tokens.filter(
-        F.col("term").isNotNull() & ~F.col("term").isin(*STOPWORDS)
-    ).select("doc_id", "term", "tf")
+    """A1 from the fused relation: the real token rows (the kernel
+    already applied the T11 stopword exclusion — only the sentinel
+    filter remains)."""
+    return tokens.filter(F.col("term").isNotNull()).select(
+        "doc_id", "term", "tf")
 
 
 def build_docinfo(tokens: DataFrame) -> DataFrame:

@@ -485,10 +485,16 @@ def compact_segments(spark: SparkSession, index_dir: str,
     # dispatch, k-row output) starts to dominate query latency.  Pass
     # ``range_width`` to re-encode with wider runs; queries only read
     # the width from the stats lineage, which is re-committed below.
-    retier = range_width is not None and int(range_width) != int(
-        lineage["range_width"])
-    range_width = (int(range_width) if range_width
-                   else int(lineage["range_width"]))
+    if range_width is not None:
+        range_width = int(range_width)
+        if range_width < 1:
+            # the old tree is deleted after the swap — a bad width must
+            # fail HERE, not corrupt the only copy of the index
+            raise ValueError(f"range_width must be >= 1, got {range_width}")
+        retier = range_width != int(lineage["range_width"])
+    else:
+        range_width = int(lineage["range_width"])
+        retier = False
     if retier:
         lineage = {**lineage, "range_width": range_width}
     t0 = time.time()

@@ -110,10 +110,24 @@ class MicroBatchServer:
         with self._lock:
             if self._closed:
                 raise RuntimeError("server closed")
-            # under the lock the sentinel cannot be enqueued concurrently,
-            # so this item is strictly before it in FIFO order and the
-            # worker is guaranteed to batch it
-            self._q.put((query, fut), block=block, timeout=timeout)
+            # fast path: a non-blocking put under the lock keeps the
+            # closed-check and the enqueue atomic without ever holding
+            # the lock across a wait (which would stall block=False
+            # callers and close() behind a full queue)
+            try:
+                self._q.put_nowait((query, fut))
+                return fut
+            except queue.Full:
+                if not block:
+                    raise
+        # slow path (queue full, block=True): wait for a slot OUTSIDE
+        # the lock.  This put can race close() and land after the
+        # sentinel; the post-join drain in close() and the re-check
+        # below make sure the future still resolves (with an error)
+        # instead of hanging.
+        self._q.put((query, fut), block=True, timeout=timeout)
+        if self._closed:
+            _complete(fut, exc=RuntimeError("server closed"))
         return fut
 
     def close(self) -> None:
@@ -122,11 +136,12 @@ class MicroBatchServer:
             if self._closed:
                 return
             self._closed = True
-            self._q.put(None)
+        # outside the lock: a full queue may briefly block this put,
+        # and the worker keeps draining so a slot always frees up
+        self._q.put(None)
         self._worker.join()
-        # belt-and-braces: nothing can be enqueued after the sentinel
-        # (submit holds the lock), but fail anything unexpectedly left
-        # rather than let a result() call hang forever
+        # fail anything that slipped in behind the sentinel (slow-path
+        # submits racing close) rather than let a result() call hang
         while True:
             try:
                 item = self._q.get_nowait()

@@ -257,6 +257,25 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_cells: int = 16,
     return manifest
 
 
+def ivf_probe_cells(centroid_rows, query_vec: list[float],
+                    n_probe: int) -> list[int]:
+    """Driver-side probe selection over the (tiny) centroid table:
+    cells ranked by dot product with the query, cell id as the
+    deterministic tie-break.  The ONE definition of which cells a
+    probe touches — the query path and any harness measuring
+    rows-read cost (BENCH/ann_frontier.py) must share it, or a later
+    change to the ranking would silently decouple measured cost from
+    measured recall."""
+    import numpy as np
+
+    c = np.array([r["centroid"] for r in centroid_rows])
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.lexsort(
+        (np.array([r["cell"] for r in centroid_rows]), -(c @ q)))
+    return [int(centroid_rows[i]["cell"])
+            for i in order[: min(n_probe, len(centroid_rows))]]
+
+
 def ivf_index_topk(spark, index_dir: str, query_vec: list[float],
                    k: int = 10, n_probe: int = 3) -> DataFrame:
     """Top-k cosine over a materialized IVF index: pick the n_probe
@@ -274,10 +293,7 @@ def ivf_index_topk(spark, index_dir: str, query_vec: list[float],
         manifest = json.load(fh)
     cents = (spark.read.parquet(os.path.join(index_dir, "centroids"))
              .orderBy("cell").collect())
-    c = np.array([r["centroid"] for r in cents])
-    q = np.asarray(query_vec, dtype=np.float64)
-    order = np.lexsort((np.array([r["cell"] for r in cents]), -(c @ q)))
-    probes = [int(cents[i]["cell"]) for i in order[: min(n_probe, len(cents))]]
+    probes = ivf_probe_cells(cents, query_vec, n_probe)
     vecs = spark.read.parquet(os.path.join(index_dir, "vectors"))
     pruned = vecs.filter(F.col("cell").isin(probes))
     if manifest.get("replicas", 1) > 1:

@@ -214,6 +214,11 @@ def test_compaction_retiers_range_width(spark, corpus, tmp_path):
     build_segment_index(spark, pages, d, source="full", range_width=8)
     before = _topk_by_url(spark, d)
     assert SegmentIndex.load(spark, d).range_width == 8
+    import pytest
+
+    for bad in (0, -64):  # must fail BEFORE touching the only copy
+        with pytest.raises(ValueError):
+            compact_segments(spark, d, range_width=bad)
     m = compact_segments(spark, d, range_width=64)
     assert m["rows_after"] < m["rows_before"]
     sidx = SegmentIndex.load(spark, d)
